@@ -1,0 +1,112 @@
+"""Driver-facing query registry.
+
+``__spark_entry__.py`` delegates here. Each query is a callable
+``(spark, sf_dir) -> DataFrame``; each oracle is the equivalent DuckDB
+SQL over the driver's pre-registered views. Every float column is
+rounded to the engine's significant-digit contract on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataframeutils_spark import oracles
+from dataframeutils_spark.operators import panel_stats, weighted_bins
+from dataframeutils_spark.schema import PanelSchema, melt_panel, siground
+from dataframeutils_spark.sources.testdata import events_bins_input, lineitem_panel
+
+# weighted-bin flagship config: 50 value-units per bin, fixed-point
+# milli-unit internals (see sources.testdata.events_bins_input)
+WB_BIN_SIZE_MILLI = 50_000.0
+WB_MAX_BINS = 8
+
+PANEL_SCHEMA = PanelSchema(
+    date_col="date",
+    group_cols=["grp"],
+    feature_cols=["feature_1", "feature_2", "feature_3"],
+)
+
+
+def round_floats(df: DataFrame) -> DataFrame:
+    """Apply the significant-digit contract to every float column."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            cols.append(siground(F.col(f.name).cast("double")).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One melt feeding every panel operator: group keys follow the
+    # reference's "v1:v2"/"__ALL__" string contract.
+    return melt_panel(lineitem_panel(spark, sf_dir), PANEL_SCHEMA)
+
+
+def q_panel_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(panel_stats.distribution_diagnostics(_melted(spark, sf_dir)))
+
+
+def q_panel_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        panel_stats.cross_sectional_dispersion(_melted(spark, sf_dir), "feature_1")
+    )
+
+
+def q_panel_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(panel_stats.predictability_ar1(_melted(spark, sf_dir)))
+
+
+def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: chronological weighted-bin scan over events (O6).
+
+    Internals run in exact milli-unit fixed point; outputs are divided
+    back to value units (single correctly-rounded division — identical
+    in both engines).
+    """
+    res = weighted_bins.calculate_weighted_bins(
+        events_bins_input(spark, sf_dir),
+        id1_col="id1",
+        id2_col="id2",
+        timestamp_col="timestamp",
+        q1_col="quantity1",
+        q2_col="quantity2",
+        bin_size=WB_BIN_SIZE_MILLI,
+        max_bins=WB_MAX_BINS,
+        tiebreak_col="tiebreak",
+    )
+    unscaled = res.select(
+        "id1",
+        "id2",
+        "timestamp",
+        (F.col("quantity1") / 1000.0).alias("quantity1"),
+        (F.col("quantity2") / 1000.0).alias("quantity2"),
+        *[
+            (F.col(f"bin_{k}_avg") / 1000.0).alias(f"bin_{k}_avg")
+            for k in range(1, WB_MAX_BINS + 1)
+        ],
+    )
+    return round_floats(unscaled)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "weighted_bins": q_weighted_bins,
+        "panel_distribution": q_panel_distribution,
+        "panel_dispersion": q_panel_dispersion,
+        "panel_ar1": q_panel_ar1,
+    }
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        "weighted_bins": oracles.weighted_bins_sql(WB_BIN_SIZE_MILLI, WB_MAX_BINS),
+        "panel_distribution": oracles.DISTRIBUTION_SQL,
+        "panel_dispersion": oracles.DISPERSION_SQL,
+        "panel_ar1": oracles.AR1_SQL,
+    }

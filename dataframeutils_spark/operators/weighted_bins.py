@@ -1,0 +1,148 @@
+"""The flagship chronological weighted-bin operator (reference O6).
+
+Semantics (reference ``weighted_bins/weighted_bin_calculator.py:6-173``):
+for every row, take all *future* rows of its ``(id1, id2)`` group in
+chronological order and greedily pour their ``quantity1`` units into
+consecutive fixed-size bins; each bin reports the quantity1-weighted
+average of ``quantity2`` over the units it received. The last partial
+bin averages over the units actually present (``:136-141``); bins after
+exhaustion are NULL (``:148-152``); the final row of each group emits
+nothing (``:97-98``). Ties on timestamp keep a stable order via an
+explicit tiebreak column (the reference relies on pandas' stable sort,
+``:62``).
+
+Implementation — Spark-first, not a port
+----------------------------------------
+The reference is an O(rows × future × bins) Python loop. Here the
+greedy pour is reformulated as *interval overlap on the cumulative
+quantity1 axis*: event ``j`` occupies ``[S[j], S[j+1])`` where ``S`` is
+the prefix sum of quantity1, and row ``i``'s bin ``k`` is the window
+``[S[i+1] + (k-1)·bs, S[i+1] + k·bs)``. The weighted sum poured into any
+window is ``W(hi) − W(lo)`` where ``W`` is the piecewise-linear
+cumulative ∫q2 d(quantity1) — evaluated for all rows × bin edges at once
+with a vectorized ``searchsorted``. Per group of size G the kernel is
+O(G·(log G + B)) time / O(G·B) memory (chunked to bound peak memory),
+versus the reference's O(G²·B).
+
+Distribution: one shuffle on the group key via
+``groupBy(id1, id2).applyInPandas`` (Arrow batches, pandas-free inner
+math). Skewed group keys are handled by AQE; groups are independent so
+the operator scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.schema import nan_to_null
+
+_CHUNK_ROWS = 1 << 18  # bound kernel peak memory to ~chunk×(bins+1) doubles
+
+
+def _bin_kernel(
+    q1: np.ndarray,
+    q2: np.ndarray,
+    bin_size: float,
+    max_bins: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compute bin averages for one chronologically-ordered group.
+
+    Returns (emit_index, averages[n-1, max_bins]) where emit_index are
+    positions (into the ordered arrays) of rows that emit output — all
+    but the group's last row.
+    """
+    n = len(q1)
+    if n <= 1:
+        return np.empty(0, dtype=np.int64), np.empty((0, max_bins))
+    q1 = np.asarray(q1, dtype=np.float64)
+    q2 = np.asarray(q2, dtype=np.float64)
+
+    s = np.concatenate(([0.0], np.cumsum(q1)))  # event j occupies [s[j], s[j+1])
+    cw = np.concatenate(([0.0], np.cumsum(q1 * q2)))  # W at the breakpoints
+    total = s[-1]
+
+    emit = np.arange(n - 1)
+    origins = s[1 : n]  # row i's bins start where its own interval ends
+    edges = origins[:, None] + np.arange(max_bins + 1)[None, :] * float(bin_size)
+    np.minimum(edges, total, out=edges)
+
+    avgs = np.empty((n - 1, max_bins))
+    for lo in range(0, n - 1, _CHUNK_ROWS):
+        hi = min(lo + _CHUNK_ROWS, n - 1)
+        e = edges[lo:hi]
+        j = np.clip(np.searchsorted(s, e, side="right") - 1, 0, n - 1)
+        w = cw[j] + (e - s[j]) * q2[j]
+        poured = np.diff(w, axis=1)
+        units = np.diff(e, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avgs[lo:hi] = np.where(units > 0, poured / units, np.nan)
+    return emit, avgs
+
+
+def calculate_weighted_bins(
+    df: DataFrame,
+    id1_col: str = "ID1",
+    id2_col: str = "ID2",
+    timestamp_col: str = "timestamp",
+    q1_col: str = "quantity1",
+    q2_col: str = "quantity2",
+    bin_size: float = 100.0,
+    max_bins: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Distributed weighted-bin calculation (same contract as the reference).
+
+    Output: the five canonical columns (original names/types) plus
+    ``bin_1_avg .. bin_<max_bins>_avg`` doubles; empty bins are NULL
+    (engine NULL policy — the reference used NaN). Extra input columns
+    are dropped, as in the reference (``weighted_bin_calculator.py:155-163``).
+
+    ``tiebreak_col``: optional monotonic column that fixes the order of
+    timestamp ties (reference semantics = original row position under a
+    stable sort; row position is not well-defined for a distributed
+    dataset, so callers supply an explicit key, e.g. ``event_id``).
+    ``quantity1`` must be non-negative.
+    """
+    required = [id1_col, id2_col, timestamp_col, q1_col, q2_col]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(f"Missing required columns: {missing}")
+    if max_bins < 1:
+        raise ValueError("max_bins must be >= 1")
+    if not bin_size > 0:
+        raise ValueError("bin_size must be > 0")
+
+    bin_cols = [f"bin_{k}_avg" for k in range(1, max_bins + 1)]
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {in_types[c]}" for c in required]
+        + [f"{b} double" for b in bin_cols]
+    )
+    sort_cols = [timestamp_col] + ([tiebreak_col] if tiebreak_col else [])
+    select_cols = required + ([tiebreak_col] if tiebreak_col else [])
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        emit, avgs = _bin_kernel(
+            pdf[q1_col].to_numpy(dtype=np.float64),
+            pdf[q2_col].to_numpy(dtype=np.float64),
+            float(bin_size),
+            int(max_bins),
+        )
+        out = pdf.loc[emit, required].reset_index(drop=True)
+        for k, b in enumerate(bin_cols):
+            out[b] = avgs[:, k]
+        return out
+
+    result = (
+        df.select(*select_cols)
+        .groupBy(id1_col, id2_col)
+        .applyInPandas(run_group, schema=out_schema)
+    )
+    # engine NULL policy: empty bins are SQL NULL, never NaN
+    return result.select(
+        *required, *[nan_to_null(F.col(b)).alias(b) for b in bin_cols]
+    )

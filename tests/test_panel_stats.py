@@ -1,0 +1,98 @@
+"""Golden-file parity (vs /root/reference/out_*.csv) and DuckDB-oracle
+parity for the closed-form panel statistics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataframeutils_spark import driver, oracles
+from dataframeutils_spark.operators import panel_stats
+from dataframeutils_spark.schema import PanelSchema, melt_panel
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+from tests.ref_fixture import golden, reference_panel
+
+REF_SCHEMA = PanelSchema(date_col="date", group_cols=["name"])
+
+
+@pytest.fixture(scope="module")
+def ref_long(spark):
+    pdf = reference_panel()
+    sdf = spark.createDataFrame(pdf)
+    return melt_panel(sdf, REF_SCHEMA).cache()
+
+
+def _to_lookup(pdf: pd.DataFrame, keys: list[str], vals: list[str]):
+    return {
+        tuple(row[k] for k in keys): tuple(row[v] for v in vals)
+        for _, row in pdf.iterrows()
+    }
+
+
+def test_distribution_matches_golden(ref_long):
+    got = panel_stats.distribution_diagnostics(ref_long).toPandas()
+    want = golden("out_distribution.csv")
+    assert len(got) == len(want) == 15
+    g = _to_lookup(got, ["grp", "feature"], ["mean", "std", "skew", "kurtosis"])
+    for _, row in want.iterrows():
+        m, s, sk, ku = g[(row["group"], row["feature"])]
+        np.testing.assert_allclose(
+            [m, s, sk, ku],
+            [row["mean"], row["std"], row["skew"], row["kurtosis"]],
+            rtol=1e-9,
+        )
+
+
+def test_ar1_matches_golden(ref_long):
+    got = panel_stats.predictability_ar1(ref_long).toPandas()
+    want = golden("out_ar1.csv")
+    assert len(got) == len(want) == 15
+    g = _to_lookup(got, ["grp", "feature"], ["ar1_r2"])
+    for _, row in want.iterrows():
+        np.testing.assert_allclose(
+            g[(row["group"], row["feature"])][0], row["ar1_r2"], rtol=1e-9
+        )
+
+
+def test_dispersion_matches_golden(ref_long):
+    got = panel_stats.cross_sectional_dispersion(ref_long, "feature_1").toPandas()
+    want = golden("out_cross_section_dispersion_feature1.csv")
+    assert len(got) == len(want) == 60
+    got["date"] = pd.to_datetime(got["date"])
+    want["date"] = pd.to_datetime(want["date"])
+    merged = got.merge(want, on="date")
+    np.testing.assert_allclose(
+        merged["dispersion"], merged["dispersion_feature_1"], rtol=1e-9
+    )
+
+
+def test_distribution_nan_and_short_series(spark):
+    """NULL policy on a tiny panel: n=1 → std NULL; NaN treated as missing."""
+    pdf = pd.DataFrame(
+        {
+            "date": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-01"]),
+            "name": ["A", "A", "A", "B"],
+            "f": [1.0, np.nan, 3.0, 5.0],
+        }
+    )
+    long_df = melt_panel(
+        spark.createDataFrame(pdf), PanelSchema(date_col="date", group_cols=["name"])
+    )
+    got = panel_stats.distribution_diagnostics(long_df).toPandas().set_index("grp")
+    assert got.loc["A", "n"] == 2  # NaN dropped
+    assert got.loc["A", "mean"] == 2.0
+    assert np.isclose(got.loc["A", "std"], np.std([1.0, 3.0], ddof=1))
+    assert pd.isna(got.loc["A", "skew"])  # n < 3
+    assert pd.isna(got.loc["B", "std"])  # n < 2
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["panel_distribution", "panel_dispersion", "panel_ar1"],
+)
+def test_driver_oracle_parity(spark, ddb, qname):
+    q = driver.all_queries()[qname]
+    sql = driver.all_oracles()[qname]
+    assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
