@@ -15,8 +15,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataframeutils_spark import oracles
-from dataframeutils_spark.operators import panel_stats, weighted_bins
-from dataframeutils_spark.schema import PanelSchema, melt_panel, siground
+from dataframeutils_spark.operators import (
+    cross_feature,
+    memory,
+    outliers,
+    panel_stats,
+    weighted_bins,
+)
+from dataframeutils_spark.schema import PanelSchema, decround, melt_panel, siground
 from dataframeutils_spark.sources.testdata import events_bins_input, lineitem_panel
 
 # weighted-bin flagship config: 50 value-units per bin, fixed-point
@@ -31,12 +37,20 @@ PANEL_SCHEMA = PanelSchema(
 )
 
 
-def round_floats(df: DataFrame) -> DataFrame:
-    """Apply the significant-digit contract to every float column."""
+def round_floats(df: DataFrame, dec: tuple[str, ...] = (), all_dec: bool = False) -> DataFrame:
+    """Apply the cross-engine rounding contract to every float column.
+
+    Columns named in ``dec`` (or all, with ``all_dec``) get fixed
+    decimal-place rounding — right for bounded statistics (corr, rates,
+    exponents) where significant-digit rounding would amplify noise
+    near zero. Everything else gets significant-digit rounding — right
+    for scale-carrying magnitudes (means, stddevs).
+    """
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-            cols.append(siground(F.col(f.name).cast("double")).alias(f.name))
+            fn = decround if (all_dec or f.name in dec) else siground
+            cols.append(fn(F.col(f.name).cast("double")).alias(f.name))
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
@@ -49,7 +63,10 @@ def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_panel_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return round_floats(panel_stats.distribution_diagnostics(_melted(spark, sf_dir)))
+    return round_floats(
+        panel_stats.distribution_diagnostics(_melted(spark, sf_dir)),
+        dec=("skew", "kurtosis"),
+    )
 
 
 def q_panel_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +76,41 @@ def q_panel_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_panel_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return round_floats(panel_stats.predictability_ar1(_melted(spark, sf_dir)))
+    return round_floats(panel_stats.predictability_ar1(_melted(spark, sf_dir)), all_dec=True)
+
+
+def q_memory_acf_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(memory.acf_hurst(_melted(spark, sf_dir)), all_dec=True)
+
+
+def q_lagged_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    panel = lineitem_panel(spark, sf_dir)
+    pairs = cross_feature.default_pairs(PANEL_SCHEMA.feature_cols)
+    return round_floats(
+        cross_feature.lagged_cross_corr(panel, pairs, max_lag=6), all_dec=True
+    )
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    panel = lineitem_panel(spark, sf_dir)
+    return round_floats(
+        cross_feature.rolling_corr(panel, "feature_1", "feature_3", window=10),
+        all_dec=True,
+    )
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    panel = lineitem_panel(spark, sf_dir)
+    pairs = cross_feature.default_pairs(PANEL_SCHEMA.feature_cols)
+    return round_floats(
+        cross_feature.mutual_information(panel, pairs), all_dec=True
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        outliers.zscore_outliers(_melted(spark, sf_dir), "feature_1"), all_dec=True
+    )
 
 
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +151,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_distribution": q_panel_distribution,
         "panel_dispersion": q_panel_dispersion,
         "panel_ar1": q_panel_ar1,
+        "memory_acf_hurst": q_memory_acf_hurst,
+        "lagged_corr": q_lagged_corr,
+        "rolling_corr": q_rolling_corr,
+        "mutual_info": q_mutual_info,
+        "zscore_outliers": q_zscore_outliers,
     }
 
 
@@ -109,4 +165,9 @@ def all_oracles() -> dict[str, str]:
         "panel_distribution": oracles.DISTRIBUTION_SQL,
         "panel_dispersion": oracles.DISPERSION_SQL,
         "panel_ar1": oracles.AR1_SQL,
+        "memory_acf_hurst": oracles.MEMORY_SQL,
+        "lagged_corr": oracles.lagged_corr_sql(max_lag=6),
+        "rolling_corr": oracles.ROLLING_CORR_SQL,
+        "mutual_info": oracles.MUTUAL_INFO_SQL,
+        "zscore_outliers": oracles.ZSCORE_SQL,
     }

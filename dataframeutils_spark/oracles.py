@@ -11,6 +11,7 @@ sides via the same SQL fragment, so cross-engine aggregation-order noise
 
 from __future__ import annotations
 
+from dataframeutils_spark.schema import decround_sql as dec
 from dataframeutils_spark.schema import siground_sql as sig
 
 # The standard panel (FIXTURES.md F2 mapping) — must stay in lockstep
@@ -47,8 +48,8 @@ SELECT grp, feature,
        count(value) AS n,
        {sig('avg(value)')} AS mean,
        CASE WHEN count(value) >= 2 THEN {sig('stddev_samp(value)')} END AS std,
-       CASE WHEN count(value) >= 3 THEN {sig('skewness(value)')} END AS skew,
-       CASE WHEN count(value) >= 4 THEN {sig('kurtosis(value)')} END AS kurtosis
+       CASE WHEN count(value) >= 3 THEN {dec('skewness(value)')} END AS skew,
+       CASE WHEN count(value) >= 4 THEN {dec('kurtosis(value)')} END AS kurtosis
 FROM melt
 WHERE value IS NOT NULL
 GROUP BY grp, feature
@@ -142,8 +143,154 @@ agg AS (
 SELECT grp, feature, n_pairs,
        CASE WHEN var_y = 0 THEN NULL
             WHEN var_x = 0 THEN 0.0
-            ELSE {sig('pow(r, 2)')} END AS ar1_r2
+            ELSE {dec('pow(r, 2)')} END AS ar1_r2
 FROM agg
 WHERE n_pairs >= 10
+"""
+)
+
+# Pair slices for the cross-feature operators (must match
+# cross_feature._pair_frame over the standard panel).
+PAIRS = [
+    ("feature_1", "feature_2"),
+    ("feature_1", "feature_3"),
+    ("feature_2", "feature_3"),
+]
+
+_PAIR_CTE = "pf AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT grp, date, '{fa}|{fb}' AS pair, CAST({fa} AS DOUBLE) AS a, CAST({fb} AS DOUBLE) AS b FROM panel"
+    for fa, fb in PAIRS
+) + "\n)"
+
+MEMORY_SQL = with_panel(
+    f"""
+, d AS (
+  SELECT grp, feature, date, value,
+         avg(value) OVER (PARTITION BY grp, feature) AS mean_v
+  FROM melt WHERE value IS NOT NULL
+), lagged AS (
+  SELECT grp, feature, value,
+         lag(value, 1)  OVER w AS xlag1,
+         lag(value, 5)  OVER w AS xlag5,
+         lag(value, 10) OVER w AS xlag10,
+         sum(value - mean_v) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_dev
+  FROM d
+  WINDOW w AS (PARTITION BY grp, feature ORDER BY date)
+), agg AS (
+  SELECT grp, feature, count(value) AS n,
+         corr(value, xlag1)  AS a1,
+         corr(value, xlag5)  AS a5,
+         corr(value, xlag10) AS a10,
+         max(cum_dev) AS cmax, min(cum_dev) AS cmin,
+         stddev_samp(value) AS sd
+  FROM lagged GROUP BY grp, feature
+)
+SELECT grp, feature, n,
+       {dec('a1')} AS acf_lag1, {dec('a5')} AS acf_lag5, {dec('a10')} AS acf_lag10,
+       CASE WHEN n < 20 THEN NULL
+            WHEN sd = 0 THEN 0.5
+            ELSE {dec('ln((cmax - cmin) / sd) / ln(n)')} END AS hurst_exp
+FROM agg WHERE n >= 12
+"""
+)
+
+
+def lagged_corr_sql(max_lag: int = 6, min_pairs: int = 10) -> str:
+    return with_panel(
+        f"""
+, {_PAIR_CTE}
+, rn AS (
+  SELECT *, row_number() OVER (PARTITION BY pair, grp ORDER BY date) AS rn FROM pf
+), lags AS (SELECT unnest(range(0, {max_lag + 1})) AS lag)
+, joined AS (
+  SELECT b.pair, b.grp, l.lag, a_side.a AS a_val, b.b AS b_val
+  FROM rn b
+  CROSS JOIN lags l
+  JOIN rn a_side ON a_side.pair = b.pair AND a_side.grp = b.grp
+                AND a_side.rn = b.rn - l.lag
+), per_group AS (
+  SELECT pair, grp, lag, count(*) AS n_pairs, corr(a_val, b_val) AS c
+  FROM joined
+  WHERE a_val IS NOT NULL AND b_val IS NOT NULL
+  GROUP BY pair, grp, lag
+  HAVING count(*) >= {min_pairs}
+)
+SELECT pair, lag, CAST(count(c) AS BIGINT) AS n_groups, {dec('avg(c)')} AS avg_corr
+FROM per_group GROUP BY pair, lag
+"""
+    )
+
+
+ROLLING_CORR_SQL = with_panel(
+    f"""
+, s AS (
+  SELECT grp, date,
+         corr(CAST(feature_1 AS DOUBLE), CAST(feature_3 AS DOUBLE))
+           OVER (PARTITION BY grp ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rc,
+         row_number() OVER (PARTITION BY grp ORDER BY date) AS rn
+  FROM panel
+)
+SELECT grp, date,
+       CASE WHEN isnan(rc) THEN NULL ELSE {dec('rc')} END AS rolling_corr
+FROM s WHERE rn >= 10
+"""
+)
+
+MUTUAL_INFO_SQL = with_panel(
+    f"""
+, {_PAIR_CTE}
+, pn AS (SELECT * FROM pf WHERE a IS NOT NULL AND b IS NOT NULL)
+, ext AS (
+  SELECT pair, grp, a, b,
+         min(a) OVER w AS amin, max(a) OVER w AS amax,
+         min(b) OVER w AS bmin, max(b) OVER w AS bmax,
+         count(*) OVER w AS n
+  FROM pn WINDOW w AS (PARTITION BY pair, grp)
+), binned AS (
+  SELECT pair, grp, n,
+         CASE WHEN amax = amin THEN 5
+              ELSE LEAST(CAST(floor((a - amin) / ((amax - amin) / 10)) AS INT), 9) END AS bxx,
+         CASE WHEN bmax = bmin THEN 5
+              ELSE LEAST(CAST(floor((b - bmin) / ((bmax - bmin) / 10)) AS INT), 9) END AS byy
+  FROM ext WHERE n >= 20
+), cells AS (
+  SELECT pair, grp, n, bxx, byy, count(*) AS cnt
+  FROM binned GROUP BY pair, grp, n, bxx, byy
+), probs AS (
+  SELECT pair, grp, n,
+         cnt / CAST(n AS DOUBLE) AS pxy,
+         sum(cnt) OVER (PARTITION BY pair, grp, bxx) / CAST(n AS DOUBLE) AS px,
+         sum(cnt) OVER (PARTITION BY pair, grp, byy) / CAST(n AS DOUBLE) AS py
+  FROM cells
+)
+SELECT pair, grp, max(n) AS n_pairs,
+       {dec('sum(pxy * (ln(pxy + 1e-12) - ln(px + 1e-12) - ln(py + 1e-12)))')} AS mi
+FROM probs GROUP BY pair, grp
+"""
+)
+
+ZSCORE_SQL = with_panel(
+    f"""
+, d AS (
+  SELECT grp, value FROM melt
+  WHERE feature = 'feature_1' AND value IS NOT NULL
+), scored AS (
+  SELECT grp,
+         abs((value - avg(value) OVER (PARTITION BY grp))
+             / stddev_pop(value) OVER (PARTITION BY grp)) AS z
+  FROM d
+), agg AS (
+  SELECT grp, count(*) AS n,
+         CAST(count(*) FILTER (WHERE z > 3) AS BIGINT) AS n_outliers,
+         avg(CASE WHEN z > 3 THEN z END) AS avg_out,
+         max(z) AS mx, min(z) AS mn
+  FROM scored GROUP BY grp
+)
+SELECT grp, 'feature_1' AS feature, 'zscore' AS method, n_outliers,
+       {dec('n_outliers / CAST(n AS DOUBLE)')} AS outlier_rate,
+       {dec('coalesce(avg_out, 0.0)')} AS avg_outlier_score,
+       {dec('mx')} AS max_outlier_score,
+       {dec('mn')} AS min_outlier_score
+FROM agg WHERE n >= 10
 """
 )

@@ -176,6 +176,33 @@ def siground_sql(expr: str) -> str:
     )
 
 
+def decround_sql(expr: str, places: int = SIG_DIGITS) -> str:
+    """SQL fragment rounding ``expr`` to fixed decimal places — for
+    *bounded* statistics (correlations, rates, p-values, exponents):
+    near zero, significant-digit rounding amplifies cross-engine noise
+    (relative noise of a tiny value is huge), while fixed decimals keep
+    the flip probability at |noise| / 10^-places. Same decimal-string
+    reconstruction trick as :func:`siground_sql`."""
+    scale = 10**places
+    return (
+        f"CASE WHEN {expr} IS NULL OR isnan({expr}) THEN NULL "
+        f"ELSE CAST(concat(CAST(round(({expr}) * {scale}) AS BIGINT), 'e-{places}') AS DOUBLE) END"
+    )
+
+
+def decround(col: Column | str, places: int = SIG_DIGITS) -> Column:
+    """Spark Column version of :func:`decround_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**places
+    as_str = F.concat(
+        F.round(c * scale).cast("long").cast("string"), F.lit(f"e-{places}")
+    )
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit(None).cast("double"))
+        .otherwise(as_str.cast("double"))
+    )
+
+
 def siground(col: Column | str) -> Column:
     """Spark Column version of :func:`siground_sql` (same arithmetic)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -36,10 +36,12 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, coerce dates/timestamps, sort rows, reset index."""
     out = pdf.copy()
     for c in out.columns:
-        if len(out) and isinstance(out[c].iloc[0], (_dt.date, _dt.datetime)):
-            out[c] = pd.to_datetime(out[c])
-        elif str(out[c].dtype).startswith("datetime64"):
-            out[c] = pd.to_datetime(out[c].dt.tz_localize(None) if getattr(out[c].dt, "tz", None) else out[c])
+        is_dt_obj = len(out) and isinstance(out[c].iloc[0], (_dt.date, _dt.datetime))
+        if is_dt_obj or str(out[c].dtype).startswith("datetime64"):
+            s = out[c]
+            if str(s.dtype).startswith("datetime64") and getattr(s.dt, "tz", None):
+                s = s.dt.tz_localize(None)
+            out[c] = pd.to_datetime(s).astype("datetime64[ns]")
         elif out[c].dtype == object:
             pass
         elif np.issubdtype(out[c].dtype, np.floating):
