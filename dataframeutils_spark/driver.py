@@ -18,8 +18,10 @@ from dataframeutils_spark import oracles
 from dataframeutils_spark.operators import (
     cross_feature,
     memory,
+    ml_fits,
     outliers,
     panel_stats,
+    stat_tests,
     weighted_bins,
 )
 from dataframeutils_spark.schema import PanelSchema, decround, melt_panel, siground
@@ -113,6 +115,74 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- fit-based operators: not ANSI-SQL-expressible (iterative lag
+# selection, response-surface p-values) → no oracle entry; the driver
+# records rows-only checks and pytest pins them to the reference's
+# statsmodels golden outputs.
+
+
+def q_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        stat_tests.stationarity_tests(_melted(spark, sf_dir)), all_dec=True
+    )
+
+
+def q_stationarity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        stat_tests.stationarity_summary(stat_tests.stationarity_tests(_melted(spark, sf_dir))),
+        all_dec=True,
+    )
+
+
+def q_memory_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(stat_tests.memory_dependence(_melted(spark, sf_dir)), all_dec=True)
+
+
+def q_frequency_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        stat_tests.frequency_domain(_melted(spark, sf_dir)), dec=("dom_freq",)
+    )
+
+
+def q_regime_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        ml_fits.regime_detection(_melted(spark, sf_dir), "feature_2"), all_dec=True
+    )
+
+
+def q_volatility_garch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        ml_fits.volatility_analysis(_melted(spark, sf_dir), "feature_2", "GARCH"),
+        dec=("persistence", "vol_skew", "vol_kurt"),
+    )
+
+
+def q_outliers_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        ml_fits.ml_outliers(_melted(spark, sf_dir), "feature_1", "isolation_forest"),
+        all_dec=True,
+    )
+
+
+def q_outliers_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        ml_fits.ml_outliers(_melted(spark, sf_dir), "feature_1", "local_outlier_factor"),
+        all_dec=True,
+    )
+
+
+def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    panel = lineitem_panel(spark, sf_dir)
+    pairs = cross_feature.default_pairs(PANEL_SCHEMA.feature_cols)
+    return round_floats(stat_tests.cointegration(panel, pairs), all_dec=True)
+
+
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    panel = lineitem_panel(spark, sf_dir)
+    pairs = cross_feature.default_pairs(PANEL_SCHEMA.feature_cols)
+    return round_floats(stat_tests.granger_causality(panel, pairs), all_dec=True)
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -156,6 +226,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "mutual_info": q_mutual_info,
         "zscore_outliers": q_zscore_outliers,
+        "stationarity": q_stationarity,
+        "stationarity_summary": q_stationarity_summary,
+        "memory_dependence": q_memory_dependence,
+        "frequency_domain": q_frequency_domain,
+        "cointegration": q_cointegration,
+        "granger": q_granger,
+        "regime_detection": q_regime_detection,
+        "volatility_garch": q_volatility_garch,
+        "outliers_iforest": q_outliers_iforest,
+        "outliers_lof": q_outliers_lof,
     }
 
 

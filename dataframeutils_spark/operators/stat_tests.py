@@ -1,0 +1,236 @@
+"""Fit-based statistical operators (reference A2/A3, A4-LjungBox, A5,
+A10, A11) as Arrow-batched ``applyInPandas`` kernels over the pure-numpy
+implementations in :mod:`dataframeutils_spark.functions.stats`.
+
+Design rules (SURVEY §4):
+
+* min-length guards are pushed *before* the Python stage — a window
+  count + filter keeps short series out of the UDF entirely (the
+  reference checks lengths inside its per-group loop);
+* each kernel sorts its group by date internally (``applyInPandas``
+  gives no ordering guarantee);
+* heavy math imports happen inside the kernels (executor-side);
+* NaN from failed/degenerate fits is normalized to SQL NULL on the way
+  out.
+
+These operators are not ANSI-SQL-expressible (iterative lag selection,
+response-surface p-values), so the driver records rows-only checks;
+exactness is instead pinned by golden-file tests against the
+reference's statsmodels outputs (tests/test_stat_kernels.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.cross_feature import _pair_frame
+from dataframeutils_spark.operators.memory import acf_hurst
+from dataframeutils_spark.schema import nan_to_null
+
+
+def _with_min_len(long_df: DataFrame, min_len: int) -> DataFrame:
+    """NULL-filter + per-(grp, feature) length gate, before any UDF."""
+    w = Window.partitionBy("grp", "feature")
+    return (
+        long_df.filter(F.col("value").isNotNull())
+        .withColumn("_n", F.count("value").over(w))
+        .filter(F.col("_n") >= min_len)
+        .drop("_n")
+    )
+
+
+def stationarity_tests(long_df: DataFrame, regression: str = "c", min_len: int = 10) -> DataFrame:
+    """ADF + KPSS per (grp × feature) — reference ``time_series_study.py:183-226``.
+
+    Output: (grp, feature, adf_stat, adf_p, kpss_stat, kpss_p).
+    """
+    gated = _with_min_len(long_df, min_len)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataframeutils_spark.functions import stats as S
+
+        x = pdf.sort_values("date")["value"].to_numpy(dtype=float)
+        try:
+            adf_stat, adf_p, _ = S.adfuller(x, regression=regression)
+        except Exception:
+            adf_stat, adf_p = np.nan, np.nan
+        try:
+            kpss_stat, kpss_p, _ = S.kpss(x, regression=regression)
+        except Exception:
+            kpss_stat, kpss_p = np.nan, np.nan
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "feature": [pdf["feature"].iloc[0]],
+                "adf_stat": [adf_stat],
+                "adf_p": [adf_p],
+                "kpss_stat": [kpss_stat],
+                "kpss_p": [kpss_p],
+            }
+        )
+
+    out = gated.groupBy("grp", "feature").applyInPandas(
+        kernel,
+        schema="grp string, feature string, adf_stat double, adf_p double, "
+        "kpss_stat double, kpss_p double",
+    )
+    return out.select(
+        "grp", "feature",
+        *[nan_to_null(F.col(c)).alias(c) for c in ["adf_stat", "adf_p", "kpss_stat", "kpss_p"]],
+    )
+
+
+def stationarity_summary(results: DataFrame) -> DataFrame:
+    """Per feature: proportion of groups rejecting each null at 5%
+    (reference ``:228-239``). pandas ``(p < 0.05).mean()`` counts NaN as
+    False in the denominator → ``coalesce(cast(p<0.05), 0)`` then avg.
+    """
+    def prop(col: str):
+        return F.avg(F.coalesce((F.col(col) < 0.05).cast("double"), F.lit(0.0)))
+
+    return results.groupBy("feature").agg(
+        prop("adf_p").alias("prop_reject_unit_root"),
+        prop("kpss_p").alias("prop_reject_stationarity"),
+    )
+
+
+def ljung_box_p(long_df: DataFrame, lags: int = 10, min_len: int = 12) -> DataFrame:
+    """Ljung–Box p at ``lags`` per (grp × feature) — the UDF half of
+    reference A4 (``time_series_study.py:327-331``)."""
+    gated = _with_min_len(long_df, min_len)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataframeutils_spark.functions import stats as S
+
+        x = pdf.sort_values("date")["value"].to_numpy(dtype=float)
+        try:
+            _, p = S.ljung_box(x, lags)
+        except Exception:
+            p = np.nan
+        return pd.DataFrame(
+            {"grp": [pdf["grp"].iloc[0]], "feature": [pdf["feature"].iloc[0]], "ljungbox_p": [p]}
+        )
+
+    out = gated.groupBy("grp", "feature").applyInPandas(
+        kernel, schema="grp string, feature string, ljungbox_p double"
+    )
+    return out.select("grp", "feature", nan_to_null(F.col("ljungbox_p")).alias("ljungbox_p"))
+
+
+def memory_dependence(long_df: DataFrame, min_len: int = 12) -> DataFrame:
+    """Full reference A4 output: native ACF/Hurst joined with the
+    Ljung–Box UDF — (grp, feature, acf_lag1, acf_lag5, acf_lag10,
+    ljungbox_p, hurst_exp)."""
+    native = acf_hurst(long_df, min_len=min_len).drop("n")
+    lb = ljung_box_p(long_df, lags=10, min_len=min_len)
+    return native.join(lb, on=["grp", "feature"], how="left").select(
+        "grp", "feature", "acf_lag1", "acf_lag5", "acf_lag10", "ljungbox_p", "hurst_exp"
+    )
+
+
+def frequency_domain(long_df: DataFrame, detrend: bool = True, min_len: int = 8) -> DataFrame:
+    """Dominant periodogram frequency/power per (grp × feature) —
+    reference A5 (``time_series_study.py:367-433``): optional linear
+    detrend, scipy-convention density periodogram, argmax excluding the
+    zero frequency."""
+    gated = _with_min_len(long_df, min_len)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataframeutils_spark.functions import stats as S
+
+        x = pdf.sort_values("date")["value"].to_numpy(dtype=float)
+        if detrend:
+            t = np.arange(len(x))
+            c = np.polyfit(t, x, 1)
+            x = x - (c[0] * t + c[1])
+        freqs, power = S.periodogram(x)
+        start = 1 if len(freqs) > 1 else 0
+        idx = start + int(np.argmax(power[start:]))
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "feature": [pdf["feature"].iloc[0]],
+                "dom_freq": [float(freqs[idx])],
+                "dom_power": [float(power[idx])],
+            }
+        )
+
+    return gated.groupBy("grp", "feature").applyInPandas(
+        kernel, schema="grp string, feature string, dom_freq double, dom_power double"
+    )
+
+
+def _gated_pairs(panel: DataFrame, pairs: list[tuple[str, str]], min_len: int) -> DataFrame:
+    pf = _pair_frame(panel, pairs).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    w = Window.partitionBy("pair", "grp")
+    return (
+        pf.withColumn("_n", F.count("*").over(w)).filter(F.col("_n") >= min_len).drop("_n")
+    )
+
+
+def cointegration(
+    panel: DataFrame, pairs: list[tuple[str, str]], max_lag: int = 10
+) -> DataFrame:
+    """Engle–Granger per (pair × group) — reference A10
+    (``time_series_study.py:607-620``). Aligned length gate
+    ``max(20, max_lag + 5)``."""
+    min_len = max(20, max_lag + 5)
+    gated = _gated_pairs(panel, pairs, min_len)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataframeutils_spark.functions import stats as S
+
+        pdf = pdf.sort_values("date")
+        try:
+            stat, p = S.engle_granger(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+        except Exception:
+            stat, p = np.nan, np.nan
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "pair": [pdf["pair"].iloc[0]],
+                "coint_stat": [stat],
+                "coint_p": [p],
+            }
+        )
+
+    out = gated.groupBy("pair", "grp").applyInPandas(
+        kernel, schema="grp string, pair string, coint_stat double, coint_p double"
+    )
+    return out.select(
+        "grp", "pair",
+        nan_to_null(F.col("coint_stat")).alias("coint_stat"),
+        nan_to_null(F.col("coint_p")).alias("coint_p"),
+    )
+
+
+def granger_causality(
+    panel: DataFrame, pairs: list[tuple[str, str]], max_lag: int = 10
+) -> DataFrame:
+    """Min ssr-chi² p over lags 1..min(max_lag, 5) per (pair × group) —
+    reference A11 (``time_series_study.py:621-628``)."""
+    min_len = max(20, max_lag + 5)
+    gated = _gated_pairs(panel, pairs, min_len)
+    use_lag = min(max_lag, 5)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataframeutils_spark.functions import stats as S
+
+        pdf = pdf.sort_values("date")
+        try:
+            p = S.granger_min_p(pdf["a"].to_numpy(), pdf["b"].to_numpy(), use_lag)
+        except Exception:
+            p = np.nan
+        return pd.DataFrame(
+            {"grp": [pdf["grp"].iloc[0]], "pair": [pdf["pair"].iloc[0]], "pvalue": [p]}
+        )
+
+    out = gated.groupBy("pair", "grp").applyInPandas(
+        kernel, schema="grp string, pair string, pvalue double"
+    )
+    return out.select("grp", "pair", nan_to_null(F.col("pvalue")).alias("pvalue"))
