@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+``value`` is total wall seconds across the headline set; per-query
+seconds are in ``queries``. Each query is executed with a count() action
+so results never funnel through the driver.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship weighted-bin scan plus one representative
+# of each operator family (window-native stats, cross-feature, dedup /
+# similarity / text north-star). Fit-based UDF ops (GARCH, Markov, LOF)
+# are excluded: their cost is scipy/statsmodels iteration count, not
+# engine throughput — pytest covers them.
+HEADLINE = [
+    "weighted_bins",
+    "panel_distribution",
+    "panel_dispersion",
+    "panel_ar1",
+    "memory_acf_hurst",
+    "lagged_corr",
+    "mutual_info",
+    "zscore_outliers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # scale factor from the directory name (sf0.1 → 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dataframeutils-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            per_query[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # keep benching the rest
+            per_query[name] = -1.0
+            print(f"# {name}: FAILED {exc}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

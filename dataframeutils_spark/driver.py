@@ -17,15 +17,18 @@ from pyspark.sql import types as T
 from dataframeutils_spark import oracles
 from dataframeutils_spark.operators import (
     cross_feature,
+    dedup,
     memory,
     ml_fits,
     outliers,
     panel_stats,
+    similarity,
     stat_tests,
+    text,
     weighted_bins,
 )
 from dataframeutils_spark.schema import PanelSchema, decround, melt_panel, siground
-from dataframeutils_spark.sources.testdata import events_bins_input, lineitem_panel
+from dataframeutils_spark.sources.testdata import events_bins_input, lineitem_panel, load_table
 
 # weighted-bin flagship config: 50 value-units per bin, fixed-point
 # milli-unit internals (see sources.testdata.events_bins_input)
@@ -56,6 +59,17 @@ def round_floats(df: DataFrame, dec: tuple[str, ...] = (), all_dec: bool = False
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
+def _round_oracle_cols(sql: str, float_cols: list[str]) -> str:
+    """Wrap an oracle statement so the named float columns get the same
+    fixed-decimal rounding the Spark side applies via
+    :func:`round_floats` — * passthrough for everything else, REPLACE
+    keeps column order identical to the inner statement."""
+    from dataframeutils_spark.schema import decround_sql
+
+    replaced = ", ".join(f"{decround_sql(c)} AS {c}" for c in float_cols)
+    return f"SELECT * REPLACE ({replaced}) FROM (\n{sql}\n)"
 
 
 def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +197,64 @@ def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(stat_tests.granger_causality(panel, pairs), all_dec=True)
 
 
+# ---- north-star operators (BASELINE.json): dedup / similarity / text
+# over the documents and embeddings tables. All portable-hash pipelines
+# are fully oracle-checked; xxhash64 variants would be rows-only.
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh, num_perm=16)
+    return dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
+    return round_floats(dedup.ngram_jaccard_pairs(sh), all_dec=True)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(sims, max_hamming=3, bands=4)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        dedup.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45),
+        all_dec=True,
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(text.text_stats(load_table(spark, sf_dir, "documents")), all_dec=True)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(text.language_id(load_table(spark, sf_dir, "documents")), all_dec=True)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), k=5),
+        all_dec=True,
+    )
+
+
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_floats(
+        similarity.ann_topk(load_table(spark, sf_dir, "embeddings"), k=5, bits=16, bands=4),
+        all_dec=True,
+    )
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -236,6 +308,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volatility_garch": q_volatility_garch,
         "outliers_iforest": q_outliers_iforest,
         "outliers_lof": q_outliers_lof,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann": q_similarity_ann,
     }
 
 
@@ -250,4 +332,21 @@ def all_oracles() -> dict[str, str]:
         "rolling_corr": oracles.ROLLING_CORR_SQL,
         "mutual_info": oracles.MUTUAL_INFO_SQL,
         "zscore_outliers": oracles.ZSCORE_SQL,
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
+        "dedup_ngram_jaccard": _round_oracle_cols(
+            dedup.ngram_jaccard_sql(), ["jaccard"]
+        ),
+        "dedup_simhash": dedup.simhash_near_sql(),
+        "dedup_embedding": _round_oracle_cols(dedup.embedding_dup_sql(), ["cos_sim"]),
+        "text_stats": _round_oracle_cols(
+            text.text_stats_sql(),
+            ["punct_ratio", "stopword_ratio", "upper_ratio", "mean_token_len", "quality"],
+        ),
+        "language_id": _round_oracle_cols(text.language_id_sql(), ["lang_score"]),
+        "fingerprint": text.fingerprint_sql(),
+        "similarity_topk": _round_oracle_cols(similarity.brute_force_topk_sql(k=5), ["cos_sim"]),
+        "similarity_ann": _round_oracle_cols(
+            similarity.ann_topk_sql(k=5, bits=16, bands=4), ["cos_sim"]
+        ),
     }

@@ -92,10 +92,15 @@ def shingles(
     shuffle keeps hot shingles from multiplying.
     """
     toks = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0) - 1))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
-    )
+    # sequence(0, k) with k < 0 descends instead of being empty — guard
+    # docs shorter than n tokens (they contribute no shingles).
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()
@@ -168,10 +173,10 @@ def ngram_jaccard_pairs(
             a.join(b, "msh").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
         )
     sa = shingle_df.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = shingle_df.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    sb = shingle_df.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
     inter = (
         candidates.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == sb.doc_b) & (F.col("sh_a") == F.col("sh_b")))
+        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -302,3 +307,136 @@ def embedding_dup_pairs(
         .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders (portable-hash pipelines only)
+# ---------------------------------------------------------------------------
+
+# Token/shingle fragments shared by the oracles. Must mirror the Spark
+# expressions exactly: split is REGEX '\s+' with empties kept (Spark
+# F.split semantics), shingles distinct per doc, n-gram guard for short
+# docs.
+
+
+def _shingle_cte(table: str = "documents", n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM {table}
+), sh AS (
+  SELECT DISTINCT doc_id, g AS shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= {n}
+                       THEN list_transform(range(1, len(toks) - {n} + 2), i -> {gram})
+                       ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM tok)
+)"""
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM {table} GROUP BY md5(text)
+"""
+
+
+def minhash_lsh_sql(table: str = "documents", n: int = 3, num_perm: int = 16, bands: int = 4) -> str:
+    r = num_perm // bands
+    h = portable_hash60_sql("(p.perm::VARCHAR || ':' || shingle)")
+    return f"""
+WITH {_shingle_cte(table, n)}, mh AS (
+  SELECT doc_id, p.perm, min({h}) AS min_hash
+  FROM sh, range(0, {num_perm}) p(perm)
+  GROUP BY doc_id, p.perm
+), banded AS (
+  SELECT doc_id, perm // {r} AS band,
+         md5(list_aggregate(list_transform(list_sort(list(min_hash)), x -> x::VARCHAR), 'string_agg', '_')) AS bh
+  FROM mh GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def ngram_jaccard_sql(table: str = "documents", n: int = 3, threshold: float = 0.0) -> str:
+    return f"""
+WITH {_shingle_cte(table, n)}, counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), min_sh AS (
+  SELECT doc_id, min(shingle) AS msh FROM sh GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM min_sh a JOIN min_sh b ON a.msh = b.msh AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       ca.n_sh + cb.n_sh - i.n_inter AS n_union,
+       i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter)::DOUBLE AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter)::DOUBLE >= {threshold}
+"""
+
+
+def simhash_sql(table: str = "documents", bits: int = 60) -> str:
+    h = portable_hash60_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM {table})
+  WHERE length(t) > 0
+), counted AS (
+  SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY doc_id, tok
+), hashed AS (
+  SELECT doc_id, w, {h} AS h FROM counted
+), bitsum AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM hashed, range(0, {bits}) b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN pow(2.0, i)::BIGINT ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+def simhash_near_sql(table: str = "documents", max_hamming: int = 3, bands: int = 4, bits: int = 60) -> str:
+    seg = bits // bands
+    mask = (1 << seg) - 1
+    return f"""
+WITH sims AS ({simhash_sql(table, bits)}), segs AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * {seg})) & {mask} AS seg
+  FROM sims, range(0, {bands}) b(band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM segs a JOIN segs b ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def embedding_dup_sql(table: str = "embeddings", threshold: float = 0.45) -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding) + 1), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x::DOUBLE * x::DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    na, nb = nrm.format(v="a.embedding"), nrm.format(v="b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {dot} / ({na} * {nb}) AS cos_sim
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE {na} > 0 AND {nb} > 0
+  AND {dot} / ({na} * {nb}) >= {threshold}
+"""

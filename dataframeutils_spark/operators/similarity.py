@@ -1,0 +1,243 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+North-star operators (no counterpart in the reference — SURVEY §2.3):
+
+* :func:`brute_force_topk` — exact cosine top-k, the correctness
+  baseline. Normalize once, join queries × corpus, fold the dot product
+  with JVM higher-order functions (``zip_with`` + ``aggregate`` —
+  whole-stage codegen, no Python), rank with one window.
+* :func:`hyperplane_signatures` / :func:`ann_topk` — the 100 TB path:
+  random-hyperplane LSH. Each vector gets a b-bit signature (sign of
+  the dot product with b pseudo-random hyperplanes); candidates are
+  pairs whose signatures share a band; exact cosine re-ranks only the
+  candidates. Hyperplane components are *hash-derived*
+  (``u(p,d) = portable_hash60('p:d') / 2^59 - 1``, pseudo-uniform in
+  [-1,1)) — no RNG state to ship, bit-identical in Spark and DuckDB, so
+  even the ANN path is fully oracle-checkable.
+
+Scale notes: brute force is O(|Q|·|corpus|·dim) — right for re-ranking
+and small query sets (broadcast the query side: |Q| rows vs 100 TB
+corpus means the join must be a BroadcastNestedLoop over the *small*
+side only). ANN shuffles (vec_id, band, band-hash) triples — linear —
+and re-ranks only bucket collisions. Skew guard: near-duplicate-heavy
+corpora make hot buckets; cap re-rank fan-out per bucket upstream
+(dedup first — the pipelines compose in that order on purpose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.dedup import portable_hash60, portable_hash60_sql
+
+TWO59 = float(2**59)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold of Σ aᵢ·bᵢ in double — same order both engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    ``queries`` defaults to the corpus itself (all-pairs self-search,
+    excluding the identity match). Ties rank deterministically by
+    neighbor id. The query side is marked broadcastable: at scale the
+    corpus never shuffles — each executor streams its corpus partition
+    past the broadcast queries.
+    """
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    q = (queries if queries is not None else corpus).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    joined = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    scored = joined.select("qid", "nid", cos.alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cos_sim",
+        )
+    )
+
+
+def brute_force_topk_sql(k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB oracle: same sequential-fold dot product via list_reduce
+    over the index range (list_dot_product may fold in a different
+    order; the explicit reduce pins left-to-right double addition)."""
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
+        "i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x::DOUBLE * x::DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
+  FROM {table} q JOIN {table} n ON q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def hyperplane_component(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-uniform hyperplane entry in [-1, 1)."""
+    h = portable_hash60(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string")))
+    return h.cast("double") / F.lit(TWO59) - F.lit(1.0)
+
+
+def hyperplane_signatures(
+    corpus: DataFrame,
+    bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """b-bit sign signature per vector: (vec_id, plane, bit).
+
+    Long layout (one row per plane) — banding and band-hashing are then
+    one groupBy, exactly like the MinHash pipeline in
+    :mod:`dataframeutils_spark.operators.dedup`.
+    """
+    planes = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("plane")
+    exploded = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), planes)
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("v")) - 1),
+                lambda d: hyperplane_component(F.col("plane"), d),
+            ),
+            lambda x, u: x.cast("double") * u,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return exploded.select(
+        "vec_id", "plane", (proj > 0).cast("int").alias("bit")
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    Signature → band-hash → bucket self-join → exact cosine on
+    candidates only → per-query rank. With r = bits/bands rows per
+    band, a pair at angle θ collides on ≥1 band with probability
+    1 − (1 − (1 − θ/π)^r)^bands.
+    """
+    sigs = hyperplane_signatures(corpus, bits, id_col, vec_col)
+    rows_per_band = bits // bands
+    band_hash = (
+        sigs.withColumn("band", (F.col("plane") / rows_per_band).cast("int"))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.col("bit")
+                * F.pow(F.lit(2.0), (F.col("plane") % rows_per_band).cast("double")).cast("long")
+            ).alias("bh")
+        )
+    )
+    a = band_hash.select(F.col("vec_id").alias("qid"), "band", "bh")
+    b = band_hash.select(F.col("vec_id").alias("nid"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    e = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    qv = e.select(F.col("vid").alias("qid"), F.col("v").alias("qv"))
+    nv = e.select(F.col("vid").alias("nid"), F.col("v").alias("nv"))
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    scored = cand.join(qv, "qid").join(nv, "nid").select("qid", "nid", cos.alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cos_sim",
+        )
+    )
+
+
+def ann_topk_sql(k: int = 5, bits: int = 16, bands: int = 4, table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`ann_topk` — same hash-derived
+    hyperplanes, bands and re-rank, in plain SQL."""
+    rows_per_band = bits // bands
+    u = portable_hash60_sql("(plane::VARCHAR || ':' || (d - 1)::VARCHAR)")
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
+        "i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x::DOUBLE * x::DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    return f"""
+WITH proj AS (
+  SELECT e.vec_id, p.plane,
+         sum(e.embedding[d.d]::DOUBLE * ({u}::DOUBLE / {TWO59} - 1.0)) AS s
+  FROM {table} e,
+       range(0, {bits}) p(plane),
+       range(1, 65) d(d)
+  WHERE d.d <= len(e.embedding)
+  GROUP BY e.vec_id, p.plane
+), sig AS (
+  SELECT vec_id, plane, CAST(s > 0 AS INT) AS bit FROM proj
+), bh AS (
+  -- // : DuckDB CAST(x/4 AS INT) *rounds*; Spark's cast truncates
+  SELECT vec_id, plane // {rows_per_band} AS band,
+         sum(bit * CAST(pow(2.0, plane % {rows_per_band}) AS BIGINT)) AS bh
+  FROM sig GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT c.qid AS query_id, c.nid AS neighbor_id,
+         {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
+  FROM cand c JOIN {table} q ON q.vec_id = c.qid JOIN {table} n ON n.vec_id = c.nid
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -1,0 +1,246 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No counterpart in the reference (SURVEY §2.3) — these are BASELINE.json
+north-star operators over the ``documents`` table, all fully native
+(one projection / one groupBy; no Python in the hot path) and therefore
+exactly oracle-checkable against DuckDB:
+
+* :func:`text_stats` — token counting (whitespace + word-ish regex) and
+  quality scoring (length / punctuation / stopword / uppercase ratios).
+* :func:`language_id` — stopword-hit n-gram heuristic across a fixed
+  language table; argmax score wins.
+* :func:`fingerprint` — bottom-k document fingerprint: the k smallest
+  distinct token-trigram hashes, md5-folded to one 32-hex digest.
+
+Scale notes: everything is a scan-side projection over ``text`` —
+no shuffle at all for :func:`text_stats`/:func:`language_id`;
+:func:`fingerprint` shuffles only (doc_id, 60-bit hash) pairs, never
+text. At 100 TB these pipeline into the same stage as the parquet scan
+(whole-stage codegen), reading only the pruned ``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.dedup import portable_hash60, portable_hash60_sql
+
+# A word, a number run, or a single non-space symbol — the BPE-ish
+# pre-tokenizer split (letters / digits / punctuation never share a
+# token). Same regex string works in Spark and DuckDB/RE2.
+WORDISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+PUNCT_RE = "[^A-Za-z0-9 ]"
+
+# Tiny fixed stopword lists for the language-ID heuristic. Deliberately
+# small and hard-coded: the operator contract is "argmax of per-language
+# evidence", not lexicon quality.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for", "with", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es": ("el", "la", "los", "las", "es", "en", "que", "por", "una", "con"),
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, " "), lambda t: F.length(t) > 0)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts and quality signals.
+
+    Output: (doc_id, n_chars, n_tokens, n_wordish, n_punct, punct_ratio,
+    stopword_ratio, upper_ratio, mean_token_len, quality).
+
+    ``quality`` is a [0,1] heuristic: penalize extreme length, high
+    punctuation density and zero stopwords — the standard cheap filters
+    a pretraining pipeline applies before anything model-based.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_wordish = F.size(F.regexp_extract_all(text, F.lit(WORDISH_RE), 0))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0))
+    n_upper = F.size(F.regexp_extract_all(text, F.lit("[A-Z]"), 0))
+    n_letters = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), 0))
+    en_stops = list(LANG_STOPWORDS["en"])
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(en_stops)))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    upper_ratio = n_upper.cast("double") / F.greatest(n_letters, F.lit(1))
+    mean_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    length_ok = (n_tokens >= 5) & (n_tokens <= 100000)
+    quality = (
+        F.when(~length_ok, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.least(F.lit(0.5), punct_ratio * 2)
+            - F.when(n_stop == 0, F.lit(0.25)).otherwise(F.lit(0.0))
+            - F.least(F.lit(0.25), upper_ratio)
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_wordish.alias("n_wordish"),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        mean_tok.alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def text_stats_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`text_stats` (same expressions)."""
+    toks = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len({toks}) AS n_tokens,
+  len(regexp_extract_all(text, '{WORDISH_RE}')) AS n_wordish,
+  len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+  len(regexp_extract_all(text, '{PUNCT_RE}')) / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+  len(list_filter({toks}, t -> lower(t) IN ({stops}))) / greatest(len({toks}), 1)::DOUBLE AS stopword_ratio,
+  len(regexp_extract_all(text, '[A-Z]')) / greatest(len(regexp_extract_all(text, '[A-Za-z]')), 1)::DOUBLE AS upper_ratio,
+  length(text) / greatest(len({toks}), 1)::DOUBLE AS mean_token_len,
+  CASE WHEN len({toks}) < 5 OR len({toks}) > 100000 THEN 0.0
+       ELSE 1.0
+            - least(0.5, 2 * len(regexp_extract_all(text, '{PUNCT_RE}')) / greatest(length(text), 1)::DOUBLE)
+            - CASE WHEN len(list_filter({toks}, t -> lower(t) IN ({stops}))) = 0 THEN 0.25 ELSE 0.0 END
+            - least(0.25, len(regexp_extract_all(text, '[A-Z]')) / greatest(len(regexp_extract_all(text, '[A-Za-z]')), 1)::DOUBLE)
+  END AS quality
+FROM {table}
+"""
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-evidence language ID: (doc_id, lang_pred, lang_score).
+
+    Score per language = hits of that language's stopword list in the
+    lowercased token stream, normalized by token count. Winner = max
+    score; ties break lexicographically by language code (deterministic
+    in both engines); zero evidence anywhere → ``'und'``.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+
+    def stop_hits(sw: tuple[str, ...]) -> Column:
+        # single-arg lambda only: a 2-arg lambda makes F.filter pass the
+        # element *index* as the second argument
+        words = list(sw)
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    scored = F.array(
+        *[
+            F.struct(
+                (stop_hits(sw).cast("double") / n_tokens).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # array_max on struct compares (score, lang) lexicographically: max
+    # score, then max lang — mirror that exact tie-break in the oracle.
+    best = F.array_max(scored)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def language_id_sql(table: str = "documents") -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    score = lambda sw: (
+        f"len(list_filter({toks}, t -> t IN ({', '.join(repr(s) for s in sw)})))"
+        f" / greatest(len({toks}), 1)::DOUBLE"
+    )
+    cols = ",\n    ".join(
+        f"{score(sw)} AS s_{lang}" for lang, sw in sorted(LANG_STOPWORDS.items())
+    )
+    langs = sorted(LANG_STOPWORDS)
+    pairs = ", ".join(f"(s_{l}, '{l}')" for l in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+    {cols}
+  FROM {table}
+), best AS (
+  SELECT doc_id, list_max([{pairs}]) AS b FROM scored
+)
+SELECT doc_id,
+       CASE WHEN b[1]::DOUBLE > 0 THEN b[2] ELSE 'und' END AS lang_pred,
+       b[1]::DOUBLE AS lang_score
+FROM best
+"""
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Bottom-k rolling fingerprint: (doc_id, fp, n_grams).
+
+    Hash every token ``n``-gram (the rolling windows of the token
+    stream) with the portable 60-bit hash, keep the ``k`` smallest
+    distinct values, md5-fold their '-'-joined decimal string into one
+    32-hex digest. Equal fingerprints ⇒ near-identical token streams —
+    the classic winnowing-style containment sketch, entirely native.
+    """
+    toks = _tokens(F.col(text_col))
+    # sequence(0, k) with k < 0 yields a DESCENDING sequence in Spark,
+    # not an empty one — guard short docs explicitly.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(F.array_distinct(grams), lambda g: portable_hash60(g))
+    bottom = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws("-", F.transform(bottom, lambda h: h.cast("string")))).alias("fp"),
+        F.size(grams).alias("n_grams"),
+    )
+
+
+def fingerprint_sql(table: str = "documents", k: int = 8, n: int = 3) -> str:
+    """DuckDB oracle for :func:`fingerprint` via explode + window."""
+    toks = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), gr AS (
+  SELECT doc_id, len(toks) - {n} + 1 AS n_grams,
+         unnest(CASE WHEN len(toks) >= {n}
+                     THEN list_transform(range(1, len(toks) - {n} + 2), i -> {gram})
+                     ELSE [NULL] END) AS g
+  FROM tok
+), hashed AS (
+  SELECT DISTINCT doc_id, n_grams,
+         CASE WHEN g IS NULL THEN NULL
+              ELSE {portable_hash60_sql('g')} END AS h
+  FROM gr
+), bottom AS (
+  SELECT doc_id, greatest(n_grams, 0) AS n_grams,
+         list_sort(list_filter(list(h), x -> x IS NOT NULL))[1:{k}] AS bk
+  FROM hashed GROUP BY doc_id, n_grams
+)
+SELECT doc_id,
+       md5(list_aggregate(list_transform(bk, x -> x::VARCHAR), 'string_agg', '-')) AS fp,
+       n_grams
+FROM bottom
+"""
