@@ -34,8 +34,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats",
-    "similarity_topk",
+    "language_id",
+    "fingerprint",
+    "similarity_ann",
 ]
+# similarity_topk (brute force) is deliberately NOT headline: it is the
+# O(n²) exactness baseline for the oracle, not the scale path — ANN is.
 
 
 def main() -> None:

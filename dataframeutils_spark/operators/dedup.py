@@ -90,7 +90,15 @@ def shingles(
 
     Tokenization: split on whitespace runs. Distinctness before any
     shuffle keeps hot shingles from multiplying.
+
+    The doc_id repartition before the explode matters: a compact scan
+    (one small file locally; a handful of row groups per task at
+    100 TB) would otherwise fan out ×shingles×perms on too few cores —
+    the downstream hash work is 100-1000× the scan size, so parallelism
+    must be set *before* the multiplication, not after.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, F.col(id_col))
     toks = F.split(F.col(text_col), r"\s+")
     # sequence(0, k) with k < 0 descends instead of being empty — guard
     # docs shorter than n tokens (they contribute no shingles).
@@ -211,7 +219,8 @@ def simhash(
     integer. Entirely conditional aggregation: one explode + one
     groupBy, no Python.
     """
-    toks = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)

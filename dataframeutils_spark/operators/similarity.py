@@ -127,7 +127,12 @@ def hyperplane_signatures(
     :mod:`dataframeutils_spark.operators.dedup`.
     """
     planes = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("plane")
-    exploded = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), planes)
+    # repartition before the ×bits explode: the projection work is
+    # bits×dim× the scan size, so spread it before multiplying
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    exploded = corpus.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), planes
+    )
     proj = F.aggregate(
         F.zip_with(
             F.col("v"),

@@ -24,10 +24,18 @@ with a vectorized ``searchsorted``. Per group of size G the kernel is
 O(G·(log G + B)) time / O(G·B) memory (chunked to bound peak memory),
 versus the reference's O(G²·B).
 
-Distribution: one shuffle on the group key via
-``groupBy(id1, id2).applyInPandas`` (Arrow batches, pandas-free inner
-math). Skewed group keys are handled by AQE; groups are independent so
-the operator scales linearly with executors.
+Distribution: one shuffle on a *bucket* of the group key —
+``groupBy(pmod(hash(id1,id2), B)).applyInPandas`` — NOT on the raw key.
+Real event tables have millions of tiny groups; per-group pandas calls
+cost ~ms each in Python/Arrow overhead, so the operator would be
+overhead-bound long before it is compute-bound. Bucketing coarsens the
+Python boundary to B calls total (each vectorized over its groups with
+numpy slices), while staying correct because every group lands wholly
+in one bucket. The explicit repartition-by-num before the groupBy pins
+parallelism: AQE would otherwise coalesce the few-MB shuffle to 1-3
+tasks, which is right for JVM work but starves Python-heavy stages.
+Skewed keys are diluted by hashing; groups stay independent so the
+operator scales linearly with executors.
 """
 
 from __future__ import annotations
@@ -92,6 +100,7 @@ def calculate_weighted_bins(
     bin_size: float = 100.0,
     max_bins: int = 10,
     tiebreak_col: str | None = None,
+    num_buckets: int = 256,
 ) -> DataFrame:
     """Distributed weighted-bin calculation (same contract as the reference).
 
@@ -124,23 +133,42 @@ def calculate_weighted_bins(
     sort_cols = [timestamp_col] + ([tiebreak_col] if tiebreak_col else [])
     select_cols = required + ([tiebreak_col] if tiebreak_col else [])
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
-        emit, avgs = _bin_kernel(
-            pdf[q1_col].to_numpy(dtype=np.float64),
-            pdf[q2_col].to_numpy(dtype=np.float64),
-            float(bin_size),
-            int(max_bins),
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one pandas call per bucket; numpy slices per group inside
+        pdf = pdf.sort_values(
+            [id1_col, id2_col, *sort_cols], kind="stable"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        ids1 = pdf[id1_col].to_numpy()
+        ids2 = pdf[id2_col].to_numpy()
+        change = np.ones(n, dtype=bool)
+        change[1:] = (ids1[1:] != ids1[:-1]) | (ids2[1:] != ids2[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        q1 = pdf[q1_col].to_numpy(dtype=np.float64)
+        q2 = pdf[q2_col].to_numpy(dtype=np.float64)
+        emits: list[np.ndarray] = []
+        avg_parts: list[np.ndarray] = []
+        for st, en in zip(starts, ends):
+            emit, avgs = _bin_kernel(q1[st:en], q2[st:en], float(bin_size), int(max_bins))
+            emits.append(emit + st)
+            avg_parts.append(avgs)
+        emit_all = np.concatenate(emits) if emits else np.empty(0, dtype=np.int64)
+        avgs_all = (
+            np.concatenate(avg_parts) if avg_parts else np.empty((0, max_bins))
         )
-        out = pdf.loc[emit, required].reset_index(drop=True)
+        out = pdf.loc[emit_all, required].reset_index(drop=True)
         for k, b in enumerate(bin_cols):
-            out[b] = avgs[:, k]
+            out[b] = avgs_all[:, k]
         return out
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bucket = F.pmod(F.xxhash64(F.col(id1_col), F.col(id2_col)), F.lit(num_buckets))
     result = (
-        df.select(*select_cols)
-        .groupBy(id1_col, id2_col)
-        .applyInPandas(run_group, schema=out_schema)
+        df.select(*select_cols, bucket.alias("__bucket"))
+        .repartition(par, F.col("__bucket"))
+        .groupBy("__bucket")
+        .applyInPandas(lambda pdf: run_bucket(pdf.drop(columns="__bucket")), schema=out_schema)
     )
     # engine NULL policy: empty bins are SQL NULL, never NaN
     return result.select(

@@ -1,0 +1,159 @@
+"""North-star operators (dedup / similarity / text): semantic unit tests
+on tiny in-memory frames plus driver-style oracle checks at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import dedup, similarity, text
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+# ---------------------------------------------------------------------------
+# semantic unit tests
+# ---------------------------------------------------------------------------
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    df = docs_df(spark, [(1, "a b c"), (2, "a b c"), (3, "different text")])
+    out = {r["keep_doc_id"]: r["n_docs"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc_contributes_nothing(spark):
+    df = docs_df(spark, [(1, "only two"), (2, "one two three four")])
+    got = dedup.shingles(df, n=3).collect()
+    assert {r["doc_id"] for r in got} == {2}
+    assert {r["shingle"] for r in got} == {"one two three", "two three four"}
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated words about spark engines and parquet columnar files"
+    df = docs_df(spark, [(1, base), (2, near), (3, far)])
+    sigs = dedup.minhash_signatures(dedup.shingles(df), num_perm=16)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}; same min shingle →
+    # blocked together; jaccard = 1/2
+    df = docs_df(spark, [(1, "a b c d"), (2, "a b c")])
+    got = dedup.ngram_jaccard_pairs(dedup.shingles(df)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"], r["n_inter"], r["n_union"]) == (1, 2, 1, 2)
+    assert abs(r["jaccard"] - 0.5) < 1e-12
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = docs_df(spark, [(1, "x y z"), (2, "x y z"), (3, "p q r s t u v w")])
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sims[1] == sims[2]
+    assert sims[1] != sims[3]
+    near = dedup.simhash_near_pairs(dedup.simhash(df), max_hamming=0)
+    assert [(r["doc_a"], r["doc_b"]) for r in near.collect()] == [(1, 2)]
+
+
+def test_embedding_dup_pairs_cosine(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = dedup.embedding_dup_pairs(df, threshold=0.99)
+    rows = got.collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in rows] == [(1, 2)]
+    assert abs(rows[0]["cos_sim"] - 1.0) < 1e-12
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.brute_force_topk(df, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert sorted(by_q[1]) == [(1, 2), (2, 3)]
+    assert sorted(by_q[3])[0] == (1, 2)
+
+
+def test_ann_recalls_exact_duplicate_bucket(spark):
+    # identical vectors share every hyperplane sign → same buckets
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0]) for i in range(9)]
+    rows.append((9, rows[0][1]))  # vec 9 duplicates vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.ann_topk(df, k=3, bits=8, bands=4).collect()
+    r1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert r1[0] == 9 and r1[9] == 0
+
+
+def test_text_stats_known_values(spark):
+    df = docs_df(spark, [(1, "The cat and the dog sat, happily!")])
+    r = text.text_stats(df).collect()[0]
+    assert r["n_tokens"] == 7
+    assert r["n_punct"] == 2  # ',' and '!'
+    assert r["n_wordish"] == 9  # 7 words + 2 punct
+    # stopwords: 'The', 'and', 'the' → 3/7
+    assert abs(r["stopword_ratio"] - 3 / 7) < 1e-12
+    assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_language_id_picks_stopword_language(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the cat is in the house and that is fine"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "zzz qqq www"),
+        ],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_equal_iff_same_token_stream(spark):
+    df = docs_df(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d f"), (4, "x y")])
+    got = {r["doc_id"]: (r["fp"], r["n_grams"]) for r in text.fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[1][0] != got[3][0]
+    assert got[4][1] == 0
+
+
+# ---------------------------------------------------------------------------
+# oracle parity at sf0.001 (mirrors the driver's gate on smaller data)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_embedding",
+        "text_stats",
+        "language_id",
+        "fingerprint",
+        "similarity_topk",
+        "similarity_ann",
+    ],
+)
+def test_northstar_oracle_parity(spark, ddb, name):
+    from dataframeutils_spark import driver
+
+    q = driver.all_queries()[name]
+    sql = driver.all_oracles()[name]
+    assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
