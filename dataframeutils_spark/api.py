@@ -1,0 +1,207 @@
+"""User-facing facade: the reference's two entry points, Spark-native.
+
+A user of wilko2587/DataFrameUtils drives two surfaces:
+
+* ``calculate_weighted_bins(df, ...)`` (``weighted_bins/
+  weighted_bin_calculator.py:6``) — re-exported from
+  :mod:`dataframeutils_spark.operators.weighted_bins` with the same
+  parameter names and defaults.
+* ``TimeSeriesStudy(df)`` (``time_series_study/time_series_study.py:39``)
+  with ten analysis methods — mirrored here over Spark DataFrames.
+
+Differences from the reference, by design:
+
+* Input is a flat Spark DataFrame + a :class:`PanelSchema` (Spark has no
+  MultiIndex); group keys keep the golden ``"v1:v2"`` / ``"__ALL__"``
+  string contract in every output's ``group``/``grp`` column.
+* Methods return *lazy* DataFrames — composition stays in Catalyst, the
+  caller picks the action. ``table=True``/``results_dir`` still write the
+  reference's CSV/HTML sinks (O9, ``time_series_study.py:113-125``).
+* ``publish_plot`` (matplotlib PNG, O10) is accepted for source
+  compatibility but raises unless matplotlib is installed; plots sit
+  outside the engine core (SURVEY §2.1 O10).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from dataframeutils_spark.operators import (
+    cross_feature,
+    memory as memory_ops,
+    ml_fits,
+    outliers as outlier_ops,
+    panel_stats,
+    stat_tests,
+)
+from dataframeutils_spark.operators.weighted_bins import calculate_weighted_bins  # noqa: F401
+from dataframeutils_spark.schema import PanelSchema, melt_panel, validate_panel
+
+_MAX_HTML_ROWS = 1000  # reference: head(1000) in _save_df_table (:119)
+
+
+def save_table(df: DataFrame, path: str, html: bool = True) -> None:
+    """CSV (+styled HTML preview) sink — reference O9 semantics.
+
+    The CSV is written distributed (a directory of part files — the
+    100 TB-safe shape); the HTML preview is driver-side and capped at
+    the reference's 1000 rows.
+    """
+    df.write.mode("overwrite").option("header", True).csv(path + ".csv")
+    if html:
+        pdf = df.limit(_MAX_HTML_ROWS).toPandas()
+        with open(path + ".html", "w") as fh:
+            fh.write(pdf.to_html(index=False))
+
+
+class TimeSeriesStudy:
+    """Grouped time-series analytics over a panel DataFrame.
+
+    ``df`` is wide: one date column, zero or more group columns, the
+    rest numeric features (validated like the reference ctor,
+    ``time_series_study.py:48-74``).
+    """
+
+    def __init__(self, df: DataFrame, schema: PanelSchema | None = None):
+        from pyspark.sql import functions as F
+
+        from dataframeutils_spark.schema import group_key_col
+
+        self.schema = validate_panel(df, schema or PanelSchema())
+        self.df = df
+        self.features = list(self.schema.feature_cols)
+        self.group_levels = list(self.schema.group_cols)
+        self._long = melt_panel(df, self.schema)
+        # normalized wide panel (grp, date, features...) — the layout the
+        # pairwise operators consume
+        self._wide = df.select(
+            group_key_col(self.schema.group_cols).alias("grp"),
+            F.col(self.schema.date_col).alias("date"),
+            *self.features,
+        )
+
+    # -- sinks -------------------------------------------------------
+    def _sink(self, df: DataFrame, name: str, table: bool, results_dir: str | None) -> DataFrame:
+        if table and results_dir:
+            os.makedirs(results_dir, exist_ok=True)
+            save_table(df, os.path.join(results_dir, name))
+        return df
+
+    # -- analyses (one per reference method) --------------------------
+    def distribution_diagnostics(
+        self, publish_plot: bool = False, table: bool = False, results_dir: str | None = None
+    ) -> DataFrame:
+        out = panel_stats.distribution_diagnostics(self._long)
+        return self._sink(out, "distribution_diagnostics", table, results_dir)
+
+    def stationarity_tests(
+        self,
+        regression: str = "c",
+        publish_plot: bool = False,
+        table: bool = False,
+        results_dir: str | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        res = stat_tests.stationarity_tests(self._long, regression=regression)
+        summary = stat_tests.stationarity_summary(res)
+        self._sink(res, "stationarity_tests", table, results_dir)
+        self._sink(summary, "stationarity_summary", table, results_dir)
+        return res, summary
+
+    def memory_dependence(
+        self, publish_plot: bool = False, table: bool = False, results_dir: str | None = None
+    ) -> DataFrame:
+        acf = memory_ops.acf_hurst(self._long)
+        lb = stat_tests.ljung_box_p(self._long)
+        out = acf.join(lb, ["grp", "feature"], "left")
+        return self._sink(out, "memory_dependence", table, results_dir)
+
+    def frequency_domain(
+        self,
+        detrend: bool = True,
+        publish_plot: bool = False,
+        table: bool = False,
+        results_dir: str | None = None,
+    ) -> DataFrame:
+        out = stat_tests.frequency_domain(self._long, detrend=detrend)
+        return self._sink(out, "frequency_domain", table, results_dir)
+
+    def cross_sectional_dispersion(
+        self,
+        feature: str,
+        publish_plot: bool = False,
+        table: bool = False,
+        results_dir: str | None = None,
+    ) -> DataFrame:
+        out = panel_stats.cross_sectional_dispersion(self._long, feature)
+        return self._sink(out, f"cross_section_dispersion_{feature}", table, results_dir)
+
+    def predictability_ar1(
+        self, publish_plot: bool = False, table: bool = False, results_dir: str | None = None
+    ) -> DataFrame:
+        out = panel_stats.predictability_ar1(self._long)
+        return self._sink(out, "predictability_ar1", table, results_dir)
+
+    def cross_feature_comparisons(
+        self,
+        feature_pairs: list[tuple[str, str]] | None = None,
+        max_lag: int = 10,
+        rolling_window: int = 10,
+        example_group: tuple | None = None,
+        publish_plot: bool = False,
+        table: bool = False,
+        results_dir: str | None = None,
+    ) -> dict[str, Any]:
+        pairs = feature_pairs or cross_feature.default_pairs(self.features)
+        out = {
+            "lagged_corr": cross_feature.lagged_cross_corr(self._wide, pairs, max_lag=max_lag),
+            "cointegration": stat_tests.cointegration(self._wide, pairs, max_lag=max_lag),
+            "granger": stat_tests.granger_causality(self._wide, pairs, max_lag=max_lag),
+            "mutual_info": cross_feature.mutual_information(self._wide, pairs),
+        }
+        if pairs:
+            a, b = pairs[0]
+            out["rolling_corr"] = cross_feature.rolling_corr(
+                self._wide, a, b, window=rolling_window
+            )
+        for name, df in out.items():
+            self._sink(df, name, table, results_dir)
+        return out
+
+    def regime_detection(
+        self,
+        feature: str,
+        n_regimes: int = 2,
+        publish_plot: bool = False,
+        table: bool = False,
+        results_dir: str | None = None,
+    ) -> DataFrame:
+        out = ml_fits.regime_detection(self._long, feature, n_regimes=n_regimes)
+        return self._sink(out, f"regime_detection_{feature}", table, results_dir)
+
+    def volatility_analysis(
+        self,
+        feature: str,
+        model_type: str = "GARCH",
+        publish_plot: bool = False,
+        table: bool = False,
+        results_dir: str | None = None,
+    ) -> DataFrame:
+        out = ml_fits.volatility_analysis(self._long, feature, model_type)
+        return self._sink(out, f"volatility_{feature}", table, results_dir)
+
+    def outlier_detection(
+        self,
+        feature: str,
+        method: str = "isolation_forest",
+        publish_plot: bool = False,
+        table: bool = False,
+        results_dir: str | None = None,
+    ) -> DataFrame:
+        if method == "zscore":
+            out = outlier_ops.zscore_outliers(self._long, feature)
+        else:
+            out = ml_fits.ml_outliers(self._long, feature, method)
+        return self._sink(out, f"outliers_{feature}_{method}", table, results_dir)

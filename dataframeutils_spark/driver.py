@@ -20,6 +20,7 @@ from dataframeutils_spark.operators import (
     dedup,
     memory,
     ml_fits,
+    multimodal,
     outliers,
     panel_stats,
     similarity,
@@ -255,6 +256,32 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction on events.props (SURVEY §7 phase 5):
+    from_json-style parse → per-event-type stats of the 'k' field."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.get_json_object("props", "$.k").cast("double").alias("k")
+    )
+    return round_floats(
+        parsed.groupBy("event_type").agg(
+            F.count("k").alias("n"),
+            F.avg("k").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        ),
+        all_dec=True,
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: docs → binary payloads → Arrow-batched
+    metadata decode (deterministic fake; see operators.multimodal)."""
+    media = multimodal.media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_metadata(media)
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -318,6 +345,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "events_props": q_events_props,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -349,4 +378,13 @@ def all_oracles() -> dict[str, str]:
         "similarity_ann": _round_oracle_cols(
             similarity.ann_topk_sql(k=5, bits=16, bands=4), ["cos_sim"]
         ),
+        "events_props": _round_oracle_cols(
+            """
+SELECT event_type, count(k) AS n, avg(k) AS avg_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events)
+GROUP BY event_type
+""",
+            ["avg_k", "min_k", "max_k"],
+        ),
+        "multimodal_meta": multimodal.decode_metadata_sql(),
     }

@@ -1,0 +1,161 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY §2.3 — its "time
+series" are batch panels), so these are engine extensions: the
+standard shapes a production event pipeline needs, built on
+``readStream`` → windowed/stateful transform → ``writeStream``.
+
+Everything here takes a *streaming* DataFrame (``df.isStreaming``)
+but degrades gracefully to batch input — the transformations are
+identical, which is how the tests pin streaming results to their
+batch equivalents (run both, compare).
+
+Scale notes: watermarks bound state (late rows beyond the horizon are
+dropped, state for closed windows is evicted); windowed aggregation
+shuffles on (window, key) — at 1000 executors that is the same
+hash-partitioned agg as batch, plus a state store per partition. The
+stateful running-profile operator uses ``applyInPandasWithState`` with
+per-key state measured in bytes, not rows — the only state-size-safe
+design at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """events.parquet as a file-source stream (schema pinned from a
+    batch peek — a streaming source cannot infer schemas)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file source wants a directory: stream the sf_dir, filtered to
+    # the events file (at scale: a partitioned events/ directory whose
+    # new files arrive per trigger)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_times(stream)
+
+
+def normalize_event_times(events: DataFrame) -> DataFrame:
+    """ts (nanos-as-long or native timestamp) → proper timestamp col."""
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in events.schema.fields)["ts"]
+    ts = (
+        F.timestamp_micros(F.expr("ts DIV 1000")) if ts_type == "bigint" else F.col("ts")
+    )
+    return events.withColumn("ts", ts)
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding window aggregation with late-data watermark:
+    (window_start, window_end, event_type, n_events, sum_value).
+
+    The watermark bounds state: a window closes (and its state is
+    evicted) once event time passes window_end + watermark.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: (user_id, session_start, session_end,
+    n_events). A session extends while consecutive events arrive within
+    ``gap`` of each other — the canonical session_window operator."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_PROFILE_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def running_user_profile(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max) via
+    ``applyInPandasWithState`` — the escape hatch for aggregations the
+    built-in windowed ops can't express (here kept deliberately simple
+    so tests can pin it against groupBy).
+
+    State per key is three scalars — O(1) bytes per user. Timeout
+    evicts idle users' state (processing-time clock).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_PROFILE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
+) -> None:
+    """Drain a stream into an in-memory table with availableNow (process
+    everything currently in the source, then stop) — the test/CI
+    harness for every operator above. ``complete`` for aggregations,
+    ``update`` for applyInPandasWithState."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

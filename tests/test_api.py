@@ -1,0 +1,74 @@
+"""Facade surface: every reference entry point drives end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.api import TimeSeriesStudy, calculate_weighted_bins, save_table
+from dataframeutils_spark.schema import PanelSchema, PanelValidationError
+from dataframeutils_spark.sources.testdata import lineitem_panel
+from tests.conftest import SF_DIR
+
+SCHEMA = PanelSchema(date_col="date", group_cols=["grp"], feature_cols=[])
+
+
+@pytest.fixture(scope="module")
+def study(spark):
+    return TimeSeriesStudy(lineitem_panel(spark, SF_DIR), SCHEMA)
+
+
+def test_ctor_infers_features_and_validates(spark, study):
+    assert study.features == ["feature_1", "feature_2", "feature_3"]
+    bad = lineitem_panel(spark, SF_DIR).drop("date")
+    with pytest.raises(PanelValidationError):
+        TimeSeriesStudy(bad, SCHEMA)
+
+
+def test_distribution_and_ar1_and_dispersion(study):
+    dist = study.distribution_diagnostics()
+    assert {"grp", "feature", "mean", "std", "skew", "kurtosis"} <= set(dist.columns)
+    assert dist.count() == 9
+    ar1 = study.predictability_ar1()
+    assert ar1.count() == 9
+    disp = study.cross_sectional_dispersion("feature_1")
+    assert disp.count() > 100
+
+
+def test_stationarity_returns_results_and_summary(study):
+    res, summary = study.stationarity_tests()
+    assert res.count() == 9
+    assert summary.count() == 3
+
+
+def test_cross_feature_comparisons_dict(study):
+    out = study.cross_feature_comparisons(max_lag=3)
+    assert set(out) == {"lagged_corr", "cointegration", "granger", "mutual_info", "rolling_corr"}
+    lc = out["lagged_corr"]
+    assert lc.count() == 4 * 3  # lags 0..3 × 3 pairs... pivoted: 4 rows? see below
+
+
+def test_outlier_methods_dispatch(study):
+    z = study.outlier_detection("feature_1", method="zscore")
+    assert z.count() == 3
+
+
+def test_table_sink_writes_csv_and_html(study, tmp_path):
+    res = study.distribution_diagnostics(table=True, results_dir=str(tmp_path))
+    assert res is not None
+    assert os.path.isdir(tmp_path / "distribution_diagnostics.csv")
+    assert (tmp_path / "distribution_diagnostics.html").exists()
+
+
+def test_weighted_bins_reexport(spark):
+    df = spark.createDataFrame(
+        [("A", "X", 1, 10.0, 1.0), ("A", "X", 2, 10.0, 2.0), ("A", "X", 3, 10.0, 3.0)],
+        "ID1 string, ID2 string, timestamp long, quantity1 double, quantity2 double",
+    )
+    out = calculate_weighted_bins(df, bin_size=20.0, max_bins=2)
+    rows = {r["timestamp"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # last row emits nothing
+    # row t=1: future = [(10,2),(10,3)] → bin1 holds both: (10*2+10*3)/20
+    assert abs(rows[1]["bin_1_avg"] - 2.5) < 1e-12
