@@ -177,6 +177,9 @@ def ann_topk(
             ).alias("bh")
         )
     )
+    # self-join on the small signature table (see dedup: collect-and-
+    # explode copies O(|bucket|²) array bytes on hot buckets; the hash
+    # join streams and ReuseExchange dedupes the upstream pipeline)
     a = band_hash.select(F.col("vec_id").alias("qid"), "band", "bh")
     b = band_hash.select(F.col("vec_id").alias("nid"), "band", "bh")
     cand = (
