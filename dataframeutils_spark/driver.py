@@ -282,6 +282,31 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(media)
 
 
+def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataframeutils_spark.streaming import windows as sw
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return sw.normalize_event_times(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation exercised in batch mode (same
+    transformation both ways — tests pin stream output to this)."""
+    from dataframeutils_spark.streaming import windows as sw
+
+    ev = _events_normalized(spark, sf_dir)
+    return round_floats(sw.windowed_event_stats(ev, window="1 hour"))
+
+
+def q_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window counts exercised in batch mode; oracle is the
+    gaps-and-islands SQL reformulation."""
+    from dataframeutils_spark.streaming import windows as sw
+
+    ev = _events_normalized(spark, sf_dir)
+    return sw.sessionized_counts(ev, gap="30 minutes")
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -347,6 +372,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": q_similarity_ann,
         "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_sessionized": q_stream_sessionized,
     }
 
 
@@ -387,4 +414,18 @@ GROUP BY event_type
             ["avg_k", "min_k", "max_k"],
         ),
         "multimodal_meta": multimodal.decode_metadata_sql(),
+        "stream_windowed_stats": _stream_windows_sql(),
+        "stream_sessionized": _stream_sessions_sql(),
     }
+
+
+def _stream_windows_sql() -> str:
+    from dataframeutils_spark.streaming import windows as sw
+
+    return sw.windowed_stats_sql()
+
+
+def _stream_sessions_sql() -> str:
+    from dataframeutils_spark.streaming import windows as sw
+
+    return sw.sessionized_sql()

@@ -144,6 +144,60 @@ def running_user_profile(events: DataFrame, timeout_minutes: int = 60) -> DataFr
     )
 
 
+def windowed_stats_sql(table: str = "events", gap_hours: int = 1) -> str:
+    """DuckDB oracle for :func:`windowed_event_stats` run in batch mode
+    (tumbling 1-hour windows). Spark's ``F.window`` aligns tumbling
+    windows to the epoch, which for whole-hour widths is exactly
+    ``date_trunc('hour', ts)``."""
+    from dataframeutils_spark.schema import siground_sql as sig
+
+    return f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL {gap_hours} HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {sig('sum(value)')} AS sum_value
+FROM {table}
+GROUP BY 1, 2, 3
+"""
+
+
+def sessionized_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    """DuckDB oracle for :func:`sessionized_counts` in batch mode:
+    gaps-and-islands. Spark's ``session_window`` gives each event the
+    interval ``[ts, ts+gap)`` and merges *overlapping* intervals, so an
+    event arriving exactly ``gap`` after the previous one starts a NEW
+    session — hence ``>=`` (not ``>``) in the new-session predicate.
+    ``session_end`` is ``max(ts) + gap`` (the close of the last event's
+    extension), matching Spark."""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM {table}
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts >= INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
 ) -> None:
