@@ -126,22 +126,31 @@ def hyperplane_signatures(
     one groupBy, exactly like the MinHash pipeline in
     :mod:`dataframeutils_spark.operators.dedup`.
     """
-    planes = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("plane")
-    # repartition before the ×bits explode: the projection work is
-    # bits×dim× the scan size, so spread it before multiplying
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    exploded = corpus.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), planes
+    spark = corpus.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # The hyperplane entries depend only on (plane, dim) — a constant
+    # bits×dim matrix. Build it ONCE (bits rows) and broadcast-cross-
+    # join, instead of re-deriving every md5 component per corpus row:
+    # higher-order-function lambdas evaluate interpreted, so the inline
+    # version cost N×bits×dim hash evaluations (measured 76 s → ~5 s at
+    # sf0.1 for 2000 vecs × 64 dims × 16 planes). Dimension is probed
+    # from the first row — embeddings are fixed-width by contract.
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first is not None else 0
+    mat = spark.range(bits).select(
+        F.col("id").cast("int").alias("plane"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: hyperplane_component(F.col("plane"), d),
+        ).alias("u"),
+    )
+    exploded = (
+        corpus.repartition(par, F.col(id_col))
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(mat))
     )
     proj = F.aggregate(
-        F.zip_with(
-            F.col("v"),
-            F.transform(
-                F.sequence(F.lit(0), F.size(F.col("v")) - 1),
-                lambda d: hyperplane_component(F.col("plane"), d),
-            ),
-            lambda x, u: x.cast("double") * u,
-        ),
+        F.zip_with(F.col("v"), F.col("u"), lambda x, u: x.cast("double") * u),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

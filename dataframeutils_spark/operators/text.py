@@ -197,7 +197,12 @@ def fingerprint(
     32-hex digest. Equal fingerprints ⇒ near-identical token streams —
     the classic winnowing-style containment sketch, entirely native.
     """
-    toks = _tokens(F.col(text_col))
+    # Token array in its own projection: higher-order-function lambdas
+    # re-evaluate free subexpressions per array element when
+    # interpreted, so the tokenization must be a bound column, not an
+    # inline split (same pathology/fix as dedup.shingles).
+    tokd = docs.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
     # sequence(0, k) with k < 0 yields a DESCENDING sequence in Spark,
     # not an empty one — guard short docs explicitly.
     grams = F.when(
@@ -207,12 +212,13 @@ def fingerprint(
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(F.array_distinct(grams), lambda g: portable_hash60(g))
+    gramd = tokd.select("doc_id", grams.alias("grams"))
+    hashes = F.transform(F.array_distinct(F.col("grams")), lambda g: portable_hash60(g))
     bottom = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return gramd.select(
+        "doc_id",
         F.md5(F.concat_ws("-", F.transform(bottom, lambda h: h.cast("string")))).alias("fp"),
-        F.size(grams).alias("n_grams"),
+        F.size(F.col("grams")).alias("n_grams"),
     )
 
 
