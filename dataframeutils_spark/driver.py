@@ -251,7 +251,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
-        similarity.ann_topk(load_table(spark, sf_dir, "embeddings"), k=5, bits=16, bands=4),
+        similarity.ann_topk(load_table(spark, sf_dir, "embeddings"), k=5, bits=32, bands=4),
         all_dec=True,
     )
 
@@ -403,7 +403,7 @@ def all_oracles() -> dict[str, str]:
         "fingerprint": text.fingerprint_sql(),
         "similarity_topk": _round_oracle_cols(similarity.brute_force_topk_sql(k=5), ["cos_sim"]),
         "similarity_ann": _round_oracle_cols(
-            similarity.ann_topk_sql(k=5, bits=16, bands=4), ["cos_sim"]
+            similarity.ann_topk_sql(k=5, bits=32, bands=4), ["cos_sim"]
         ),
         "events_props": _round_oracle_cols(
             """

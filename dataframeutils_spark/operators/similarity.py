@@ -197,10 +197,17 @@ def ann_topk(
         .select("qid", "nid")
         .distinct()
     )
-    e = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    qv = e.select(F.col("vid").alias("qid"), F.col("v").alias("qv"))
-    nv = e.select(F.col("vid").alias("nid"), F.col("v").alias("nv"))
-    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    # Norms precomputed per VECTOR before the join, not per candidate
+    # pair: interpreted array aggregates are the scoring cost, and the
+    # candidate set is orders of magnitude larger than the corpus. Same
+    # doubles, bit-identical cos_sim (the norm of a vector doesn't
+    # depend on which pair it appears in).
+    e = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).select(
+        "vid", "v", _norm(F.col("v")).alias("nrm")
+    )
+    qv = e.select(F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    nv = e.select(F.col("vid").alias("nid"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     scored = cand.join(qv, "qid").join(nv, "nid").select("qid", "nid", cos.alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
