@@ -49,6 +49,39 @@ from dataframeutils_spark.schema import nan_to_null
 
 _CHUNK_ROWS = 1 << 18  # bound kernel peak memory to ~chunk×(bins+1) doubles
 
+#: Target rows per bucket when ``num_buckets`` is derived from input size.
+#: Each bucket is materialized as ONE pandas DataFrame in a Python worker
+#: (5 canonical columns + optional tiebreak ≈ 100-200 bytes/row), so 1M
+#: rows keeps the per-task Python footprint in the low hundreds of MB
+#: while still amortizing the per-call Arrow/Python overhead.
+TARGET_ROWS_PER_BUCKET = 1_000_000
+
+_MAX_BUCKETS = 1 << 20
+
+
+def derive_num_buckets(
+    n_rows: int,
+    parallelism: int,
+    target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET,
+) -> int:
+    """Bucket count for a given input size: ``ceil(rows / target)``,
+    floored at the cluster parallelism (never undersubscribe executors)
+    and capped at ``_MAX_BUCKETS``.
+
+    Pure function so the scaling law is unit-testable without Spark.
+    A single *group* larger than the target still lands wholly in one
+    bucket — the groups-whole invariant is what makes bucketing correct —
+    so pathological single-group skew is bounded by group size, not by
+    this knob; the kernel itself is chunked (``_CHUNK_ROWS``) so only the
+    bucket's input rows, not the bins matrix, scale with bucket size.
+    """
+    if parallelism < 1:
+        raise ValueError("parallelism must be >= 1")
+    if target_rows_per_bucket < 1:
+        raise ValueError("target_rows_per_bucket must be >= 1")
+    need = -(-max(n_rows, 0) // target_rows_per_bucket)  # ceil div
+    return int(min(_MAX_BUCKETS, max(parallelism, need)))
+
 
 def _bin_kernel(
     q1: np.ndarray,
@@ -100,7 +133,7 @@ def calculate_weighted_bins(
     bin_size: float = 100.0,
     max_bins: int = 10,
     tiebreak_col: str | None = None,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Distributed weighted-bin calculation (same contract as the reference).
 
@@ -114,6 +147,13 @@ def calculate_weighted_bins(
     stable sort; row position is not well-defined for a distributed
     dataset, so callers supply an explicit key, e.g. ``event_id``).
     ``quantity1`` must be non-negative.
+
+    ``num_buckets``: by default (``None``) derived from the input size —
+    ``derive_num_buckets(df.count(), parallelism)`` targeting
+    ``TARGET_ROWS_PER_BUCKET`` rows per pandas call — so bucket memory
+    stays bounded at any scale (the one extra ``count()`` job is a
+    column-pruned metadata-cheap scan). Pass an explicit int to skip the
+    count, e.g. when the caller already knows the cardinality.
     """
     required = [id1_col, id2_col, timestamp_col, q1_col, q2_col]
     missing = [c for c in required if c not in df.columns]
@@ -163,10 +203,18 @@ def calculate_weighted_bins(
         return out
 
     par = df.sparkSession.sparkContext.defaultParallelism
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(df.count(), par)
+    elif num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    # Python-stage tasks scale with bucket count (~8 buckets/task) but
+    # never drop below cluster parallelism — AQE would otherwise coalesce
+    # the few-MB shuffle to 1-3 tasks and starve the pandas stage.
+    shuffle_parts = max(par, num_buckets // 8)
     bucket = F.pmod(F.xxhash64(F.col(id1_col), F.col(id2_col)), F.lit(num_buckets))
     result = (
         df.select(*select_cols, bucket.alias("__bucket"))
-        .repartition(par, F.col("__bucket"))
+        .repartition(shuffle_parts, F.col("__bucket"))
         .groupBy("__bucket")
         .applyInPandas(lambda pdf: run_bucket(pdf.drop(columns="__bucket")), schema=out_schema)
     )

@@ -8,7 +8,11 @@ import pandas as pd
 import pytest
 
 from dataframeutils_spark import driver
-from dataframeutils_spark.operators.weighted_bins import calculate_weighted_bins
+from dataframeutils_spark.operators.weighted_bins import (
+    TARGET_ROWS_PER_BUCKET,
+    calculate_weighted_bins,
+    derive_num_buckets,
+)
 
 from tests.conftest import SF_DIR, assert_matches_oracle
 
@@ -177,6 +181,40 @@ def test_empty_bins_are_null_not_nan(spark):
     assert res.filter(F.col("bin_2_avg").isNull() & F.col("bin_3_avg").isNull()).count() == 1
     row = res.collect()[0]
     assert row["bin_1_avg"] == pytest.approx(20.0)
+
+
+def test_derive_num_buckets_scales_with_input():
+    """Bucket count follows input size (the VERDICT r1 OOM-ceiling fix):
+    small inputs stay at cluster parallelism, big inputs get
+    ceil(rows/target) buckets so per-bucket pandas memory is bounded."""
+    par = 32
+    # small inputs: floored at parallelism
+    assert derive_num_buckets(0, par) == par
+    assert derive_num_buckets(600_000, par) == par
+    # beyond par × target the count tracks input size exactly
+    rows = 100 * par * TARGET_ROWS_PER_BUCKET
+    assert derive_num_buckets(rows, par) == 100 * par
+    assert derive_num_buckets(rows + 1, par) == 100 * par + 1
+    # monotone in rows, 10× data → 10× buckets in the scaling regime
+    assert derive_num_buckets(10 * rows, par) == 10 * derive_num_buckets(rows, par)
+    # explicit target honored
+    assert derive_num_buckets(10_000, 4, target_rows_per_bucket=1_000) == 10
+    with pytest.raises(ValueError):
+        derive_num_buckets(1, 0)
+
+
+def test_adaptive_buckets_match_explicit(spark):
+    """Default (derived) bucketing and an explicit bucket count produce
+    identical results — bucketing is a physical knob, never semantic."""
+    pdf = _random_events(n=200, seed=11)
+    sdf = spark.createDataFrame(pdf)
+    kw = dict(bin_size=50.0, max_bins=4, tiebreak_col="_pos")
+    auto = calculate_weighted_bins(sdf, **kw).toPandas()
+    explicit = calculate_weighted_bins(sdf, num_buckets=7, **kw).toPandas()
+    key = ["ID1", "ID2", "timestamp", "quantity1", "quantity2"]
+    auto = auto.sort_values(key).reset_index(drop=True)
+    explicit = explicit.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(auto, explicit)
 
 
 def test_driver_oracle_parity_weighted_bins(spark, ddb):
