@@ -202,6 +202,12 @@ def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the documents and embeddings tables. All portable-hash pipelines
 # are fully oracle-checked; xxhash64 variants would be rows-only.
 
+# Embedding width of the testdata embeddings table (TESTDATA.md). ONE
+# constant shared by the Spark ANN call and its oracle SQL so both
+# engines project onto the same subspace (ADVICE r1: the oracle used to
+# hardcode 64 while Spark probed the data).
+EMB_DIM = 64
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -251,7 +257,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
-        similarity.ann_topk(load_table(spark, sf_dir, "embeddings"), k=5, bits=32, bands=4),
+        similarity.ann_topk(
+            load_table(spark, sf_dir, "embeddings"), k=5, bits=32, bands=4, dim=EMB_DIM
+        ),
         all_dec=True,
     )
 
@@ -403,7 +411,7 @@ def all_oracles() -> dict[str, str]:
         "fingerprint": text.fingerprint_sql(),
         "similarity_topk": _round_oracle_cols(similarity.brute_force_topk_sql(k=5), ["cos_sim"]),
         "similarity_ann": _round_oracle_cols(
-            similarity.ann_topk_sql(k=5, bits=32, bands=4), ["cos_sim"]
+            similarity.ann_topk_sql(k=5, bits=32, bands=4, dim=EMB_DIM), ["cos_sim"]
         ),
         "events_props": _round_oracle_cols(
             """

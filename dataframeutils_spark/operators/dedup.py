@@ -300,6 +300,7 @@ def embedding_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold: (vec_a, vec_b, cos_sim).
 
@@ -307,9 +308,21 @@ def embedding_dup_pairs(
     self-join, fold the dot product with ``zip_with``+``aggregate`` —
     JVM-side higher-order functions, no Python. For 100 TB use the
     LSH-bucketed variant in
-    :mod:`dataframeutils_spark.operators.similarity` — this one is
-    O(n²) by design for exactness at oracle scale.
+    :mod:`dataframeutils_spark.operators.similarity` (``ann_topk`` with
+    a similarity filter) — this one is O(n²) by design for exactness at
+    oracle scale, so ``max_rows`` refuses inputs where the crossJoin
+    would be a scale-killer (``None`` bypasses the guard and its
+    ``count()`` job).
     """
+    if max_rows is not None:
+        n_rows = embeddings.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"embedding_dup_pairs input has {n_rows} rows "
+                f"(> max_rows={max_rows}); this is the O(n²) exact "
+                "baseline — use the LSH path in operators.similarity for "
+                "large corpora, or pass max_rows=None to force."
+            )
     norm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )

@@ -53,6 +53,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim).
 
@@ -61,7 +62,23 @@ def brute_force_topk(
     neighbor id. The query side is marked broadcastable: at scale the
     corpus never shuffles — each executor streams its corpus partition
     past the broadcast queries.
+
+    This is the EXACT baseline, O(|Q|·|corpus|·dim): right for small
+    query sets and for oracle-scale self-search; :func:`ann_topk` is the
+    production path. ``max_query_rows`` guards the broadcast side (which
+    in self-search mode is the whole corpus) — above it the all-pairs
+    cost is a scale-killer, so the operator raises instead of silently
+    launching an O(n²) job. Pass ``None`` to bypass (you know the size).
     """
+    if max_query_rows is not None:
+        q_rows = (queries if queries is not None else corpus).count()
+        if q_rows > max_query_rows:
+            raise ValueError(
+                f"brute_force_topk query side has {q_rows} rows "
+                f"(> max_query_rows={max_query_rows}); this is the O(n²) "
+                "exact baseline — use ann_topk for large corpora, or pass "
+                "max_query_rows=None to force."
+            )
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     q = (queries if queries is not None else corpus).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -119,12 +136,19 @@ def hyperplane_signatures(
     bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """b-bit sign signature per vector: (vec_id, plane, bit).
 
     Long layout (one row per plane) — banding and band-hashing are then
     one groupBy, exactly like the MinHash pipeline in
     :mod:`dataframeutils_spark.operators.dedup`.
+
+    ``dim`` is the embedding width (fixed by contract). Pass it to skip
+    the fallback ``first()`` probe — a driver-side action that launches
+    an extra Spark job per call. If passed, it MUST equal the true
+    width: a shorter ``dim`` would zip mismatched lengths and
+    NULL-poison the projection.
     """
     spark = corpus.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -133,10 +157,10 @@ def hyperplane_signatures(
     # join, instead of re-deriving every md5 component per corpus row:
     # higher-order-function lambdas evaluate interpreted, so the inline
     # version cost N×bits×dim hash evaluations (measured 76 s → ~5 s at
-    # sf0.1 for 2000 vecs × 64 dims × 16 planes). Dimension is probed
-    # from the first row — embeddings are fixed-width by contract.
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first is not None else 0
+    # sf0.1 for 2000 vecs × 64 dims × 16 planes).
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first is not None else 0
     mat = spark.range(bits).select(
         F.col("id").cast("int").alias("plane"),
         F.transform(
@@ -166,15 +190,19 @@ def ann_topk(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: (query_id, neighbor_id, rank, cos_sim).
 
+    This is the PRODUCTION similarity path at scale (linear signature
+    pipeline; :func:`brute_force_topk` is the guarded exact baseline).
     Signature → band-hash → bucket self-join → exact cosine on
     candidates only → per-query rank. With r = bits/bands rows per
     band, a pair at angle θ collides on ≥1 band with probability
-    1 − (1 − (1 − θ/π)^r)^bands.
+    1 − (1 − (1 − θ/π)^r)^bands. ``dim`` as in
+    :func:`hyperplane_signatures` (skip the probe job).
     """
-    sigs = hyperplane_signatures(corpus, bits, id_col, vec_col)
+    sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
     rows_per_band = bits // bands
     band_hash = (
         sigs.withColumn("band", (F.col("plane") / rows_per_band).cast("int"))
@@ -222,9 +250,20 @@ def ann_topk(
     )
 
 
-def ann_topk_sql(k: int = 5, bits: int = 16, bands: int = 4, table: str = "embeddings") -> str:
+def ann_topk_sql(
+    k: int = 5,
+    bits: int = 16,
+    bands: int = 4,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
     """DuckDB oracle for :func:`ann_topk` — same hash-derived
-    hyperplanes, bands and re-rank, in plain SQL."""
+    hyperplanes, bands and re-rank, in plain SQL.
+
+    ``dim`` bounds the projection's dimension range and must be the
+    SAME value the Spark call site uses (share one constant), else the
+    two engines project onto different subspaces and silently diverge.
+    """
     rows_per_band = bits // bands
     u = portable_hash60_sql("(plane::VARCHAR || ':' || (d - 1)::VARCHAR)")
     dot = (
@@ -241,7 +280,7 @@ WITH proj AS (
          sum(e.embedding[d.d]::DOUBLE * ({u}::DOUBLE / {TWO59} - 1.0)) AS s
   FROM {table} e,
        range(0, {bits}) p(plane),
-       range(1, 65) d(d)
+       range(1, {dim} + 1) d(d)
   WHERE d.d <= len(e.embedding)
   GROUP BY e.vec_id, p.plane
 ), sig AS (

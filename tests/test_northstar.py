@@ -132,6 +132,42 @@ def test_fingerprint_equal_iff_same_token_stream(spark):
 
 
 # ---------------------------------------------------------------------------
+# scale guards on the O(n²) exact baselines (VERDICT r1)
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, n=6, dim=4):
+    rows = [(i, [float(i + d) for d in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_guard_raises_over_limit(spark):
+    df = _emb_df(spark)
+    with pytest.raises(ValueError, match="ann_topk"):
+        similarity.brute_force_topk(df, k=2, max_query_rows=3)
+    # under the limit and with the guard bypassed both still run
+    assert similarity.brute_force_topk(df, k=2, max_query_rows=6).count() > 0
+    assert similarity.brute_force_topk(df, k=2, max_query_rows=None).count() > 0
+
+
+def test_embedding_dup_pairs_guard_raises_over_limit(spark):
+    df = _emb_df(spark)
+    with pytest.raises(ValueError, match="LSH"):
+        dedup.embedding_dup_pairs(df, threshold=0.0, max_rows=3)
+    assert dedup.embedding_dup_pairs(df, threshold=0.0, max_rows=None).count() > 0
+
+
+def test_ann_topk_dim_param_matches_probe(spark):
+    """Passing the contract width must give exactly the probed plan's
+    results (the probe is only a fallback)."""
+    df = _emb_df(spark, n=20, dim=4)
+    key = ["query_id", "neighbor_id"]
+    a = similarity.ann_topk(df, k=3, bits=8, bands=2).toPandas().sort_values(key)
+    b = similarity.ann_topk(df, k=3, bits=8, bands=2, dim=4).toPandas().sort_values(key)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # oracle parity at sf0.001 (mirrors the driver's gate on smaller data)
 # ---------------------------------------------------------------------------
 
