@@ -315,6 +315,39 @@ def q_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.sessionized_counts(ev, gap="30 minutes")
 
 
+def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState``,
+    streaming/windows.py) driven END-TO-END as a real stream: events
+    file source → per-user running (count, sum, max) state → update-mode
+    memory sink, then the final state per user. A drained stream's final
+    state equals the batch aggregate, so the oracle is a plain GROUP BY
+    — this was the one operator family verified only by pytest in r1.
+    """
+    from dataframeutils_spark.streaming import windows as sw
+
+    name = "stream_user_profile_sink"
+    spark.catalog.dropTempView(name)
+    stream = sw.read_events_stream(spark, sf_dir)
+    # timeout_minutes=None: idle-state eviction is a production-stream
+    # concern; with ProcessingTimeTimeout an availableNow drain never
+    # self-terminates (see running_user_profile docstring)
+    sw.run_to_memory(
+        sw.running_user_profile(stream, timeout_minutes=None), name, output_mode="update"
+    )
+    # one availableNow pass over one file → one update per user; keep
+    # the row with the highest running count in case of multiple batches
+    latest = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.max_by("max_value", "n_events").alias("max_value"),
+        )
+    )
+    return round_floats(latest, all_dec=True)
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -382,6 +415,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_sessionized": q_stream_sessionized,
+        "stream_user_profile": q_stream_user_profile,
     }
 
 
@@ -424,6 +458,13 @@ GROUP BY event_type
         "multimodal_meta": multimodal.decode_metadata_sql(),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sessionized": _stream_sessions_sql(),
+        "stream_user_profile": _round_oracle_cols(
+            """
+SELECT user_id, count(*) AS n_events, sum(value) AS total_value, max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+            ["total_value", "max_value"],
+        ),
     }
 
 

@@ -105,7 +105,7 @@ _PROFILE_SCHEMA = "user_id long, n_events long, total_value double, max_value do
 _STATE_SCHEMA = "n long, total double, mx double"
 
 
-def running_user_profile(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+def running_user_profile(events: DataFrame, timeout_minutes: int | None = 60) -> DataFrame:
     """Custom stateful operator: per-user running (count, sum, max) via
     ``applyInPandasWithState`` — the escape hatch for aggregations the
     built-in windowed ops can't express (here kept deliberately simple
@@ -113,6 +113,13 @@ def running_user_profile(events: DataFrame, timeout_minutes: int = 60) -> DataFr
 
     State per key is three scalars — O(1) bytes per user. Timeout
     evicts idle users' state (processing-time clock).
+
+    ``timeout_minutes=None`` disables eviction (``NoTimeout``). Use that
+    for drain-to-final-state runs: with ``ProcessingTimeTimeout`` an
+    ``availableNow`` query never self-terminates — after the data is
+    processed it keeps scheduling "cleaning up state" batches so pending
+    timeouts can eventually fire. Eviction is for long-running
+    production streams; a bounded drain must pass ``None``.
     """
 
     def update(
@@ -125,7 +132,8 @@ def running_user_profile(events: DataFrame, timeout_minutes: int = 60) -> DataFr
             if len(pdf):
                 mx = max(mx, float(pdf["value"].max()))
         state.update((n, total, mx))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -140,7 +148,11 @@ def running_user_profile(events: DataFrame, timeout_minutes: int = 60) -> DataFr
         outputStructType=_PROFILE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -213,3 +225,6 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(timeout_s)
+    if q.isActive:  # don't leak a forever-active query past the drain
+        q.stop()
+        q.awaitTermination(30)

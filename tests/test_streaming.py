@@ -49,7 +49,11 @@ def test_sessionized_counts_stream_matches_batch(spark):
 
 def test_running_user_profile_stateful(spark):
     stream = W.read_events_stream(spark, SF_DIR)
-    W.run_to_memory(W.running_user_profile(stream), "profiles", output_mode="update")
+    # timeout_minutes=None: a ProcessingTimeTimeout drain never
+    # self-terminates under availableNow (burns the full await timeout)
+    W.run_to_memory(
+        W.running_user_profile(stream, timeout_minutes=None), "profiles", output_mode="update"
+    )
     got = spark.table("profiles")
     # one availableNow pass over one file → final state is visible in the
     # last update per user; with a single trigger each user appears once
