@@ -17,9 +17,11 @@ Differences from the reference, by design:
 * Methods return *lazy* DataFrames — composition stays in Catalyst, the
   caller picks the action. ``table=True``/``results_dir`` still write the
   reference's CSV/HTML sinks (O9, ``time_series_study.py:113-125``).
-* ``publish_plot`` (matplotlib PNG, O10) is accepted for source
-  compatibility but raises unless matplotlib is installed; plots sit
-  outside the engine core (SURVEY §2.1 O10).
+* ``publish_plot`` (matplotlib PNG, O10, ``time_series_study.py:96-111``)
+  renders a PNG per analysis from the small result table
+  (``limit().toPandas()`` — result tables are tiny; the 100 TB input
+  never reaches the driver) when matplotlib is importable, and raises a
+  clear ``RuntimeError`` when it is not — never a silent no-op.
 """
 
 from __future__ import annotations
@@ -41,6 +43,43 @@ from dataframeutils_spark.operators.weighted_bins import calculate_weighted_bins
 from dataframeutils_spark.schema import PanelSchema, melt_panel, validate_panel
 
 _MAX_HTML_ROWS = 1000  # reference: head(1000) in _save_df_table (:119)
+
+
+def save_plot(df: DataFrame, path: str, title: str | None = None) -> str:
+    """PNG plot sink — reference O10 (``time_series_study.py:96-111``).
+
+    Renders the numeric columns of the (small) result table: driver-side
+    ``limit(_MAX_HTML_ROWS).toPandas()`` like the HTML sink, then one
+    matplotlib figure. Raises ``RuntimeError`` if matplotlib is absent —
+    callers asked for a plot, so degrading silently is wrong.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as exc:
+        raise RuntimeError(
+            "publish_plot=True requires matplotlib, which is not installed "
+            "in this environment; install matplotlib or pass "
+            "publish_plot=False"
+        ) from exc
+
+    pdf = df.limit(_MAX_HTML_ROWS).toPandas()
+    num = pdf.select_dtypes("number")
+    fig, ax = plt.subplots(figsize=(10, 6))
+    if num.shape[1] == 0 or len(num) == 0:
+        ax.set_axis_off()
+        ax.text(0.5, 0.5, "no numeric columns to plot", ha="center", va="center")
+    elif len(num) <= 30:
+        num.plot.bar(ax=ax)
+    else:
+        num.plot(ax=ax)
+    ax.set_title(title or os.path.basename(path))
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
 
 
 def save_table(df: DataFrame, path: str, html: bool = True) -> None:
@@ -84,10 +123,20 @@ class TimeSeriesStudy:
         )
 
     # -- sinks -------------------------------------------------------
-    def _sink(self, df: DataFrame, name: str, table: bool, results_dir: str | None) -> DataFrame:
-        if table and results_dir:
+    def _sink(
+        self,
+        df: DataFrame,
+        name: str,
+        table: bool,
+        results_dir: str | None,
+        plot: bool = False,
+    ) -> DataFrame:
+        if results_dir and (table or plot):
             os.makedirs(results_dir, exist_ok=True)
+        if table and results_dir:
             save_table(df, os.path.join(results_dir, name))
+        if plot:
+            save_plot(df, os.path.join(results_dir or ".", name + ".png"), title=name)
         return df
 
     # -- analyses (one per reference method) --------------------------
@@ -95,7 +144,7 @@ class TimeSeriesStudy:
         self, publish_plot: bool = False, table: bool = False, results_dir: str | None = None
     ) -> DataFrame:
         out = panel_stats.distribution_diagnostics(self._long)
-        return self._sink(out, "distribution_diagnostics", table, results_dir)
+        return self._sink(out, "distribution_diagnostics", table, results_dir, plot=publish_plot)
 
     def stationarity_tests(
         self,
@@ -106,8 +155,8 @@ class TimeSeriesStudy:
     ) -> tuple[DataFrame, DataFrame]:
         res = stat_tests.stationarity_tests(self._long, regression=regression)
         summary = stat_tests.stationarity_summary(res)
-        self._sink(res, "stationarity_tests", table, results_dir)
-        self._sink(summary, "stationarity_summary", table, results_dir)
+        self._sink(res, "stationarity_tests", table, results_dir, plot=publish_plot)
+        self._sink(summary, "stationarity_summary", table, results_dir, plot=publish_plot)
         return res, summary
 
     def memory_dependence(
@@ -116,7 +165,7 @@ class TimeSeriesStudy:
         acf = memory_ops.acf_hurst(self._long)
         lb = stat_tests.ljung_box_p(self._long)
         out = acf.join(lb, ["grp", "feature"], "left")
-        return self._sink(out, "memory_dependence", table, results_dir)
+        return self._sink(out, "memory_dependence", table, results_dir, plot=publish_plot)
 
     def frequency_domain(
         self,
@@ -126,7 +175,7 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = stat_tests.frequency_domain(self._long, detrend=detrend)
-        return self._sink(out, "frequency_domain", table, results_dir)
+        return self._sink(out, "frequency_domain", table, results_dir, plot=publish_plot)
 
     def cross_sectional_dispersion(
         self,
@@ -136,13 +185,13 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = panel_stats.cross_sectional_dispersion(self._long, feature)
-        return self._sink(out, f"cross_section_dispersion_{feature}", table, results_dir)
+        return self._sink(out, f"cross_section_dispersion_{feature}", table, results_dir, plot=publish_plot)
 
     def predictability_ar1(
         self, publish_plot: bool = False, table: bool = False, results_dir: str | None = None
     ) -> DataFrame:
         out = panel_stats.predictability_ar1(self._long)
-        return self._sink(out, "predictability_ar1", table, results_dir)
+        return self._sink(out, "predictability_ar1", table, results_dir, plot=publish_plot)
 
     def cross_feature_comparisons(
         self,
@@ -167,7 +216,7 @@ class TimeSeriesStudy:
                 self._wide, a, b, window=rolling_window
             )
         for name, df in out.items():
-            self._sink(df, name, table, results_dir)
+            self._sink(df, name, table, results_dir, plot=publish_plot)
         return out
 
     def regime_detection(
@@ -179,7 +228,7 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = ml_fits.regime_detection(self._long, feature, n_regimes=n_regimes)
-        return self._sink(out, f"regime_detection_{feature}", table, results_dir)
+        return self._sink(out, f"regime_detection_{feature}", table, results_dir, plot=publish_plot)
 
     def volatility_analysis(
         self,
@@ -190,7 +239,7 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = ml_fits.volatility_analysis(self._long, feature, model_type)
-        return self._sink(out, f"volatility_{feature}", table, results_dir)
+        return self._sink(out, f"volatility_{feature}", table, results_dir, plot=publish_plot)
 
     def outlier_detection(
         self,
@@ -204,4 +253,4 @@ class TimeSeriesStudy:
             out = outlier_ops.zscore_outliers(self._long, feature)
         else:
             out = ml_fits.ml_outliers(self._long, feature, method)
-        return self._sink(out, f"outliers_{feature}_{method}", table, results_dir)
+        return self._sink(out, f"outliers_{feature}_{method}", table, results_dir, plot=publish_plot)

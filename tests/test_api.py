@@ -62,6 +62,24 @@ def test_table_sink_writes_csv_and_html(study, tmp_path):
     assert (tmp_path / "distribution_diagnostics.html").exists()
 
 
+def test_publish_plot_renders_png_or_raises(study, tmp_path):
+    """O10 contract (VERDICT r1): publish_plot must either render a PNG
+    (matplotlib importable) or raise clearly — never a silent no-op."""
+    try:
+        import matplotlib  # noqa: F401
+
+        have_mpl = True
+    except ImportError:
+        have_mpl = False
+    if have_mpl:
+        study.distribution_diagnostics(publish_plot=True, results_dir=str(tmp_path))
+        png = tmp_path / "distribution_diagnostics.png"
+        assert png.exists() and png.stat().st_size > 0
+    else:
+        with pytest.raises(RuntimeError, match="matplotlib"):
+            study.distribution_diagnostics(publish_plot=True, results_dir=str(tmp_path))
+
+
 def test_weighted_bins_reexport(spark):
     df = spark.createDataFrame(
         [("A", "X", 1, 10.0, 1.0), ("A", "X", 2, 10.0, 2.0), ("A", "X", 3, 10.0, 3.0)],
