@@ -172,6 +172,24 @@ def q_volatility_garch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volatility_egarch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EGARCH(1,1) — the reference's model_type switch
+    (time_series_study.py:808-824); rows-only like the other MLE fits."""
+    return round_floats(
+        ml_fits.volatility_analysis(_melted(spark, sf_dir), "feature_2", "EGARCH"),
+        dec=("persistence", "vol_skew", "vol_kurt"),
+    )
+
+
+def q_volatility_gjr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GJR-GARCH(1,1) with one asymmetry term (o=1), as in the
+    reference's arch_model call; rows-only."""
+    return round_floats(
+        ml_fits.volatility_analysis(_melted(spark, sf_dir), "feature_2", "GJR-GARCH"),
+        dec=("persistence", "vol_skew", "vol_kurt"),
+    )
+
+
 def q_outliers_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
         ml_fits.ml_outliers(_melted(spark, sf_dir), "feature_1", "isolation_forest"),
@@ -399,6 +417,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger": q_granger,
         "regime_detection": q_regime_detection,
         "volatility_garch": q_volatility_garch,
+        "volatility_egarch": q_volatility_egarch,
+        "volatility_gjr": q_volatility_gjr,
         "outliers_iforest": q_outliers_iforest,
         "outliers_lof": q_outliers_lof,
         "dedup_exact": q_dedup_exact,

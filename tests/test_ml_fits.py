@@ -69,6 +69,49 @@ def test_garch_variants_fit(model):
     assert (fit["cond_vol"] > 0).all()
 
 
+def test_gjr_detects_leverage_asymmetry():
+    """Simulate a GJR process (negative shocks raise vol more) and a
+    symmetric GARCH process: the fitted asymmetry term must be clearly
+    positive on the former and larger than on the latter."""
+    rng = np.random.default_rng(5)
+    n = 1500
+
+    def simulate(gamma):
+        e = np.empty(n)
+        s2 = np.empty(n)
+        s2[0] = 1.0
+        for t in range(n):
+            if t > 0:
+                s2[t] = 0.05 + 0.05 * e[t - 1] ** 2 + 0.80 * s2[t - 1]
+                if e[t - 1] < 0:
+                    s2[t] += gamma * e[t - 1] ** 2
+            e[t] = rng.normal(0, np.sqrt(s2[t]))
+        return e
+
+    fit_lev = ml.garch_fit(simulate(0.25), model="GJR-GARCH")
+    fit_sym = ml.garch_fit(simulate(0.0), model="GJR-GARCH")
+    assert fit_lev["params"]["gamma"] > 0.08
+    assert fit_lev["params"]["gamma"] > fit_sym["params"]["gamma"] + 0.05
+
+
+def test_egarch_detects_leverage_sign():
+    """EGARCH's gamma multiplies the *signed* shock: on leverage data
+    (negative shocks → higher vol) it must come out negative."""
+    rng = np.random.default_rng(6)
+    n = 1500
+    e = np.empty(n)
+    s2 = np.empty(n)
+    s2[0] = 1.0
+    for t in range(n):
+        if t > 0:
+            s2[t] = 0.05 + 0.05 * e[t - 1] ** 2 + 0.80 * s2[t - 1]
+            if e[t - 1] < 0:
+                s2[t] += 0.25 * e[t - 1] ** 2
+        e[t] = rng.normal(0, np.sqrt(s2[t]))
+    fit = ml.garch_fit(e, model="EGARCH")
+    assert fit["params"]["gamma"] < -0.02
+
+
 def test_isolation_forest_flags_planted_outliers():
     rng = np.random.default_rng(3)
     x = np.concatenate([rng.normal(0, 1, 200), [15.0, -14.0, 18.0]])
@@ -114,7 +157,15 @@ def test_volatility_operator_on_reference_panel(spark):
 
 
 @pytest.mark.parametrize(
-    "qname", ["regime_detection", "volatility_garch", "outliers_iforest", "outliers_lof"]
+    "qname",
+    [
+        "regime_detection",
+        "volatility_garch",
+        "volatility_egarch",
+        "volatility_gjr",
+        "outliers_iforest",
+        "outliers_lof",
+    ],
 )
 def test_rows_only_queries_run(spark, qname):
     got = driver.all_queries()[qname](spark, SF_DIR)
