@@ -470,7 +470,7 @@ def all_oracles() -> dict[str, str]:
         "events_props": _round_oracle_cols(
             """
 SELECT event_type, count(k) AS n, avg(k) AS avg_k, min(k) AS min_k, max(k) AS max_k
-FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events)
+FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events)
 GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],

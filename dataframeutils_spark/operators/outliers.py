@@ -28,13 +28,21 @@ def zscore_outliers(
     w = Window.partitionBy("grp")
     scored = d.select(
         "grp",
+        # try_divide: a zero-variance group divides by 0, which under
+        # ANSI mode (the Spark 4 default — and the driver's vanilla
+        # session) would THROW; try_divide yields NULL like DuckDB
         F.abs(
-            (F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w)
+            F.try_divide(
+                F.col("value") - F.avg("value").over(w), F.stddev_pop("value").over(w)
+            )
         ).alias("z"),
     )
     agg = scored.groupBy("grp").agg(
         F.count("*").alias("n"),
-        F.sum((F.col("z") > threshold).cast("long")).alias("n_outliers"),
+        # count(when(...)) not sum(cast): in a zero-variance group every
+        # z is NULL (x/0), sum over all-NULL is NULL but the oracle's
+        # count(*) FILTER is 0 — count() skips NULLs and agrees
+        F.count(F.when(F.col("z") > threshold, F.lit(1))).alias("n_outliers"),
         F.avg(F.when(F.col("z") > threshold, F.col("z"))).alias("avg_out"),
         F.max("z").alias("max_outlier_score"),
         F.min("z").alias("min_outlier_score"),

@@ -84,7 +84,11 @@ def brute_force_topk(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
     joined = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    # try_divide: a zero-norm vector would make ANSI mode (Spark 4
+    # default) throw on the division; DuckDB yields NULL — match it
+    cos = F.try_divide(
+        _dot(F.col("qv"), F.col("nv")), _norm(F.col("qv")) * _norm(F.col("nv"))
+    )
     scored = joined.select("qid", "nid", cos.alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
@@ -235,7 +239,7 @@ def ann_topk(
     )
     qv = e.select(F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     nv = e.select(F.col("vid").alias("nid"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
-    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    cos = F.try_divide(_dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn"))
     scored = cand.join(qv, "qid").join(nv, "nid").select("qid", "nid", cos.alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (

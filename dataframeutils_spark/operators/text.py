@@ -246,7 +246,10 @@ WITH tok AS (
   FROM hashed GROUP BY doc_id, n_grams
 )
 SELECT doc_id,
-       md5(list_aggregate(list_transform(bk, x -> x::VARCHAR), 'string_agg', '-')) AS fp,
+       -- coalesce: for docs shorter than n tokens bk is empty and
+       -- list_aggregate returns NULL, while Spark's concat_ws over an
+       -- empty array returns '' — both engines must emit md5('')
+       md5(coalesce(list_aggregate(list_transform(bk, x -> x::VARCHAR), 'string_agg', '-'), '')) AS fp,
        n_grams
 FROM bottom
 """

@@ -163,6 +163,20 @@ def siground_sql(expr: str) -> str:
     string→double parsing is correctly rounded in both engines, whereas
     pow(10, e) can differ by 1 ULP between the JVM and DuckDB, which
     would leak into the product and break exact hash comparison.
+
+    Residual risk (accepted, not avoidable within this design): the
+    mantissa itself is still ``expr / pow(10, floor(log10(|expr|)))``,
+    so a 1-ULP pow/log10 divergence between engines can flip ``round()``
+    when the scaled mantissa lands *exactly* on a .5 boundary — a
+    measure-zero event for continuous-valued statistics. Two mitigating
+    facts: (a) at exact powers of 10, where ``floor(log10(x))`` may
+    differ by 1 between engines, mantissa and exponent compensate
+    (``1000000e-3`` and ``100000e-2`` parse to the same double), so that
+    classic edge case is self-healing; (b) the alternative — formatting
+    ``'%.5e'`` and parsing back — was rejected because the JVM's
+    ``Formatter`` rounds HALF_UP while DuckDB's printf rounds
+    half-to-even, a *systematic* tie divergence rather than a 1-ULP
+    coincidence one.
     """
     exp = f"CAST(floor(log10(abs({expr}))) AS BIGINT)"
     mantissa = (

@@ -131,6 +131,23 @@ def test_fingerprint_equal_iff_same_token_stream(spark):
     assert got[4][1] == 0
 
 
+def test_fingerprint_short_doc_oracle_parity(spark):
+    """Docs shorter than n tokens: both engines must emit fp = md5('')
+    (ADVICE r1 — the oracle used to return NULL on an empty gram list)."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c d e", "x y", "solo"]})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    try:
+        assert_matches_oracle(
+            text.fingerprint(spark.createDataFrame(pdf)), con, text.fingerprint_sql()
+        )
+    finally:
+        con.close()
+
+
 # ---------------------------------------------------------------------------
 # scale guards on the O(n²) exact baselines (VERDICT r1)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,25 @@ def test_zscore_outliers_matches_pandas(ref_long):
         np.testing.assert_allclose(row["avg_outlier_score"], expected_avg, rtol=1e-9)
 
 
+def test_zscore_constant_group_counts_zero_not_null(spark):
+    """Zero-variance group: every z is NULL (x/0); n_outliers must be 0
+    (count-FILTER semantics, matching the oracle), never NULL (ADVICE r1)."""
+    long_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "grp": "a",
+                "feature": "f",
+                "date": pd.date_range("2024-01-01", periods=12, freq="D"),
+                "value": 5.0,
+            }
+        )
+    )
+    got = outliers.zscore_outliers(long_df, "f").toPandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_outliers"] == 0
+    assert got.loc[0, "outlier_rate"] == 0.0
+
+
 @pytest.mark.parametrize(
     "qname",
     ["memory_acf_hurst", "lagged_corr", "rolling_corr", "mutual_info", "zscore_outliers"],
