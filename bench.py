@@ -32,6 +32,7 @@ HEADLINE = [
     "zscore_outliers",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_xxhash",  # production hash path (rows-only query)
     "dedup_simhash",
     "text_stats",
     "language_id",

@@ -237,6 +237,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
 
 
+def q_dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash MinHash+LSH: identical plan to dedup_minhash_lsh
+    but hashing shingles with the xxhash64 JVM intrinsic instead of the
+    portable md5-derived 60-bit hash. xxhash64 has no DuckDB equivalent
+    → rows-only check; registered so BENCH records the 100 TB path's
+    throughput next to the oracle-parity path (VERDICT r1 #7)."""
+    sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh, num_perm=16, portable=False)
+    return dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
     return round_floats(dedup.ngram_jaccard_pairs(sh), all_dec=True)
@@ -423,6 +434,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_lof": q_outliers_lof,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
