@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Scale-stress probe: replicate sf0.1 N× into /tmp and run the
+heavy queries against it (VERDICT r1 #8).
+
+No sf>0.1 testdata ships with the harness, so this builds one:
+each table row is replicated ``mult`` times with perturbations chosen
+to make the stress REALISTIC, not embarrassingly parallel:
+
+* events: same (user_id, event_type) groups, each mult× longer and
+  time-shifted per replica — stresses the weighted-bin kernel's
+  per-group O(G log G) and the adaptive bucketing.
+* documents: replicas get one appended token, so every source doc
+  becomes a cluster of ~mult near-duplicates — the LSH hot-bucket
+  case that uniform random text never produces.
+* embeddings: replicas perturbed by +0.01·m per dimension — dense
+  cosine clusters for the ANN bucket join.
+
+At mult=10 the events table is ~1M rows: the reference's published
+weighted-bins budget at that size is 20–50 s single-threaded
+(BASELINE.md), giving a direct comparison point.
+
+Usage: python tools/scale_stress.py [mult] [out_dir]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+QUERIES = [
+    "weighted_bins",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_xxhash",
+    "dedup_simhash",
+    "similarity_ann",
+]
+
+
+def _jvm_peak_rss_gb() -> float:
+    """Best-effort VmHWM of the in-process JVM (local mode: one java child)."""
+    try:
+        import glob
+
+        peaks = []
+        for status in glob.glob("/proc/[0-9]*/status"):
+            try:
+                txt = open(status).read()
+            except OSError:
+                continue
+            if "\nName:\tjava\n" in txt or txt.startswith("Name:\tjava\n"):
+                for line in txt.splitlines():
+                    if line.startswith("VmHWM:"):
+                        peaks.append(int(line.split()[1]))  # kB
+        return max(peaks) / 1e6 if peaks else -1.0
+    except Exception:
+        return -1.0
+
+
+def generate(spark, mult: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    m = spark.range(mult).select(F.col("id").cast("int").alias("m"))
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet").crossJoin(F.broadcast(m))
+    ev.select(
+        (F.col("event_id") * mult + F.col("m")).alias("event_id"),
+        # shift each replica by m hours (ts is int64 nanos here)
+        (F.col("ts") + F.col("m").cast("long") * F.lit(3_600_000_000_000)).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet").crossJoin(F.broadcast(m))
+    docs.select(
+        (F.col("doc_id") * mult + F.col("m")).alias("doc_id"),
+        F.when(F.col("m") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("m")))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet").crossJoin(F.broadcast(m))
+    emb.select(
+        (F.col("vec_id") * mult + F.col("m")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x + F.col("m").cast("float") * F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_{mult}x"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-stress")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{out_dir}/events.parquet"):
+        t0 = time.time()
+        generate(spark, mult, out_dir)
+        print(f"# generated {mult}x testdata in {out_dir} ({time.time() - t0:.1f}s)", flush=True)
+
+    from dataframeutils_spark import driver as d
+
+    qs = d.all_queries()
+    for name in QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, out_dir).count()
+        print(f"# {name} @ {mult}x: {n} rows in {time.time() - t0:.2f}s", flush=True)
+    print(f"# jvm peak rss: {_jvm_peak_rss_gb():.1f} GiB", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
