@@ -38,6 +38,7 @@ HEADLINE = [
     "language_id",
     "fingerprint",
     "similarity_ann",
+    "similarity_ivf",
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -293,6 +293,32 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN with hash-derived centroids — the second scale
+    path next to LSH, exactly oracle-checkable like similarity_ann."""
+    return round_floats(
+        similarity.ivf_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            k=5,
+            n_centroids=16,
+            n_probe=2,
+            dim=EMB_DIM,
+        ),
+        all_dec=True,
+    )
+
+
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with MLlib k-means-trained centroids (the production
+    quantizer on clustered corpora). No DuckDB k-means → rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=16)
+    return round_floats(
+        similarity.ivf_topk(emb, k=5, n_probe=2, dim=EMB_DIM, centroids=cents),
+        all_dec=True,
+    )
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction on events.props (SURVEY §7 phase 5):
     from_json-style parse → per-event-type stats of the 'k' field."""
@@ -443,6 +469,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "similarity_ivf": q_similarity_ivf,
+        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
         "stream_windowed_stats": q_stream_windowed_stats,
@@ -478,6 +506,10 @@ def all_oracles() -> dict[str, str]:
         "similarity_topk": _round_oracle_cols(similarity.brute_force_topk_sql(k=5), ["cos_sim"]),
         "similarity_ann": _round_oracle_cols(
             similarity.ann_topk_sql(k=5, bits=32, bands=4, dim=EMB_DIM), ["cos_sim"]
+        ),
+        "similarity_ivf": _round_oracle_cols(
+            similarity.ivf_topk_sql(k=5, n_centroids=16, n_probe=2, dim=EMB_DIM),
+            ["cos_sim"],
         ),
         "events_props": _round_oracle_cols(
             """

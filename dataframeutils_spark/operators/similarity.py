@@ -207,6 +207,18 @@ def ann_topk(
     :func:`hyperplane_signatures` (skip the probe job).
     """
     sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
+    return _bucketed_topk_from_sigs(sigs, corpus, k, bits, bands, id_col, vec_col)
+
+
+def _bucketed_topk_from_sigs(
+    sigs: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    bits: int,
+    bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     rows_per_band = bits // bands
     band_hash = (
         sigs.withColumn("band", (F.col("plane") / rows_per_band).cast("int"))
@@ -229,11 +241,21 @@ def ann_topk(
         .select("qid", "nid")
         .distinct()
     )
-    # Norms precomputed per VECTOR before the join, not per candidate
-    # pair: interpreted array aggregates are the scoring cost, and the
-    # candidate set is orders of magnitude larger than the corpus. Same
-    # doubles, bit-identical cos_sim (the norm of a vector doesn't
-    # depend on which pair it appears in).
+    return _rerank_topk(cand, corpus, k, id_col, vec_col)
+
+
+def _rerank_topk(
+    cand: DataFrame, corpus: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact-cosine re-rank of a (qid, nid) candidate table → top-k.
+
+    Norms precomputed per VECTOR before the join, not per candidate
+    pair: interpreted array aggregates are the scoring cost, and the
+    candidate set is orders of magnitude larger than the corpus. Same
+    doubles, bit-identical cos_sim (the norm of a vector doesn't
+    depend on which pair it appears in). Shared by the LSH and IVF
+    paths — any blocking scheme reduces to a (qid, nid) table here.
+    """
     e = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).select(
         "vid", "v", _norm(F.col("v")).alias("nrm")
     )
@@ -297,6 +319,180 @@ WITH proj AS (
 ), cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
   FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT c.qid AS query_id, c.nid AS neighbor_id,
+         {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
+  FROM cand c JOIN {table} q ON q.vec_id = c.qid JOIN {table} n ON n.vec_id = c.nid
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer bucketing
+# ---------------------------------------------------------------------------
+
+
+def _ivf_component(cent: Column, d: Column) -> Column:
+    """Deterministic pseudo-uniform centroid entry in [-1, 1) — same
+    hash-derivation trick as the hyperplanes ('ivf:' salt keeps the two
+    families independent), which makes the IVF path exactly
+    oracle-checkable in DuckDB."""
+    h = portable_hash60(
+        F.concat(F.lit("ivf:"), cent.cast("string"), F.lit(":"), d.cast("string"))
+    )
+    return h.cast("double") / F.lit(TWO59) - F.lit(1.0)
+
+
+def ivf_centroids(spark, n_centroids: int, dim: int) -> DataFrame:
+    """Hash-derived coarse-quantizer table: (centroid, u, nrm).
+
+    Random directions are a *correctness baseline* quantizer (uniform
+    bucket occupancy, oracle-checkable); for data-adaptive buckets use
+    :func:`train_centroids_kmeans` — both feed :func:`ivf_topk`.
+    """
+    return spark.range(n_centroids).select(
+        F.col("id").cast("int").alias("centroid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: _ivf_component(F.col("centroid"), d),
+        ).alias("u"),
+    ).select("centroid", "u", _norm(F.col("u")).alias("nrm"))
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """PRODUCTION quantizer: k-means centroids via Spark MLlib (same
+    (centroid, u, nrm) shape as :func:`ivf_centroids`). Data-adaptive
+    buckets have far better occupancy balance than random directions on
+    clustered corpora; training cost is a few passes over a sample.
+    No DuckDB equivalent → queries built on it are rows-only."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "centroid int, u array<double>").select(
+        "centroid", "u", _norm(F.col("u")).alias("nrm")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    The second scale path next to LSH (:func:`ann_topk`): every vector
+    is assigned to its nearest coarse centroid (one inverted list per
+    centroid); a query probes its ``n_probe`` nearest lists and exact
+    cosine re-ranks only their members. Linear scoring pass (N × C
+    folds), shuffle keyed on the centroid id, candidate count bounded by
+    list occupancy × n_probe. Ties in both argmax and ranking break on
+    the smaller id — deterministic in both engines.
+
+    ``centroids`` defaults to the hash-derived oracle-checkable
+    quantizer; pass :func:`train_centroids_kmeans` output for the
+    production path.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        if dim is None:
+            first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = first["d"] if first is not None else 0
+        centroids = ivf_centroids(spark, n_centroids, dim)
+    # score every vector against every centroid (broadcast the tiny
+    # centroid table); |v| is constant per vector so argmax only needs
+    # dot / |u_c|
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "centroid",
+            (_dot(F.col("v"), F.col("u")) / F.col("nrm")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("centroid"))
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    assign = ranked.filter(F.col("r") == 1).select(F.col("vec_id").alias("nid"), "centroid")
+    probes = ranked.filter(F.col("r") <= n_probe).select(
+        F.col("vec_id").alias("qid"), "centroid"
+    )
+    # each nid sits in exactly one list → (qid, nid) pairs are unique,
+    # no distinct needed before the re-rank
+    cand = (
+        probes.join(assign, "centroid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+    return _rerank_topk(cand, corpus, k, id_col, vec_col)
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`ivf_topk` (hash-derived centroids only).
+
+    Every reduction is a sequential list_reduce fold so the doubles are
+    bit-identical to Spark's ``aggregate`` — scores feed an argmax, so
+    even 1-ULP order noise could flip an assignment. ``dim`` must match
+    the Spark call site (shared constant), as in :func:`ann_topk_sql`.
+    """
+    u = portable_hash60_sql("('ivf:' || c.c::VARCHAR || ':' || (d - 1)::VARCHAR)")
+    fold = "list_reduce(list_prepend(0.0, {terms}), (a, b) -> a + b)"
+    cdot = fold.format(
+        terms=f"list_transform(range(1, {dim} + 1), i -> e.embedding[i]::DOUBLE * c.u[i])"
+    )
+    dot = fold.format(
+        terms="list_transform(range(1, len(q.embedding) + 1), "
+        "i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)"
+    )
+    nrm = "sqrt(" + fold.format(terms="list_transform({v}, x -> x::DOUBLE * x::DOUBLE)") + ")"
+    return f"""
+WITH cent AS (
+  SELECT c.c AS centroid,
+         list_transform(range(1, {dim} + 1), d -> ({u}::DOUBLE / {TWO59} - 1.0)) AS u
+  FROM range(0, {n_centroids}) c(c)
+), cn AS (
+  SELECT centroid, u, {nrm.format(v='u')} AS nrm FROM cent
+), sc AS (
+  SELECT e.vec_id, c.centroid, {cdot} / c.nrm AS score
+  FROM {table} e, cn c
+), ranked AS (
+  SELECT vec_id, centroid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid) AS r
+  FROM sc
+), assign AS (
+  SELECT vec_id AS nid, centroid FROM ranked WHERE r = 1
+), probes AS (
+  SELECT vec_id AS qid, centroid FROM ranked WHERE r <= {n_probe}
+), cand AS (
+  SELECT p.qid, a.nid FROM probes p JOIN assign a USING (centroid) WHERE p.qid <> a.nid
 ), scored AS (
   SELECT c.qid AS query_id, c.nid AS neighbor_id,
          {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim

@@ -190,6 +190,41 @@ def test_embedding_dup_pairs_guard_raises_over_limit(spark):
     assert dedup.embedding_dup_pairs(df, threshold=0.0, max_rows=None).count() > 0
 
 
+def test_ivf_kmeans_groups_clustered_vectors(spark):
+    """Production quantizer: on two well-separated clusters, every
+    rank-1 IVF neighbor must come from the query's own cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(30):
+        base = [5.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 5.0, 0.0, 0.0]
+        rows.append((i, [float(b + rng.normal(0, 0.1)) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.train_centroids_kmeans(df, n_centroids=2)
+    got = similarity.ivf_topk(df, k=1, n_probe=1, dim=4, centroids=cents).collect()
+    assert len(got) == 30
+    for r in got:
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2
+        assert r["cos_sim"] > 0.99
+
+
+def test_ivf_hash_centroids_match_bruteforce_rank1_mostly(spark):
+    """Hash-centroid IVF with generous probes approximates exact rank-1:
+    on random data, most rank-1 neighbors should agree with brute force."""
+    df = _emb_df(spark, n=40, dim=8)
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(df, k=1).collect()
+    }
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.ivf_topk(df, k=1, n_centroids=4, n_probe=2, dim=8).collect()
+    }
+    agree = sum(1 for q, n in ivf.items() if bf.get(q) == n)
+    assert agree >= len(bf) * 0.5  # approximate, but far above chance
+
+
 def test_ann_topk_dim_param_matches_probe(spark):
     """Passing the contract width must give exactly the probed plan's
     results (the probe is only a fallback)."""
@@ -218,6 +253,7 @@ def test_ann_topk_dim_param_matches_probe(spark):
         "fingerprint",
         "similarity_topk",
         "similarity_ann",
+        "similarity_ivf",
     ],
 )
 def test_northstar_oracle_parity(spark, ddb, name):
