@@ -39,6 +39,10 @@ HEADLINE = [
     "fingerprint",
     "similarity_ann",
     "similarity_ivf",
+    "dedup_clusters",
+    "dataset_split",
+    "topk_terms",
+    "tfidf_topterms",
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

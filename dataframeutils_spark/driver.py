@@ -23,6 +23,7 @@ from dataframeutils_spark.operators import (
     multimodal,
     outliers,
     panel_stats,
+    sampling,
     similarity,
     stat_tests,
     text,
@@ -265,6 +266,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup cluster resolution over the LSH pair graph
+    (connected components) — the keep/drop decision step after pair
+    generation."""
+    return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment, audited per
+    language stratum — integer-exact, no float rounding needed."""
+    return sampling.split_summary(load_table(spark, sf_dir, "documents"))
+
+
+def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter terms (map-side combine + TakeOrdered)."""
+    return text.topk_terms(load_table(spark, sf_dir, "documents"), k=50)
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc characteristic terms by smoothed TF-IDF; score rounded
+    before ranking so cross-engine rank order is exact."""
+    return text.tfidf_topterms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(text.text_stats(load_table(spark, sf_dir, "documents")), all_dec=True)
 
@@ -464,6 +489,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "dataset_split": q_dataset_split,
+        "topk_terms": q_topk_terms,
+        "tfidf_topterms": q_tfidf_topterms,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -497,6 +526,10 @@ def all_oracles() -> dict[str, str]:
         ),
         "dedup_simhash": dedup.simhash_near_sql(),
         "dedup_embedding": _round_oracle_cols(dedup.embedding_dup_sql(), ["cos_sim"]),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
+        "dataset_split": sampling.split_summary_sql(),
+        "topk_terms": text.topk_terms_sql(k=50),
+        "tfidf_topterms": text.tfidf_topterms_sql(k=3),
         "text_stats": _round_oracle_cols(
             text.text_stats_sql(),
             ["punct_ratio", "stopword_ratio", "upper_ratio", "mean_token_len", "quality"],

@@ -291,6 +291,110 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, bands: int = 4, 
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list:
+    (doc_id, cluster_id) with cluster_id = min node id in the component.
+
+    Iterative min-label propagation: every node starts labelled with its
+    own id; each round a node adopts the minimum label among itself and
+    its neighbors; converged when no label changes. Rounds needed =
+    graph diameter (near-dup graphs are overwhelmingly tiny cliques —
+    diameter 1-2 — so this terminates in 2-3 rounds; the per-round cost
+    is one join + one groupBy shuffle over the EDGE table only, never
+    the corpus). For adversarial long-chain graphs the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") halves pointer chains per round
+    — not needed for dedup workloads, where ``max_iter`` is a backstop,
+    not a budget.
+
+    Per-round ``localCheckpoint`` truncates the lineage (25 chained
+    shuffles would otherwise re-execute from the scan on every action)
+    and the convergence check is a metadata-cheap aggregate, not a
+    collect.
+    """
+    sym = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # eager: pay for the upstream pair pipeline ONCE
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(max_iter):
+        # candidate label per node = min over incoming neighbor labels
+        nbr = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # eager checkpoint: one materialization per round feeds both the
+        # convergence probe and the next round's labels
+        merged = (
+            labels.join(nbr, labels["node"] == nbr["node2"], "left")
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("label") != F.col("new_label")).limit(1).count()
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-duplicate cluster resolution — the step a real dedup
+    pipeline needs *after* pair generation: which doc survives.
+
+    MinHash-LSH candidate pairs (:func:`lsh_candidate_pairs`) are the
+    edges; connected components resolve transitive duplicate groups
+    (A~B, B~C ⇒ {A,B,C} one cluster, even if A,C never collided);
+    output one row per clustered doc:
+    (doc_id, cluster_id, cluster_size, is_canonical) — canonical = the
+    min doc_id, the standard keep-first policy. Singletons (docs with no
+    duplicate) are excluded: at 100 TB the interesting set is the
+    duplicates (a few % of the corpus), and emitting the ~100 % of
+    singleton docs would dwarf it.
+    """
+    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    sigs = minhash_signatures(sh, num_perm=num_perm, portable=portable)
+    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    comp = connected_components(pairs)
+    size = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(size, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-duplicates
 # ---------------------------------------------------------------------------
 
@@ -391,6 +495,35 @@ WITH {_shingle_cte(table, n)}, mh AS (
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_clusters_sql(
+    table: str = "documents", n: int = 3, num_perm: int = 16, bands: int = 4
+) -> str:
+    """DuckDB oracle for :func:`dedup_clusters`: transitive closure of
+    the LSH pair graph via a recursive CTE (set-semantics UNION
+    terminates it), cluster id = min reachable node. Closure is O(V·E)
+    — fine at oracle scale, exactly what the distributed min-label
+    propagation avoids at 100 TB."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_sql(table, n, num_perm, bands)}),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+),
+lab AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab
 """
 
 

@@ -1,0 +1,138 @@
+"""Deterministic sampling / dataset-split operators.
+
+No counterpart in the reference (SURVEY §2.3) — north-star pipeline
+surface: a training-data pipeline needs reproducible train/val/test
+assignment and reproducible downsampling that (a) never depends on row
+order or partitioning, (b) is stable across reruns and engines, and
+(c) assigns a document the same way no matter which shard it arrives
+in. Random samplers (``df.sample``/``rand()``) violate all three;
+hash-bucket assignment on the stable key is the standard answer.
+
+Scale notes: pure scan-side projection — zero shuffle for assignment
+itself, one map-side-combinable groupBy for the summary. The portable
+md5 hash keeps the operator exactly oracle-checkable; ``xxhash64`` is
+the production hash at 100 TB (same plan shape, rows-only check), as
+in :mod:`dataframeutils_spark.operators.dedup`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.dedup import (
+    fast_hash64,
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+SPLIT_BUCKETS = 100
+
+
+def _bucket(id_col: Column, salt: str, portable: bool) -> Column:
+    salted = F.concat(F.lit(salt + ":"), id_col.cast("string"))
+    if portable:
+        return portable_hash60(salted) % SPLIT_BUCKETS
+    return F.pmod(fast_hash64(salted), F.lit(SPLIT_BUCKETS))
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+    portable: bool = True,
+) -> DataFrame:
+    """Input plus a deterministic ``split`` column ('train'/'val'/'test').
+
+    bucket = hash(salt:id) mod 100; train = [0, train_pct), val =
+    [train_pct, train_pct+val_pct), test = the rest. Changing ``salt``
+    re-rolls the assignment; growing the corpus never reassigns an
+    existing id (the property random splits lack).
+    """
+    b = _bucket(F.col(id_col), salt, portable)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
+def split_summary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    size_col: str = "n_chars",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+    portable: bool = True,
+) -> DataFrame:
+    """Stratification audit of the split: per (split, stratum) —
+    (split, lang, n_docs, sum_chars, min_doc_id, max_doc_id).
+
+    The check a pipeline runs before training: are the strata (language,
+    source, …) represented proportionally in every split? Integer-exact
+    output — hash-identical across engines with no float rounding.
+    """
+    return (
+        split_assign(docs, id_col, train_pct, val_pct, salt, portable)
+        .groupBy("split", F.col(strat_col).alias("stratum"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(size_col)).alias("sum_chars"),
+            F.min(F.col(id_col)).alias("min_doc_id"),
+            F.max(F.col(id_col)).alias("max_doc_id"),
+        )
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate_pct: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic ``rate_pct``-percent downsample: keep rows whose
+    hash bucket < rate_pct. Samples are NESTED across rates (the 5 %
+    sample is a subset of the 10 % sample — hash_sample(5) ⊆
+    hash_sample(10) for equal salt), which makes scaling-law runs
+    comparable; a fresh ``salt`` draws an independent sample."""
+    return df.filter(_bucket(F.col(id_col), salt, portable) < rate_pct)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders (portable hash only)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(id_expr: str, salt: str) -> str:
+    salted = f"('{salt}:' || {id_expr}::VARCHAR)"
+    return f"{portable_hash60_sql(salted)} % {SPLIT_BUCKETS}"
+
+
+def split_summary_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    size_col: str = "n_chars",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> str:
+    b = _bucket_sql(id_col, salt)
+    return f"""
+SELECT CASE WHEN {b} < {train_pct} THEN 'train'
+            WHEN {b} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split,
+       {strat_col} AS stratum,
+       count(*) AS n_docs,
+       sum({size_col}) AS sum_chars,
+       min({id_col}) AS min_doc_id,
+       max({id_col}) AS max_doc_id
+FROM {table}
+GROUP BY 1, 2
+"""

@@ -21,7 +21,7 @@ text. At 100 TB these pipeline into the same stage as the parquet scan
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataframeutils_spark.operators.dedup import portable_hash60, portable_hash60_sql
@@ -252,4 +252,115 @@ SELECT doc_id,
        md5(coalesce(list_aggregate(list_transform(bk, x -> x::VARCHAR), 'string_agg', '-'), '')) AS fp,
        n_grams
 FROM bottom
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-level term statistics (heavy hitters, TF-IDF)
+# ---------------------------------------------------------------------------
+
+
+def topk_terms(
+    docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide top-k terms by frequency: (term, n, rank).
+
+    The vocabulary/heavy-hitter scan every corpus audit starts with.
+    Scale shape: explode → groupBy(term) rides Spark's map-side partial
+    aggregation (each task emits its local term counts, the shuffle
+    carries ~|vocab| rows per task, not |tokens|), and the final top-k
+    is TakeOrdered over per-partition heaps — no global sort of the
+    vocabulary. The rank window runs on k rows, not the vocab.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, F.col(id_col))
+        .select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"))
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return top.select("term", "n", F.row_number().over(w).alias("rank"))
+
+
+def topk_terms_sql(table: str = "documents", k: int = 50) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS term FROM {table}
+), counts AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+)
+SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+FROM counts
+QUALIFY rank <= {k}
+"""
+
+
+def tfidf_topterms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    (doc_id, term, rank, tfidf).
+
+    tfidf = tf · (ln((1+N)/(1+df)) + 1) — the sklearn smooth-idf
+    formula, from published definition. All integer inputs (tf, df, N)
+    so both engines compute ln() of identical doubles; the score is
+    rounded to the engine-wide significant-digit contract BEFORE
+    ranking so the (score desc, term) order cannot be flipped by a
+    1-ULP ln() divergence between JVM and DuckDB libm.
+
+    Scale shape: two shuffles (doc×term counts keyed on doc_id+term,
+    then df keyed on term) + a broadcast of the 1-row corpus count; the
+    per-doc rank window partitions on doc_id — millions of small
+    partitions, no skew (a doc has bounded distinct terms).
+    """
+    from dataframeutils_spark.schema import siground
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", siground(F.col("tf") * idf).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.select(
+        "doc_id", "term", F.row_number().over(w).alias("rank"), "tfidf"
+    ).filter(F.col("rank") <= k)
+
+
+def tfidf_topterms_sql(table: str = "documents", k: int = 3) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    score = siground_sql("tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.term, {score} AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank,
+       tfidf
+FROM scored
+QUALIFY rank <= {k}
 """

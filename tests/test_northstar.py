@@ -190,6 +190,69 @@ def test_embedding_dup_pairs_guard_raises_over_limit(spark):
     assert dedup.embedding_dup_pairs(df, threshold=0.0, max_rows=None).count() > 0
 
 
+def test_connected_components_resolves_transitive_chain(spark):
+    """A~B and B~C (A,C never paired directly) must land in ONE cluster
+    labelled by the min id; an unrelated pair forms its own cluster."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_excludes_singletons_and_marks_canonical(spark):
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    df = docs_df(
+        spark,
+        [(1, body), (2, body), (3, "totally different words about spark engines here")],
+    )
+    rows = dedup.dedup_clusters(df).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["cluster_id"] == 1 and r["cluster_size"] == 2
+        assert r["is_canonical"] == (r["doc_id"] == 1)
+
+
+def test_hash_sample_nested_and_deterministic(spark):
+    from dataframeutils_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s5 = {r["doc_id"] for r in sampling.hash_sample(df, 5).collect()}
+    s10 = {r["doc_id"] for r in sampling.hash_sample(df, 10).collect()}
+    assert s5 == {r["doc_id"] for r in sampling.hash_sample(df, 5).collect()}
+    assert s5 <= s10  # nested across rates
+    assert 0.02 < len(s10) / 2000 < 0.2
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    from dataframeutils_spark.operators import sampling
+
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in sampling.split_assign(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.split_assign(big).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never reassigns
+    frac_train = sum(1 for v in b.values() if v == "train") / len(b)
+    assert 0.7 < frac_train < 0.9
+
+
+def test_topk_terms_counts_and_ranks(spark):
+    df = docs_df(spark, [(1, "apple apple banana"), (2, "apple cherry cherry")])
+    got = [(r["term"], r["n"], r["rank"]) for r in text.topk_terms(df, k=2).collect()]
+    assert sorted(got, key=lambda t: t[2]) == [("apple", 3, 1), ("cherry", 2, 2)]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outrank a corpus-wide term with the
+    same in-doc frequency."""
+    df = docs_df(
+        spark,
+        [(1, "shared zebra"), (2, "shared other"), (3, "shared words")],
+    )
+    r1 = {r["rank"]: r["term"] for r in text.tfidf_topterms(df, k=2).filter(F.col("doc_id") == 1).collect()}
+    assert r1[1] == "zebra" and r1[2] == "shared"
+
+
 def test_ivf_kmeans_groups_clustered_vectors(spark):
     """Production quantizer: on two well-separated clusters, every
     rank-1 IVF neighbor must come from the query's own cluster."""
@@ -254,6 +317,10 @@ def test_ann_topk_dim_param_matches_probe(spark):
         "similarity_topk",
         "similarity_ann",
         "similarity_ivf",
+        "dedup_clusters",
+        "dataset_split",
+        "topk_terms",
+        "tfidf_topterms",
     ],
 )
 def test_northstar_oracle_parity(spark, ddb, name):
