@@ -320,12 +320,14 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN with hash-derived centroids — the second scale
-    path next to LSH, exactly oracle-checkable like similarity_ann."""
+    path next to LSH, exactly oracle-checkable like similarity_ann.
+    Centroid count auto-sizes to ⌈√N⌉ in BOTH engines (a fixed C makes
+    re-rank work quadratic: 352 s vs 28 s at the 10× stress)."""
     return round_floats(
         similarity.ivf_topk(
             load_table(spark, sf_dir, "embeddings"),
             k=5,
-            n_centroids=16,
+            n_centroids=None,
             n_probe=2,
             dim=EMB_DIM,
         ),
@@ -337,7 +339,7 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with MLlib k-means-trained centroids (the production
     quantizer on clustered corpora). No DuckDB k-means → rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.train_centroids_kmeans(emb, n_centroids=16)
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=None)
     return round_floats(
         similarity.ivf_topk(emb, k=5, n_probe=2, dim=EMB_DIM, centroids=cents),
         all_dec=True,
@@ -541,7 +543,7 @@ def all_oracles() -> dict[str, str]:
             similarity.ann_topk_sql(k=5, bits=32, bands=4, dim=EMB_DIM), ["cos_sim"]
         ),
         "similarity_ivf": _round_oracle_cols(
-            similarity.ivf_topk_sql(k=5, n_centroids=16, n_probe=2, dim=EMB_DIM),
+            similarity.ivf_topk_sql(k=5, n_centroids=None, n_probe=2, dim=EMB_DIM),
             ["cos_sim"],
         ),
         "events_props": _round_oracle_cols(

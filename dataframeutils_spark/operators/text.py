@@ -310,10 +310,16 @@ def tfidf_topterms(
     ranking so the (score desc, term) order cannot be flipped by a
     1-ULP ln() divergence between JVM and DuckDB libm.
 
-    Scale shape: two shuffles (doc×term counts keyed on doc_id+term,
-    then df keyed on term) + a broadcast of the 1-row corpus count; the
-    per-doc rank window partitions on doc_id — millions of small
-    partitions, no skew (a doc has bounded distinct terms).
+    Scale shape: the expensive tokenize→explode→count pipeline runs
+    ONCE — df (doc frequency) is a count window over ``term`` on the tf
+    table, not a self-join (a join formulation makes Catalyst recompute
+    the whole token pipeline per branch: measured 3 parquet scans in
+    the physical plan), and the corpus doc count N comes from a
+    doc_id-only second scan that never explodes tokens. Three shuffles
+    of the doc×term table (group keys, term window, doc rank window),
+    no skew (a doc has bounded distinct terms; a term's window carries
+    one row per containing doc — stopword terms are the biggest, ~N
+    rows, same order as the groupBy shuffle already carries).
     """
     from dataframeutils_spark.schema import siground
 
@@ -326,11 +332,15 @@ def tfidf_topterms(
         )
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    # docs with ≥1 token, from a light scan (id + text length only — no
+    # explode); doc_id is unique in the documents contract
+    nd = docs.select(
+        F.count(F.when(F.size(_tokens(F.lower(F.col(text_col)))) > 0, 1)).alias("n_docs")
+    )
     idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "term", siground(F.col("tf") * idf).alias("tfidf"))
     )

@@ -36,6 +36,14 @@ QUERIES = [
     "dedup_minhash_lsh_xxhash",
     "dedup_simhash",
     "similarity_ann",
+    # round 2 additions: the replicated corpus is the worst case for
+    # cluster resolution (every source doc becomes a ~mult-clique) and
+    # a realistic one for IVF (dense cosine clusters per source vector)
+    "similarity_ivf",
+    "dedup_clusters",
+    "topk_terms",
+    "tfidf_topterms",
+    "dataset_split",
 ]
 
 
