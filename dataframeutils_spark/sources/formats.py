@@ -1,0 +1,101 @@
+"""Format readers/writers beyond the driver's parquet tables.
+
+The reference's only I/O is a CSV sink (SURVEY O9,
+``weighted_bin_calculator.py:325``); a pipeline engine needs the
+ingest side too. All readers return lazy DataFrames with an EXPLICIT
+schema — schema inference reads the data twice and silently drifts
+types between runs, both unacceptable at 100 TB — and validate against
+the expected column contract up front so a bad feed fails at plan time,
+not 3 hours into a job.
+
+Writers: partitioned parquet is the canonical lake layout (partition
+column → directory pruning at read time); bucketed tables co-locate
+join/agg keys so repeated joins on the bucket key skip their shuffle
+entirely (Spark reuses the bucketing as the required distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _check_columns(df: DataFrame, schema: T.StructType, where: str) -> DataFrame:
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"{where}: missing required columns {missing}")
+    return df
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """JSON-lines ingest of a documents-shaped feed (the most common
+    crawl/dump interchange format). Explicit schema → single pass, no
+    inference job; malformed lines are kept visible in a
+    ``_corrupt_record`` column rather than silently dropped (PERMISSIVE
+    mode), so a feed-quality regression is measurable downstream."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = spark.read.schema(full).option("mode", "PERMISSIVE").json(path)
+    return _check_columns(df, schema, f"read_documents_jsonl({path})")
+
+
+def read_documents_csv(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """CSV ingest with explicit schema and header validation (the
+    reference's own sink format, round-tripped)."""
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return _check_columns(df, schema, f"read_documents_csv({path})")
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ("lang",), mode: str = "overwrite"
+) -> None:
+    """Hive-layout partitioned parquet: one directory per partition
+    value; a reader filtering on the partition column prunes whole
+    directories before any I/O (PartitionFilters in the scan node, vs
+    PushedFilters which still open footers). Keep partition cardinality
+    bounded (lang/source/date — never doc_id): each partition × task
+    writes a file, and millions of tiny files kill both the driver's
+    listing and HDFS/S3 metadata."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: str = "doc_id",
+    num_buckets: int = 16,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (saveAsTable — bucketing metadata lives in
+    the catalog, plain ``.parquet(path)`` cannot carry it). Joins and
+    aggregations keyed on ``bucket_by`` between tables with matching
+    bucket counts run shuffle-free: the on-disk hash distribution
+    satisfies Catalyst's required child distribution. The one-time
+    write cost IS a shuffle into ``num_buckets`` — pay it once, skip it
+    on every subsequent join."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table_name)

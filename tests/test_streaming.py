@@ -72,3 +72,32 @@ def test_running_user_profile_stateful(spark):
     pd.testing.assert_frame_equal(
         g, w, check_dtype=False, check_exact=False, rtol=1e-9
     )
+
+
+def test_streaming_dedup_drops_repeats_first_wins(spark):
+    """A duplicated key must survive exactly once; dedup state carries
+    the hash, and the streaming result matches batch dropDuplicates on
+    the same data (append mode — dedup emits rows, not aggregates)."""
+    from dataframeutils_spark.streaming import dedup as SD
+
+    stream = W.read_events_stream(spark, SF_DIR)
+    deduped = SD.streaming_dedup(stream, ("user_id", "event_type"), watermark="10 days")
+    W.run_to_memory(deduped, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream")
+    batch = SD.streaming_dedup(_batch_events(spark), ("user_id", "event_type"))
+    assert got.count() == batch.count()
+    assert got.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_content_dedup_hashes_not_text(spark):
+    from dataframeutils_spark.streaming import dedup as SD
+
+    rows = [(1, "same body", "2024-01-01 00:00:00"),
+            (2, "same body", "2024-01-01 00:05:00"),
+            (3, "other body", "2024-01-01 00:10:00")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = SD.streaming_content_dedup(df)
+    assert out.count() == 2
+    assert "text_hash" in out.columns
