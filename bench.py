@@ -43,6 +43,8 @@ HEADLINE = [
     "dataset_split",
     "topk_terms",
     "tfidf_topterms",
+    "asof_profile",
+    "sales_by_nation",
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

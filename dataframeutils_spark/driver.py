@@ -29,7 +29,13 @@ from dataframeutils_spark.operators import (
     text,
     weighted_bins,
 )
-from dataframeutils_spark.schema import PanelSchema, decround, melt_panel, siground
+from dataframeutils_spark.schema import (
+    PanelSchema,
+    decround,
+    melt_panel,
+    siground,
+    siground_sql,
+)
 from dataframeutils_spark.sources.testdata import events_bins_input, lineitem_panel, load_table
 
 # weighted-bin flagship config: 50 value-units per bin, fixed-point
@@ -346,6 +352,75 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup: every event joined (as-of, per
+    user) to the latest CLOSED hourly profile — the no-future-leakage
+    alignment a training pipeline needs. Right side = hourly avg value
+    stamped at window end; oracle = DuckDB's native ASOF JOIN."""
+    from dataframeutils_spark.operators import asof
+
+    ev = _events_normalized(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.avg("value").alias("hourly_avg"))
+        .select("user_id", (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("ts"), "hourly_avg")
+    )
+    out = asof.asof_join(ev, hourly, on="ts", by=("user_id",), value_cols=("hourly_avg",))
+    return round_floats(out, all_dec=True)
+
+
+ASOF_PROFILE_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, value FROM events
+), hourly AS (
+  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS rts,
+         avg(value) AS hourly_avg
+  FROM ev GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT e.user_id, e.event_id, e.ts, e.value,
+       h.hourly_avg AS hourly_avg_asof, h.rts AS ts_asof
+FROM ev e ASOF LEFT JOIN hourly h ON e.user_id = h.user_id AND e.ts >= h.rts
+"""
+
+
+def q_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup over the TPC-H tables (SURVEY §2.3 'Joins:
+    native if needed'): two big-big shuffle joins (lineitem⋈orders,
+    ⋈customer) then explicitly broadcast dimension joins (nation,
+    region) — the canonical large-fact/small-dim plan. Columns are
+    pruned to the join keys + revenue BEFORE the joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev").alias("revenue"), F.count("*").alias("n_lineitems"))
+    )
+    return round_floats(out)
+
+
+SALES_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction on events.props (SURVEY §7 phase 5):
     from_json-style parse → per-event-type stats of the 'k' field."""
@@ -502,6 +577,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "asof_profile": q_asof_profile,
+        "sales_by_nation": q_sales_by_nation,
         "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
         "stream_windowed_stats": q_stream_windowed_stats,
@@ -545,6 +622,13 @@ def all_oracles() -> dict[str, str]:
         "similarity_ivf": _round_oracle_cols(
             similarity.ivf_topk_sql(k=5, n_centroids=None, n_probe=2, dim=EMB_DIM),
             ["cos_sim"],
+        ),
+        "asof_profile": _round_oracle_cols(
+            ASOF_PROFILE_SQL, ["value", "hourly_avg_asof"]
+        ),
+        "sales_by_nation": (
+            f"SELECT * REPLACE ({siground_sql('revenue')} AS revenue) "
+            f"FROM (\n{SALES_BY_NATION_SQL}\n)"
         ),
         "events_props": _round_oracle_cols(
             """
