@@ -48,6 +48,11 @@ HEADLINE = [
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.
+#
+# Timing note: dedup_simhash is bimodal (~2 s warm vs ~8 s on its first
+# run in a fresh JVM) — the 60 conditional-sum aggregate compiles a
+# large whole-stage-codegen method once; the spike is janino/JIT, not
+# the data plan, and amortizes to zero at scale.
 
 
 def main() -> None:

@@ -1,0 +1,99 @@
+"""Property tests (hypothesis) pinning distributed operators to
+independent single-node reference implementations. Few examples, small
+frames — each example pays a Spark job; the value is the adversarial
+SHAPES hypothesis finds (self-loops, chains, ties, empty sides), not
+volume."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import asof, dedup
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: classic union-find, component labelled by min member."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, list[int]] = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=0,
+        max_size=15,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    lpdf = pd.DataFrame(left, columns=["user_id", "t"]).assign(
+        event_id=range(len(left))
+    )
+    rpdf = pd.DataFrame(right, columns=["user_id", "t"]).assign(
+        score=lambda d: d["t"].astype(float) * 10
+    )
+    ldf = spark.createDataFrame(lpdf).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    rdf = spark.createDataFrame(
+        list(rpdf.itertuples(index=False)), "user_id string, t long, score double"
+    ).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+
+    got = (
+        asof.asof_join(ldf, rdf, value_cols=("score",))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.assign(ts=pd.to_datetime(lpdf["t"], unit="s")).sort_values("ts"),
+        rpdf.assign(ts=pd.to_datetime(rpdf["t"], unit="s")).sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",  # inclusive >= — same contract
+    ).sort_values("event_id").reset_index(drop=True)
+    assert list(got["score_asof"].fillna(-1)) == list(want["score"].fillna(-1))
