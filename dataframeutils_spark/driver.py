@@ -505,6 +505,27 @@ def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(latest, all_dec=True)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup driven as a real stream (file source →
+    dropDuplicatesWithinWatermark → append-mode memory sink). Only the
+    dedup KEY is emitted: which physical row survives a duplicate
+    group is arrival-order-dependent in any engine, the surviving key
+    set is not — so the key set is the oracle-able contract
+    (SELECT DISTINCT)."""
+    from dataframeutils_spark.streaming import dedup as sd
+    from dataframeutils_spark.streaming import windows as sw
+
+    name = "stream_dedup_sink"
+    spark.catalog.dropTempView(name)
+    stream = sw.read_events_stream(spark, sf_dir)
+    deduped = sd.streaming_dedup(stream, ("user_id", "event_type"), watermark="10 days")
+    sw.run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name).select("user_id", "event_type").distinct()
+
+
+STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -584,6 +605,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_sessionized": q_stream_sessionized,
         "stream_user_profile": q_stream_user_profile,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -641,6 +663,7 @@ GROUP BY event_type
         "multimodal_meta": multimodal.decode_metadata_sql(),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sessionized": _stream_sessions_sql(),
+        "stream_dedup": STREAM_DEDUP_SQL,
         "stream_user_profile": _round_oracle_cols(
             """
 SELECT user_id, count(*) AS n_events, sum(value) AS total_value, max(value) AS max_value
