@@ -45,6 +45,10 @@ HEADLINE = [
     "tfidf_topterms",
     "asof_profile",
     "sales_by_nation",
+    "sales_rollup",
+    "range_attribution",
+    "events_value_profile",
+    "events_value_profile_approx",
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

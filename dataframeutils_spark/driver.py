@@ -421,6 +421,173 @@ GROUP BY r_name, n_name
 """
 
 
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup (hypertable-style): the sales_by_nation join
+    pipeline aggregated at region→nation→grand-total levels in ONE
+    pass via ``rollup`` — Catalyst expands the grouping sets into a
+    single Expand + hash-aggregate, so the fact table is scanned and
+    shuffled once for all three levels (vs 3 scans if naively
+    unioned). ``lvl`` = grouping_id bitmask (0 detail, 1 nation
+    rolled up, 3 grand total), matching DuckDB's GROUPING()."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.sum("rev").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+    return round_floats(out)
+
+
+SALES_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       GROUPING(r_name, n_name) AS lvl,
+       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution over a bucketized interval join: purchase sessions
+    per user (>=30 min gap), a [start−2h, start) lookback window per
+    session, then count/sum the same user's click+view events inside
+    each window. The interval join is an equi-join on (user, time
+    bucket) — never a theta-join (operators/ranges.py). Left-window
+    semantics (empty windows kept, n_prior=0) composed by joining the
+    inner-join aggregate back onto the window table."""
+    from dataframeutils_spark.operators import ranges
+
+    ev = _events_normalized(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    sessions = ranges.sessionize(purchases, on="ts", by=("user_id",), gap_seconds=1800)
+    windows = sessions.select(
+        "user_id",
+        "session_id",
+        (F.col("s_start") - F.expr("INTERVAL 2 HOURS")).alias("w_start"),
+        F.col("s_start").alias("w_end"),
+    )
+    prior = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "value"
+    )
+    hits = ranges.interval_join(
+        prior, windows, on="ts", by=("user_id",), chunk_seconds=3600
+    )
+    counts = hits.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_prior"), F.sum("value").alias("prior_value")
+    )
+    out = (
+        windows.join(counts, on=["user_id", "session_id"], how="left")
+        .select(
+            "user_id",
+            "w_start",
+            "w_end",
+            F.coalesce(F.col("n_prior"), F.lit(0)).alias("n_prior"),
+            F.coalesce(F.col("prior_value"), F.lit(0.0)).alias("prior_value"),
+        )
+    )
+    return round_floats(out)
+
+
+RANGE_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM p
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+), w AS (
+  SELECT user_id, min(ts) - INTERVAL 2 HOUR AS w_start, min(ts) AS w_end
+  FROM s GROUP BY user_id, sid
+)
+SELECT w.user_id, w.w_start, w.w_end,
+       count(e.ts) AS n_prior,
+       coalesce(sum(e.value), 0.0) AS prior_value
+FROM w LEFT JOIN events e
+  ON e.user_id = w.user_id
+ AND e.event_type IN ('click', 'view')
+ AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.user_id, w.w_start, w.w_end
+"""
+
+
+def q_events_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value profile with EXACT distributed distinct-count and
+    percentiles (one shuffle; percentile is Spark's exact linear-
+    interpolation aggregate ≡ DuckDB quantile_cont). This is the
+    oracle baseline; q_events_value_profile_approx is the sketch-based
+    scale path."""
+    ev = _events_normalized(spark, sf_dir)
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    out = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p90"),
+        pct.getItem(2).alias("p99"),
+    )
+    return round_floats(out)
+
+
+EVENTS_VALUE_PROFILE_SQL = """
+SELECT event_type,
+       count(value) AS n,
+       count(DISTINCT user_id) AS n_users,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_value_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile — the 100 TB production path: HyperLogLog++
+    distinct users (fixed-size sketch, mergeable map-side; no exact
+    distinct's per-key shuffle blowup) and approx_percentile
+    (Greenwald-Khanna, bounded memory). Approximate by construction →
+    rows-only driver check; tests pin it within tolerance of the exact
+    profile."""
+    ev = _events_normalized(spark, sf_dir)
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    out = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p90"),
+        pct.getItem(2).alias("p99"),
+    )
+    return round_floats(out)
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction on events.props (SURVEY §7 phase 5):
     from_json-style parse → per-event-type stats of the 'k' field."""
@@ -600,6 +767,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "asof_profile": q_asof_profile,
         "sales_by_nation": q_sales_by_nation,
+        "sales_rollup": q_sales_rollup,
+        "range_attribution": q_range_attribution,
+        "events_value_profile": q_events_value_profile,
+        "events_value_profile_approx": q_events_value_profile_approx,
         "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
         "stream_windowed_stats": q_stream_windowed_stats,
@@ -651,6 +822,19 @@ def all_oracles() -> dict[str, str]:
         "sales_by_nation": (
             f"SELECT * REPLACE ({siground_sql('revenue')} AS revenue) "
             f"FROM (\n{SALES_BY_NATION_SQL}\n)"
+        ),
+        "sales_rollup": (
+            f"SELECT * REPLACE ({siground_sql('revenue')} AS revenue) "
+            f"FROM (\n{SALES_ROLLUP_SQL}\n)"
+        ),
+        "range_attribution": (
+            f"SELECT * REPLACE ({siground_sql('prior_value')} AS prior_value) "
+            f"FROM (\n{RANGE_ATTRIBUTION_SQL}\n)"
+        ),
+        "events_value_profile": (
+            f"SELECT * REPLACE ({siground_sql('p50')} AS p50, "
+            f"{siground_sql('p90')} AS p90, {siground_sql('p99')} AS p99) "
+            f"FROM (\n{EVENTS_VALUE_PROFILE_SQL}\n)"
         ),
         "events_props": _round_oracle_cols(
             """
