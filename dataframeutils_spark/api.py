@@ -45,6 +45,17 @@ from dataframeutils_spark.schema import PanelSchema, melt_panel, validate_panel
 _MAX_HTML_ROWS = 1000  # reference: head(1000) in _save_df_table (:119)
 
 
+def _head_deterministic(df: DataFrame):
+    """First ``_MAX_HTML_ROWS`` rows under a total order on all columns.
+
+    A bare ``limit()`` picks whichever partitions answer first, so a
+    preview/plot of a >1000-row result would differ across runs; the
+    reference's ``head(1000)`` is deterministic because pandas rows are
+    ordered. Sorting the (small) result table restores that contract.
+    """
+    return df.orderBy(*df.columns).limit(_MAX_HTML_ROWS).toPandas()
+
+
 def save_plot(df: DataFrame, path: str, title: str | None = None) -> str:
     """PNG plot sink — reference O10 (``time_series_study.py:96-111``).
 
@@ -65,7 +76,7 @@ def save_plot(df: DataFrame, path: str, title: str | None = None) -> str:
             "publish_plot=False"
         ) from exc
 
-    pdf = df.limit(_MAX_HTML_ROWS).toPandas()
+    pdf = _head_deterministic(df)
     num = pdf.select_dtypes("number")
     fig, ax = plt.subplots(figsize=(10, 6))
     if num.shape[1] == 0 or len(num) == 0:
@@ -91,7 +102,7 @@ def save_table(df: DataFrame, path: str, html: bool = True) -> None:
     """
     df.write.mode("overwrite").option("header", True).csv(path + ".csv")
     if html:
-        pdf = df.limit(_MAX_HTML_ROWS).toPandas()
+        pdf = _head_deterministic(df)
         with open(path + ".html", "w") as fh:
             fh.write(pdf.to_html(index=False))
 
@@ -104,11 +115,20 @@ class TimeSeriesStudy:
     ``time_series_study.py:48-74``).
     """
 
-    def __init__(self, df: DataFrame, schema: PanelSchema | None = None):
+    #: mirror of the reference's ctor default (`time_series_study.py:46`)
+    DEFAULT_RESULTS_DIR = os.path.join("time_series_study", "results")
+
+    def __init__(
+        self,
+        df: DataFrame,
+        schema: PanelSchema | None = None,
+        default_results_dir: str | None = None,
+    ):
         from pyspark.sql import functions as F
 
         from dataframeutils_spark.schema import group_key_col
 
+        self.default_results_dir = default_results_dir or self.DEFAULT_RESULTS_DIR
         self.schema = validate_panel(df, schema or PanelSchema())
         self.df = df
         self.features = list(self.schema.feature_cols)
@@ -131,12 +151,15 @@ class TimeSeriesStudy:
         results_dir: str | None,
         plot: bool = False,
     ) -> DataFrame:
-        if results_dir and (table or plot):
-            os.makedirs(results_dir, exist_ok=True)
-        if table and results_dir:
-            save_table(df, os.path.join(results_dir, name))
+        # reference contract (`time_series_study.py:160` etc.): sinks
+        # fall back to default_results_dir, never the process CWD
+        out_dir = results_dir or self.default_results_dir
+        if table or plot:
+            os.makedirs(out_dir, exist_ok=True)
+        if table:
+            save_table(df, os.path.join(out_dir, name))
         if plot:
-            save_plot(df, os.path.join(results_dir or ".", name + ".png"), title=name)
+            save_plot(df, os.path.join(out_dir, name + ".png"), title=name)
         return df
 
     # -- analyses (one per reference method) --------------------------

@@ -285,6 +285,13 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.split_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested deterministic downsampling audit: per rate (5/10/20 %) —
+    row count, sum(n_chars), and nested-subset violations (0 by
+    construction: the 5 % sample ⊆ the 10 % ⊆ the 20 %)."""
+    return sampling.hash_sample_summary(load_table(spark, sf_dir, "documents"))
+
+
 def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy-hitter terms (map-side combine + TakeOrdered)."""
     return text.topk_terms(load_table(spark, sf_dir, "documents"), k=50)
@@ -756,6 +763,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
+        "hash_sample": q_hash_sample,
         "topk_terms": q_topk_terms,
         "tfidf_topterms": q_tfidf_topterms,
         "text_stats": q_text_stats,
@@ -800,6 +808,7 @@ def all_oracles() -> dict[str, str]:
         "dedup_embedding": _round_oracle_cols(dedup.embedding_dup_sql(), ["cos_sim"]),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dataset_split": sampling.split_summary_sql(),
+        "hash_sample": sampling.hash_sample_summary_sql(),
         "topk_terms": text.topk_terms_sql(k=50),
         "tfidf_topterms": text.tfidf_topterms_sql(k=3),
         "text_stats": _round_oracle_cols(

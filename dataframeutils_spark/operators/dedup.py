@@ -332,6 +332,7 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    changed = 0
     for _ in range(max_iter):
         # candidate label per node = min over incoming neighbor labels
         nbr = (
@@ -356,6 +357,18 @@ def connected_components(
         labels = merged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        # One hop per round means a component with diameter > max_iter
+        # would silently come back SPLIT into several cluster_ids —
+        # multiple "canonical" survivors inside one true duplicate
+        # cluster. Fail loud instead of returning wrong labels.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has a component with diameter > max_iter "
+            "(adversarial long chain). Raise max_iter, or pre-contract "
+            "with large-star/small-star (Kiveris et al.) for O(log n) "
+            "convergence."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -419,11 +432,13 @@ def embedding_dup_pairs(
     ``count()`` job).
     """
     if max_rows is not None:
-        n_rows = embeddings.count()
-        if n_rows > max_rows:
+        # bounded probe: cost O(max_rows) regardless of input size (a
+        # full count() here would itself be a whole-input job at call
+        # time, even when the caller never acts on the result)
+        if embeddings.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
-                f"embedding_dup_pairs input has {n_rows} rows "
-                f"(> max_rows={max_rows}); this is the O(n²) exact "
+                f"embedding_dup_pairs input exceeds max_rows={max_rows}; "
+                "this is the O(n²) exact "
                 "baseline — use the LSH path in operators.similarity for "
                 "large corpora, or pass max_rows=None to force."
             )

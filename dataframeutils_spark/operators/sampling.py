@@ -104,6 +104,53 @@ def hash_sample(
     return df.filter(_bucket(F.col(id_col), salt, portable) < rate_pct)
 
 
+def hash_sample_summary(
+    df: DataFrame,
+    rates: tuple[int, ...] = (5, 10, 20),
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    salt: str = "sample",
+    portable: bool = True,
+) -> DataFrame:
+    """Audit of :func:`hash_sample` across ``rates``: per rate —
+    (rate_pct, n_rows, sum_chars, nested_violations).
+
+    ``nested_violations`` counts rows present in the ``rate`` sample but
+    absent from the next-larger one — 0 by construction (bucket < r ⇒
+    bucket < r'), which is exactly what the audit proves: the 5 % sample
+    IS a subset of the 10 %, so scaling-law runs are comparable.
+
+    One scan, one map-side-combinable groupBy over len(rates) × rows
+    exploded pairs — no joins, no window, scale-free.
+    """
+    rates = tuple(sorted(rates))
+    nxt = dict(zip(rates, rates[1:]))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("rate_pct"),
+                F.lit(nxt.get(r, -1)).cast("long").alias("next_pct"),
+            )
+            for r in rates
+        ]
+    )
+    b = _bucket(F.col(id_col), salt, portable)
+    exploded = (
+        df.select(b.alias("bucket"), F.col(size_col).alias("sz"))
+        .select("bucket", "sz", F.explode(pairs).alias("rp"))
+        .select("bucket", "sz", F.col("rp.rate_pct").alias("rate_pct"), F.col("rp.next_pct").alias("next_pct"))
+        .filter(F.col("bucket") < F.col("rate_pct"))
+    )
+    in_sample_but_not_next = (F.col("next_pct") >= 0) & (
+        F.col("bucket") >= F.col("next_pct")
+    )
+    return exploded.groupBy("rate_pct").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("sz").alias("sum_chars"),
+        F.sum(in_sample_but_not_next.cast("long")).alias("nested_violations"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL builders (portable hash only)
 # ---------------------------------------------------------------------------
@@ -130,9 +177,35 @@ SELECT CASE WHEN {b} < {train_pct} THEN 'train'
             ELSE 'test' END AS split,
        {strat_col} AS stratum,
        count(*) AS n_docs,
-       sum({size_col}) AS sum_chars,
+       CAST(sum({size_col}) AS BIGINT) AS sum_chars,
        min({id_col}) AS min_doc_id,
        max({id_col}) AS max_doc_id
 FROM {table}
 GROUP BY 1, 2
+"""
+
+
+def hash_sample_summary_sql(
+    rates: tuple[int, ...] = (5, 10, 20),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    salt: str = "sample",
+) -> str:
+    rates = tuple(sorted(rates))
+    nxt = dict(zip(rates, rates[1:]))
+    values = ", ".join(f"({r}, {nxt.get(r, -1)})" for r in rates)
+    b = _bucket_sql(id_col, salt)
+    return f"""
+WITH b AS (
+  SELECT {b} AS bucket, {size_col} AS sz FROM {table}
+)
+SELECT CAST(r.rate_pct AS BIGINT) AS rate_pct,
+       count(*) AS n_rows,
+       CAST(sum(b.sz) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN r.next_pct >= 0 AND b.bucket >= r.next_pct
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nested_violations
+FROM b, (VALUES {values}) r(rate_pct, next_pct)
+WHERE b.bucket < r.rate_pct
+GROUP BY 1
 """

@@ -71,11 +71,13 @@ def brute_force_topk(
     launching an O(n²) job. Pass ``None`` to bypass (you know the size).
     """
     if max_query_rows is not None:
-        q_rows = (queries if queries is not None else corpus).count()
-        if q_rows > max_query_rows:
+        # bounded probe: the guard job costs O(max_query_rows) instead of
+        # a full count of the input at call time
+        q_side = queries if queries is not None else corpus
+        if q_side.limit(max_query_rows + 1).count() > max_query_rows:
             raise ValueError(
-                f"brute_force_topk query side has {q_rows} rows "
-                f"(> max_query_rows={max_query_rows}); this is the O(n²) "
+                f"brute_force_topk query side exceeds "
+                f"max_query_rows={max_query_rows}; this is the O(n²) "
                 "exact baseline — use ann_topk for large corpora, or pass "
                 "max_query_rows=None to force."
             )
@@ -321,7 +323,7 @@ WITH proj AS (
   FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
 ), scored AS (
   SELECT c.qid AS query_id, c.nid AS neighbor_id,
-         {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
+         {dot} / NULLIF({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}, 0) AS cos_sim
   FROM cand c JOIN {table} q ON q.vec_id = c.qid JOIN {table} n ON n.vec_id = c.nid
 )
 SELECT query_id, neighbor_id,
@@ -455,7 +457,10 @@ def ivf_topk(
         .select(
             "vec_id",
             "centroid",
-            (_dot(F.col("v"), F.col("u")) / F.col("nrm")).alias("score"),
+            # try_divide: a collapsed kmeans centroid can be the zero
+            # vector (nrm=0) — ANSI mode (Spark 4 default) would throw on
+            # plain /; NULL scores rank last (desc → nulls last)
+            F.try_divide(_dot(F.col("v"), F.col("u")), F.col("nrm")).alias("score"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("centroid"))
@@ -515,7 +520,7 @@ WITH cent AS (
 ), cn AS (
   SELECT centroid, u, {nrm.format(v='u')} AS nrm FROM cent
 ), sc AS (
-  SELECT e.vec_id, c.centroid, {cdot} / c.nrm AS score
+  SELECT e.vec_id, c.centroid, {cdot} / NULLIF(c.nrm, 0) AS score
   FROM {table} e, cn c
 ), ranked AS (
   SELECT vec_id, centroid,
@@ -529,7 +534,7 @@ WITH cent AS (
   SELECT p.qid, a.nid FROM probes p JOIN assign a USING (centroid) WHERE p.qid <> a.nid
 ), scored AS (
   SELECT c.qid AS query_id, c.nid AS neighbor_id,
-         {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
+         {dot} / NULLIF({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}, 0) AS cos_sim
   FROM cand c JOIN {table} q ON q.vec_id = c.qid JOIN {table} n ON n.vec_id = c.nid
 )
 SELECT query_id, neighbor_id,

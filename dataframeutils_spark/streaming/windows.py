@@ -47,11 +47,25 @@ def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> Da
 
 
 def normalize_event_times(events: DataFrame) -> DataFrame:
-    """ts (nanos-as-long or native timestamp) → proper timestamp col."""
+    """ts (nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP) → TIMESTAMP (LTZ).
+
+    The driver's events.parquet stores ts as parquet timestamp[ns]; how
+    Spark surfaces it depends on session conf (``nanosAsLong`` → bigint
+    on older Sparks; 4.1 vanilla infers TIMESTAMP_NTZ). Watermarks
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``) and ``unix_micros`` both
+    require LTZ, so normalize every shape here — the one chokepoint all
+    event-time operators load through. The NTZ→LTZ cast interprets wall
+    time in the session time zone; the engine pins UTC so it is a pure
+    relabeling, and downstream gap/window arithmetic uses differences,
+    which are shift-invariant anyway.
+    """
     ts_type = dict((f.name, f.dataType.simpleString()) for f in events.schema.fields)["ts"]
-    ts = (
-        F.timestamp_micros(F.expr("ts DIV 1000")) if ts_type == "bigint" else F.col("ts")
-    )
+    if ts_type == "bigint":
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    elif ts_type == "timestamp_ntz":
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.col("ts")
     return events.withColumn("ts", ts)
 
 

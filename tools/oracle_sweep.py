@@ -47,6 +47,15 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
         return f"rows {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
+        # Dtype-kind strictness: the driver's value hash distinguishes
+        # int64 from float64 even when the values are numerically equal
+        # (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64 in pandas). The
+        # pre-flight must be at least as strict or it passes what the
+        # driver fails (round-2 dataset_split).
+        gk = "O" if g.dtype == object else np.dtype(g.dtype).kind
+        wk = "O" if w.dtype == object else np.dtype(w.dtype).kind
+        if gk != wk:
+            return f"dtype-kind[{c}]: spark {g.dtype} vs oracle {w.dtype}"
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
             g = pd.to_numeric(g, errors="coerce").astype("float64")
             w = pd.to_numeric(w, errors="coerce").astype("float64")
