@@ -29,18 +29,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """events.parquet as a file-source stream (schema pinned from a
-    batch peek — a streaming source cannot infer schemas)."""
+def read_events_stream(
+    spark,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """events parquet file(s) as a file-source stream (schema pinned
+    from a batch peek — a streaming source cannot infer schemas).
+
+    ``glob`` selects which files in ``sf_dir`` form the stream; with
+    ``maxFilesPerTrigger=1`` a multi-file directory drains as one
+    micro-batch per file, which is how tests exercise cross-batch state
+    and watermark eviction (at scale: a partitioned events/ directory
+    whose new files arrive per trigger).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the file source wants a directory: stream the sf_dir, filtered to
-    # the events file (at scale: a partitioned events/ directory whose
-    # new files arrive per trigger)
+    batch = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return normalize_event_times(stream)
@@ -226,11 +235,13 @@ GROUP BY user_id, sid
 
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
-) -> None:
+):
     """Drain a stream into an in-memory table with availableNow (process
     everything currently in the source, then stop) — the test/CI
     harness for every operator above. ``complete`` for aggregations,
-    ``update`` for applyInPandasWithState."""
+    ``update`` for applyInPandasWithState. Returns the (terminated)
+    query so callers can inspect ``recentProgress`` (e.g. assert a drain
+    really crossed micro-batch boundaries)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -242,3 +253,4 @@ def run_to_memory(
     if q.isActive:  # don't leak a forever-active query past the drain
         q.stop()
         q.awaitTermination(30)
+    return q
