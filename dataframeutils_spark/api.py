@@ -167,7 +167,14 @@ class TimeSeriesStudy:
         self, publish_plot: bool = False, table: bool = False, results_dir: str | None = None
     ) -> DataFrame:
         out = panel_stats.distribution_diagnostics(self._long)
-        return self._sink(out, "distribution_diagnostics", table, results_dir, plot=publish_plot)
+        self._sink(out, "distribution_diagnostics", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_distribution_histograms(
+                _head_deterministic(out), results_dir or self.default_results_dir
+            )
+        return out
 
     def stationarity_tests(
         self,
@@ -178,8 +185,16 @@ class TimeSeriesStudy:
     ) -> tuple[DataFrame, DataFrame]:
         res = stat_tests.stationarity_tests(self._long, regression=regression)
         summary = stat_tests.stationarity_summary(res)
-        self._sink(res, "stationarity_tests", table, results_dir, plot=publish_plot)
-        self._sink(summary, "stationarity_summary", table, results_dir, plot=publish_plot)
+        self._sink(res, "stationarity_tests", table, results_dir)
+        self._sink(summary, "stationarity_summary", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_stationarity(
+                _head_deterministic(res),
+                _head_deterministic(summary),
+                results_dir or self.default_results_dir,
+            )
         return res, summary
 
     def memory_dependence(
@@ -222,13 +237,23 @@ class TimeSeriesStudy:
         max_lag: int = 10,
         rolling_window: int = 10,
         example_group: tuple | None = None,
+        wide_lagged_corr: bool = False,
         publish_plot: bool = False,
         table: bool = False,
         results_dir: str | None = None,
     ) -> dict[str, Any]:
+        """``wide_lagged_corr=True`` returns ``lagged_corr`` in the
+        reference's ``lag × pair`` matrix shape
+        (``time_series_study.py:604``) instead of the engine-native long
+        format."""
         pairs = feature_pairs or cross_feature.default_pairs(self.features)
+        lagged_fn = (
+            cross_feature.lagged_cross_corr_wide
+            if wide_lagged_corr
+            else cross_feature.lagged_cross_corr
+        )
         out = {
-            "lagged_corr": cross_feature.lagged_cross_corr(self._wide, pairs, max_lag=max_lag),
+            "lagged_corr": lagged_fn(self._wide, pairs, max_lag=max_lag),
             "cointegration": stat_tests.cointegration(self._wide, pairs, max_lag=max_lag),
             "granger": stat_tests.granger_causality(self._wide, pairs, max_lag=max_lag),
             "mutual_info": cross_feature.mutual_information(self._wide, pairs),

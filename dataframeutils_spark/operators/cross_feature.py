@@ -94,6 +94,30 @@ def lagged_cross_corr(
     )
 
 
+def lagged_cross_corr_wide(
+    panel: DataFrame,
+    pairs: list[tuple[str, str]],
+    max_lag: int = 10,
+    min_pairs: int = 10,
+) -> DataFrame:
+    """Reference presentation shape for :func:`lagged_cross_corr`: one
+    row per lag, one column per pair (``time_series_study.py:604``
+    pivots to a ``lag × pair`` matrix; golden ``out_lagged_corr.csv`` is
+    wide). Long format is the engine-native shape; this is the
+    migration-compatible view. Pivot values are passed explicitly (they
+    are known from ``pairs``), so no extra distinct job runs and the
+    column order is deterministic.
+    """
+    long = lagged_cross_corr(panel, pairs, max_lag=max_lag, min_pairs=min_pairs)
+    pair_names = [f"{fa}|{fb}" for fa, fb in pairs]
+    return (
+        long.groupBy("lag")
+        .pivot("pair", pair_names)
+        .agg(F.first("avg_corr"))
+        .orderBy("lag")
+    )
+
+
 def rolling_corr(
     panel: DataFrame, fa: str, fb: str, window: int = 10
 ) -> DataFrame:

@@ -73,11 +73,35 @@ def test_publish_plot_renders_png_or_raises(study, tmp_path):
         have_mpl = False
     if have_mpl:
         study.distribution_diagnostics(publish_plot=True, results_dir=str(tmp_path))
-        png = tmp_path / "distribution_diagnostics.png"
-        assert png.exists() and png.stat().st_size > 0
+        # reference figure shape: one histogram figure per feature
+        # (`time_series_study.py:164-177`)
+        for feat in study.features:
+            png = tmp_path / f"distribution_{feat}.png"
+            assert png.exists() and png.stat().st_size > 0
     else:
         with pytest.raises(RuntimeError, match="matplotlib"):
             study.distribution_diagnostics(publish_plot=True, results_dir=str(tmp_path))
+
+
+def test_stationarity_plots_reference_styles(study, tmp_path):
+    """Reference stationarity figures (`time_series_study.py:247-284`):
+    rejection bars plus one dumbbell per feature."""
+    pytest.importorskip("matplotlib")
+    study.stationarity_tests(publish_plot=True, results_dir=str(tmp_path))
+    assert (tmp_path / "stationarity_summary.png").stat().st_size > 0
+    for feat in study.features:
+        png = tmp_path / f"stationarity_dumbbell_{feat}.png"
+        assert png.exists() and png.stat().st_size > 0
+
+
+def test_sink_falls_back_to_default_results_dir(spark, tmp_path):
+    """results_dir=None must fall back to the study's default results
+    dir (reference `time_series_study.py:160`), never the process CWD."""
+    s = TimeSeriesStudy(
+        lineitem_panel(spark, SF_DIR), SCHEMA, default_results_dir=str(tmp_path / "dflt")
+    )
+    s.distribution_diagnostics(table=True)
+    assert os.path.isdir(tmp_path / "dflt" / "distribution_diagnostics.csv")
 
 
 def test_weighted_bins_reexport(spark):

@@ -135,3 +135,18 @@ def test_driver_oracle_parity(spark, ddb, qname):
     q = driver.all_queries()[qname]
     sql = driver.all_oracles()[qname]
     assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
+
+
+def test_lagged_corr_wide_matches_golden_verbatim(ref_wide):
+    """Facade wide pivot == reference golden CSV VERBATIM: same column
+    names (lag, then one column per pair), same rows, same values."""
+    got = cross_feature.lagged_cross_corr_wide(
+        ref_wide, GOLDEN_PAIRS, max_lag=6
+    ).toPandas()
+    want = golden("out_lagged_corr.csv")
+    assert list(got.columns) == list(want.columns)
+    got = got.sort_values("lag").reset_index(drop=True)
+    want = want.sort_values("lag").reset_index(drop=True)
+    np.testing.assert_allclose(
+        got.to_numpy(dtype=float), want.to_numpy(dtype=float), rtol=1e-9
+    )
