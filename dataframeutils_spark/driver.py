@@ -23,6 +23,7 @@ from dataframeutils_spark.operators import (
     multimodal,
     outliers,
     panel_stats,
+    pipeline,
     sampling,
     similarity,
     stat_tests,
@@ -267,7 +268,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
-        dedup.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45),
+        dedup.embedding_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.45, dim=EMB_DIM
+        ),
         all_dec=True,
     )
 
@@ -290,6 +293,14 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count, sum(n_chars), and nested-subset violations (0 by
     construction: the 5 % sample ⊆ the 10 % ⊆ the 20 %)."""
     return sampling.hash_sample_summary(load_table(spark, sf_dir, "documents"))
+
+
+def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation (quality filter → language filter
+    → exact dedup → split assignment) composed as ONE plan: a single
+    scan projection feeds scan-side filters, then one hash-key shuffle
+    for dedup — the full pretraining-prep pass, exactly oracle-checked."""
+    return pipeline.prepare_corpus_summary(load_table(spark, sf_dir, "documents"))
 
 
 def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +328,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
-        similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), k=5),
+        similarity.brute_force_topk(
+            load_table(spark, sf_dir, "embeddings"), k=5, dim=EMB_DIM
+        ),
         all_dec=True,
     )
 
@@ -349,12 +362,16 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with MLlib k-means-trained centroids (the production
-    quantizer on clustered corpora). No DuckDB k-means → rows-only."""
+    """IVF with MLlib k-means-trained centroids and the Arrow-vectorized
+    re-rank — the full PRODUCTION configuration on clustered corpora
+    (adaptive buckets + numpy batch scoring). No DuckDB k-means →
+    rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.train_centroids_kmeans(emb, n_centroids=None)
     return round_floats(
-        similarity.ivf_topk(emb, k=5, n_probe=2, dim=EMB_DIM, centroids=cents),
+        similarity.ivf_topk(
+            emb, k=5, n_probe=2, dim=EMB_DIM, centroids=cents, arrow_rerank=True
+        ),
         all_dec=True,
     )
 
@@ -764,6 +781,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
+        "pipeline_prepare": q_pipeline_prepare,
         "topk_terms": q_topk_terms,
         "tfidf_topterms": q_tfidf_topterms,
         "text_stats": q_text_stats,
@@ -809,6 +827,7 @@ def all_oracles() -> dict[str, str]:
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
+        "pipeline_prepare": pipeline.prepare_corpus_summary_sql(),
         "topk_terms": text.topk_terms_sql(k=50),
         "tfidf_topterms": text.tfidf_topterms_sql(k=3),
         "text_stats": _round_oracle_cols(

@@ -1,0 +1,153 @@
+"""End-to-end corpus-preparation pipeline: the composition a real
+training-data run executes, as ONE lazy Spark plan.
+
+No counterpart in the reference (SURVEY §2.3) — this is the north-star
+operators composed the way a pretraining pipeline chains them:
+
+    quality score -> language filter -> exact dedup -> split assignment
+
+The point of shipping the composition (and not just the stages) is the
+plan shape: quality and language ID are evaluated inside a SINGLE scan
+projection (``text_stat_columns``/``language_id_columns`` — no
+self-joins of per-doc operator outputs on doc_id), the quality/language
+filters run scan-side BEFORE the only shuffle (the dedup hash), and the
+split assignment is again a projection. At 100 TB the whole pipeline is
+one pass over the corpus plus one 32-byte-key shuffle of the
+FILTER-SURVIVING docs only.
+
+Every stage is engine-portable, so the full composition is exactly
+DuckDB-oracle-checkable end to end — filters use quality rounded to 6
+digits so an ULP of cross-engine float noise at the threshold cannot
+flip a document's fate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.sampling import SPLIT_BUCKETS, _bucket
+from dataframeutils_spark.operators.text import (
+    language_id_columns,
+    text_stat_columns,
+)
+
+QUALITY_DECIMALS = 6
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+    portable: bool = True,
+) -> DataFrame:
+    """Per-surviving-document pipeline output: (doc_id, n_chars,
+    quality, lang_pred, split).
+
+    A doc survives iff round(quality, 6) >= min_quality, its predicted
+    language is in ``langs``, and it is the canonical (min-id) copy of
+    its exact-duplicate group *among survivors* — dedup after filtering,
+    as pipelines run it (a high-quality dup of a filtered-out doc must
+    survive).
+    """
+    stats = text_stat_columns(text_col)
+    lang = language_id_columns(text_col)
+    enriched = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.round(stats["quality"], QUALITY_DECIMALS).alias("quality"),
+        stats["n_chars"].alias("n_chars"),
+        lang["lang_pred"].alias("lang_pred"),
+    )
+    filtered = enriched.filter(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
+    )
+    # keep-first exact dedup among survivors: one shuffle keyed on the
+    # 32-hex md5, never on text
+    w = Window.partitionBy(F.md5(F.col("text")))
+    kept = (
+        filtered.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    split = _bucket(F.col("doc_id"), salt, portable)
+    return kept.select(
+        "doc_id",
+        "n_chars",
+        "quality",
+        "lang_pred",
+        F.when(split < train_pct, F.lit("train"))
+        .when(split < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def prepare_corpus_summary(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    **kwargs,
+) -> DataFrame:
+    """Pipeline audit table: per (split, lang_pred) — n_docs, sum_chars,
+    min/max surviving doc_id. The counts a pipeline owner checks before
+    launching a run."""
+    out = prepare_corpus(docs, min_quality=min_quality, langs=langs, **kwargs)
+    return out.groupBy("split", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def prepare_corpus_summary_sql(
+    table: str = "documents",
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> str:
+    """DuckDB oracle for :func:`prepare_corpus_summary` — the same four
+    stages as CTEs over the same table."""
+    from dataframeutils_spark.operators.sampling import _bucket_sql
+    from dataframeutils_spark.operators.text import language_id_sql, text_stats_sql
+
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    b = _bucket_sql("doc_id", salt)
+    return f"""
+WITH ts AS ({text_stats_sql(table)}),
+li AS ({language_id_sql(table)}),
+enr AS (
+  SELECT d.doc_id, d.text, round(ts.quality, {QUALITY_DECIMALS}) AS quality,
+         ts.n_chars, li.lang_pred
+  FROM {table} d JOIN ts USING (doc_id) JOIN li USING (doc_id)
+),
+filt AS (
+  SELECT * FROM enr
+  WHERE quality >= {min_quality} AND lang_pred IN ({lang_list})
+),
+ded AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM filt
+),
+kept AS (SELECT * FROM ded WHERE doc_id = keep_id),
+spl AS (
+  SELECT doc_id, n_chars, quality, lang_pred,
+         CASE WHEN {b} < {train_pct} THEN 'train'
+              WHEN {b} < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split, lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM spl
+GROUP BY 1, 2
+"""

@@ -48,16 +48,10 @@ def _tokens(text_col: Column) -> Column:
     return F.filter(F.split(text_col, " "), lambda t: F.length(t) > 0)
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document token counts and quality signals.
-
-    Output: (doc_id, n_chars, n_tokens, n_wordish, n_punct, punct_ratio,
-    stopword_ratio, upper_ratio, mean_token_len, quality).
-
-    ``quality`` is a [0,1] heuristic: penalize extreme length, high
-    punctuation density and zero stopwords — the standard cheap filters
-    a pretraining pipeline applies before anything model-based.
-    """
+def text_stat_columns(text_col: str = "text") -> dict[str, Column]:
+    """The :func:`text_stats` output columns as named expressions, so
+    composite pipelines can evaluate them inside an existing projection
+    (one scan) instead of self-joining operator outputs on doc_id."""
     text = F.col(text_col)
     toks = _tokens(text)
     n_chars = F.length(text)
@@ -82,17 +76,32 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             - F.least(F.lit(0.25), upper_ratio)
         )
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_wordish": n_wordish,
+        "n_punct": n_punct,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "upper_ratio": upper_ratio,
+        "mean_token_len": mean_tok,
+        "quality": quality,
+    }
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts and quality signals.
+
+    Output: (doc_id, n_chars, n_tokens, n_wordish, n_punct, punct_ratio,
+    stopword_ratio, upper_ratio, mean_token_len, quality).
+
+    ``quality`` is a [0,1] heuristic: penalize extreme length, high
+    punctuation density and zero stopwords — the standard cheap filters
+    a pretraining pipeline applies before anything model-based.
+    """
+    cols = text_stat_columns(text_col)
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        n_wordish.alias("n_wordish"),
-        n_punct.alias("n_punct"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        upper_ratio.alias("upper_ratio"),
-        mean_tok.alias("mean_token_len"),
-        quality.alias("quality"),
+        F.col(id_col).alias("doc_id"), *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -120,14 +129,9 @@ FROM {table}
 """
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-evidence language ID: (doc_id, lang_pred, lang_score).
-
-    Score per language = hits of that language's stopword list in the
-    lowercased token stream, normalized by token count. Winner = max
-    score; ties break lexicographically by language code (deterministic
-    in both engines); zero evidence anywhere → ``'und'``.
-    """
+def language_id_columns(text_col: str = "text") -> dict[str, Column]:
+    """The :func:`language_id` output columns as named expressions (see
+    :func:`text_stat_columns` for why)."""
     toks = _tokens(F.lower(F.col(text_col)))
     n_tokens = F.greatest(F.size(toks), F.lit(1))
 
@@ -149,10 +153,23 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     # array_max on struct compares (score, lang) lexicographically: max
     # score, then max lang — mirror that exact tie-break in the oracle.
     best = F.array_max(scored)
+    return {
+        "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+        "lang_score": best["score"],
+    }
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-evidence language ID: (doc_id, lang_pred, lang_score).
+
+    Score per language = hits of that language's stopword list in the
+    lowercased token stream, normalized by token count. Winner = max
+    score; ties break lexicographically by language code (deterministic
+    in both engines); zero evidence anywhere → ``'und'``.
+    """
+    cols = language_id_columns(text_col)
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["score"].alias("lang_score"),
+        F.col(id_col).alias("doc_id"), *[c.alias(n) for n, c in cols.items()]
     )
 
 

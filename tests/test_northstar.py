@@ -319,6 +319,8 @@ def test_ann_topk_dim_param_matches_probe(spark):
         "similarity_ivf",
         "dedup_clusters",
         "dataset_split",
+        "hash_sample",
+        "pipeline_prepare",
         "topk_terms",
         "tfidf_topterms",
     ],
@@ -329,3 +331,43 @@ def test_northstar_oracle_parity(spark, ddb, name):
     q = driver.all_queries()[name]
     sql = driver.all_oracles()[name]
     assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
+
+
+def test_prepare_corpus_dedups_after_filtering(spark):
+    """Pipeline order matters: dedup runs AFTER the quality/language
+    filters, so a good doc whose only exact duplicate was filtered out
+    must still survive, and among two surviving duplicates the min id
+    wins."""
+    from dataframeutils_spark.operators import pipeline
+
+    good = "the cat and the dog went to the market for food and water"
+    junk = "!!! ??? ***"
+    rows = [
+        (1, good),   # survives: canonical copy (min id of {1, 2})
+        (2, good),   # exact dup of 1 -> dropped by dedup
+        (3, junk),   # dropped by quality filter
+        (4, junk),   # its dup ALSO dropped by quality, not by dedup
+        (5, "der hund und die katze sind nicht auf der couch zu sehen"),  # de -> lang filter
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pipeline.prepare_corpus(docs, min_quality=0.3, langs=("en",))
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1}
+
+
+def test_ivf_arrow_rerank_matches_fold(spark):
+    """The production cogrouped re-rank must produce the same (query,
+    neighbor, rank) sets as the oracle-exact fold path — only the last
+    ulp of cos_sim may differ (BLAS vs sequential fold)."""
+    from dataframeutils_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = similarity.ivf_topk(emb, k=5, n_probe=2, dim=64, arrow_rerank=True).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    b = similarity.ivf_topk(emb, k=5, n_probe=2, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0

@@ -97,3 +97,25 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         direction="backward",  # inclusive >= — same contract
     ).sort_values("event_id").reset_index(drop=True)
     assert list(got["score_asof"].fillna(-1)) == list(want["score"].fillna(-1))
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Adversarial diameter-200 chain: pointer doubling must converge
+    well inside the default max_iter=25 (one-hop propagation would need
+    200 rounds and previously returned silently-split clusters)."""
+    n = 200
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = dedup.connected_components(df).collect()
+    assert len(got) == n + 1
+    assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Exhausting max_iter must fail loud, not return split clusters."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iter=2)

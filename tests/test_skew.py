@@ -1,0 +1,107 @@
+"""Skew-hardening evidence (VERDICT r2 #8).
+
+The dedup module's scale story names two defenses against hot keys:
+distinct-before-shuffle on the shingle path, and AQE skew handling on
+the one place a hot key genuinely concentrates — the LSH band-bucket
+self-join, where a bucket shared by many near-identical docs puts the
+whole bucket's pair explosion in one join partition. These tests pin
+both claims to observed behavior instead of a docstring.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import dedup
+
+N_HOT = 200  # docs sharing identical text -> one LSH bucket per band
+N_COLD = 100
+
+HOT_TEXT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+@contextmanager
+def _conf(spark, **kv):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    try:
+        for k, v in kv.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    rows = [(i, HOT_TEXT) for i in range(N_HOT)]
+    rows += [
+        (N_HOT + i, f"unique document number {i} alpha beta gamma delta {i * 7} end")
+        for i in range(N_COLD)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_bucket_pairs_complete_with_aqe_skew_split(spark, hot_corpus):
+    """One bucket holding N_HOT identical docs must (a) yield exactly the
+    C(N_HOT,2) true pairs, (b) finish inside a small time budget, and
+    (c) actually trigger AQE's skewed-join split (skew=true in the
+    executed adaptive plan) once thresholds are scaled down to test
+    data sizes — the same mechanism that fires at 100 TB sizes with
+    production thresholds."""
+    sigs = dedup.minhash_signatures(dedup.shingles(hot_corpus), num_perm=16)
+    with _conf(
+        spark,
+        **{
+            # force the bucket join to sort-merge (broadcast joins
+            # bypass OptimizeSkewedJoin entirely)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # production defaults need a 256 MB partition to call it
+            # skewed; scale to test bytes so the optimizer sees the same
+            # shape it would see at cluster scale
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        },
+    ):
+        pairs = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+        t0 = time.time()
+        # collect() executes THIS DataFrame's query execution, so the
+        # final adaptive plan is inspectable afterwards (count() builds
+        # a separate plan instance whose AQE state we cannot see)
+        n = len(pairs.collect())
+        elapsed = time.time() - t0
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pairs.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+    assert n == N_HOT * (N_HOT - 1) // 2
+    assert elapsed < 60, f"hot-bucket join took {elapsed:.1f}s"
+    assert "skew=true" in plan, "AQE skew-join split did not engage"
+
+
+def test_hot_shingle_deduped_before_shuffle(spark, hot_corpus):
+    """A stopword shingle appearing many times inside one doc must reach
+    the shuffle once per doc, not once per occurrence — the
+    distinct-before-shuffle claim."""
+    spam = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 500) + " tail token")], "doc_id long, text string"
+    )
+    sh = dedup.shingles(spam)
+    # 500x repeated token -> 'spam spam spam' shingle occurs ~498 times
+    # but must be emitted once
+    assert sh.count() == sh.distinct().count()
+    assert (
+        sh.filter(F.col("shingle") == "spam spam spam").count() == 1
+    )

@@ -44,7 +44,19 @@ QUERIES = [
     "topk_terms",
     "tfidf_topterms",
     "dataset_split",
+    # round 3 additions (VERDICT r2 #4): the replicated events table
+    # gives every (user, event_type) group mult x more rows — the as-of
+    # union-window and the interval-join bucket explode both scale in
+    # group size, so this is their stress axis
+    "asof_profile",
+    "range_attribution",
 ]
+
+# queries re-run against the HOT-KEY events variant (one user owns ~20%
+# of all rows): the interval-join time-bucket path and the as-of window
+# must survive a heavily skewed by-key distribution (AQE skew handling +
+# bucketized explode), not just uniform keys
+HOT_QUERIES = ["range_attribution", "asof_profile"]
 
 
 def _jvm_peak_rss_gb() -> float:
@@ -74,10 +86,18 @@ def generate(spark, mult: int, out_dir: str) -> None:
     m = spark.range(mult).select(F.col("id").cast("int").alias("m"))
 
     ev = spark.read.parquet(f"{SRC}/events.parquet").crossJoin(F.broadcast(m))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in ev.schema.fields)["ts"]
+    shifted_ts = (
+        # int64 nanos (nanosAsLong sessions): shift in raw nanos
+        (F.col("ts") + F.col("m").cast("long") * F.lit(3_600_000_000_000))
+        if ts_type == "bigint"
+        # TIMESTAMP/_NTZ (Spark 4.1 default read of timestamp[ns]):
+        # shift with a calendar interval
+        else F.col("ts") + F.expr("make_interval(0, 0, 0, 0, m, 0, 0)")
+    )
     ev.select(
         (F.col("event_id") * mult + F.col("m")).alias("event_id"),
-        # shift each replica by m hours (ts is int64 nanos here)
-        (F.col("ts") + F.col("m").cast("long") * F.lit(3_600_000_000_000)).alias("ts"),
+        shifted_ts.alias("ts"),
         "user_id",
         "event_type",
         "value",
@@ -94,6 +114,21 @@ def generate(spark, mult: int, out_dir: str) -> None:
         "source",
         "n_chars",
     ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # hot-key events: replicas m>0 funnel 20% of users onto user_id 0 —
+    # one user ends up with thousands of sessions/events (the skew shape
+    # a real clickstream has: bots + logged-out buckets)
+    hot = spark.read.parquet(f"{out_dir}/events.parquet")
+    hot.select(
+        "event_id",
+        "ts",
+        F.when(F.col("user_id") % 5 == 0, F.lit(0)).otherwise(F.col("user_id")).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(f"{out_dir}_hot/events.parquet")
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet").crossJoin(F.broadcast(m))
     emb.select(
@@ -136,6 +171,31 @@ def main() -> None:
         t0 = time.time()
         n = qs[name](spark, out_dir).count()
         print(f"# {name} @ {mult}x: {n} rows in {time.time() - t0:.2f}s", flush=True)
+    for name in HOT_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, f"{out_dir}_hot").count()
+        print(f"# {name} @ {mult}x HOT-KEY: {n} rows in {time.time() - t0:.2f}s", flush=True)
+
+    # adversarial CC: a 100k-node chain (diameter 100k) — pointer
+    # doubling must close it inside the default max_iter budget; the
+    # one-hop variant this replaced would need 100k rounds
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators.dedup import connected_components
+
+    t0 = time.time()
+    chain = spark.range(100_000).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    cc = connected_components(chain)
+    n_clusters = cc.select("cluster_id").distinct().count()
+    print(
+        f"# connected_components 100k-chain: {n_clusters} cluster(s) "
+        f"in {time.time() - t0:.2f}s",
+        flush=True,
+    )
+    assert n_clusters == 1, "chain must collapse to one component"
+
     print(f"# jvm peak rss: {_jvm_peak_rss_gb():.1f} GiB", flush=True)
     spark.stop()
 
