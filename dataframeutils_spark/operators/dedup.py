@@ -304,19 +304,20 @@ def connected_components(
     """Connected components over an undirected edge list:
     (doc_id, cluster_id) with cluster_id = min node id in the component.
 
-    Min-label propagation WITH pointer doubling (hash-to-min family;
-    cf. Rastogi et al., "Finding Connected Components in Map-Reduce in
-    Logarithmic Rounds"): every node starts labelled with its own id;
-    each round a node takes the min of (its label, its neighbors'
-    labels, the label of its label). The neighbor step moves one hop;
-    the label-of-label jump doubles the closed distance, so an
-    adversarial diameter-D chain converges in O(log D) rounds instead
-    of O(D) — with ``max_iter=25`` that covers diameters beyond 2^24,
-    so the backstop raise below is unreachable for any physical graph.
-    Near-dup graphs (tiny cliques, diameter 1-2) still converge in 2-3
-    rounds; per-round cost is one join + one groupBy over the EDGE
-    table plus one self-join on the (component-sized) label table —
-    never the corpus.
+    Min-label propagation WITH adaptive pointer doubling (hash-to-min
+    family; cf. Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds"): every node starts labelled with
+    its own id; each round a node takes the min of (its label, its
+    neighbors' labels) and — from round 3 — the label of its label.
+    The neighbor step moves one hop; the label-of-label jump doubles
+    the closed distance, so an adversarial diameter-D chain converges
+    in O(log D) rounds instead of O(D) — with ``max_iter=25`` that
+    covers diameters beyond 2^22, unreachable for any physical graph.
+    The jump engages only from round 3 because near-dup graphs (tiny
+    cliques, diameter 1-2) converge before then — the common case pays
+    exactly the r2 plan (one join + one groupBy over the EDGE table per
+    round, never the corpus); only genuinely deep graphs add the label
+    self-join.
 
     Per-round ``localCheckpoint`` truncates the lineage (chained
     shuffles would otherwise re-execute from the scan on every action)
@@ -335,7 +336,7 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
     )
     changed = 0
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         # candidate label per node = min over incoming neighbor labels
         nbr = (
             sym.join(labels, sym["src"] == labels["node"])
@@ -349,27 +350,31 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("mid_label"),
         )
-        # pointer doubling: jump to the PREVIOUS round's label of my new
-        # label (labels is already checkpointed, so this self-join costs
-        # one hash join, no recompute). If the neighbor step closes
-        # distance d, the jump closes 2d+1 — exponential convergence.
-        ptr = labels.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        # eager checkpoint: one materialization per round feeds both the
-        # convergence probe and the next round's labels
-        merged = (
-            stage.join(ptr, stage["mid_label"] == ptr["p_node"], "left")
-            .select(
+        if round_idx >= 2:
+            # pointer doubling: jump to the PREVIOUS round's label of my
+            # new label (labels is already checkpointed, so this
+            # self-join costs one hash join, no recompute). If the
+            # neighbor step closes distance d, the jump closes 2d+1 —
+            # exponential convergence. Engaged only from round 3:
+            # near-dup graphs (tiny cliques, diameter 1-2) converge
+            # before then and never pay the extra join; anything still
+            # unconverged has real depth and needs the O(log D) ramp.
+            ptr = labels.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            stage = stage.join(ptr, stage["mid_label"] == ptr["p_node"], "left").select(
                 "node",
                 "label",
                 F.least(
                     F.col("mid_label"),
                     F.coalesce(F.col("p_label"), F.col("mid_label")),
-                ).alias("new_label"),
+                ).alias("mid_label"),
             )
-            .localCheckpoint()
-        )
+        # eager checkpoint: one materialization per round feeds both the
+        # convergence probe and the next round's labels
+        merged = stage.select(
+            "node", "label", F.col("mid_label").alias("new_label")
+        ).localCheckpoint()
         changed = merged.filter(F.col("label") != F.col("new_label")).limit(1).count()
         labels = merged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
