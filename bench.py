@@ -41,6 +41,8 @@ HEADLINE = [
     "similarity_ivf",
     "dedup_clusters",
     "dataset_split",
+    "hash_sample",
+    "pipeline_prepare",
     "topk_terms",
     "tfidf_topterms",
     "asof_profile",
