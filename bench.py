@@ -43,6 +43,8 @@ HEADLINE = [
     "dataset_split",
     "hash_sample",
     "pipeline_prepare",
+    "text_repetition",
+    "dedup_shared_spans",
     "topk_terms",
     "tfidf_topterms",
     "asof_profile",

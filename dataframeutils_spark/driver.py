@@ -295,6 +295,20 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition ratio — the cheap degenerate-text
+    signal; fully native single projection, no shuffle."""
+    return round_floats(
+        text.repetition_stats(load_table(spark, sf_dir, "documents")), all_dec=True
+    )
+
+
+def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact long-span sharing (substring-dedup signal);
+    spans hashed scan-side so only 8-byte keys shuffle."""
+    return dedup.shared_span_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation (quality filter → language filter
     → exact dedup → split assignment) composed as ONE plan: a single
@@ -782,6 +796,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
         "pipeline_prepare": q_pipeline_prepare,
+        "text_repetition": q_text_repetition,
+        "dedup_shared_spans": q_dedup_shared_spans,
         "topk_terms": q_topk_terms,
         "tfidf_topterms": q_tfidf_topterms,
         "text_stats": q_text_stats,
@@ -828,6 +844,10 @@ def all_oracles() -> dict[str, str]:
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "pipeline_prepare": pipeline.prepare_corpus_summary_sql(),
+        "text_repetition": _round_oracle_cols(
+            text.repetition_stats_sql(), ["dup_ngram_ratio"]
+        ),
+        "dedup_shared_spans": dedup.shared_span_stats_sql(),
         "topk_terms": text.topk_terms_sql(k=50),
         "tfidf_topterms": text.tfidf_topterms_sql(k=3),
         "text_stats": _round_oracle_cols(

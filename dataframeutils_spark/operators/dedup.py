@@ -290,6 +290,63 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, bands: int = 4, 
     )
 
 
+def shared_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Cross-document exact long-span sharing: per doc — (doc_id,
+    n_spans, n_shared_spans, max_span_df).
+
+    The substring-level dedup signal (cf. Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a length-``n`` token
+    span appearing in more than one document marks boilerplate /
+    copied passages that document-level dedup misses. ``span_df`` =
+    number of docs containing the span; ``n_shared_spans`` counts a
+    doc's spans with df > 1.
+
+    Scale shape: spans are hashed SCAN-SIDE and only the 8-byte hash
+    shuffles (never span text — at n=8 a span is ~50 bytes, so this is
+    a 6× shuffle reduction and removes the hot-string skew surface);
+    then one groupBy(hash) + one join-back + one groupBy(doc). 60-bit
+    hash collisions are negligible and — being the portable hash —
+    IDENTICAL in both engines, so the query stays exactly
+    oracle-checkable. Docs shorter than ``n`` tokens contribute no
+    spans and are absent from the output (they cannot share one).
+    """
+    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    h = portable_hash60(F.col("shingle")) if portable else fast_hash64(F.col("shingle"))
+    hashed = sh.select("doc_id", h.alias("span_h"))
+    span_df = hashed.groupBy("span_h").agg(F.count("*").alias("df"))
+    return (
+        hashed.join(span_df, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_shared_spans"),
+            F.max("df").alias("max_span_df"),
+        )
+    )
+
+
+def shared_span_stats_sql(table: str = "documents", n: int = 8) -> str:
+    return f"""
+WITH {_shingle_cte(table, n)}, h AS (
+  SELECT doc_id, {portable_hash60_sql("shingle")} AS span_h FROM sh
+), c AS (
+  SELECT span_h, count(*) AS df FROM h GROUP BY span_h
+)
+SELECT h.doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN c.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+       max(c.df) AS max_span_df
+FROM h JOIN c USING (span_h)
+GROUP BY h.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components)
 # ---------------------------------------------------------------------------

@@ -129,6 +129,67 @@ FROM {table}
 """
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition: (doc_id, n_ngrams, n_distinct_ngrams,
+    dup_ngram_ratio).
+
+    ``dup_ngram_ratio`` = 1 − distinct/total token n-grams — the
+    standard cheap signal for degenerate generated/boilerplate text
+    (high ratio = the doc repeats itself). Fully native single
+    projection: token array → n-gram array → ``array_distinct`` — no
+    explode, no shuffle, pipelines into the scan like
+    :func:`text_stats`.
+    """
+    # token array materialized in its own projection — HOF lambdas
+    # re-evaluate free subexpressions per element (see operators.dedup
+    # shingles for the measured cliff)
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = tokd.select(
+        "doc_id",
+        F.size(grams).alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_ngrams"),
+    )
+    ratio = F.when(
+        F.col("n_ngrams") > 0,
+        F.lit(1.0) - F.col("n_distinct_ngrams").cast("double") / F.col("n_ngrams"),
+    ).otherwise(F.lit(0.0))
+    return out.select("doc_id", "n_ngrams", "n_distinct_ngrams", ratio.alias("dup_ngram_ratio"))
+
+
+def repetition_stats_sql(table: str = "documents", n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM {table}
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n}
+              THEN list_transform(range(1, len(toks) - {n} + 2), i -> {gram})
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM tok
+)
+SELECT doc_id,
+       len(grams) AS n_ngrams,
+       len(list_distinct(grams)) AS n_distinct_ngrams,
+       CASE WHEN len(grams) > 0
+            THEN 1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE
+            ELSE 0.0 END AS dup_ngram_ratio
+FROM g
+"""
+
+
 def language_id_columns(text_col: str = "text") -> dict[str, Column]:
     """The :func:`language_id` output columns as named expressions (see
     :func:`text_stat_columns` for why)."""

@@ -321,6 +321,8 @@ def test_ann_topk_dim_param_matches_probe(spark):
         "dataset_split",
         "hash_sample",
         "pipeline_prepare",
+        "text_repetition",
+        "dedup_shared_spans",
         "topk_terms",
         "tfidf_topterms",
     ],
@@ -371,3 +373,40 @@ def test_ivf_arrow_rerank_matches_fold(spark):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_repetition_stats_counts_duplicate_ngrams(spark):
+    from dataframeutils_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "one two three four five"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.repetition_stats(docs, n=3).collect()}
+    # doc 1: four 3-grams, all identical -> ratio 0.75
+    assert got[1]["n_ngrams"] == 4 and got[1]["n_distinct_ngrams"] == 1
+    assert abs(got[1]["dup_ngram_ratio"] - 0.75) < 1e-12
+    # doc 2: three distinct 3-grams -> ratio 0
+    assert got[2]["n_ngrams"] == 3 and got[2]["dup_ngram_ratio"] == 0.0
+    # doc 3: too short -> zero n-grams, ratio 0 (not NULL, not error)
+    assert got[3]["n_ngrams"] == 0 and got[3]["dup_ngram_ratio"] == 0.0
+
+
+def test_shared_span_stats_flags_copied_passage(spark):
+    from dataframeutils_spark.operators import dedup as D
+
+    boiler = "this boilerplate passage is shared across both documents verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " plus unique tail one"),
+            (2, boiler + " and a different unique tail"),
+            (3, "entirely unrelated text with enough tokens to form spans here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.shared_span_stats(docs, n=8).collect()}
+    # docs 1 and 2 share the 8-token spans inside the boilerplate prefix
+    assert got[1]["n_shared_spans"] > 0 and got[2]["n_shared_spans"] > 0
+    assert got[1]["max_span_df"] == 2
+    # doc 3 shares nothing
+    assert got[3]["n_shared_spans"] == 0 and got[3]["max_span_df"] == 1
