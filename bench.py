@@ -48,6 +48,7 @@ HEADLINE = [
     "topk_terms",
     "tfidf_topterms",
     "asof_profile",
+    "asof_profile_forward",
     "sales_by_nation",
     "sales_rollup",
     "range_attribution",

@@ -407,6 +407,47 @@ def q_asof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(out, all_dec=True)
 
 
+def q_asof_profile_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with a tolerance bound: each event joined to the
+    NEXT closed hourly profile, but only if it closes within 30
+    minutes — the pandas merge_asof (direction/tolerance) surface on
+    the same one-shuffle union+window plan. Oracle = DuckDB ASOF JOIN
+    on <= with a CASE tolerance mask."""
+    from dataframeutils_spark.operators import asof
+
+    ev = _events_normalized(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.avg("value").alias("hourly_avg"))
+        .select("user_id", (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("ts"), "hourly_avg")
+    )
+    out = asof.asof_join(
+        ev,
+        hourly,
+        on="ts",
+        by=("user_id",),
+        value_cols=("hourly_avg",),
+        direction="forward",
+        tolerance_seconds=1800,
+    )
+    return round_floats(out, all_dec=True)
+
+
+ASOF_PROFILE_FORWARD_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, value FROM events
+), hourly AS (
+  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS rts,
+         avg(value) AS hourly_avg
+  FROM ev GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT e.user_id, e.event_id, e.ts, e.value,
+       CASE WHEN h.rts - e.ts <= INTERVAL 30 MINUTE THEN h.hourly_avg END AS hourly_avg_asof,
+       CASE WHEN h.rts - e.ts <= INTERVAL 30 MINUTE THEN h.rts END AS ts_asof
+FROM ev e ASOF LEFT JOIN hourly h ON e.user_id = h.user_id AND e.ts <= h.rts
+"""
+
+
 ASOF_PROFILE_SQL = """
 WITH ev AS (
   SELECT event_id, user_id, ts, value FROM events
@@ -808,6 +849,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "asof_profile": q_asof_profile,
+        "asof_profile_forward": q_asof_profile_forward,
         "sales_by_nation": q_sales_by_nation,
         "sales_rollup": q_sales_rollup,
         "range_attribution": q_range_attribution,
@@ -866,6 +908,9 @@ def all_oracles() -> dict[str, str]:
         ),
         "asof_profile": _round_oracle_cols(
             ASOF_PROFILE_SQL, ["value", "hourly_avg_asof"]
+        ),
+        "asof_profile_forward": _round_oracle_cols(
+            ASOF_PROFILE_FORWARD_SQL, ["value", "hourly_avg_asof"]
         ),
         "sales_by_nation": (
             f"SELECT * REPLACE ({siground_sql('revenue')} AS revenue) "

@@ -31,21 +31,40 @@ def asof_join(
     by: tuple[str, ...] = ("user_id",),
     value_cols: tuple[str, ...] = ("value",),
     suffix: str = "_asof",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: all left rows and columns, plus
     ``<value_col><suffix>`` columns and ``<on><suffix>`` (the matched
-    right timestamp), NULL where no right row precedes.
+    right timestamp), NULL where no right row qualifies.
+
+    pandas ``merge_asof`` parity knobs: ``direction`` — ``backward``
+    (most recent right row at-or-before) or ``forward`` (nearest right
+    row at-or-after); ``allow_exact_matches=False`` makes the bound
+    strict; ``tolerance_seconds`` nulls out matches farther than the
+    bound (both the value and the matched timestamp, like pandas).
+    All three are window-order tweaks on the SAME union+window plan —
+    still one key shuffle, linear, never a range theta-join.
 
     Contract: ``right`` must be unique per (by, on) — aggregate it
-    first if not (with duplicates, "the" most recent right row is
-    ill-defined in any engine). Tie at equal timestamps: the right row
-    IS visible to the left row (inclusive as-of).
+    first if not (with duplicates, "the" nearest right row is
+    ill-defined in any engine).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by_l = list(by)
     payload = [c for c in left.columns if c not in by_l]
     r_ts = right.schema[on].dataType
     val_types = {c: right.schema[c].dataType for c in value_cols}
 
+    # At equal timestamps the right row is visible iff it sorts on the
+    # window-frame side of the left row: before it for backward (frame
+    # ends at current row), after it for forward (frame starts at
+    # current row). allow_exact_matches=False flips the tie order so
+    # the equal-ts right row falls outside the frame.
+    backward = direction == "backward"
+    r_side = 0 if backward == allow_exact_matches else 2
     lp_struct = F.struct(*payload).alias("__lp")
     l_tagged = left.select(
         *by_l,
@@ -59,26 +78,40 @@ def asof_join(
     r_tagged = right.select(
         *by_l,
         F.col(on).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.lit(None).cast(lp_type).alias("__lp"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         F.col(on).alias("__rts"),
     )
-    w = (
-        Window.partitionBy(*by_l)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(*by_l).orderBy(F.col("__t"), F.col("__side"))
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     merged = l_tagged.unionByName(r_tagged).select(
         *by_l,
         "__side",
+        "__t",
         "__lp",
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in value_cols],
-        F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
+        *[pick(f"__v_{c}").over(w).alias(f"__m_{c}") for c in value_cols],
+        pick("__rts").over(w).alias("__m_ts"),
     )
+    in_tol = F.lit(True)
+    if tolerance_seconds is not None:
+        delta = (
+            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__m_ts"))
+            if backward
+            else F.unix_micros(F.col("__m_ts")) - F.unix_micros(F.col("__t"))
+        )
+        in_tol = delta <= F.lit(int(tolerance_seconds * 1_000_000))
     return merged.filter(F.col("__side") == 1).select(
         *by_l,
         *[F.col(f"__lp.{c}").alias(c) for c in payload],
-        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in value_cols],
-        F.col("__m_ts").alias(f"{on}{suffix}"),
+        *[
+            F.when(in_tol, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.when(in_tol, F.col("__m_ts")).alias(f"{on}{suffix}"),
     )

@@ -119,3 +119,68 @@ def test_connected_components_raises_when_unconverged(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(df, max_iter=2)
+
+
+@pytest.mark.parametrize(
+    "direction,exact,tol",
+    [
+        ("forward", True, None),
+        ("forward", False, None),
+        ("backward", False, None),
+        ("backward", True, 5),
+        ("forward", True, 5),
+    ],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=0,
+        max_size=12,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_direction_tolerance_matches_pandas(
+    spark, direction, exact, tol, left, right
+):
+    """The merge_asof parity knobs (direction / allow_exact_matches /
+    tolerance) against pandas itself as the reference implementation."""
+    lpdf = pd.DataFrame(left, columns=["user_id", "t"]).assign(
+        event_id=range(len(left))
+    )
+    rpdf = pd.DataFrame(right, columns=["user_id", "t"]).assign(
+        score=lambda d: d["t"].astype(float) * 10
+    )
+    ldf = spark.createDataFrame(lpdf).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    rdf = spark.createDataFrame(
+        list(rpdf.itertuples(index=False)), "user_id string, t long, score double"
+    ).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+
+    got = (
+        asof.asof_join(
+            ldf,
+            rdf,
+            value_cols=("score",),
+            direction=direction,
+            allow_exact_matches=exact,
+            tolerance_seconds=tol,
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.assign(ts=pd.to_datetime(lpdf["t"], unit="s")).sort_values("ts"),
+        rpdf.assign(ts=pd.to_datetime(rpdf["t"], unit="s")).sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction=direction,
+        allow_exact_matches=exact,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    ).sort_values("event_id").reset_index(drop=True)
+    assert list(got["score_asof"].fillna(-1)) == list(want["score"].fillna(-1))
