@@ -30,6 +30,7 @@ from dataframeutils_spark.operators import (
     text,
     weighted_bins,
 )
+from dataframeutils_spark.streaming import joins as stream_joins
 from dataframeutils_spark.schema import (
     PanelSchema,
     decround,
@@ -772,6 +773,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join driven as a REAL stream:
+    purchases matched to same-user clicks in the preceding 30 minutes
+    while both sides flow (file source → interval join → append memory
+    sink). The inner-join pair set is arrival-order-independent, so the
+    batch join is the exact oracle."""
+    from dataframeutils_spark.streaming import joins as sj
+    from dataframeutils_spark.streaming import windows as sw
+
+    name = "stream_join_sink"
+    spark.catalog.dropTempView(name)
+    stream = sw.read_events_stream(spark, sf_dir)
+    sw.run_to_memory(sj.purchase_click_join(stream), name, output_mode="append")
+    return round_floats(spark.table(name), all_dec=True)
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -861,6 +878,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionized": q_stream_sessionized,
         "stream_user_profile": q_stream_user_profile,
         "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
     }
 
 
@@ -941,6 +959,9 @@ GROUP BY event_type
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sessionized": _stream_sessions_sql(),
         "stream_dedup": STREAM_DEDUP_SQL,
+        "stream_join": _round_oracle_cols(
+            stream_joins.purchase_click_join_sql(), ["click_value"]
+        ),
         "stream_user_profile": _round_oracle_cols(
             """
 SELECT user_id, count(*) AS n_events, sum(value) AS total_value, max(value) AS max_value

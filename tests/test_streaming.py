@@ -214,3 +214,19 @@ def test_multibatch_windowed_watermark_eviction(spark, multi_file_events_dir):
         | (F.abs(F.col("g.sum_value") - F.col("w.sum_value")) > 1e-9)
     )
     assert mismatched.count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, multi_file_events_dir):
+    """Stream-stream interval self-join across REAL micro-batch
+    boundaries: clicks buffered in batch-1 state must match purchases
+    arriving in later batches; final pair set == batch join."""
+    from dataframeutils_spark.streaming import joins as SJ
+
+    stream = W.read_events_stream(spark, multi_file_events_dir, glob="events_*.parquet")
+    q = W.run_to_memory(SJ.purchase_click_join(stream), "mb_join", output_mode="append")
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3
+    got = _norm(spark.table("mb_join").toPandas())
+    want = _norm(SJ.purchase_click_join(_batch_events(spark)).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
