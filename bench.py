@@ -52,6 +52,7 @@ HEADLINE = [
     "sales_by_nation",
     "sales_rollup",
     "range_attribution",
+    "session_overlap",
     "events_value_profile",
     "events_value_profile_approx",
 ]

@@ -587,6 +587,82 @@ def q_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(out)
 
 
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: each user's click sessions
+    matched to their view sessions whose ACTIVE window (session span +
+    30-minute gap timeout) intersects — bucketized equi-join with
+    first-shared-chunk dedup, never a theta-join. Emits both sessions'
+    bounds plus the overlap length in seconds."""
+    from dataframeutils_spark.operators import ranges
+
+    ev = _events_normalized(spark, sf_dir)
+    active = F.expr("INTERVAL 30 MINUTES")
+
+    def sessions(event_type: str, prefix: str) -> DataFrame:
+        s = ranges.sessionize(
+            ev.filter(F.col("event_type") == event_type).select("user_id", "ts"),
+            on="ts",
+            by=("user_id",),
+            gap_seconds=1800,
+        )
+        return s.select(
+            "user_id",
+            F.col("s_start").alias(f"{prefix}_start"),
+            (F.col("s_end") + active).alias(f"{prefix}_end"),
+        )
+
+    ov = ranges.interval_overlap_join(
+        sessions("click", "c"),
+        sessions("view", "v"),
+        by=("user_id",),
+        l_start="c_start",
+        l_end="c_end",
+        r_start="v_start",
+        r_end="v_end",
+    )
+    overlap_secs = (
+        F.least(F.unix_micros("c_end"), F.unix_micros("v_end"))
+        - F.greatest(F.unix_micros("c_start"), F.unix_micros("v_start"))
+    ) / F.lit(1_000_000.0)
+    return round_floats(
+        ov.select(
+            "user_id", "c_start", "c_end", "v_start", "v_end",
+            overlap_secs.alias("overlap_secs"),
+        ),
+        all_dec=True,
+    )
+
+
+SESSION_OVERLAP_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type IN ('click', 'view')
+), runs AS (
+  SELECT user_id, event_type, ts,
+         sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM base
+), sess AS (
+  SELECT user_id, event_type, min(ts) AS s_start,
+         max(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM runs GROUP BY user_id, event_type, sid
+)
+SELECT c.user_id,
+       c.s_start AS c_start, c.s_end AS c_end,
+       v.s_start AS v_start, v.s_end AS v_end,
+       epoch(least(c.s_end, v.s_end) - greatest(c.s_start, v.s_start))::DOUBLE
+         AS overlap_secs
+FROM (SELECT * FROM sess WHERE event_type = 'click') c
+JOIN (SELECT * FROM sess WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND c.s_start < v.s_end AND v.s_start < c.s_end
+"""
+
+
 RANGE_ATTRIBUTION_SQL = """
 WITH p AS (
   SELECT user_id, ts FROM events WHERE event_type = 'purchase'
@@ -870,6 +946,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_by_nation": q_sales_by_nation,
         "sales_rollup": q_sales_rollup,
         "range_attribution": q_range_attribution,
+        "session_overlap": q_session_overlap,
         "events_value_profile": q_events_value_profile,
         "events_value_profile_approx": q_events_value_profile_approx,
         "events_props": q_events_props,
@@ -942,6 +1019,7 @@ def all_oracles() -> dict[str, str]:
             f"SELECT * REPLACE ({siground_sql('prior_value')} AS prior_value) "
             f"FROM (\n{RANGE_ATTRIBUTION_SQL}\n)"
         ),
+        "session_overlap": _round_oracle_cols(SESSION_OVERLAP_SQL, ["overlap_secs"]),
         "events_value_profile": (
             f"SELECT * REPLACE ({siground_sql('p50')} AS p50, "
             f"{siground_sql('p90')} AS p90, {siground_sql('p99')} AS p99) "

@@ -71,6 +71,74 @@ def interval_join(
     return joined.drop("__bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: tuple[str, ...] = ("user_id",),
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join per key: all pairs of half-open
+    intervals ``[l_start, l_end) × [r_start, r_end)`` of the same key
+    that intersect (``l_start < r_end AND r_start < l_end``).
+
+    Same bucketization as :func:`interval_join` — both sides explode to
+    the time chunks they span, the join is a plain equi-join on
+    (key, chunk), and the exact overlap predicate filters after. Two
+    overlapping intervals share EVERY chunk of their intersection, so
+    the pair would surface once per shared chunk; instead of a
+    ``distinct`` over the payload (a second full shuffle), keep a pair
+    only in the FIRST shared chunk — the one containing
+    ``greatest(l_start, r_start)``, which lies inside both intervals
+    exactly when they overlap. Output = key + both sides' payloads,
+    exactly once per overlapping pair; left/anti variants compose by
+    joining this inner result back, as with :func:`interval_join`.
+    """
+    w_us = int(chunk_seconds) * 1_000_000
+    by_l = list(by)
+    l_payload = [c for c in left.columns if c not in by_l]
+    r_payload = [c for c in right.columns if c not in by_l]
+    clash = set(l_payload) & set(r_payload)
+    if clash:
+        raise ValueError(f"left/right payload columns collide: {sorted(clash)}")
+
+    def explode_side(df: DataFrame, start: str, end: str, payload: list[str]) -> DataFrame:
+        return (
+            df.filter(F.col(end) > F.col(start))
+            .withColumn(
+                "__bucket",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.unix_micros(F.col(start)) / w_us),
+                        F.floor((F.unix_micros(F.col(end)) - 1) / w_us),
+                    )
+                ),
+            )
+            .select(*by_l, "__bucket", *payload)
+        )
+
+    lv = explode_side(left, l_start, l_end, l_payload)
+    rv = explode_side(right, r_start, r_end, r_payload)
+    first_shared = F.floor(
+        F.greatest(
+            F.unix_micros(F.col(l_start)), F.unix_micros(F.col(r_start))
+        )
+        / w_us
+    )
+    return (
+        lv.join(rv, on=by_l + ["__bucket"])
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__bucket") == first_shared)
+        )
+        .drop("__bucket")
+    )
+
+
 def sessionize(
     events: DataFrame,
     on: str = "ts",

@@ -181,3 +181,44 @@ def test_events_value_profile_exact_and_approx(spark, ddb):
         )
         # GK sketch with accuracy 10000 is exact-ish at fixture size
         assert abs(ap[t]["p50"] - ex[t]["p50"]) <= 0.05 * abs(ex[t]["p50"]) + 1e-6
+
+
+def test_interval_overlap_join_exactly_once_per_pair(spark):
+    """Pairs overlapping MANY chunks must still emit once (first-shared-
+    chunk dedup), non-overlapping and touching-at-boundary pairs not at
+    all (half-open semantics)."""
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators import ranges
+
+    def iv(rows, s, e):
+        return (
+            spark.createDataFrame(rows, f"user_id long, {s} string, {e} string")
+            .withColumn(s, F.to_timestamp(s))
+            .withColumn(e, F.to_timestamp(e))
+        )
+
+    left = iv(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 10:00:00"),  # 10h span
+            (1, "2024-01-01 20:00:00", "2024-01-01 21:00:00"),
+            (2, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ],
+        "l_start",
+        "l_end",
+    )
+    right = iv(
+        [
+            (1, "2024-01-01 05:00:00", "2024-01-01 23:00:00"),  # overlaps both of user 1's
+            (2, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),  # touches boundary: no overlap
+        ],
+        "r_start",
+        "r_end",
+    )
+    # chunk=1h: the first pair shares 5 chunks; must emit exactly once
+    got = ranges.interval_overlap_join(left, right, chunk_seconds=3600).collect()
+    pairs = sorted((r["user_id"], str(r["l_start"]), str(r["r_start"])) for r in got)
+    assert pairs == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 05:00:00"),
+        (1, "2024-01-01 20:00:00", "2024-01-01 05:00:00"),
+    ]
