@@ -770,6 +770,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(media)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out: one row per sampled frame index,
+    payload NOT duplicated per frame — the memory-correct shape for a
+    frame extractor at scale. Frame counts come from the deterministic
+    fake decode, so the fan-out is exactly oracle-checked."""
+    media = multimodal.media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_k=8)
+
+
 def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframeutils_spark.streaming import windows as sw
 
@@ -951,6 +960,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_profile_approx": q_events_value_profile_approx,
         "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_sessionized": q_stream_sessionized,
         "stream_user_profile": q_stream_user_profile,
@@ -1034,6 +1044,7 @@ GROUP BY event_type
             ["avg_k", "min_k", "max_k"],
         ),
         "multimodal_meta": multimodal.decode_metadata_sql(),
+        "multimodal_frames": multimodal.sample_frames_sql(every_k=8),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sessionized": _stream_sessions_sql(),
         "stream_dedup": STREAM_DEDUP_SQL,

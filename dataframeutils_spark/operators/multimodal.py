@@ -131,6 +131,21 @@ FROM {table}
 """
 
 
+def sample_frames_sql(table: str = "documents", every_k: int = 8) -> str:
+    """DuckDB oracle for media_table → sample_frames over documents:
+    the fake frame count is hash arithmetic, so the frame fan-out is
+    exactly checkable."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    return f"""
+WITH v AS (
+  SELECT doc_id AS media_id, (1 + {h} % {_FRAME_MOD})::INT AS n_frames
+  FROM {table} WHERE doc_id % 3 = 2
+)
+SELECT media_id, unnest(range(0, n_frames, {every_k}))::INT AS frame_idx
+FROM v
+"""
+
+
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """Resize stage: same mapInPandas shape as a real resampler.
 
