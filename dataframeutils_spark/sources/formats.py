@@ -99,3 +99,43 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(sort_by)
     w.format("parquet").saveAsTable(table_name)
+
+
+def read_documents_orc(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """ORC ingest (the other columnar lake format Spark ships natively;
+    common in Hive-heritage warehouses). Same contract as the parquet
+    path: explicit schema, predicate pushdown and column pruning reach
+    the stripe reader."""
+    df = spark.read.schema(schema).orc(path)
+    return _check_columns(df, schema, f"read_documents_orc({path})")
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_documents_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "doc",
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+) -> DataFrame:
+    """XML ingest (built into Spark 4 — no external package): one row
+    per ``row_tag`` element, explicit schema, malformed elements kept
+    visible in ``_corrupt_record`` (PERMISSIVE) exactly like the JSONL
+    reader — a feed-quality regression must be measurable, never
+    silent."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.format("xml")
+        .schema(full)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(path)
+    )
+    return _check_columns(df, schema, f"read_documents_xml({path})")

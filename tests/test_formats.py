@@ -83,3 +83,47 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves content; a filter on the read reaches
+    the ORC scan as a pushed filter (same contract as parquet)."""
+    p = str(tmp_path / "docs_orc")
+    docs = _docs(spark)
+    formats.write_orc(docs, p)
+    got = formats.read_documents_orc(spark, p)
+    assert got.count() == docs.count()
+    a = docs.orderBy("doc_id").collect()
+    b = got.orderBy("doc_id").collect()
+    assert a == b
+    filtered = got.filter(F.col("lang") == "en").select("doc_id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_xml_roundtrip_and_corrupt_record(spark, tmp_path):
+    """Spark 4 native XML: row-per-tag ingest with the same corrupt-
+    record visibility contract as JSONL."""
+    import html
+
+    p = str(tmp_path / "docs.xml")
+    docs = _docs(spark).limit(50).collect()
+    with open(p, "w") as f:
+        f.write("<docs>\n")
+        for r in docs:
+            f.write(
+                f"<doc><doc_id>{r['doc_id']}</doc_id>"
+                f"<text>{html.escape(r['text'])}</text>"
+                f"<lang>{r['lang']}</lang><source>{html.escape(r['source'])}</source>"
+                f"<n_chars>{r['n_chars']}</n_chars></doc>\n"
+            )
+        # malformed element: wrong type for a long field — must surface
+        f.write("<doc><doc_id>not-a-number</doc_id><text>bad</text></doc>\n")
+        f.write("</docs>\n")
+    got = formats.read_documents_xml(spark, p).cache()
+    good = got.filter(F.col("_corrupt_record").isNull())
+    assert good.count() == len(docs)
+    assert got.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    want = sorted((r["doc_id"], r["text"]) for r in docs)
+    have = sorted((r["doc_id"], r["text"]) for r in good.select("doc_id", "text").collect())
+    assert want == have
