@@ -50,6 +50,13 @@ QUERIES = [
     # group size, so this is their stress axis
     "asof_profile",
     "range_attribution",
+    # round 3 operators: the replicated corpus is the worst case for
+    # shared-span detection (every replica family shares most spans)
+    # and pipeline dedup; kmeans+cogroup is the production IVF config
+    "pipeline_prepare",
+    "dedup_shared_spans",
+    "session_overlap",
+    "similarity_ivf_kmeans",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
