@@ -19,7 +19,9 @@ At mult=10 the events table is ~1M rows: the reference's published
 weighted-bins budget at that size is 20–50 s single-threaded
 (BASELINE.md), giving a direct comparison point.
 
-Usage: python tools/scale_stress.py [mult] [out_dir]
+Usage: python tools/scale_stress.py [mult] [out_dir] [only_query ...]
+(only_query names restrict the run — at mult=100 skip the O(N^1.5)
+fold-exact oracle paths and run the linear/production queries)
 """
 from __future__ import annotations
 
@@ -150,6 +152,7 @@ def generate(spark, mult: int, out_dir: str) -> None:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_{mult}x"
+    only = set(sys.argv[3:])
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -175,10 +178,14 @@ def main() -> None:
 
     qs = d.all_queries()
     for name in QUERIES:
+        if only and name not in only:
+            continue
         t0 = time.time()
         n = qs[name](spark, out_dir).count()
         print(f"# {name} @ {mult}x: {n} rows in {time.time() - t0:.2f}s", flush=True)
     for name in HOT_QUERIES:
+        if only and name not in only:
+            continue
         t0 = time.time()
         n = qs[name](spark, f"{out_dir}_hot").count()
         print(f"# {name} @ {mult}x HOT-KEY: {n} rows in {time.time() - t0:.2f}s", flush=True)
