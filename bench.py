@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_clusters",
     "dataset_split",
     "hash_sample",
+    "data_mixture",
     "pipeline_prepare",
     "text_repetition",
     "dedup_shared_spans",

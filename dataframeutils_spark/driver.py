@@ -310,6 +310,18 @@ def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shared_span_stats(load_table(spark, sf_dir, "documents"))
 
 
+MIXTURE_RATES = {"en": 30, "de": 60}
+
+
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling audit (the data-mixture
+    rebalancing op: keep 30 % of en, 60 % of de, everything else) —
+    hash-bucket assignment, zero shuffle, integer-exact."""
+    return sampling.stratified_sample_summary(
+        load_table(spark, sf_dir, "documents"), rates=MIXTURE_RATES
+    )
+
+
 def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation (quality filter → language filter
     → exact dedup → split assignment) composed as ONE plan: a single
@@ -938,6 +950,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
+        "data_mixture": q_data_mixture,
         "pipeline_prepare": q_pipeline_prepare,
         "text_repetition": q_text_repetition,
         "dedup_shared_spans": q_dedup_shared_spans,
@@ -990,6 +1003,7 @@ def all_oracles() -> dict[str, str]:
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
+        "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),
         "pipeline_prepare": pipeline.prepare_corpus_summary_sql(),
         "text_repetition": _round_oracle_cols(
             text.repetition_stats_sql(), ["dup_ngram_ratio"]

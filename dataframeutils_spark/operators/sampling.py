@@ -151,6 +151,77 @@ def hash_sample_summary(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 100,
+    salt: str = "mix",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-MIXTURE op: keep
+    ``rates[stratum]`` percent of each stratum (default ``default_pct``
+    for unlisted strata). Rebalancing overrepresented languages/sources
+    before training is the canonical use.
+
+    Same hash-bucket machinery as :func:`hash_sample`, so all its
+    properties carry over: order/partitioning-independent, stable across
+    reruns and engines, nested across rates per stratum, and growing the
+    corpus never reassigns an existing id. Scan-side filter — zero
+    shuffle.
+    """
+    m = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    pct = F.coalesce(m[F.col(strat_col)], F.lit(default_pct))
+    return df.filter(_bucket(F.col(id_col), salt, portable) < pct)
+
+
+def stratified_sample_summary(
+    df: DataFrame,
+    rates: dict[str, int],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    default_pct: int = 100,
+    salt: str = "mix",
+    portable: bool = True,
+) -> DataFrame:
+    """Mixture audit: per stratum — (stratum, rate_pct, n_total, n_kept,
+    kept_chars). Integer-exact; one map-side-combinable groupBy."""
+    m = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    pct = F.coalesce(m[F.col(strat_col)], F.lit(default_pct))
+    kept = _bucket(F.col(id_col), salt, portable) < pct
+    return df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.max(pct).cast("long").alias("rate_pct"),
+        F.count("*").alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col(size_col)).otherwise(F.lit(0))).alias("kept_chars"),
+    )
+
+
+def stratified_sample_summary_sql(
+    rates: dict[str, int],
+    table: str = "documents",
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    default_pct: int = 100,
+    salt: str = "mix",
+) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in rates.items())
+    pct = f"(CASE {strat_col} {whens} ELSE {default_pct} END)"
+    b = _bucket_sql(id_col, salt)
+    return f"""
+SELECT {strat_col} AS stratum,
+       CAST(max({pct}) AS BIGINT) AS rate_pct,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN {b} < {pct} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN {b} < {pct} THEN {size_col} ELSE 0 END) AS BIGINT) AS kept_chars
+FROM {table}
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL builders (portable hash only)
 # ---------------------------------------------------------------------------

@@ -320,6 +320,7 @@ def test_ann_topk_dim_param_matches_probe(spark):
         "dedup_clusters",
         "dataset_split",
         "hash_sample",
+        "data_mixture",
         "pipeline_prepare",
         "text_repetition",
         "dedup_shared_spans",
@@ -410,3 +411,24 @@ def test_shared_span_stats_flags_copied_passage(spark):
     assert got[1]["max_span_df"] == 2
     # doc 3 shares nothing
     assert got[3]["n_shared_spans"] == 0 and got[3]["max_span_df"] == 1
+
+
+def test_stratified_sample_is_nested_and_respects_rates(spark):
+    """Per-stratum rates apply independently; samples stay nested when a
+    stratum's rate grows (scaling-law comparability across mixtures)."""
+    from dataframeutils_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    small = sampling.stratified_hash_sample(docs, {"en": 10}, default_pct=50)
+    big = sampling.stratified_hash_sample(docs, {"en": 40}, default_pct=50)
+    # nested: every doc kept at en=10 is kept at en=40 (same salt)
+    assert small.join(big, "doc_id", "left_anti").count() == 0
+    # non-en strata identical across the two mixtures
+    a = small.filter("lang <> 'en'").select("doc_id")
+    b = big.filter("lang <> 'en'").select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # en kept-fraction lands near the requested rate
+    n_en = docs.filter("lang = 'en'").count()
+    if n_en > 50:
+        frac = big.filter("lang = 'en'").count() / n_en
+        assert 0.25 < frac < 0.55
