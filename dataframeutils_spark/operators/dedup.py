@@ -432,7 +432,14 @@ def connected_components(
         merged = stage.select(
             "node", "label", F.col("mid_label").alias("new_label")
         ).localCheckpoint()
-        changed = merged.filter(F.col("label") != F.col("new_label")).limit(1).count()
+        # skip the round-0 probe: any edge between distinct nodes lowers
+        # a label in round 0, so it cannot have converged yet (a
+        # degenerate self-loop-only graph just runs one extra cheap
+        # round) — one fewer Spark job per call
+        if round_idx == 0:
+            changed = 1
+        else:
+            changed = merged.filter(F.col("label") != F.col("new_label")).limit(1).count()
         labels = merged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
