@@ -45,6 +45,7 @@ HEADLINE = [
     "data_mixture",
     "pipeline_prepare",
     "text_repetition",
+    "lm_quality",
     "dedup_shared_spans",
     "topk_terms",
     "tfidf_topterms",

@@ -304,6 +304,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per doc (CCNet-style model-based
+    quality filtering): train (bounded top-N count tables) + score in
+    one exactly-oracle-checked plan."""
+    return round_floats(
+        text.ngram_lm_score(load_table(spark, sf_dir, "documents")), all_dec=True
+    )
+
+
 def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc exact long-span sharing (substring-dedup signal);
     spans hashed scan-side so only 8-byte keys shuffle."""
@@ -953,6 +962,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mixture": q_data_mixture,
         "pipeline_prepare": q_pipeline_prepare,
         "text_repetition": q_text_repetition,
+        "lm_quality": q_lm_quality,
         "dedup_shared_spans": q_dedup_shared_spans,
         "topk_terms": q_topk_terms,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1008,6 +1018,7 @@ def all_oracles() -> dict[str, str]:
         "text_repetition": _round_oracle_cols(
             text.repetition_stats_sql(), ["dup_ngram_ratio"]
         ),
+        "lm_quality": _round_oracle_cols(text.ngram_lm_score_sql(), ["avg_logprob"]),
         "dedup_shared_spans": dedup.shared_span_stats_sql(),
         "topk_terms": text.topk_terms_sql(k=50),
         "tfidf_topterms": text.tfidf_topterms_sql(k=3),

@@ -129,6 +129,123 @@ FROM {table}
 """
 
 
+def ngram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_top: int = 50_000,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document:
+    (doc_id, n_bigrams, avg_logprob).
+
+    The model-based quality signal pretraining pipelines run after the
+    cheap heuristics (CCNet-style: score text against an in-domain LM;
+    outliers on either tail are boilerplate or garbage). Two passes,
+    both bounded: (1) train — corpus unigram/bigram counts, keep the
+    top ``n_top`` of each by (count desc, term asc) so the LM table
+    stays broadcastable no matter the corpus size; (2) score —
+    re-tokenize and average add-k-smoothed ``ln P(w2|w1) =
+    ln((C12 + k) / (C1 + k·V))`` over each doc's bigrams, with OOV
+    counts 0 (V = distinct corpus unigram count, computed in-plan).
+
+    Plan shape: explode → two map-side-combinable count groupBys →
+    TakeOrdered caps → BROADCAST joins back onto the per-doc bigram
+    stream → one groupBy(doc). The only full-width shuffles carry
+    (token-pair, count) rows; the LM itself never exceeds ``n_top``
+    rows. Everything is deterministic closed-form double math, so the
+    whole two-pass train+score pipeline is exactly oracle-checkable.
+    """
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bi = tokd.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    doc_uni = tokd.select("doc_id", F.explode(toks).alias("w")).filter(
+        F.length("w") > 0
+    )
+
+    uni_counts = doc_uni.groupBy("w").agg(F.count("*").alias("c1"))
+    # in-plan scalar V (distinct unigrams) — no driver-side action
+    v_df = uni_counts.agg(F.count("*").cast("double").alias("v"))
+    top_uni = uni_counts.orderBy(F.col("c1").desc(), F.col("w")).limit(n_top)
+    top_bi = (
+        doc_bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .orderBy(F.col("c12").desc(), F.col("w1"), F.col("w2"))
+        .limit(n_top)
+    )
+
+    k = F.lit(float(k_smooth))
+    scored = (
+        doc_bi.join(F.broadcast(top_bi), ["w1", "w2"], "left")
+        .join(F.broadcast(top_uni.withColumnRenamed("w", "w1")), ["w1"], "left")
+        .crossJoin(F.broadcast(v_df))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + k)
+                / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + k * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_logprob")
+    )
+
+
+def ngram_lm_score_sql(
+    table: str = "documents", n_top: int = 50_000, k_smooth: float = 0.5
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM {table}
+), bi AS (
+  SELECT doc_id, u.bg.w1 AS w1, u.bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                                           i -> {{'w1': toks[i], 'w2': toks[i + 1]}})
+                       ELSE [] END) AS bg
+    FROM tok) u
+), uni AS (
+  SELECT doc_id, u.w AS w FROM (
+    SELECT doc_id, unnest(toks) AS w FROM tok) u
+  WHERE length(u.w) > 0
+), uc AS (
+  SELECT w, count(*) AS c1 FROM uni GROUP BY w
+), v AS (
+  SELECT count(*)::DOUBLE AS v FROM uc
+), top_uni AS (
+  SELECT w, c1 FROM uc ORDER BY c1 DESC, w LIMIT {n_top}
+), top_bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+  ORDER BY c12 DESC, w1, w2 LIMIT {n_top}
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       avg(ln((coalesce(tb.c12, 0)::DOUBLE + {k_smooth})
+              / (coalesce(tu.c1, 0)::DOUBLE + {k_smooth} * v.v))) AS avg_logprob
+FROM bi b
+LEFT JOIN top_bi tb ON tb.w1 = b.w1 AND tb.w2 = b.w2
+LEFT JOIN top_uni tu ON tu.w = b.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+"""
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

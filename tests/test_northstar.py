@@ -323,6 +323,7 @@ def test_ann_topk_dim_param_matches_probe(spark):
         "data_mixture",
         "pipeline_prepare",
         "text_repetition",
+        "lm_quality",
         "dedup_shared_spans",
         "topk_terms",
         "tfidf_topterms",
@@ -432,3 +433,18 @@ def test_stratified_sample_is_nested_and_respects_rates(spark):
     if n_en > 50:
         frac = big.filter("lang = 'en'").count() / n_en
         assert 0.25 < frac < 0.55
+
+
+def test_ngram_lm_score_ranks_indomain_above_gibberish(spark):
+    """A doc made of the corpus's common bigrams must score a higher
+    average log-probability than a doc of unique gibberish."""
+    from dataframeutils_spark.operators import text as T
+
+    base = [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(20)]
+    docs = base + [
+        (100, "the cat sat on the mat"),                  # in-domain
+        (101, "zq xv bnm qwerty zzz plok mnbv xsw"),      # gibberish
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in T.ngram_lm_score(df).collect()}
+    assert got[100] > got[101]
