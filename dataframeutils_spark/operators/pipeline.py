@@ -39,6 +39,7 @@ def prepare_corpus(
     docs: DataFrame,
     min_quality: float = 0.3,
     langs: tuple[str, ...] = ("en",),
+    max_repetition: float | None = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
     train_pct: int = 80,
@@ -50,23 +51,39 @@ def prepare_corpus(
     quality, lang_pred, split).
 
     A doc survives iff round(quality, 6) >= min_quality, its predicted
-    language is in ``langs``, and it is the canonical (min-id) copy of
-    its exact-duplicate group *among survivors* — dedup after filtering,
-    as pipelines run it (a high-quality dup of a filtered-out doc must
-    survive).
+    language is in ``langs``, its within-doc 3-gram repetition ratio is
+    <= ``max_repetition`` (degenerate-text gate; ``None`` disables),
+    and it is the canonical (min-id) copy of its exact-duplicate group
+    *among survivors* — dedup after filtering, as pipelines run it (a
+    high-quality dup of a filtered-out doc must survive). All three
+    heuristic gates evaluate inside the same scan projection.
     """
-    stats = text_stat_columns(text_col)
-    lang = language_id_columns(text_col)
-    enriched = docs.select(
+    from dataframeutils_spark.operators.text import repetition_columns
+
+    stats = text_stat_columns("text")
+    lang = language_id_columns("text")
+    rep = repetition_columns(F.col("__toks"))
+    # token array materialized in its own projection first: the n-gram
+    # transform lambda re-evaluates free subexpressions per element, so
+    # the repetition columns must consume a bound alias (see
+    # text.repetition_columns)
+    tokd = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
+        F.split(F.col(text_col), r"\s+").alias("__toks"),
+    )
+    enriched = tokd.select(
+        "doc_id",
+        "text",
         F.round(stats["quality"], QUALITY_DECIMALS).alias("quality"),
         stats["n_chars"].alias("n_chars"),
         lang["lang_pred"].alias("lang_pred"),
+        F.round(rep["dup_ngram_ratio"], QUALITY_DECIMALS).alias("rep_ratio"),
     )
-    filtered = enriched.filter(
-        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
-    )
+    gate = (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
+    if max_repetition is not None:
+        gate = gate & (F.col("rep_ratio") <= max_repetition)
+    filtered = enriched.filter(gate)
     # keep-first exact dedup among survivors: one shuffle keyed on the
     # 32-hex md5, never on text
     w = Window.partitionBy(F.md5(F.col("text")))
@@ -109,28 +126,39 @@ def prepare_corpus_summary_sql(
     table: str = "documents",
     min_quality: float = 0.3,
     langs: tuple[str, ...] = ("en",),
+    max_repetition: float | None = 0.8,
     train_pct: int = 80,
     val_pct: int = 10,
     salt: str = "split",
 ) -> str:
-    """DuckDB oracle for :func:`prepare_corpus_summary` — the same four
+    """DuckDB oracle for :func:`prepare_corpus_summary` — the same
     stages as CTEs over the same table."""
     from dataframeutils_spark.operators.sampling import _bucket_sql
-    from dataframeutils_spark.operators.text import language_id_sql, text_stats_sql
+    from dataframeutils_spark.operators.text import (
+        language_id_sql,
+        repetition_stats_sql,
+        text_stats_sql,
+    )
 
     lang_list = ", ".join(f"'{l}'" for l in langs)
     b = _bucket_sql("doc_id", salt)
+    rep_gate = (
+        f" AND rep_ratio <= {max_repetition}" if max_repetition is not None else ""
+    )
     return f"""
 WITH ts AS ({text_stats_sql(table)}),
 li AS ({language_id_sql(table)}),
+rp AS ({repetition_stats_sql(table)}),
 enr AS (
   SELECT d.doc_id, d.text, round(ts.quality, {QUALITY_DECIMALS}) AS quality,
-         ts.n_chars, li.lang_pred
+         ts.n_chars, li.lang_pred,
+         round(rp.dup_ngram_ratio, {QUALITY_DECIMALS}) AS rep_ratio
   FROM {table} d JOIN ts USING (doc_id) JOIN li USING (doc_id)
+                 JOIN rp USING (doc_id)
 ),
 filt AS (
   SELECT * FROM enr
-  WHERE quality >= {min_quality} AND lang_pred IN ({lang_list})
+  WHERE quality >= {min_quality} AND lang_pred IN ({lang_list}){rep_gate}
 ),
 ded AS (
   SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM filt

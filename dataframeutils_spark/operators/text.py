@@ -246,6 +246,32 @@ GROUP BY b.doc_id
 """
 
 
+def repetition_columns(toks: Column, n: int = 3) -> dict[str, Column]:
+    """The :func:`repetition_stats` measures as named expressions over a
+    BOUND token-array column. ``toks`` must reference a materialized
+    alias (its own projection), never an inline ``split(...)`` — the
+    n-gram ``transform`` lambda treats it as a free subexpression and
+    would re-evaluate it once PER ELEMENT (the O(tokens²) cliff
+    documented at ``operators.dedup.shingles``)."""
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_ngrams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        n_ngrams > 0, F.lit(1.0) - n_distinct.cast("double") / n_ngrams
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_ngrams": n_ngrams,
+        "n_distinct_ngrams": n_distinct,
+        "dup_ngram_ratio": ratio,
+    }
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -259,30 +285,13 @@ def repetition_stats(
     explode, no shuffle, pipelines into the scan like
     :func:`text_stats`.
     """
-    # token array materialized in its own projection — HOF lambdas
-    # re-evaluate free subexpressions per element (see operators.dedup
-    # shingles for the measured cliff)
     tokd = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
     )
-    toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = tokd.select(
-        "doc_id",
-        F.size(grams).alias("n_ngrams"),
-        F.size(F.array_distinct(grams)).alias("n_distinct_ngrams"),
+    cols = repetition_columns(F.col("toks"), n=n)
+    return tokd.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
-    ratio = F.when(
-        F.col("n_ngrams") > 0,
-        F.lit(1.0) - F.col("n_distinct_ngrams").cast("double") / F.col("n_ngrams"),
-    ).otherwise(F.lit(0.0))
-    return out.select("doc_id", "n_ngrams", "n_distinct_ngrams", ratio.alias("dup_ngram_ratio"))
 
 
 def repetition_stats_sql(table: str = "documents", n: int = 3) -> str:
