@@ -276,6 +276,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) duplicate cluster resolution:
+    transitive closure over near-dup pairs via the same pointer-doubling
+    connected components as the text path."""
+    return dedup.embedding_dup_clusters(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup cluster resolution over the LSH pair graph
     (connected components) — the keep/drop decision step after pair
@@ -957,6 +966,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
         "data_mixture": q_data_mixture,
@@ -1011,6 +1021,7 @@ def all_oracles() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_near_sql(),
         "dedup_embedding": _round_oracle_cols(dedup.embedding_dup_sql(), ["cos_sim"]),
         "dedup_clusters": dedup.dedup_clusters_sql(),
+        "dedup_embedding_clusters": dedup.embedding_dup_clusters_sql(),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

@@ -551,6 +551,62 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Transitive cluster resolution over embedding-cosine near-dup
+    pairs: (vec_id, cluster_id, cluster_size, is_canonical) — the
+    semantic-duplicate analogue of :func:`dedup_clusters` (A≈B, B≈C ⇒
+    one cluster even if A,C never pair directly; canonical = min id).
+
+    Edges here come from the guarded all-pairs exactness baseline
+    (:func:`embedding_dup_pairs`), which keeps the query fully
+    oracle-checkable; at 100 TB feed the SAME connected-components
+    resolver with ANN/IVF-blocked pairs instead (operators.similarity)
+    — the cluster step is identical either way and only ever shuffles
+    the edge table.
+    """
+    pairs = embedding_dup_pairs(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col, max_rows=max_rows
+    )
+    comp = connected_components(pairs, src_col="vec_a", dst_col="vec_b")
+    size = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(size, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def embedding_dup_clusters_sql(table: str = "embeddings", threshold: float = 0.45) -> str:
+    """Recursive-CTE closure over the embedding near-dup pairs — same
+    shape as :func:`dedup_clusters_sql`."""
+    return f"""
+WITH RECURSIVE pairs AS ({embedding_dup_sql(table, threshold)}),
+sym AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+),
+lab AS (
+  SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM lab
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL builders (portable-hash pipelines only)
 # ---------------------------------------------------------------------------

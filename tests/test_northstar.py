@@ -318,6 +318,7 @@ def test_ann_topk_dim_param_matches_probe(spark):
         "similarity_ann",
         "similarity_ivf",
         "dedup_clusters",
+        "dedup_embedding_clusters",
         "dataset_split",
         "hash_sample",
         "data_mixture",
