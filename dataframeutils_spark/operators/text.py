@@ -248,18 +248,25 @@ GROUP BY b.doc_id
 
 def repetition_columns(toks: Column, n: int = 3) -> dict[str, Column]:
     """The :func:`repetition_stats` measures as named expressions over a
-    BOUND token-array column. ``toks`` must reference a materialized
-    alias (its own projection), never an inline ``split(...)`` — the
-    n-gram ``transform`` lambda treats it as a free subexpression and
-    would re-evaluate it once PER ELEMENT (the O(tokens²) cliff
-    documented at ``operators.dedup.shingles``)."""
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    token-array column.
+
+    The n-gram array is built with ``zip_with`` over ``slice`` views
+    instead of a ``transform`` over indices ON PURPOSE: HOF *inputs*
+    are evaluated once, but a lambda body re-evaluates its free
+    subexpressions per element — and the optimizer's filter pushdown
+    substitutes alias definitions into the lambda (an
+    ``element_at(toks, i+k)`` formulation became an inlined
+    ``split(text)`` per element per row after the pipeline's gate
+    filter pushed down: measured 2 s → 20 s at sf0.1). The zip_with
+    lambdas touch only lambda-bound variables, so they are immune to
+    inlining.
+    """
+    m = F.size(toks) - (n - 1)  # number of n-grams
+    views = [F.slice(toks, k + 1, m) for k in range(n)]
+    grams = views[0]
+    for v in views[1:]:
+        grams = F.zip_with(grams, v, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
     n_ngrams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
     ratio = F.when(
