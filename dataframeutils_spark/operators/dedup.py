@@ -381,6 +381,12 @@ def connected_components(
     and the convergence check is a metadata-cheap aggregate, not a
     collect.
     """
+    if max_iter < 2:
+        # the round-0 convergence probe is deliberately skipped (forced
+        # changed=1), so max_iter=1 would raise spuriously on an
+        # already-converged graph and max_iter=0 would silently return
+        # identity labels — both wrong, so fail loud at the boundary
+        raise ValueError(f"max_iter must be >= 2, got {max_iter}")
     sym = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )

@@ -26,6 +26,7 @@ corpora make hot buckets; cap re-rank fan-out per bucket upstream
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -267,33 +268,31 @@ def _bucketed_topk_from_sigs(
     return _rerank_topk(cand, corpus, k, id_col, vec_col, dim, arrow=arrow_rerank)
 
 
-def _cos_batch_udf():
+def _cos_batch_kernel(qv: pd.Series, nv: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine kernel: one numpy batch per Arrow chunk
-    instead of one interpreted lambda call per array element."""
-    import pandas as pd
+    instead of one interpreted lambda call per array element.
 
-    def cos_batch(qv: "pd.Series", nv: "pd.Series") -> "pd.Series":
-        import numpy as np
+    Module scope with real type hints so the modern ``pandas_udf``
+    inference path resolves the eval type (the deprecated
+    ``PandasUDFType.SCALAR`` enum form is slated for removal)."""
+    import numpy as np
 
-        # Arrow hands each cell over as an ndarray already — np.stack
-        # keeps the conversion in C (tolist() materializes python floats
-        # and measurably dominates the kernel)
-        q = np.stack(qv.to_numpy()).astype(np.float64, copy=False)
-        n = np.stack(nv.to_numpy()).astype(np.float64, copy=False)
-        dot = np.einsum("ij,ij->i", q, n)
-        den = np.sqrt(np.einsum("ij,ij->i", q, q)) * np.sqrt(
-            np.einsum("ij,ij->i", n, n)
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, dot / den, np.nan)
-        return pd.Series(out)
+    # Arrow hands each cell over as an ndarray already — np.stack
+    # keeps the conversion in C (tolist() materializes python floats
+    # and measurably dominates the kernel)
+    q = np.stack(qv.to_numpy()).astype(np.float64, copy=False)
+    n = np.stack(nv.to_numpy()).astype(np.float64, copy=False)
+    dot = np.einsum("ij,ij->i", q, n)
+    den = np.sqrt(np.einsum("ij,ij->i", q, q)) * np.sqrt(
+        np.einsum("ij,ij->i", n, n)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den > 0, dot / den, np.nan)
+    return pd.Series(out)
 
-    # explicit SCALAR eval type: the decorator's type-hint inference
-    # cannot resolve function-local annotations under
-    # `from __future__ import annotations`
-    from pyspark.sql.functions import PandasUDFType
 
-    return F.pandas_udf(cos_batch, "double", PandasUDFType.SCALAR)
+def _cos_batch_udf():
+    return F.pandas_udf(_cos_batch_kernel, "double")
 
 
 def _rerank_topk(
@@ -590,7 +589,10 @@ def _ivf_rerank_cogrouped(
     at oracle scale. BLAS accumulation order ≠ sequential fold in the
     last ulp → rows-only driver checks, like every arrow path.
     """
-    import pandas as pd
+    # the cogroup output schema must carry the CALLER's id type — a
+    # hardcoded `long` would cast-garble string/decimal ids that the
+    # fold path handles fine
+    id_dt = corpus.schema[id_col].dataType.simpleString()
 
     # distinct column names per side: both sides derive from the same
     # corpus/ranked lineage and would otherwise be an ambiguous self-join
@@ -634,12 +636,19 @@ def _ivf_rerank_cogrouped(
             out_q.extend([qids[i]] * len(cols))
             out_n.extend(nids[cols])
             out_c.extend(s[i, cols])
-        return pd.DataFrame({"qid": out_q, "nid": out_n, "cos_sim": out_c})
+        out = pd.DataFrame({"qid": out_q, "nid": out_n, "cos_sim": out_c})
+        # zero-norm vectors score NaN here but NULL on the fold path
+        # (try_divide) — and NaN sorts FIRST under desc() while NULL
+        # sorts last, so convert to keep the two paths rank-identical
+        sim = pd.Series(out_c, dtype="float64")
+        if sim.isna().any():
+            out["cos_sim"] = sim.astype(object).where(sim.notna(), None)
+        return out
 
     per_bucket = (
         qside.groupby("c_q")
         .cogroup(nside.groupby("c_n"))
-        .applyInPandas(bucket_topk, "qid long, nid long, cos_sim double")
+        .applyInPandas(bucket_topk, f"qid {id_dt}, nid {id_dt}, cos_sim double")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (

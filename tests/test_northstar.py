@@ -378,6 +378,24 @@ def test_ivf_arrow_rerank_matches_fold(spark):
     assert a.count() > 0
 
 
+def test_ivf_arrow_rerank_carries_caller_id_type(spark):
+    """The cogroup output schema must derive from the caller's id
+    column — a hardcoded `long` would cast-garble string ids."""
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(40)
+        .select(F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding")
+    )
+    out = similarity.ivf_topk(emb, k=3, n_probe=2, dim=64, arrow_rerank=True)
+    assert dict(out.dtypes)["query_id"] == "string"
+    rows = out.limit(5).collect()
+    assert rows and all(r["query_id"].startswith("doc-") for r in rows)
+
+
 def test_repetition_stats_counts_duplicate_ngrams(spark):
     from dataframeutils_spark.operators import text as T
 

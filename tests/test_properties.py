@@ -121,6 +121,18 @@ def test_connected_components_raises_when_unconverged(spark):
         dedup.connected_components(df, max_iter=2)
 
 
+def test_connected_components_rejects_tiny_max_iter(spark):
+    """max_iter<2 interacts wrongly with the skipped round-0 probe
+    (1 raises spuriously on converged graphs, 0 returns identity
+    labels) — both must be rejected at the boundary."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    for bad in (0, 1):
+        with pytest.raises(ValueError, match="max_iter"):
+            dedup.connected_components(df, max_iter=bad)
+
+
 @pytest.mark.parametrize(
     "direction,exact,tol",
     [
