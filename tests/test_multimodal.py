@@ -1,0 +1,108 @@
+"""Multimodal metadata decode: real pure-Python header parsers
+(PNG/JPEG/GIF/WAV) + the synthesize→parse→oracle roundtrip.
+
+Reference has no multimodal surface (SURVEY §2.3 north-star scope);
+the parsers implement the public container layouts (PNG spec IHDR,
+JPEG ISO/IEC 10918 marker segments, GIF89a block stream, RIFF/WAVE
+chunks) from their published byte offsets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from dataframeutils_spark.operators import multimodal as M
+from tests.conftest import assert_matches_oracle
+
+
+def test_png_synthesize_parse_roundtrip():
+    b = M.synthesize_png(37, 101)
+    md5, w, h, n = M._real_decode("image", b)
+    assert (w, h, n) == (37, 101, 1)
+    assert md5 == hashlib.md5(b).hexdigest()
+
+
+def test_wav_synthesize_parse_roundtrip():
+    b = M.synthesize_wav(11025, 2, 333)
+    _, rate, ch, n = M._real_decode("audio", b)
+    assert (rate, ch, n) == (11025, 2, 333)
+
+
+def test_wav_parse_survives_extra_chunks():
+    """Real-world WAVs carry LIST/INFO chunks before data — the chunk
+    walk must skip them, including the odd-size word-alignment pad."""
+    b = M.synthesize_wav(8000, 1, 10)
+    # splice a 5-byte (odd) LIST chunk between fmt and data
+    fmt_end = b.index(b"data")
+    spliced = b[:fmt_end] + b"LIST" + (5).to_bytes(4, "little") + b"INFOx\x00" + b[fmt_end:]
+    _, rate, ch, n = M._real_decode("audio", spliced)
+    assert (rate, ch, n) == (8000, 1, 10)
+
+
+def test_jpeg_sof_scan():
+    """Marker-walk vector: SOI + APP0(JFIF) + DQT + SOF0(160x120) —
+    the parser must skip the variable-length segments and read the
+    big-endian dims after SOF0's precision byte."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (120).to_bytes(2, "big")  # height
+        + (160).to_bytes(2, "big")  # width
+        + b"\x03" + bytes(9)
+    )
+    b = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+    _, w, h, n = M._real_decode("image", b)
+    assert (w, h, n) == (160, 120, 1)
+
+
+def test_jpeg_progressive_sof2_and_missing_sof():
+    sof2 = (
+        b"\xff\xc2"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (7).to_bytes(2, "big")
+        + (9).to_bytes(2, "big")
+        + b"\x03" + bytes(9)
+    )
+    _, w, h, _ = M._real_decode("image", b"\xff\xd8" + sof2 + b"\xff\xd9")
+    assert (w, h) == (9, 7)
+    with pytest.raises(ValueError, match="no SOF"):
+        M._parse_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_gif_parses_canvas_and_counts_frames():
+    """Two-frame GIF89a with a global color table and a graphic-control
+    extension per frame — frame count = image descriptors walked."""
+    lsd = (5).to_bytes(2, "little") + (3).to_bytes(2, "little") + bytes([0x80, 0, 0])
+    gct = bytes(6)  # 2-entry global table, 3 bytes each
+    gce = b"\x21\xf9\x04" + bytes(4) + b"\x00"
+    img = (
+        b"\x2c" + bytes(4)
+        + (5).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + b"\x00"  # no local color table
+        + b"\x02"  # LZW min code size
+        + b"\x02\x4c\x01" + b"\x00"  # one 2-byte data sub-block + terminator
+    )
+    b = b"GIF89a" + lsd + gct + gce + img + gce + img + b"\x3b"
+    _, w, h, n = M._real_decode("image", b)
+    assert (w, h, n) == (5, 3, 2)
+
+
+def test_unknown_container_raises():
+    with pytest.raises(NotImplementedError, match="PNG/JPEG/GIF/WAV"):
+        M._real_decode("video", b"\x00\x01\x02\x03not-a-container")
+
+
+def test_real_media_metadata_matches_oracle(spark, ddb):
+    """End-to-end exact check, same shape as the driver gate: synthesize
+    valid containers, parse with the real codecs, compare against the
+    SQL oracle that predicts the embedded header fields."""
+    from dataframeutils_spark import driver
+
+    out = driver.q_multimodal_real_meta(spark, "/root/testdata/sf0.001")
+    assert_matches_oracle(out, ddb, M.real_decode_metadata_sql())

@@ -53,6 +53,7 @@ def main() -> None:
 
     qs, os_ = E.queries(), E.oracle_sql()
     fails = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -64,16 +65,34 @@ def main() -> None:
                 want = normalize(con.execute(os_[name]).fetchdf())
                 err = compare(got, want)
                 status = "OK " if err is None else f"FAIL {err}"
+                results[name] = {"check": "exact", "ok": err is None,
+                                 "rows": len(got_pdf), "err": err}
             else:
                 status = f"ROWS-ONLY n={len(got_pdf)}" + (
                     " FAIL empty" if len(got_pdf) == 0 else ""
                 )
+                results[name] = {"check": "rows_only", "ok": len(got_pdf) > 0,
+                                 "rows": len(got_pdf), "err": None}
             if "FAIL" in status:
                 fails += 1
         except Exception as exc:
             status, fails = f"ERROR {type(exc).__name__}: {exc}", fails + 1
+            results[name] = {"check": "error", "ok": False, "rows": 0,
+                             "err": f"{type(exc).__name__}: {exc}"}
         print(f"{name:28s} {time.time()-t0:7.2f}s  {status}", flush=True)
     print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+    if not only:
+        # committable evidence for ALL registered queries — the external
+        # driver's CORRECTNESS_r{N}.json caps at 50 of them
+        import json
+
+        out = {"sf_dir": sf_dir, "n_queries": len(results),
+               "n_fail": fails, "results": results}
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "CORRECTNESS_LOCAL.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(f"# wrote {path}", flush=True)
     spark.stop()
     sys.exit(1 if fails else 0)
 

@@ -59,6 +59,12 @@ QUERIES = [
     "dedup_shared_spans",
     "session_overlap",
     "similarity_ivf_kmeans",
+    # round 4 additions (VERDICT r3 #8): bigram-LM scoring is the
+    # heaviest text pass (train + score in one plan), and the
+    # stream-stream join drain proves watermark-bounded state survives
+    # a 10M-event replay
+    "lm_quality",
+    "stream_join",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
