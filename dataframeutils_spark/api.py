@@ -52,8 +52,31 @@ def _head_deterministic(df: DataFrame):
     preview/plot of a >1000-row result would differ across runs; the
     reference's ``head(1000)`` is deterministic because pandas rows are
     ordered. Sorting the (small) result table restores that contract.
+
+    Only orderable columns participate in the sort: Spark raises
+    ``AnalysisException`` when ``orderBy`` hits a ``MapType`` (e.g.
+    ``events.props``), so those are skipped; if NO column is orderable
+    the plain ``limit()`` is the best available contract.
     """
-    return df.orderBy(*df.columns).limit(_MAX_HTML_ROWS).toPandas()
+    orderable = [
+        f.name for f in df.schema.fields if _is_orderable(f.dataType)
+    ]
+    if orderable:
+        return df.orderBy(*orderable).limit(_MAX_HTML_ROWS).toPandas()
+    return df.limit(_MAX_HTML_ROWS).toPandas()
+
+
+def _is_orderable(dt) -> bool:
+    """True iff Spark can sort on this type (no Map anywhere inside)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def save_plot(df: DataFrame, path: str, title: str | None = None) -> str:
@@ -203,7 +226,12 @@ class TimeSeriesStudy:
         acf = memory_ops.acf_hurst(self._long)
         lb = stat_tests.ljung_box_p(self._long)
         out = acf.join(lb, ["grp", "feature"], "left")
-        return self._sink(out, "memory_dependence", table, results_dir, plot=publish_plot)
+        self._sink(out, "memory_dependence", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_hurst(_head_deterministic(out), results_dir or self.default_results_dir)
+        return out
 
     def frequency_domain(
         self,
@@ -213,7 +241,14 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = stat_tests.frequency_domain(self._long, detrend=detrend)
-        return self._sink(out, "frequency_domain", table, results_dir, plot=publish_plot)
+        self._sink(out, "frequency_domain", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_dominant_frequency(
+                _head_deterministic(out), results_dir or self.default_results_dir
+            )
+        return out
 
     def cross_sectional_dispersion(
         self,
@@ -223,13 +258,25 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = panel_stats.cross_sectional_dispersion(self._long, feature)
-        return self._sink(out, f"cross_section_dispersion_{feature}", table, results_dir, plot=publish_plot)
+        self._sink(out, f"cross_section_dispersion_{feature}", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_dispersion(
+                _head_deterministic(out), feature, results_dir or self.default_results_dir
+            )
+        return out
 
     def predictability_ar1(
         self, publish_plot: bool = False, table: bool = False, results_dir: str | None = None
     ) -> DataFrame:
         out = panel_stats.predictability_ar1(self._long)
-        return self._sink(out, "predictability_ar1", table, results_dir, plot=publish_plot)
+        self._sink(out, "predictability_ar1", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_ar1(_head_deterministic(out), results_dir or self.default_results_dir)
+        return out
 
     def cross_feature_comparisons(
         self,
@@ -264,7 +311,24 @@ class TimeSeriesStudy:
                 self._wide, a, b, window=rolling_window
             )
         for name, df in out.items():
-            self._sink(df, name, table, results_dir, plot=publish_plot)
+            self._sink(df, name, table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            out_dir = results_dir or self.default_results_dir
+            lagged = out["lagged_corr"]
+            if wide_lagged_corr:
+                # the heatmap renderer consumes the long shape
+                lagged = cross_feature.lagged_cross_corr(self._wide, pairs, max_lag=max_lag)
+            plots.plot_lagged_corr(_head_deterministic(lagged), out_dir)
+            if pairs and "rolling_corr" in out:
+                plots.plot_rolling_corr_example(
+                    _head_deterministic(out["rolling_corr"]),
+                    pairs[0][0],
+                    pairs[0][1],
+                    out_dir,
+                    example_group=str(example_group) if example_group is not None else None,
+                )
         return out
 
     def regime_detection(
@@ -276,7 +340,14 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = ml_fits.regime_detection(self._long, feature, n_regimes=n_regimes)
-        return self._sink(out, f"regime_detection_{feature}", table, results_dir, plot=publish_plot)
+        self._sink(out, f"regime_detection_{feature}", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_regime_analysis(
+                _head_deterministic(out), feature, results_dir or self.default_results_dir
+            )
+        return out
 
     def volatility_analysis(
         self,
@@ -287,7 +358,17 @@ class TimeSeriesStudy:
         results_dir: str | None = None,
     ) -> DataFrame:
         out = ml_fits.volatility_analysis(self._long, feature, model_type)
-        return self._sink(out, f"volatility_{feature}", table, results_dir, plot=publish_plot)
+        self._sink(out, f"volatility_{feature}", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_volatility_analysis(
+                _head_deterministic(out),
+                feature,
+                model_type,
+                results_dir or self.default_results_dir,
+            )
+        return out
 
     def outlier_detection(
         self,
@@ -301,4 +382,97 @@ class TimeSeriesStudy:
             out = outlier_ops.zscore_outliers(self._long, feature)
         else:
             out = ml_fits.ml_outliers(self._long, feature, method)
-        return self._sink(out, f"outliers_{feature}_{method}", table, results_dir, plot=publish_plot)
+        self._sink(out, f"outliers_{feature}_{method}", table, results_dir)
+        if publish_plot:
+            from dataframeutils_spark import plots
+
+            plots.plot_outlier_analysis(
+                _head_deterministic(out), feature, method, results_dir or self.default_results_dir
+            )
+        return out
+
+    # -- reference-shaped summary dicts -------------------------------
+    # The engine methods return per-group DataFrames (the 100 TB-safe
+    # shape); the reference returns {stats, summary} dicts
+    # (`time_series_study.py:769-778, 871-879, 969-977`). These
+    # wrappers restore that return shape: ONE distributed aggregate
+    # per summary, then a single-row fetch — the summary is a
+    # driver-side scalar object by definition.
+
+    def regime_detection_summary(
+        self, feature: str, n_regimes: int = 2, **sink_kwargs: Any
+    ) -> dict[str, Any]:
+        """Reference ``regime_detection`` return shape (`:769-778`).
+
+        ``transition_matrices`` maps to the flattened per-group
+        ``p00``/``p11`` columns (canonical regime order — the
+        reference's full k×k matrix for k=2 is determined by them).
+        Failed fits (``regime_switches = -1`` sentinel) are excluded
+        from the averages, mirroring the reference, which only appends
+        rows for successful fits.
+        """
+        from pyspark.sql import functions as F
+
+        stats = self.regime_detection(feature, n_regimes, **sink_kwargs)
+        ok = stats.filter(F.col("regime_switches") >= 0)
+        row = ok.agg(
+            F.avg("regime_switches").alias("avg_switches"),
+            F.avg("regime_1_prob").alias("avg_regime_1_prob"),
+            F.avg("regime_2_prob").alias("avg_regime_2_prob"),
+        ).first()
+        return {
+            "regime_stats": stats,
+            "transition_matrices": stats.select("grp", "feature", "p00", "p11"),
+            "summary": {
+                "avg_switches": row["avg_switches"],
+                "avg_regime_1_prob": row["avg_regime_1_prob"],
+                "avg_regime_2_prob": row["avg_regime_2_prob"],
+            },
+        }
+
+    def volatility_analysis_summary(
+        self, feature: str, model_type: str = "GARCH", **sink_kwargs: Any
+    ) -> dict[str, Any]:
+        """Reference ``volatility_analysis`` return shape (`:871-879`):
+        ``vol_clustering`` is the reference's published threshold
+        semantics — mean persistence > 0.8; empty panels degrade to
+        0 / False exactly as the reference's ``if not vol_df.empty``."""
+        from pyspark.sql import functions as F
+
+        stats = self.volatility_analysis(feature, model_type, **sink_kwargs)
+        row = stats.filter(F.col("persistence").isNotNull()).agg(
+            F.avg("persistence").alias("avg_persistence"),
+            F.avg("avg_volatility").alias("avg_volatility"),
+        ).first()
+        avg_pers = row["avg_persistence"]
+        return {
+            "volatility_stats": stats,
+            "summary": {
+                "avg_persistence": avg_pers if avg_pers is not None else 0,
+                "avg_volatility": row["avg_volatility"] if row["avg_volatility"] is not None else 0,
+                "vol_clustering": bool(avg_pers is not None and avg_pers > 0.8),
+            },
+        }
+
+    def outlier_detection_summary(
+        self, feature: str, method: str = "isolation_forest", **sink_kwargs: Any
+    ) -> dict[str, Any]:
+        """Reference ``outlier_detection`` return shape (`:969-977`).
+        Failed fits (``n_outliers = -1`` sentinel) are excluded."""
+        from pyspark.sql import functions as F
+
+        stats = self.outlier_detection(feature, method, **sink_kwargs)
+        ok = stats.filter(F.col("n_outliers") >= 0)
+        row = ok.agg(
+            F.avg("outlier_rate").alias("avg_outlier_rate"),
+            F.sum((F.col("n_outliers") > 0).cast("long")).alias("groups_with_outliers"),
+            F.sum("n_outliers").alias("total_outliers"),
+        ).first()
+        return {
+            "outlier_stats": stats,
+            "summary": {
+                "avg_outlier_rate": row["avg_outlier_rate"],
+                "groups_with_outliers": row["groups_with_outliers"] or 0,
+                "total_outliers": row["total_outliers"] or 0,
+            },
+        }

@@ -55,6 +55,79 @@ def test_outlier_methods_dispatch(study):
     assert z.count() == 3
 
 
+def test_all_plot_families_render_one_png_each(study, tmp_path):
+    """O10 parity: every reference results-dir figure family renders
+    (`time_series_study.py:164-177, 247-284, 355-362, 418-431, 461-470,
+    510-521, 644-676, 979-1107`). Skipped when matplotlib is absent —
+    the env drops it some rounds; the raise contract is covered by
+    test_publish_plot_renders_png_or_raises."""
+    pytest.importorskip("matplotlib")
+    d = str(tmp_path)
+    study.memory_dependence(publish_plot=True, results_dir=d)
+    study.frequency_domain(publish_plot=True, results_dir=d)
+    study.cross_sectional_dispersion("feature_1", publish_plot=True, results_dir=d)
+    study.predictability_ar1(publish_plot=True, results_dir=d)
+    study.cross_feature_comparisons(max_lag=3, publish_plot=True, results_dir=d)
+    study.regime_detection("feature_1", publish_plot=True, results_dir=d)
+    study.volatility_analysis("feature_1", publish_plot=True, results_dir=d)
+    study.outlier_detection("feature_1", method="zscore", publish_plot=True, results_dir=d)
+    expected = [
+        "hurst_feature_1.png",
+        "dom_freq_feature_1.png",
+        "dispersion_feature_1.png",
+        "ar1_r2_feature_1.png",
+        "lagged_corr.png",
+        "rolling_corr_example.png",
+        "regime_detection_feature_1.png",
+        "volatility_analysis_garch_feature_1.png",
+        "outlier_detection_zscore_feature_1.png",
+    ]
+    for name in expected:
+        png = tmp_path / name
+        assert png.exists() and png.stat().st_size > 0, name
+
+
+def test_summary_dicts_match_reference_shape(study):
+    """The *_summary wrappers restore the reference's dict return shape
+    (`time_series_study.py:769-778, 871-879, 969-977`), including the
+    published vol_clustering = mean-persistence > 0.8 threshold."""
+    vol = study.volatility_analysis_summary("feature_1")
+    assert set(vol) == {"volatility_stats", "summary"}
+    vs = vol["summary"]
+    assert set(vs) == {"avg_persistence", "avg_volatility", "vol_clustering"}
+    assert vs["vol_clustering"] == (vs["avg_persistence"] > 0.8)
+
+    out = study.outlier_detection_summary("feature_1", method="zscore")
+    assert set(out) == {"outlier_stats", "summary"}
+    os_ = out["summary"]
+    assert set(os_) == {"avg_outlier_rate", "groups_with_outliers", "total_outliers"}
+    rows = out["outlier_stats"].collect()
+    assert os_["total_outliers"] == sum(r["n_outliers"] for r in rows)
+    assert os_["groups_with_outliers"] == sum(1 for r in rows if r["n_outliers"] > 0)
+
+    reg = study.regime_detection_summary("feature_1")
+    assert set(reg) == {"regime_stats", "transition_matrices", "summary"}
+    rs = reg["summary"]
+    assert set(rs) == {"avg_switches", "avg_regime_1_prob", "avg_regime_2_prob"}
+    assert {"grp", "feature", "p00", "p11"} == set(reg["transition_matrices"].columns)
+
+
+def test_table_sink_handles_unorderable_map_column(spark, tmp_path):
+    """_head_deterministic sorts only orderable columns: a MapType
+    column (e.g. events.props) must not blow up the CSV/HTML sink."""
+    df = spark.createDataFrame(
+        [(2, {"k": "v"}), (1, {"a": "b"})], "id long, props map<string,string>"
+    ).select("id", "props")
+    save_table(df.select("id", F.to_json("props").alias("props_json")), str(tmp_path / "j"))
+    # the map column itself flows through the preview path
+    from dataframeutils_spark.api import _head_deterministic
+
+    pdf = _head_deterministic(df)
+    assert list(pdf["id"]) == [1, 2]  # sorted by the orderable column
+    only_map = _head_deterministic(df.select("props"))
+    assert len(only_map) == 2  # falls back to plain limit()
+
+
 def test_table_sink_writes_csv_and_html(study, tmp_path):
     res = study.distribution_diagnostics(table=True, results_dir=str(tmp_path))
     assert res is not None
