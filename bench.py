@@ -40,6 +40,7 @@ HEADLINE = [
     "similarity_ann",
     "similarity_ivf",
     "similarity_ivf_kmeans",  # production config: kmeans quantizer + cogrouped Arrow re-rank (rows-only query)
+    "similarity_ivf_hier",  # two-level quantizer: the extreme-N assignment path (rows-only query)
     "dedup_clusters",
     "dataset_split",
     "hash_sample",

@@ -421,6 +421,25 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF — the extreme-N scale path: coarse
+    router (⌈√C⌉ groups) + fine assignment restricted to the probed
+    groups, so per-vector assignment work is ~√C·(1+coarse_probe)
+    folds instead of C, and the argmax shuffle shrinks by the same
+    factor. Approximate assignment (standard two-level semantics) →
+    rows-only; recall vs flat assignment pinned in pytest."""
+    return round_floats(
+        similarity.ivf_topk_hier(
+            load_table(spark, sf_dir, "embeddings"),
+            k=5,
+            n_probe=2,
+            coarse_probe=4,
+            dim=EMB_DIM,
+        ),
+        all_dec=True,
+    )
+
+
 def q_asof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature lookup: every event joined (as-of, per
     user) to the latest CLOSED hourly profile — the no-future-leakage
@@ -1012,6 +1031,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_ivf_hier": q_similarity_ivf_hier,
         "asof_profile": q_asof_profile,
         "asof_profile_forward": q_asof_profile_forward,
         "sales_by_nation": q_sales_by_nation,

@@ -378,6 +378,25 @@ def test_ivf_arrow_rerank_matches_fold(spark):
     assert a.count() > 0
 
 
+def test_ivf_hier_recall_vs_flat(spark):
+    """Two-level IVF is approximate by construction; pin its floor:
+    with coarse_probe=4 over hash-derived (structureless — worst case)
+    centroids, ≥75% of the flat assignment's top-k pairs must survive,
+    and every query keeps a full result set."""
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hier = similarity.ivf_topk_hier(emb, k=5, n_probe=2, coarse_probe=4, dim=64)
+    flat = similarity.ivf_topk(emb, k=5, n_probe=2, dim=64, arrow_rerank=True)
+    h = {(r["query_id"], r["neighbor_id"]) for r in hier.collect()}
+    f = {(r["query_id"], r["neighbor_id"]) for r in flat.collect()}
+    assert len(h & f) / len(f) >= 0.75
+    n_queries = hier.select("query_id").distinct().count()
+    assert n_queries == emb.count()
+
+
 def test_ivf_arrow_rerank_carries_caller_id_type(spark):
     """The cogroup output schema must derive from the caller's id
     column — a hardcoded `long` would cast-garble string ids."""

@@ -65,6 +65,10 @@ QUERIES = [
     # a 10M-event replay
     "lm_quality",
     "stream_join",
+    # two-level IVF: at 100x (C≈1600, C1=40) assignment does ~8x fewer
+    # folds and shuffles ~8x fewer rows than the flat N×C scan —
+    # compare directly against similarity_ivf above
+    "similarity_ivf_hier",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
