@@ -48,6 +48,12 @@ HEADLINE = [
     "pipeline_prepare",
     "text_repetition",
     "lm_quality",
+    "decontaminate",
+    "pii_scrub",
+    "quality_rules",
+    "countmin_profile",
+    "inverted_index",
+    "embedding_dim_stats",
     "dedup_shared_spans",
     "topk_terms",
     "tfidf_topterms",

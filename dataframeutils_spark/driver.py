@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 
 from dataframeutils_spark import oracles
 from dataframeutils_spark.operators import (
+    cleaning,
     cross_feature,
     dedup,
     memory,
@@ -26,6 +27,7 @@ from dataframeutils_spark.operators import (
     pipeline,
     sampling,
     similarity,
+    sketches,
     stat_tests,
     text,
     weighted_bins,
@@ -359,8 +361,106 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topterms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def q_countmin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter audit: exact top-k counts vs the sketch's
+    min-over-rows estimate, overcount >= 0 checked row-by-row by the
+    oracle. width=16 is sized to the synthetic corpus's 31-term
+    vocabulary so the collision path is actually exercised (production
+    widths are thousands; the shuffle stays depth*width cells either
+    way)."""
+    return sketches.countmin_profile(
+        load_table(spark, sf_dir, "documents"), k=50, depth=4, width=16
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> bounded posting list with exact df; bottom-k postings
+    resolved in two salted phases so hot terms never funnel a full
+    list through one task."""
+    return sketches.inverted_index(
+        load_table(spark, sf_dir, "documents"), max_postings=20, min_df=2
+    )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments; shuffle = tasks x D partial
+    rows via map-side combine."""
+    return round_floats(
+        sketches.embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(text.text_stats(load_table(spark, sf_dir, "documents")), all_dec=True)
+
+
+_BENCH_SOURCES = ("src0", "src1")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs from src0/src1 act as the
+    held-out eval suite; every other document is scored for distinct
+    trigram overlap against it. Benchmark gram set is broadcast, so
+    the corpus side never shuffles text."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin(*_BENCH_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return round_floats(
+        cleaning.decontaminate(corpus, bench, n=3), all_dec=True
+    )
+
+
+# Deterministic PII fixture: the synthetic corpus contains no organic
+# emails/phones/IPs, so the query plants them from doc_id (every 7th
+# doc) identically in Spark and the DuckDB oracle — the regexes are
+# then exercised against real positive AND negative rows.
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or +1 555 01"),
+        (d % 89).cast("string"),
+        F.lit(" at 10."),
+        (d % 256).cast("string"),
+        F.lit(".0.1 now"),
+    )
+    return docs.withColumn(
+        "text", F.when(d % 7 == 0, injected).otherwise(F.col("text"))
+    )
+
+
+PII_INJECT_SQL = """(
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or +1 555 01' || CAST(doc_id % 89 AS VARCHAR)
+                 || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now'
+            ELSE text END AS text
+FROM documents
+) pii_src"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cleaning.pii_scrub(
+        _pii_injected(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Thresholds scaled to the synthetic corpus (10-99 tokens, tiny
+    # vocabulary) so the rule booleans and ``passes`` split the data
+    # instead of collapsing to a constant: min 30 words, >=1 distinct
+    # stopword. Gopher-paper defaults stay the operator defaults.
+    return round_floats(
+        cleaning.quality_rules(
+            load_table(spark, sf_dir, "documents"),
+            min_words=30,
+            min_distinct_stopwords=1,
+        ),
+        all_dec=True,
+    )
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,7 +1088,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "stream_join": q_stream_join,
         "events_value_profile": q_events_value_profile,
-        "events_value_profile_approx": q_events_value_profile_approx,
         "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
@@ -996,6 +1095,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionized": q_stream_sessionized,
         "stream_user_profile": q_stream_user_profile,
         "stream_dedup": q_stream_dedup,
+        # --- new in round 4: never driver-verified, go next ---
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "quality_rules": q_quality_rules,
+        "countmin_profile": q_countmin_profile,
+        "inverted_index": q_inverted_index,
+        "embedding_dim_stats": q_embedding_dim_stats,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
@@ -1006,9 +1112,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "mutual_info": q_mutual_info,
         "zscore_outliers": q_zscore_outliers,
-        "stationarity": q_stationarity,
-        "volatility_garch": q_volatility_garch,
-        "outliers_iforest": q_outliers_iforest,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1039,6 +1142,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified rows-only variants; excluded by the
         # 50-query cap this round, promote next round ---
+        "stationarity": q_stationarity,
+        "volatility_garch": q_volatility_garch,
+        "outliers_iforest": q_outliers_iforest,
         "stationarity_summary": q_stationarity_summary,
         "memory_dependence": q_memory_dependence,
         "frequency_domain": q_frequency_domain,
@@ -1050,6 +1156,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_lof": q_outliers_lof,
         "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "events_value_profile_approx": q_events_value_profile_approx,
     }
 
 
@@ -1089,6 +1196,33 @@ def all_oracles() -> dict[str, str]:
             ["punct_ratio", "stopword_ratio", "upper_ratio", "mean_token_len", "quality"],
         ),
         "language_id": _round_oracle_cols(text.language_id_sql(), ["lang_score"]),
+        "decontaminate": _round_oracle_cols(
+            cleaning.decontaminate_sql(
+                bench_pred="source IN ('src0', 'src1')", n=3
+            ),
+            ["contamination_ratio"],
+        ),
+        "pii_scrub": cleaning.pii_scrub_sql(table=PII_INJECT_SQL),
+        "countmin_profile": sketches.countmin_profile_sql(k=50, depth=4, width=16),
+        "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),
+        "embedding_dim_stats": (
+            "SELECT * REPLACE ("
+            + ", ".join(
+                f"{siground_sql(c)} AS {c}"
+                for c in ("mean", "std", "vmin", "vmax")
+            )
+            + f") FROM (\n{sketches.embedding_dim_stats_sql()}\n)"
+        ),
+        "quality_rules": _round_oracle_cols(
+            cleaning.quality_rules_sql(min_words=30, min_distinct_stopwords=1),
+            [
+                "mean_word_len",
+                "symbol_ratio",
+                "bullet_line_ratio",
+                "ellipsis_line_ratio",
+                "alpha_word_ratio",
+            ],
+        ),
         "fingerprint": text.fingerprint_sql(),
         "similarity_topk": _round_oracle_cols(similarity.brute_force_topk_sql(k=5), ["cos_sim"]),
         "similarity_ann": _round_oracle_cols(

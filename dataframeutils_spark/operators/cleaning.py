@@ -1,0 +1,386 @@
+"""Corpus-cleaning operators for large-scale training-data pipelines.
+
+No counterpart in the reference (SURVEY §2.3) — these are the standard
+pre-training gates a 100 TB pipeline applies between raw ingest and
+tokenization, all fully native (no Python in the hot path) and exactly
+oracle-checkable against DuckDB:
+
+* :func:`decontaminate` — benchmark decontamination: flag corpus
+  documents whose token n-grams overlap a held-out benchmark set (the
+  train/test-leak check every published pipeline runs before training).
+* :func:`pii_scrub` — PII detection + redaction (emails / phone
+  numbers / IPv4 addresses) with per-document hit counts, via chained
+  ``regexp_replace`` in a regex subset shared by Java and RE2.
+* :func:`quality_rules` — Gopher-style document quality rules (Rae et
+  al. 2021, public): word-count bounds, mean-word-length bounds,
+  symbol-to-word ratio, bullet/ellipsis line ratios, alphabetic-word
+  ratio, minimum stopword evidence — one boolean column per rule plus
+  the conjunction.
+
+Scale notes:
+
+* :func:`pii_scrub` and :func:`quality_rules` are scan-side
+  projections — zero shuffle, whole-stage codegen, pipelined into the
+  parquet scan with only ``text`` read.
+* :func:`decontaminate` shuffles exploded n-grams once to join the
+  benchmark gram set. The benchmark side (an eval suite) is tiny
+  relative to the corpus — it is distinct-ed and broadcast, so the
+  corpus side never shuffles at all with ``broadcast_benchmark=True``
+  (the default): the plan is scan → explode → broadcast-hash-join →
+  partial count → final count, with the only exchange carrying
+  (doc_id, count) partials. With ``hash_grams=True`` (production) the
+  join key is an 8-byte xxhash64 instead of the gram string, so even
+  the non-broadcast fallback shuffles fixed-width keys, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.text import (
+    LANG_STOPWORDS,
+    ngram_array,
+    ngram_array_sql,
+)
+
+# --------------------------------------------------------------------------
+# Decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap contamination.
+
+    Output: (doc_id, n_grams, n_hit_grams, contamination_ratio,
+    contaminated) — one row per corpus document; ``n_grams`` counts the
+    document's DISTINCT token ``n``-grams, ``n_hit_grams`` how many of
+    those appear anywhere in ``benchmark``, and ``contaminated`` is
+    ``contamination_ratio >= threshold``.
+
+    ``hash_grams=True`` joins on ``xxhash64(gram)`` instead of the gram
+    string — the production path at scale (8-byte shuffle keys; xxhash64
+    has no DuckDB equivalent so that variant is rows-only at the
+    oracle, like minhash's xxhash path).
+    """
+    gram_key = (
+        (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    )
+
+    def doc_grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), r"\s+")
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(ngram_array(toks, n)).alias("grams"),
+        )
+
+    bench_grams = (
+        doc_grams(benchmark)
+        .select(F.explode("grams").alias("gram"))
+        .select(gram_key(F.col("gram")).alias("gkey"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+
+    corpus_grams = doc_grams(corpus)
+    per_doc = corpus_grams.select("doc_id", F.size("grams").alias("n_grams"))
+    hits = (
+        corpus_grams.select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", gram_key(F.col("gram")).alias("gkey"))
+        .join(bench_grams.withColumn("hit", F.lit(1)), "gkey", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_hit_grams"))
+    )
+    # docs with < n tokens explode to zero gram rows and miss the hits
+    # aggregate entirely — coalesce BEFORE the ratio or they'd come
+    # back NULL-contaminated instead of clean
+    n_hits = F.coalesce("n_hit_grams", F.lit(0))
+    ratio = n_hits.cast("double") / F.greatest(F.col("n_grams"), F.lit(1))
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hits.alias("n_hit_grams"),
+            ratio.alias("contamination_ratio"),
+            (ratio >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    bench_pred: str = "source IN ('src0', 'src1')",
+    n: int = 5,
+    threshold: float = 0.05,
+) -> str:
+    """DuckDB oracle: corpus = rows NOT matching ``bench_pred``."""
+    grams = ngram_array_sql("toks", n)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ({bench_pred}) AS is_bench,
+         string_split_regex(text, '\\s+') AS toks
+  FROM {table}
+), g AS (
+  SELECT doc_id, is_bench, list_distinct({grams}) AS grams FROM tok
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench
+), corpus_docs AS (
+  SELECT doc_id, len(grams) AS n_grams FROM g WHERE NOT is_bench
+), corpus_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_bench
+), hits AS (
+  SELECT c.doc_id, count(b.gram) AS n_hit_grams
+  FROM corpus_grams c LEFT JOIN bench b USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       d.n_grams,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_hit_grams, 0) / GREATEST(d.n_grams, 1)::DOUBLE
+         AS contamination_ratio,
+       COALESCE(h.n_hit_grams, 0) / GREATEST(d.n_grams, 1)::DOUBLE
+         >= {threshold} AS contaminated
+FROM corpus_docs d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# Conservative patterns in the Java-regex ∩ RE2 subset so the exact
+# oracle can run the SAME strings in DuckDB. Email first (its local
+# part may contain digits the phone pattern would otherwise eat).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+# International-prefix form only (leading +): bare digit runs in prose
+# are NOT phone numbers; precision beats recall for a redaction gate.
+PHONE_RE = "\\+[0-9][0-9() -]{6,}[0-9]"
+
+_PII = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect and redact PII spans.
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, n_pii, clean_text) —
+    counts per pattern family and the text with every match replaced by
+    a typed placeholder token. Single scan-side projection: counts and
+    replacement evaluate in one whole-stage-codegen stage, no shuffle,
+    no Python.
+    """
+    text = F.col(text_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    total = F.lit(0)
+    for name, pat, _ in _PII:
+        c = F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        cols.append(c.alias(f"n_{name}"))
+        total = total + c
+    clean = text
+    for _, pat, repl in _PII:
+        clean = F.regexp_replace(clean, pat, repl)
+    cols.append(total.alias("n_pii"))
+    cols.append(clean.alias("clean_text"))
+    return docs.select(*cols)
+
+
+def pii_scrub_sql(table: str = "documents", text_expr: str = "text") -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}')) AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}'))" for _, pat, _ in _PII
+    )
+    clean = text_expr
+    for _, pat, repl in _PII:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {counts}, {total} AS n_pii, {clean} AS clean_text
+FROM {table}
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules
+# --------------------------------------------------------------------------
+
+BULLET_PREFIXES = ("- ", "* ", "• ")
+
+
+def quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021 §A1.1, public).
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    n_distinct_stopwords, r_wordcount, r_word_len, r_symbol, r_bullet,
+    r_ellipsis, r_alpha, r_stopwords, passes) — one boolean per rule,
+    ``passes`` their conjunction. Pure projection: no shuffle, no
+    Python, pipelines into the parquet scan.
+    """
+    text = F.col(text_col)
+    toks = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
+
+    n_words = F.size(toks)
+    n_words1 = F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+            "double"
+        )
+        / n_words1
+    )
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit("#|\\.\\.\\."), 0))
+    symbol_ratio = n_symbols.cast("double") / n_words1
+    n_lines1 = F.greatest(F.size(lines), F.lit(1))
+    bullet = lambda l: F.array_contains(  # noqa: E731
+        F.array(*[l.startswith(p) for p in BULLET_PREFIXES]), True
+    )
+    bullet_ratio = (
+        F.size(F.filter(lines, bullet)).cast("double") / n_lines1
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / n_lines1
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_words1
+    )
+    en_stops = list(LANG_STOPWORDS["en"])
+    n_stop_distinct = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda t: F.lower(t).isin(en_stops))
+        )
+    )
+
+    r_wordcount = (n_words >= min_words) & (n_words <= max_words)
+    r_word_len = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_bullet = bullet_ratio <= max_bullet_line_ratio
+    r_ellipsis = ellipsis_ratio <= max_ellipsis_line_ratio
+    r_alpha = alpha_ratio >= min_alpha_word_ratio
+    r_stopwords = n_stop_distinct >= min_distinct_stopwords
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop_distinct.alias("n_distinct_stopwords"),
+        r_wordcount.alias("r_wordcount"),
+        r_word_len.alias("r_word_len"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_wordcount
+            & r_word_len
+            & r_symbol
+            & r_bullet
+            & r_ellipsis
+            & r_alpha
+            & r_stopwords
+        ).alias("passes"),
+    )
+
+
+def quality_rules_sql(
+    table: str = "documents",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> str:
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    bullets = " OR ".join(
+        f"starts_with(l, '{p}')" for p in BULLET_PREFIXES
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)
+           AS toks,
+         list_filter(string_split(text, chr(10)), l -> len(l) > 0)
+           AS lines,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+  FROM {table}
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         GREATEST(len(toks), 1) AS n_words1,
+         list_sum(list_transform(toks, t -> len(t)))
+           / GREATEST(len(toks), 1)::DOUBLE AS mean_word_len,
+         n_symbols / GREATEST(len(toks), 1)::DOUBLE AS symbol_ratio,
+         len(list_filter(lines, l -> {bullets}))
+           / GREATEST(len(lines), 1)::DOUBLE AS bullet_line_ratio,
+         len(list_filter(lines, l -> ends_with(l, '...')))
+           / GREATEST(len(lines), 1)::DOUBLE AS ellipsis_line_ratio,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+           / GREATEST(len(toks), 1)::DOUBLE AS alpha_word_ratio,
+         len(list_distinct(list_filter(toks, t -> lower(t) IN ({stops}))))
+           AS n_distinct_stopwords
+  FROM tok
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio, n_distinct_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words}) AS r_wordcount,
+       (mean_word_len >= {min_mean_word_len}
+        AND mean_word_len <= {max_mean_word_len}) AS r_word_len,
+       symbol_ratio <= {max_symbol_ratio} AS r_symbol,
+       bullet_line_ratio <= {max_bullet_line_ratio} AS r_bullet,
+       ellipsis_line_ratio <= {max_ellipsis_line_ratio} AS r_ellipsis,
+       alpha_word_ratio >= {min_alpha_word_ratio} AS r_alpha,
+       n_distinct_stopwords >= {min_distinct_stopwords} AS r_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words})
+       AND (mean_word_len >= {min_mean_word_len}
+            AND mean_word_len <= {max_mean_word_len})
+       AND symbol_ratio <= {max_symbol_ratio}
+       AND bullet_line_ratio <= {max_bullet_line_ratio}
+       AND ellipsis_line_ratio <= {max_ellipsis_line_ratio}
+       AND alpha_word_ratio >= {min_alpha_word_ratio}
+       AND n_distinct_stopwords >= {min_distinct_stopwords} AS passes
+FROM m
+"""

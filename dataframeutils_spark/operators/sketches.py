@@ -1,0 +1,302 @@
+"""Custom mergeable sketches and distributed index/profile primitives.
+
+Complements the built-in sketch paths (HLL++ distinct counts and
+Greenwald-Khanna percentiles, SURVEY §2 N25) with structures Spark does
+not ship natively:
+
+* :func:`countmin_sketch` / :func:`countmin_estimate` — a count-min
+  sketch (Cormode & Muthukrishnan 2005, public) built as a tiny
+  (depth × width) cell table. Deterministic portable hashing makes the
+  whole estimate exactly reproducible in DuckDB, so the operator gets a
+  full exact oracle — rare for a sketch.
+* :func:`inverted_index` — term → posting-list construction with df
+  counts and a skew-robust bounded-postings path.
+* :func:`embedding_dim_stats` — per-dimension moments over an
+  ``array<float>`` column.
+
+Scale notes:
+
+* The count-min build explodes tokens ``depth`` ways but Spark's
+  map-side partial aggregation collapses each task's cells before the
+  shuffle: the exchange carries at most ``tasks × depth × width`` rows
+  regardless of corpus size — that boundedness is the whole point of
+  the sketch. The estimate side broadcasts the sketch (≤ depth·width
+  cells by construction) so scoring any term set is shuffle-free.
+* :func:`inverted_index` caps postings per term with a two-phase
+  bottom-k (per-salt partial sort_array slice, then a final merge
+  slice) so one hot term (a stopword over 100 TB) never funnels its
+  full posting list through a single task. ``df`` is still exact.
+* :func:`embedding_dim_stats` posexplodes N×D rows, but they live only
+  inside the scan stage: the hash aggregate emits D partial rows per
+  task, so the shuffle is ``tasks × D`` — per-dimension stats at 100 TB
+  cost one scan plus a D-row exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.dedup import portable_hash60, portable_hash60_sql
+from dataframeutils_spark.operators.text import _tokens
+
+# --------------------------------------------------------------------------
+# count-min sketch
+# --------------------------------------------------------------------------
+
+
+def _cm_bucket(term: Column, row: int, width: int) -> Column:
+    # independent rows via seeded portable hash; hash60 is non-negative
+    # so plain pmod is safe in both engines
+    return F.pmod(
+        portable_hash60(F.concat(F.lit(f"cm{row}:"), term)), F.lit(width)
+    )
+
+
+def _cm_bucket_sql(term_expr: str, row: int, width: int) -> str:
+    seeded = f"'cm{row}:' || {term_expr}"
+    return f"{portable_hash60_sql(seeded)} % {width}"
+
+
+def countmin_sketch(
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build a count-min sketch over a term stream.
+
+    Input: one row per token occurrence. Output: (cm_row, bucket, cnt)
+    — at most ``depth × width`` rows total. Each occurrence increments
+    one cell per row; map-side combine bounds the shuffle at
+    ``tasks × depth × width`` cells.
+    """
+    cells = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cm_row"),
+                        _cm_bucket(F.col(term_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.cm_row", "cell.bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    query_terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch: (term, n_est) with the classic min-over-
+    rows upper-bound estimate. The sketch side is broadcast (≤
+    depth×width cells), so estimation never shuffles the term set."""
+    probes = query_terms.select(
+        F.col(term_col).alias("term"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cm_row"),
+                        _cm_bucket(F.col(term_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "cell.cm_row", "cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["cm_row", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("n_est"))
+    )
+
+
+def countmin_profile(
+    docs: DataFrame,
+    k: int = 50,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heavy-hitter audit: exact top-k term counts side-by-side with
+    their count-min estimates.
+
+    Output: (term, n_exact, n_est, overcount) — ``overcount = n_est −
+    n_exact`` is ≥ 0 by the sketch's one-sided error guarantee, which
+    the oracle therefore checks for every row. One token scan feeds
+    both the exact counts and the sketch (ReuseExchange dedupes it).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, F.col(id_col)).select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    exact = toks.groupBy("term").agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("term")).limit(k)
+    sketch = countmin_sketch(toks, depth=depth, width=width)
+    est = countmin_estimate(sketch, top.select("term"), depth=depth, width=width)
+    return top.join(est, "term").select(
+        "term",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+def countmin_profile_sql(
+    table: str = "documents", k: int = 50, depth: int = 4, width: int = 1024
+) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS cm_row, {_cm_bucket_sql('term', i, width)} AS bucket, "
+        f"term FROM toks"
+        for i in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS term FROM {table}
+), probes AS (
+  {cell_rows}
+), sketch AS (
+  SELECT cm_row, bucket, count(*) AS cnt FROM probes GROUP BY cm_row, bucket
+), exact AS (
+  SELECT term, count(*) AS n_exact FROM toks GROUP BY term
+  ORDER BY n_exact DESC, term LIMIT {k}
+), est AS (
+  SELECT p.term, min(s.cnt) AS n_est
+  FROM (SELECT DISTINCT term, cm_row, bucket FROM probes
+        WHERE term IN (SELECT term FROM exact)) p
+  JOIN sketch s USING (cm_row, bucket)
+  GROUP BY p.term
+)
+SELECT term, n_exact, n_est, n_est - n_exact AS overcount
+FROM exact JOIN est USING (term)
+"""
+
+
+# --------------------------------------------------------------------------
+# inverted index
+# --------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_postings: int = 20,
+    min_df: int = 1,
+    n_salts: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term → bounded posting list: (term, df, postings).
+
+    ``df`` is the exact document frequency; ``postings`` joins the
+    ``max_postings`` SMALLEST doc_ids (deterministic) with ','. The
+    bottom-k is two-phase — per (term, salt) partial slice, then a
+    final merge-and-slice — so a degenerate hot term shuffles at most
+    ``n_salts × max_postings`` ids to one task, never its whole list.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(_tokens(F.lower(F.col(text_col))))
+        ).alias("term"),
+    )
+    partial = (
+        terms.groupBy(
+            "term", F.pmod(F.col("doc_id"), F.lit(n_salts)).alias("salt")
+        )
+        .agg(
+            F.count("*").alias("df_part"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, max_postings
+            ).alias("post_part"),
+        )
+    )
+    return (
+        partial.groupBy("term")
+        .agg(
+            F.sum("df_part").alias("df"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("post_part"))),
+                1,
+                max_postings,
+            ).alias("post"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            "df",
+            F.array_join("post", ",").alias("postings"),
+        )
+    )
+
+
+def inverted_index_sql(
+    table: str = "documents", max_postings: int = 20, min_df: int = 1
+) -> str:
+    toks = (
+        "list_distinct(list_filter(string_split(lower(text), ' '), "
+        "t -> length(t) > 0))"
+    )
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+)
+SELECT term,
+       count(*) AS df,
+       array_to_string(
+         list_slice(list_sort(list(doc_id)), 1, {max_postings}), ','
+       ) AS postings
+FROM terms
+GROUP BY term
+HAVING count(*) >= {min_df}
+"""
+
+
+# --------------------------------------------------------------------------
+# per-dimension embedding stats
+# --------------------------------------------------------------------------
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension moments: (dim, n, mean, std, vmin, vmax).
+
+    The feature-distribution audit run before normalizing / projecting
+    an embedding table. posexplode rows exist only inside the scan
+    stage — the hash aggregate's map-side combine means the shuffle
+    carries ``tasks × D`` partial rows, not N × D values.
+    """
+    exploded = emb.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return exploded.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("mean"),
+        F.stddev_samp("v").alias("std"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+
+
+def embedding_dim_stats_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH vals AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM {table}
+)
+SELECT dim, count(*) AS n, avg(v) AS mean, stddev_samp(v) AS std,
+       min(v) AS vmin, max(v) AS vmax
+FROM vals GROUP BY dim
+"""

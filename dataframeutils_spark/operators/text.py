@@ -48,6 +48,37 @@ def _tokens(text_col: Column) -> Column:
     return F.filter(F.split(text_col, " "), lambda t: F.length(t) > 0)
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Token n-grams as a ``array<string>`` of space-joined windows.
+
+    Built with ``zip_with`` over ``slice`` views (not ``transform`` over
+    indices) so free subexpressions are never re-evaluated per element
+    after optimizer inlining — see :func:`repetition_columns` for the
+    measured pathology. Docs with fewer than ``n`` tokens yield an
+    empty array, never NULL.
+    """
+    if n == 1:
+        return toks
+    m = F.size(toks) - (n - 1)
+    views = [F.slice(toks, k + 1, m) for k in range(n)]
+    grams = views[0]
+    for v in views[1:]:
+        grams = F.zip_with(grams, v, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_array_sql(toks_expr: str, n: int) -> str:
+    """DuckDB equivalent of :func:`ngram_array` over a list expression."""
+    gram = " || ' ' || ".join(f"{toks_expr}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} "
+        f"THEN list_transform(range(1, len({toks_expr}) - {n} + 2), i -> {gram}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def text_stat_columns(text_col: str = "text") -> dict[str, Column]:
     """The :func:`text_stats` output columns as named expressions, so
     composite pipelines can evaluate them inside an existing projection
@@ -261,12 +292,7 @@ def repetition_columns(toks: Column, n: int = 3) -> dict[str, Column]:
     lambdas touch only lambda-bound variables, so they are immune to
     inlining.
     """
-    m = F.size(toks) - (n - 1)  # number of n-grams
-    views = [F.slice(toks, k + 1, m) for k in range(n)]
-    grams = views[0]
-    for v in views[1:]:
-        grams = F.zip_with(grams, v, lambda a, b: F.concat(a, F.lit(" "), b))
-    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    grams = ngram_array(toks, n)
     n_ngrams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
     ratio = F.when(

@@ -1,0 +1,190 @@
+"""Corpus-cleaning operators: decontamination, PII scrub, quality rules.
+
+Hand-built fixtures verify each rule/pattern flips where it should;
+oracle parity at sf0.001 is covered by the driver-mirroring sweep in
+``tools/oracle_sweep.py`` and the registered oracle SQL.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import cleaning
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------------
+# decontaminate
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma zeta"),  # shares 'alpha beta gamma'
+            (2, "one two three four five"),  # disjoint
+            (3, "xy"),  # < n tokens: zero grams
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.decontaminate(
+            corpus, bench, n=3, threshold=0.4
+        ).collect()
+    }
+    assert out[1]["n_grams"] == 2  # 'alpha beta gamma', 'beta gamma zeta'
+    assert out[1]["n_hit_grams"] == 1
+    assert out[1]["contaminated"] is True  # 0.5 >= 0.4
+    assert out[2]["n_hit_grams"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_grams"] == 0 and out[3]["contaminated"] is False
+
+
+def test_decontaminate_hash_grams_matches_string_path(spark):
+    bench = _docs(spark, [(100, "a b c d e f")])
+    corpus = _docs(
+        spark, [(1, "a b c d x"), (2, "p q r s t"), (3, "c d e f g h")]
+    )
+    plain = cleaning.decontaminate(corpus, bench, n=3)
+    hashed = cleaning.decontaminate(corpus, bench, n=3, hash_grams=True)
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["n_grams"], r["n_hit_grams"]) for r in df.collect()
+    )
+    assert key(plain) == key(hashed)
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # repeated n-gram in the corpus doc counts once (distinct semantics)
+    bench = _docs(spark, [(100, "a b c")])
+    corpus = _docs(spark, [(1, "a b c a b c")])
+    row = cleaning.decontaminate(corpus, bench, n=3).collect()[0]
+    # grams of doc 1: 'a b c', 'b c a', 'c a b' (distinct)
+    assert row["n_grams"] == 3
+    assert row["n_hit_grams"] == 1
+
+
+# --------------------------------------------------------------------------
+# pii_scrub
+# --------------------------------------------------------------------------
+
+
+def test_pii_scrub_patterns(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@sub.example.org today"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +1 (555) 010-3456 now"),
+            (4, "no pii here just words"),
+            (5, "combo a@b.io via 8.8.8.8 or +44 20 7946 0958"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in cleaning.pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["clean_text"]
+    assert "jo.doe" not in out[1]["clean_text"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["clean_text"].count("<IP>") == 2
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["clean_text"]
+    assert out[4]["n_pii"] == 0 and out[4]["clean_text"] == "no pii here just words"
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_scrub_no_false_positive_on_prose_numbers(spark):
+    # bare digit runs and version strings are not phones/IPs
+    docs = _docs(spark, [(1, "in 2024 we shipped v2.1 with 10000 rows")])
+    row = cleaning.pii_scrub(docs).collect()[0]
+    assert row["n_pii"] == 0
+
+
+# --------------------------------------------------------------------------
+# quality_rules
+# --------------------------------------------------------------------------
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs on through "
+    "the field with great speed for it is chased by that farmer"
+)
+
+
+def _rules(spark, text, **kw):
+    return cleaning.quality_rules(
+        _docs(spark, [(1, text)]), min_words=10, **kw
+    ).collect()[0]
+
+
+def test_quality_rules_pass(spark):
+    row = _rules(spark, GOOD)
+    assert row["passes"] is True
+
+
+def test_quality_rules_wordcount(spark):
+    assert _rules(spark, "too short")["r_wordcount"] is False
+
+
+def test_quality_rules_symbol_ratio(spark):
+    noisy = GOOD + " # # # # # # # # # # # # # # ..."
+    row = _rules(spark, noisy)
+    assert row["r_symbol"] is False and row["passes"] is False
+
+
+def test_quality_rules_bullets_and_ellipsis(spark):
+    bullets = "\n".join(["- item %d" % i for i in range(10)])
+    row = _rules(spark, bullets)
+    assert row["bullet_line_ratio"] == 1.0 and row["r_bullet"] is False
+    dots = "\n".join([f"line {i} trails off..." for i in range(10)])
+    row = _rules(spark, dots)
+    assert row["ellipsis_line_ratio"] == 1.0 and row["r_ellipsis"] is False
+
+
+def test_quality_rules_alpha_and_stopwords(spark):
+    nums = " ".join(str(i) for i in range(40))
+    row = _rules(spark, nums)
+    assert row["r_alpha"] is False and row["r_stopwords"] is False
+    assert row["n_distinct_stopwords"] == 0
+
+
+def test_quality_rules_word_len_bounds(spark):
+    longw = " ".join(["pneumonoultramicroscopic"] * 20)
+    assert _rules(spark, longw)["r_word_len"] is False
+
+
+# --------------------------------------------------------------------------
+# oracle parity at sf0.001 (cheap — 50 docs)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "spark_fn, sql_fn",
+    [
+        (
+            lambda docs: cleaning.quality_rules(docs),
+            lambda: cleaning.quality_rules_sql(),
+        ),
+        (
+            lambda docs: cleaning.pii_scrub(docs),
+            lambda: cleaning.pii_scrub_sql(),
+        ),
+    ],
+)
+def test_cleaning_oracle_parity(spark, ddb, spark_fn, sql_fn):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        spark_fn(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = ddb.execute(
+        f"SELECT * FROM ({sql_fn()}) ORDER BY doc_id"
+    ).fetchdf()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f":
+            assert (abs(g - w) < 1e-9).all(), c
+        else:
+            assert (g == w).all(), c

@@ -1,0 +1,105 @@
+"""Count-min sketch, inverted index, embedding dim stats."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import sketches
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------------
+# count-min
+# --------------------------------------------------------------------------
+
+
+def test_countmin_sketch_size_bounded(spark):
+    docs = _docs(spark, [(i, "a b c d e f g h") for i in range(20)])
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    sk = sketches.countmin_sketch(toks, depth=3, width=8)
+    assert sk.count() <= 3 * 8
+
+
+def test_countmin_never_undercounts(spark):
+    # adversarially small width → heavy collisions; estimate must still
+    # upper-bound the true count for every term
+    rows = [(i, " ".join(f"t{j}" for j in range(i % 7 + 1))) for i in range(50)]
+    out = sketches.countmin_profile(
+        _docs(spark, rows), k=10, depth=3, width=4
+    ).collect()
+    assert len(out) > 0
+    assert all(r["overcount"] >= 0 for r in out)
+    assert all(r["n_est"] >= r["n_exact"] for r in out)
+
+
+def test_countmin_exact_when_wide(spark):
+    # width ≫ vocab → no collisions → estimates are exact
+    rows = [(i, "alpha beta gamma") for i in range(10)]
+    out = sketches.countmin_profile(
+        _docs(spark, rows), k=5, depth=4, width=4096
+    ).collect()
+    assert all(r["overcount"] == 0 for r in out)
+    assert {r["term"]: r["n_exact"] for r in out} == {
+        "alpha": 10, "beta": 10, "gamma": 10
+    }
+
+
+# --------------------------------------------------------------------------
+# inverted index
+# --------------------------------------------------------------------------
+
+
+def test_inverted_index_postings_and_df(spark):
+    docs = _docs(
+        spark,
+        [
+            (3, "apple banana"),
+            (1, "apple cherry"),
+            (2, "apple banana banana"),
+            (4, "durian"),
+        ],
+    )
+    out = {
+        r["term"]: r
+        for r in sketches.inverted_index(docs, max_postings=2, min_df=1).collect()
+    }
+    # df counts DISTINCT docs (banana twice in doc 2 counts once)
+    assert out["banana"]["df"] == 2 and out["banana"]["postings"] == "2,3"
+    # postings are the smallest doc_ids, capped at max_postings
+    assert out["apple"]["df"] == 3 and out["apple"]["postings"] == "1,2"
+    assert out["durian"]["df"] == 1
+
+
+def test_inverted_index_min_df_filters(spark):
+    docs = _docs(spark, [(1, "x y"), (2, "x z")])
+    terms = {r["term"] for r in sketches.inverted_index(docs, min_df=2).collect()}
+    assert terms == {"x"}
+
+
+def test_inverted_index_salt_invariance(spark):
+    # the salted two-phase bottom-k must give the same result as any
+    # other salt count
+    docs = _docs(spark, [(i, "common rare%d" % (i % 3)) for i in range(30)])
+    a = sketches.inverted_index(docs, max_postings=5, n_salts=1).collect()
+    b = sketches.inverted_index(docs, max_postings=5, n_salts=16).collect()
+    key = lambda rows: sorted((r["term"], r["df"], r["postings"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+
+
+# --------------------------------------------------------------------------
+# embedding dim stats
+# --------------------------------------------------------------------------
+
+
+def test_embedding_dim_stats(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 20.0]), (3, [5.0, 30.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in sketches.embedding_dim_stats(emb).collect()}
+    assert out[0]["n"] == 3 and abs(out[0]["mean"] - 3.0) < 1e-9
+    assert abs(out[1]["mean"] - 20.0) < 1e-9
+    assert out[0]["vmin"] == 1.0 and out[1]["vmax"] == 30.0
+    assert abs(out[0]["std"] - 2.0) < 1e-9  # sample stddev of 1,3,5
