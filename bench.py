@@ -54,6 +54,8 @@ HEADLINE = [
     "countmin_profile",
     "inverted_index",
     "embedding_dim_stats",
+    "textrank",
+    "stream_sliding_stats",
     "dedup_shared_spans",
     "topk_terms",
     "tfidf_topterms",

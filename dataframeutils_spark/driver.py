@@ -22,6 +22,7 @@ from dataframeutils_spark.operators import (
     memory,
     ml_fits,
     multimodal,
+    graph,
     outliers,
     panel_stats,
     pipeline,
@@ -361,6 +362,15 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topterms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: PageRank (5 fixed iterations) over the token
+    co-occurrence graph — an iterative algorithm with an EXACT oracle
+    (the DuckDB side unrolls the power iteration as chained CTEs)."""
+    return graph.textrank_keywords(
+        load_table(spark, sf_dir, "documents"), k=20, iters=5
+    )
+
+
 def q_countmin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy-hitter audit: exact top-k counts vs the sketch's
     min-over-rows estimate, overcount >= 0 checked row-by-row by the
@@ -507,15 +517,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with MLlib k-means-trained centroids and the Arrow-vectorized
-    re-rank — the full PRODUCTION configuration on clustered corpora
-    (adaptive buckets + numpy batch scoring). No DuckDB k-means →
+    """IVF with MLlib k-means-trained centroids, Arrow-vectorized
+    ASSIGNMENT (one numpy matmul per batch — no N×C crossJoin, no
+    argmax shuffle) and the Arrow-vectorized re-rank — the full
+    PRODUCTION configuration on clustered corpora. No DuckDB k-means →
     rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.train_centroids_kmeans(emb, n_centroids=None)
     return round_floats(
         similarity.ivf_topk(
-            emb, k=5, n_probe=2, dim=EMB_DIM, centroids=cents, arrow_rerank=True
+            emb,
+            k=5,
+            n_probe=2,
+            dim=EMB_DIM,
+            centroids=cents,
+            arrow_rerank=True,
+            arrow_assign=True,
         ),
         all_dec=True,
     )
@@ -956,6 +973,19 @@ def q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(sw.windowed_event_stats(ev, window="1 hour"))
 
 
+def q_stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h window, 1h slide): every event
+    lands in window/slide = 2 overlapping windows. Same transformation
+    streaming and batch; oracle expands the overlap by cross-joining
+    the slide offsets."""
+    from dataframeutils_spark.streaming import windows as sw
+
+    ev = _events_normalized(spark, sf_dir)
+    return round_floats(
+        sw.windowed_event_stats(ev, window="2 hours", slide="1 hour")
+    )
+
+
 def q_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window counts exercised in batch mode; oracle is the
     gaps-and-islands SQL reformulation."""
@@ -1071,16 +1101,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order), and 61 are registered, so ordering is a
-    rotation policy: queries go first when they have gone longest without
-    a driver-verified row; the tail 11 slots hold queries verified last
-    round whose check level is duplicated by a sibling (e.g. EGARCH/GJR
-    duplicate GARCH's rows-only check) or whose kernel is pinned by
-    golden pytest.  Round 4 ordering: the 11 streaming/events/multimodal
-    queries that round 3's cap dropped (three of them never checked) are
-    promoted to the head; 11 rows-only fit variants verified in round 3
-    rotate to the tail.  NEXT ROUND: promote the tail back toward the
-    head so no query goes more than one round unverified.
+    this dict (insertion order), and 71 are registered, so ordering is a
+    rotation policy, priority order: (1) never driver-verified (new this
+    round, or rows-only variants that haven't had even a rows row), (2)
+    longest since last verified (r2-green streaming/events/multimodal
+    re-verify this round), (3) verified last round.  Round 4 ordering:
+    the 12 r2-green head entries plus the 8 round-4 newcomers
+    (decontaminate, pii_scrub, quality_rules, countmin_profile,
+    textrank, inverted_index, embedding_dim_stats, stream_sliding_stats)
+    lead; 21 queries verified in round 3 sit out exactly one round —
+    NEXT ROUND: promote that tail block (asof/sales/range/similarity_topk
+    + the rows-only fits) back into the top 50 so nothing goes more than
+    one round unverified, and demote this round's batch.
     """
     return {
         # --- head: longest-unverified first (r2-green or never checked) ---
@@ -1092,6 +1124,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
         "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_sliding_stats": q_stream_sliding_stats,
         "stream_sessionized": q_stream_sessionized,
         "stream_user_profile": q_stream_user_profile,
         "stream_dedup": q_stream_dedup,
@@ -1100,6 +1133,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "quality_rules": q_quality_rules,
         "countmin_profile": q_countmin_profile,
+        "textrank": q_textrank,
         "inverted_index": q_inverted_index,
         "embedding_dim_stats": q_embedding_dim_stats,
         # --- body: verified green in round 3, re-checked this round ---
@@ -1131,7 +1165,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
-        "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_hier": q_similarity_ivf_hier,
@@ -1156,6 +1189,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_lof": q_outliers_lof,
         "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "similarity_topk": q_similarity_topk,
         "events_value_profile_approx": q_events_value_profile_approx,
     }
 
@@ -1204,6 +1238,7 @@ def all_oracles() -> dict[str, str]:
         ),
         "pii_scrub": cleaning.pii_scrub_sql(table=PII_INJECT_SQL),
         "countmin_profile": sketches.countmin_profile_sql(k=50, depth=4, width=16),
+        "textrank": graph.textrank_keywords_sql(k=20, iters=5),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),
         "embedding_dim_stats": (
             "SELECT * REPLACE ("
@@ -1268,6 +1303,7 @@ GROUP BY event_type
         "multimodal_real_meta": multimodal.real_decode_metadata_sql(),
         "multimodal_frames": multimodal.sample_frames_sql(every_k=8),
         "stream_windowed_stats": _stream_windows_sql(),
+        "stream_sliding_stats": _stream_sliding_sql(),
         "stream_sessionized": _stream_sessions_sql(),
         "stream_dedup": STREAM_DEDUP_SQL,
         "stream_join": _round_oracle_cols(
@@ -1287,6 +1323,12 @@ def _stream_windows_sql() -> str:
     from dataframeutils_spark.streaming import windows as sw
 
     return sw.windowed_stats_sql()
+
+
+def _stream_sliding_sql() -> str:
+    from dataframeutils_spark.streaming import windows as sw
+
+    return sw.sliding_stats_sql()
 
 
 def _stream_sessions_sql() -> str:

@@ -1,0 +1,196 @@
+"""Iterative graph analytics as native DataFrame fixpoint loops.
+
+Connected components (transitive dedup clusters) lives in
+``operators/dedup.py``; this module adds rank propagation:
+
+* :func:`pagerank` — damped power iteration over a weighted edge
+  list, the Pregel message-passing shape expressed as join → groupBy
+  per round.
+* :func:`textrank_keywords` — TextRank (Mihalcea & Tarau 2004,
+  public): PageRank over the token co-occurrence (bigram) graph,
+  the classic unsupervised keyword extractor. A FIXED iteration
+  count makes the whole computation deterministic, so it carries an
+  exact DuckDB oracle (the iterations unrolled as chained CTEs) —
+  rare for an iterative algorithm.
+
+Scale notes: one rank iteration = join ranks⋈edges on src (both
+sides hash-partitioned on the same key — co-partitioned after round
+1) + groupBy(dst) with map-side combine; state per round is one
+(node, rank) row per node. ``localCheckpoint`` truncates the plan
+every round so 5 or 50 iterations never build an exponential
+lineage. Skewed in-degree (a stopword node at 100 TB) rides the
+same AQE skew-split as any aggregation; rank values are rounded to
+the engine's significant-digit contract BEFORE the final ranking so
+cross-engine order can't flip on a last-ulp sum difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.text import _tokens
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count.
+
+    r_{i+1}(v) = (1−d)/n + d · Σ_{(u,v)∈E} w(u,v)/outw(u) · r_i(u).
+
+    Dangling mass (nodes with no out-edges) is dropped, not
+    redistributed — the simplified published variant; both engines
+    compute the identical formula. Returns (node, rank) with the raw
+    double rank.
+    """
+    nodes = nodes.select(F.col(node_col).alias("node"))
+    edges = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("sw"))
+    # fold outw into the edge list once: each edge carries its
+    # normalized transition probability for every iteration
+    trans = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("sw")).alias("p")
+    )
+    trans = trans.localCheckpoint(eager=False)
+
+    ranks = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(nn)
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _bigram_pairs(docs: DataFrame, text_col: str):
+    toks = _tokens(F.lower(F.col(text_col)))
+    m = F.size(toks) - 1
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    return docs.select(F.explode(pairs).alias("pr")).select(
+        "pr.src", "pr.dst"
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 20,
+    iters: int = 5,
+    damping: float = 0.85,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TextRank keywords: (term, rank, score).
+
+    Graph = undirected token co-occurrence (adjacent-bigram) graph,
+    edge weight = co-occurrence count (each direction added, so the
+    random walk is symmetric); score = PageRank after ``iters``
+    rounds, rounded to significant digits before the (score desc,
+    term) ranking.
+    """
+    from dataframeutils_spark.schema import siground
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par)
+    bi = _bigram_pairs(docs, text_col)
+    edges = (
+        bi.union(bi.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = docs.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("node")
+    ).distinct()
+    ranks = pagerank(nodes, edges, iters=iters, damping=damping)
+    scored = ranks.select(
+        F.col("node").alias("term"), siground(F.col("rank")).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.select("term", F.row_number().over(w).alias("rank"), "score")
+        .filter(F.col("rank") <= k)
+    )
+
+
+def textrank_keywords_sql(
+    table: str = "documents", k: int = 20, iters: int = 5, damping: float = 0.85
+) -> str:
+    """DuckDB oracle: the power iteration unrolled as chained CTEs."""
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    its = []
+    for i in range(iters):
+        its.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         ({1.0 - damping}) / (SELECT c FROM nn)
+           + {damping} * COALESCE(sum(t.p * r{i}.rank), 0) AS rank
+  FROM nodes n
+  LEFT JOIN trans t ON t.dst = n.node
+  LEFT JOIN r{i} ON r{i}.node = t.src
+  GROUP BY n.node
+)"""
+        )
+    chain = ",\n".join(its)
+    return f"""
+WITH tok AS (
+  SELECT {toks} AS toks FROM {table}
+), bi AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS src,
+         unnest(toks[2:len(toks)]) AS dst
+  FROM tok
+), ed AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM (SELECT src, dst FROM bi UNION ALL SELECT dst, src FROM bi)
+  GROUP BY src, dst
+), outw AS (
+  SELECT src, sum(w) AS sw FROM ed GROUP BY src
+), trans AS (
+  SELECT ed.src, ed.dst, ed.w / outw.sw AS p FROM ed JOIN outw USING (src)
+), nodes AS (
+  SELECT DISTINCT unnest(toks) AS node FROM tok
+), nn AS (
+  SELECT count(*) AS c FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes
+),
+{chain}
+SELECT term, rank, score FROM (
+  SELECT node AS term,
+         row_number() OVER (ORDER BY score DESC, node) AS rank,
+         score
+  FROM (SELECT node, {siground_sql('rank')} AS score FROM r{iters})
+)
+WHERE rank <= {k}
+"""

@@ -485,6 +485,70 @@ def auto_centroid_count(n_rows: int) -> int:
     return max(4, math.ceil(math.sqrt(n_rows)))
 
 
+def _assign_probes_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Centroid assignment as one Arrow pass: (vec_id, centroid, r),
+    r = 1..n_probe nearest centroids per vector.
+
+    The flat fold path materializes N×C skinny rows (crossJoin) and
+    shuffles them all through the argmax window — at N = 2.5M,
+    C = 1600 that is 4×10⁹ rows and the measured wall at the 100×
+    stress. Here the centroid matrix (C × dim — metadata-sized by the
+    √N rule; 100 TB ⇒ ~150 MB, still driver-feasible) is collected
+    once and closed over: each Arrow batch does ONE numpy matmul
+    (B×dim @ dim×C) and a stable partial sort, emitting n_probe rows
+    per vector. No crossJoin, no window, no shuffle at all.
+
+    Tie-break parity with the fold path: centroid columns are laid out
+    in ascending-id order and the argsort is stable, so equal scores
+    resolve to the smaller centroid id; zero-norm centroids score −inf
+    (the fold path's NULL), ranking last among themselves by id.
+    """
+    import numpy as np
+
+    cent_rows = centroids.select("centroid", "u", "nrm").collect()
+    order = sorted(range(len(cent_rows)), key=lambda i: cent_rows[i]["centroid"])
+    cmat = np.array([cent_rows[i]["u"] for i in order], dtype=np.float64)
+    cnrm = np.array([cent_rows[i]["nrm"] for i in order], dtype=np.float64)
+    cids = np.array(
+        [cent_rows[i]["centroid"] for i in order], dtype=np.int64
+    )
+    nb = min(n_probe, len(cids))
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, centroid int, r int"
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            s = v @ cmat.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(cnrm > 0, s / cnrm, -np.inf)
+            idx = np.argsort(-s, axis=1, kind="stable")[:, :nb]
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), nb),
+                    "centroid": cids[idx].reshape(b * nb).astype(np.int32),
+                    "r": np.tile(np.arange(1, nb + 1), b),
+                }
+            )
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    src = corpus.select(F.col(id_col), F.col(vec_col))
+    if src.rdd.getNumPartitions() < par:
+        # pin Arrow-stage parallelism: AQE sizes partitions for JVM
+        # stages and starves Python ones (see the minhash note)
+        src = src.repartition(par)
+    return src.mapInPandas(gen, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -495,6 +559,7 @@ def ivf_topk(
     dim: int | None = None,
     centroids: DataFrame | None = None,
     arrow_rerank: bool = False,
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: (query_id, neighbor_id, rank, cos_sim).
 
@@ -532,6 +597,27 @@ def ivf_topk(
             first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
             dim = first["d"] if first is not None else 0
         centroids = ivf_centroids(spark, n_centroids, dim)
+    if arrow_assign:
+        # production assignment: one numpy matmul per Arrow batch,
+        # shuffle-free (see _assign_probes_arrow) — same argmax and
+        # tie-break as the fold path, pinned equal in pytest
+        pr = _assign_probes_arrow(
+            corpus, centroids, max(n_probe, 1), id_col, vec_col
+        )
+        assign = pr.filter(F.col("r") == 1).select(
+            F.col("vec_id").alias("nid"), "centroid"
+        )
+        probes = pr.filter(F.col("r") <= n_probe).select(
+            F.col("vec_id").alias("qid"), "centroid"
+        )
+        if arrow_rerank:
+            return _ivf_rerank_cogrouped(probes, assign, corpus, k, id_col, vec_col)
+        cand = (
+            probes.join(assign, "centroid")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+        )
+        return _rerank_topk(cand, corpus, k, id_col, vec_col, dim)
     # score every vector against every centroid (broadcast the tiny
     # centroid table); |v| is constant per vector so argmax only needs
     # dot / |u_c|

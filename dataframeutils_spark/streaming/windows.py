@@ -44,14 +44,29 @@ def read_events_stream(
     and watermark eviction (at scale: a partitioned events/ directory
     whose new files arrive per trigger).
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-    )
+    table_dir = os.path.join(sf_dir, glob)
+    if os.path.isdir(table_dir):
+        # directory-per-table layout (multi-file parquet, e.g. the
+        # generated scale-stress data): stream the directory itself —
+        # with maxFilesPerTrigger=1 each part file drains as its own
+        # micro-batch, a REAL cross-batch replay
+        batch = spark.read.parquet(table_dir)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(table_dir)
+        )
+    else:
+        batch = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", glob)
+            .parquet(sf_dir)
+        )
     return normalize_event_times(stream)
 
 
@@ -193,6 +208,37 @@ SELECT date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        {sig('sum(value)')} AS sum_value
 FROM {table}
+GROUP BY 1, 2, 3
+"""
+
+
+def sliding_stats_sql(
+    table: str = "events", window_hours: int = 2, slide_hours: int = 1
+) -> str:
+    """DuckDB oracle for :func:`windowed_event_stats` with a slide.
+
+    Spark assigns each event to ``window/slide`` epoch-aligned
+    overlapping windows; the oracle reproduces that by cross-joining
+    the slide offsets: window_start = trunc-to-slide(ts) − o·slide for
+    o in [0, window/slide)."""
+    from dataframeutils_spark.schema import siground_sql as sig
+
+    if slide_hours != 1 or window_hours % slide_hours:
+        raise ValueError("oracle assumes whole-hour slide of 1h")
+    k = window_hours // slide_hours
+    return f"""
+WITH expanded AS (
+  SELECT date_trunc('hour', ts)
+           - (offs.o * INTERVAL {slide_hours} HOUR) AS window_start,
+         event_type, value
+  FROM {table}, (SELECT unnest(range({k})) AS o) offs
+)
+SELECT window_start,
+       window_start + INTERVAL {window_hours} HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {sig('sum(value)')} AS sum_value
+FROM expanded
 GROUP BY 1, 2, 3
 """
 

@@ -1,0 +1,66 @@
+"""PageRank / TextRank over native DataFrame fixpoint loops."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import graph
+
+
+def test_pagerank_uniform_cycle(spark):
+    # a 4-cycle is perfectly symmetric → every node ends at rank 1/4
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4, 1.0) for i in range(4)], "src int, dst int, w double"
+    )
+    out = graph.pagerank(nodes, edges, iters=10).collect()
+    assert all(abs(r["rank"] - 0.25) < 1e-12 for r in out)
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # star pointing at node 0 → node 0 outranks the spokes
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node int")
+    edges = spark.createDataFrame(
+        [(i, 0, 1.0) for i in range(1, 5)], "src int, dst int, w double"
+    )
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(nodes, edges, iters=5).collect()}
+    assert ranks[0] > ranks[1]
+    assert abs(ranks[1] - ranks[4]) < 1e-12
+
+
+def test_pagerank_isolated_node_gets_base_rank(spark):
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node int")
+    edges = spark.createDataFrame([(0, 1, 1.0)], "src int, dst int, w double")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(nodes, edges, iters=3, damping=0.85).collect()}
+    # node 2 has no in-edges: rank = (1-d)/n exactly
+    assert abs(ranks[2] - 0.15 / 3) < 1e-12
+
+
+def test_textrank_hub_term_wins(spark):
+    # 'hub' is adjacent to everything → highest co-occurrence centrality
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta hub gamma"),
+            (2, "hub delta hub epsilon"),
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = graph.textrank_keywords(docs, k=3).collect()
+    assert out[0]["term"] == "hub" and out[0]["rank"] == 1
+
+
+def test_textrank_matches_duckdb_oracle(spark, ddb):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (r["term"], r["rank"], r["score"])
+        for r in graph.textrank_keywords(docs, k=20).orderBy("rank").collect()
+    ]
+    want = [
+        tuple(t)
+        for t in ddb.execute(
+            graph.textrank_keywords_sql(k=20) + " ORDER BY rank"
+        ).fetchall()
+    ]
+    assert got == want

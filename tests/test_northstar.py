@@ -378,6 +378,25 @@ def test_ivf_arrow_rerank_matches_fold(spark):
     assert a.count() > 0
 
 
+def test_ivf_arrow_assign_matches_fold(spark):
+    """The shuffle-free numpy assignment (one matmul per Arrow batch)
+    must produce the IDENTICAL (query, neighbor, rank) result as the
+    fold+window path — same argmax, same (score desc, centroid asc)
+    tie-break, zero-norm centroids last."""
+    from dataframeutils_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = similarity.ivf_topk(emb, k=5, n_probe=2, dim=64, arrow_assign=True).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    b = similarity.ivf_topk(emb, k=5, n_probe=2, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
 def test_ivf_hier_recall_vs_flat(spark):
     """Two-level IVF is approximate by construction; pin its floor:
     with coarse_probe=4 over hash-derived (structureless — worst case)

@@ -37,6 +37,25 @@ def test_sliding_window_overlaps(spark):
     assert sliding.count() > tumbling.count()
 
 
+def test_sliding_stats_stream_matches_batch(spark):
+    stream = W.read_events_stream(spark, SF_DIR)
+    W.run_to_memory(
+        W.windowed_event_stats(stream, window="2 hours", slide="1 hour"),
+        "slide_stats",
+        output_mode="complete",
+    )
+    got = _norm(spark.table("slide_stats").toPandas())
+    want = _norm(
+        W.windowed_event_stats(
+            _batch_events(spark), window="2 hours", slide="1 hour"
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every event lands in exactly window/slide = 2 windows
+    n_events = _batch_events(spark).count()
+    assert int(want["n_events"].sum()) == 2 * n_events
+
+
 def test_sessionized_counts_stream_matches_batch(spark):
     stream = W.read_events_stream(spark, SF_DIR)
     W.run_to_memory(W.sessionized_counts(stream, gap="45 minutes"), "sess", "complete")

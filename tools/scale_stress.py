@@ -103,6 +103,15 @@ def generate(spark, mult: int, out_dir: str) -> None:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     m = spark.range(mult).select(F.col("id").cast("int").alias("m"))
+    # Write every table across defaultParallelism files. The sf0.1
+    # source is ONE file; crossJoin(broadcast) preserves that, and the
+    # tiny-vocab text columns snappy-compress ~30x, so without this the
+    # 100x documents table lands in a single 12 MB file whose 13
+    # row-group splits include one giant straggler — measured: a
+    # 20+ min single-thread tail on a query that takes seconds with a
+    # sane layout. Real 100 TB tables are thousands of files; the
+    # stress data should model that, not a degenerate one-file layout.
+    par = spark.sparkContext.defaultParallelism
 
     ev = spark.read.parquet(f"{SRC}/events.parquet").crossJoin(F.broadcast(m))
     ts_type = dict((f.name, f.dataType.simpleString()) for f in ev.schema.fields)["ts"]
@@ -121,7 +130,7 @@ def generate(spark, mult: int, out_dir: str) -> None:
         "event_type",
         "value",
         "props",
-    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    ).repartition(par).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet").crossJoin(F.broadcast(m))
     docs.select(
@@ -132,7 +141,7 @@ def generate(spark, mult: int, out_dir: str) -> None:
         "lang",
         "source",
         "n_chars",
-    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    ).repartition(par).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     # hot-key events: replicas m>0 funnel 20% of users onto user_id 0 —
     # one user ends up with thousands of sessions/events (the skew shape
@@ -147,7 +156,7 @@ def generate(spark, mult: int, out_dir: str) -> None:
         "event_type",
         "value",
         "props",
-    ).write.mode("overwrite").parquet(f"{out_dir}_hot/events.parquet")
+    ).repartition(par).write.mode("overwrite").parquet(f"{out_dir}_hot/events.parquet")
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet").crossJoin(F.broadcast(m))
     emb.select(
@@ -156,7 +165,7 @@ def generate(spark, mult: int, out_dir: str) -> None:
             "embedding", lambda x: (x + F.col("m").cast("float") * F.lit(0.01)).cast("float")
         ).alias("embedding"),
         "label",
-    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    ).repartition(par).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def main() -> None:
