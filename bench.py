@@ -56,6 +56,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "textrank",
     "stream_sliding_stats",
+    "bm25_search",
     "dedup_shared_spans",
     "topk_terms",
     "tfidf_topterms",

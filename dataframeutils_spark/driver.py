@@ -371,6 +371,17 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a fixed bag-of-terms query; query-term filter
+    lands right after the tf groupBy so only |q|·df rows reach the
+    scoring join. Score rounded before ranking (ln parity)."""
+    return text.bm25_search(
+        load_table(spark, sf_dir, "documents"),
+        query_terms=("join", "scan", "slow"),
+        k=25,
+    )
+
+
 def q_countmin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy-hitter audit: exact top-k counts vs the sketch's
     min-over-rows estimate, overcount >= 0 checked row-by-row by the
@@ -542,16 +553,23 @@ def q_similarity_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (hierarchical) IVF — the extreme-N scale path: coarse
     router (⌈√C⌉ groups) + fine assignment restricted to the probed
     groups, so per-vector assignment work is ~√C·(1+coarse_probe)
-    folds instead of C, and the argmax shuffle shrinks by the same
-    factor. Approximate assignment (standard two-level semantics) →
-    rows-only; recall vs flat assignment pinned in pytest."""
+    instead of C. Production config: kmeans-trained fine centroids
+    (balanced inverted lists — a non-adaptive quantizer on clustered
+    data makes hot lists that blow up re-rank) + the Arrow two-stage
+    assignment kernel. Approximate assignment (standard two-level
+    semantics) → rows-only; recall vs flat assignment pinned in
+    pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=None)
     return round_floats(
         similarity.ivf_topk_hier(
-            load_table(spark, sf_dir, "embeddings"),
+            emb,
             k=5,
             n_probe=2,
             coarse_probe=4,
             dim=EMB_DIM,
+            centroids=cents,
+            arrow_assign=True,
         ),
         all_dec=True,
     )
@@ -1134,6 +1152,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rules": q_quality_rules,
         "countmin_profile": q_countmin_profile,
         "textrank": q_textrank,
+        "bm25_search": q_bm25_search,
         "inverted_index": q_inverted_index,
         "embedding_dim_stats": q_embedding_dim_stats,
         # --- body: verified green in round 3, re-checked this round ---
@@ -1150,7 +1169,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "dataset_split": q_dataset_split,
@@ -1190,6 +1208,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "similarity_topk": q_similarity_topk,
+        "dedup_embedding": q_dedup_embedding,
         "events_value_profile_approx": q_events_value_profile_approx,
     }
 
@@ -1239,6 +1258,7 @@ def all_oracles() -> dict[str, str]:
         "pii_scrub": cleaning.pii_scrub_sql(table=PII_INJECT_SQL),
         "countmin_profile": sketches.countmin_profile_sql(k=50, depth=4, width=16),
         "textrank": graph.textrank_keywords_sql(k=20, iters=5),
+        "bm25_search": text.bm25_search_sql(("join", "scan", "slow"), k=25),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),
         "embedding_dim_stats": (
             "SELECT * REPLACE ("

@@ -688,6 +688,7 @@ def ivf_topk_hier(
     dim: int | None = None,
     centroids: DataFrame | None = None,
     seed: int = 42,
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """Two-level (hierarchical) IVF — the published answer to the flat
     assignment wall (cf. the inverted multi-index family): at extreme N
@@ -742,6 +743,73 @@ def ivf_topk_hier(
         "centroid int, coarse int",
     )
     fine = centroids.join(F.broadcast(routing), "centroid")
+
+    if arrow_assign:
+        # both stages in ONE Arrow pass per batch: coarse scores via a
+        # B×C1 matmul pick each row's coarse_probe groups, then fine
+        # scores via a B×C matmul MASKED to the probed groups (exact
+        # two-level semantics — unprobed fine centroids are invisible).
+        # The "wasted" flops on masked columns are deliberate: dgemm at
+        # B×C×dim is orders cheaper than avoiding them row-wise, and
+        # the hierarchy's real win (C1+probe·C/C1 work) only matters at
+        # extreme C, where this kernel should chunk columns instead.
+        import numpy as np
+
+        cnrm_arr = np.sqrt(np.einsum("ij,ij->i", reps, reps))
+        order_f = sorted(range(len(cids)), key=lambda i: cids[i])
+        fmat = x[order_f]
+        fnrm = np.sqrt(np.einsum("ij,ij->i", fmat, fmat))
+        fcid = np.array([cids[i] for i in order_f], dtype=np.int64)
+        fgrp = np.array(
+            [int(fine_to_coarse[i]) for i in order_f], dtype=np.int64
+        )
+        nb = min(max(n_probe, 1), len(fcid))
+        cp = min(coarse_probe, len(reps))
+        id_type = corpus.schema[id_col].dataType.simpleString()
+
+        def assign_gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cs = np.where(
+                        cnrm_arr > 0, (v @ reps.T) / cnrm_arr, -np.inf
+                    )
+                    fs = np.where(fnrm > 0, (v @ fmat.T) / fnrm, -np.inf)
+                # top coarse_probe groups per row (stable → smaller
+                # group id on ties, matching the window contract)
+                gsel = np.argsort(-cs, axis=1, kind="stable")[:, :cp]
+                mask = np.zeros_like(fs, dtype=bool)
+                for j in range(cp):
+                    mask |= fgrp[None, :] == gsel[:, j][:, None]
+                fs = np.where(mask, fs, -np.inf)
+                idx = np.argsort(-fs, axis=1, kind="stable")[:, :nb]
+                b = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf[id_col].to_numpy(), nb),
+                        "centroid": fcid[idx].reshape(b * nb).astype(np.int32),
+                        "r": np.tile(np.arange(1, nb + 1), b),
+                    }
+                )
+
+        par = spark.sparkContext.defaultParallelism
+        src = corpus.select(F.col(id_col), F.col(vec_col))
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
+        pr = src.mapInPandas(
+            assign_gen, f"vec_id {id_type}, centroid int, r int"
+        )
+        assign = pr.filter(F.col("r") == 1).select(
+            F.col("vec_id").alias("nid"), "centroid"
+        )
+        probes = pr.filter(F.col("r") <= n_probe).select(
+            F.col("vec_id").alias("qid"), "centroid"
+        )
+        return _ivf_rerank_cogrouped(probes, assign, corpus, k, id_col, vec_col)
 
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     # stage A: skinny rows only through the window shuffle — the vector
@@ -825,6 +893,17 @@ def _ivf_rerank_cogrouped(
         F.col("centroid").alias("c_n"), "nid", F.col("n_v").alias("v")
     )
 
+    # cap the per-matmul score matrix at ~32M doubles (256 MB): a HOT
+    # inverted list (adversarially clustered data under a non-adaptive
+    # quantizer) can hold 100k+ members AND be probed by as many
+    # queries — the unchunked Q×N matrix then needs tens of GB in one
+    # Python worker, which crashes it (observed at the 100× stress
+    # with hash-derived centroids). Chunking the query side bounds
+    # memory at CHUNK_CELLS regardless of occupancy; the hot bucket is
+    # then merely slow, which is the quantizer's problem to solve
+    # (kmeans-trained centroids keep lists balanced), not a crash.
+    CHUNK_CELLS = 32_000_000
+
     def bucket_topk(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -834,25 +913,28 @@ def _ivf_rerank_cogrouped(
         # cosine ties toward the smaller neighbor id (the fold path's
         # ORDER BY cos DESC, nid contract)
         npdf = npdf.sort_values("nid")
-        q = np.stack(qpdf["v"].to_numpy()).astype(np.float64, copy=False)
         n = np.stack(npdf["v"].to_numpy()).astype(np.float64, copy=False)
-        qn = np.sqrt(np.einsum("ij,ij->i", q, q))
         nn = np.sqrt(np.einsum("ij,ij->i", n, n))
         with np.errstate(divide="ignore", invalid="ignore"):
-            s = (q / np.where(qn > 0, qn, np.nan)[:, None]) @ (
-                n / np.where(nn > 0, nn, np.nan)[:, None]
-            ).T
-        qids = qpdf["qid"].to_numpy()
+            n_unit = (n / np.where(nn > 0, nn, np.nan)[:, None]).T
         nids = npdf["nid"].to_numpy()
-        order = np.argsort(-s, axis=1, kind="stable")
-        out_q, out_n, out_c = [], [], []
         take = min(k + 1, len(nids))  # +1: the self-match may rank first
-        for i in range(len(qids)):
-            cols = order[i, :take]
-            cols = cols[nids[cols] != qids[i]][:k]
-            out_q.extend([qids[i]] * len(cols))
-            out_n.extend(nids[cols])
-            out_c.extend(s[i, cols])
+        chunk = max(1, CHUNK_CELLS // max(len(nids), 1))
+        out_q, out_n, out_c = [], [], []
+        for lo in range(0, len(qpdf), chunk):
+            qc = qpdf.iloc[lo : lo + chunk]
+            q = np.stack(qc["v"].to_numpy()).astype(np.float64, copy=False)
+            qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (q / np.where(qn > 0, qn, np.nan)[:, None]) @ n_unit
+            qids = qc["qid"].to_numpy()
+            order = np.argsort(-s, axis=1, kind="stable")
+            for i in range(len(qids)):
+                cols = order[i, :take]
+                cols = cols[nids[cols] != qids[i]][:k]
+                out_q.extend([qids[i]] * len(cols))
+                out_n.extend(nids[cols])
+                out_c.extend(s[i, cols])
         out = pd.DataFrame({"qid": out_q, "nid": out_n, "cos_sim": out_c})
         # zero-norm vectors score NaN here but NULL on the fold path
         # (try_divide) — and NaN sorts FIRST under desc() while NULL

@@ -611,3 +611,116 @@ SELECT doc_id, term,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval (Robertson & Spärck Jones, public formula): the
+    top-k documents for a bag-of-terms query.
+
+    Output: (doc_id, rank, score) with
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``,
+    ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Scale shape: the token pipeline runs once; the query-term filter
+    lands immediately after the tf groupBy, so only rows for the
+    query's terms (|q| · df rows, not the whole doc×term table) reach
+    the df window and the scoring join. N and avgdl come from a
+    doc-level aggregate that never explodes tokens. Scores are rounded
+    to significant digits BEFORE ranking (cross-engine ln parity, same
+    contract as tfidf).
+    """
+    from dataframeutils_spark.schema import siground
+
+    qt = [t.lower() for t in query_terms]
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("term").isin(qt))
+    )
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    stats = docs.select(
+        F.count(F.when(F.size(_tokens(F.lower(F.col(text_col)))) > 0, 1)).alias(
+            "n_docs"
+        ),
+        F.avg(F.size(_tokens(F.lower(F.col(text_col)))).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.lower(F.col(text_col)))).alias("dl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfpart = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.withColumn("df", dfreq)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(siground(F.sum(idf * tfpart)).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.select("doc_id", F.row_number().over(w).alias("rank"), "score")
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_search_sql(
+    query_terms: tuple[str, ...],
+    table: str = "documents",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    qlist = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    contrib = (
+        f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+        f"(tf * ({k1} + 1)) / (tf + {k1} * ((1.0 - {b}) + {b} * dl / avgdl))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+), tf0 AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), tf AS (
+  SELECT * FROM tf0 WHERE term IN ({qlist})
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len({toks})::DOUBLE) AS avgdl
+  FROM {table} WHERE len({toks}) > 0
+), dl AS (
+  SELECT doc_id, len({toks}) AS dl FROM {table}
+), scored AS (
+  SELECT tf.doc_id, {siground_sql(f'sum({contrib})')} AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -188,3 +188,46 @@ def test_cleaning_oracle_parity(spark, ddb, spark_fn, sql_fn):
             assert (abs(g - w) < 1e-9).all(), c
         else:
             assert (g == w).all(), c
+
+
+# --------------------------------------------------------------------------
+# bm25 (lives in text.py, tested here with the other corpus-query ops)
+# --------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from dataframeutils_spark.operators import text as T
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark engine"),     # high tf for 'spark'
+            (2, "spark engine"),                  # one hit
+            (3, "pandas dataframe engine"),       # no query term
+            (4, "spark " + "filler " * 50),       # hit but long doc (dl penalty)
+        ],
+    )
+    out = T.bm25_search(docs, query_terms=("spark",), k=10).collect()
+    got = [r["doc_id"] for r in out]
+    assert got[0] == 1          # highest tf wins
+    assert 3 not in got         # no-term docs don't appear
+    # same tf but longer doc scores lower (length normalization)
+    s = {r["doc_id"]: r["score"] for r in out}
+    assert s[2] > s[4]
+
+
+def test_bm25_matches_duckdb_oracle(spark, ddb):
+    from dataframeutils_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (r["doc_id"], r["rank"], r["score"])
+        for r in T.bm25_search(docs, ("join", "scan"), k=15).orderBy("rank").collect()
+    ]
+    want = [
+        tuple(t)
+        for t in ddb.execute(
+            T.bm25_search_sql(("join", "scan"), k=15) + " ORDER BY rank"
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0

@@ -397,6 +397,26 @@ def test_ivf_arrow_assign_matches_fold(spark):
     assert a.count() > 0
 
 
+def test_ivf_hier_arrow_assign_matches_fold(spark):
+    """The one-pass Arrow two-stage assignment (coarse matmul → group-
+    masked fine matmul) must reproduce the fold+window hier path's
+    (query, neighbor, rank) output exactly — same probed-group
+    visibility, same tie-breaks."""
+    from dataframeutils_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    kw = dict(k=5, n_probe=2, coarse_probe=3, dim=64, seed=7)
+    a = similarity.ivf_topk_hier(emb, arrow_assign=True, **kw).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    b = similarity.ivf_topk_hier(emb, **kw).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
 def test_ivf_hier_recall_vs_flat(spark):
     """Two-level IVF is approximate by construction; pin its floor:
     with coarse_probe=4 over hash-derived (structureless — worst case)
