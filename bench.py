@@ -113,34 +113,30 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Untimed warmup at the BENCH SF: pay JVM JIT + whole-stage-codegen
-    # compilation (e.g. dedup_simhash's 60-conditional-sum method, the
-    # weighted-bin Arrow kernel) OUTSIDE the timed loop — these are
+    # Per-query warm-then-time at the BENCH SF: pay JVM JIT +
+    # whole-stage-codegen compilation (e.g. dedup_simhash's
+    # 60-conditional-sum method, the composed pipeline_prepare
+    # projection) in an untimed run IMMEDIATELY before the timed one —
     # per-process constants that amortize to zero at scale, and leaving
-    # them inside the first timed queries makes run-to-run numbers
-    # bimodal.  Warming at sf_dir (not a smaller SF) matters for
-    # data-size-dependent plans: similarity_ivf sizes its centroid count
-    # to ceil(sqrt(N)), so a plan warmed at sf0.001 compiles a
-    # DIFFERENT codegen method than the sf0.1 run — round 3's official
-    # 31.95 s similarity_ivf row (vs 3.4 s warm in the repo log) was
-    # exactly that fresh compile landing inside the timed loop.
-    t0 = time.time()
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        try:
-            fn(spark, sf_dir).count()
-        except Exception:
-            pass
-    print(f"# warmup pass: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-
+    # them in the timed number makes runs bimodal.  Two details learned
+    # the hard way: (1) warm at sf_dir, not a smaller SF —
+    # similarity_ivf sizes C to ceil(sqrt(N)), so an sf0.001-warmed
+    # plan compiles a DIFFERENT method than the sf0.1 run (round 3's
+    # official 31.95 s row vs 3.4 s warm was exactly that); (2) warm
+    # per query, not as one upfront pass — the JVM codegen class cache
+    # holds ~100 entries, and with 45+ headline queries an upfront
+    # sweep EVICTS the early queries' classes before they are timed
+    # (measured: pipeline_prepare 11 s "warmed" vs 3.4 s actually warm).
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
+        try:
+            fn(spark, sf_dir).count()  # untimed warm run
+        except Exception:
+            pass
         t0 = time.time()
         try:
             n = fn(spark, sf_dir).count()
