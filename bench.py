@@ -57,6 +57,7 @@ HEADLINE = [
     "textrank",
     "stream_sliding_stats",
     "bm25_search",
+    "pack_sequences",
     "dedup_shared_spans",
     "topk_terms",
     "tfidf_topterms",

@@ -24,6 +24,7 @@ from dataframeutils_spark.operators import (
     multimodal,
     graph,
     outliers,
+    packing,
     panel_stats,
     pipeline,
     sampling,
@@ -379,6 +380,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         query_terms=("join", "scan", "slow"),
         k=25,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest (the LLM pipeline's
+    final step): global token prefix-sum via a TWO-PHASE cumsum
+    (per-block window + tiny block-totals window) so no single task
+    ever sees the whole corpus — the naive global orderBy window
+    would."""
+    return packing.pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=256
     )
 
 
@@ -1153,6 +1165,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_profile": q_countmin_profile,
         "textrank": q_textrank,
         "bm25_search": q_bm25_search,
+        "pack_sequences": q_pack_sequences,
         "inverted_index": q_inverted_index,
         "embedding_dim_stats": q_embedding_dim_stats,
         # --- body: verified green in round 3, re-checked this round ---
@@ -1167,7 +1180,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -1209,6 +1221,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "similarity_topk": q_similarity_topk,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "events_value_profile_approx": q_events_value_profile_approx,
     }
 
@@ -1259,6 +1272,7 @@ def all_oracles() -> dict[str, str]:
         "countmin_profile": sketches.countmin_profile_sql(k=50, depth=4, width=16),
         "textrank": graph.textrank_keywords_sql(k=20, iters=5),
         "bm25_search": text.bm25_search_sql(("join", "scan", "slow"), k=25),
+        "pack_sequences": packing.pack_sequences_sql(seq_len=256),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),
         "embedding_dim_stats": (
             "SELECT * REPLACE ("

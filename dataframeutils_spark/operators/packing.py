@@ -1,0 +1,136 @@
+"""Sequence packing — the last step of every LLM pretraining data
+pipeline: concatenate the tokenized corpus in deterministic document
+order and chunk it into fixed-length training sequences (GPT-style
+concat-and-chunk packing).
+
+:func:`pack_sequences` emits the pack MANIFEST: one row per
+(sequence, document) overlap describing exactly which token span of
+which document lands where in which training sequence. A downstream
+writer materializes the actual token tensors from it; the manifest is
+the part that needs a distributed engine.
+
+Scale notes — the whole operator is one global prefix-sum, and the
+naive formulation (``Window.orderBy(doc_id)`` with no partition key)
+funnels ALL rows through a single task. Instead the cumsum is
+two-phase: per-block intra prefix sums (hash-partitioned window on
+``doc_id DIV block``), block totals cumsummed in a second, tiny window
+whose row count is N/block, then recombined. With block = 2¹⁶ a
+10¹⁰-document corpus leaves only ~150k block rows for the small
+window — and a third level would buy another 2¹⁶ factor if ever
+needed. The bin fan-out (`sequence`) adds ≤ 1 + n/seq_len rows per
+doc, proportional to output size.
+
+Deterministic by construction (doc order = doc_id order, integer
+arithmetic only), so the manifest carries a full exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.text import _tokens
+
+# 2^16 docs per cumsum block: the block-totals window sees N/65536 rows
+BLOCK = 1 << 16
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack manifest: (seq_id, doc_id, doc_offset, seq_offset, n_tokens).
+
+    Documents are concatenated in ``doc_id`` order (whitespace token
+    counts) and cut every ``seq_len`` tokens; a document spanning a cut
+    appears once per sequence it touches. ``doc_offset``/``seq_offset``
+    locate the copied span in the source document / target sequence;
+    empty documents are dropped (they occupy no tokens).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.lower(F.col(text_col)))).alias("n"),
+    ).filter(F.col("n") > 0)
+    d = d.withColumn("blk", F.expr(f"doc_id DIV {BLOCK}"))
+    # phase 1: prefix sum WITHIN each block (hash-partitioned window)
+    w_intra = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("intra", F.coalesce(F.sum("n").over(w_intra), F.lit(0)))
+    # phase 2: cumsum of block totals — N/BLOCK rows through the small
+    # unpartitioned window, not N
+    blocks = d.groupBy("blk").agg(F.sum("n").alias("bn"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = blocks.withColumn(
+        "bpre", F.coalesce(F.sum("bn").over(w_blk), F.lit(0))
+    ).select("blk", "bpre")
+    d = d.join(F.broadcast(blocks), "blk").withColumn(
+        "ofs", F.col("bpre") + F.col("intra")
+    )
+    # bin fan-out: doc spans sequences ofs DIV L .. (ofs+n-1) DIV L
+    L = seq_len
+    d = d.select(
+        "doc_id",
+        "n",
+        "ofs",
+        F.explode(
+            F.sequence(
+                F.expr(f"ofs DIV {L}"), F.expr(f"(ofs + n - 1) DIV {L}")
+            )
+        ).alias("seq_id"),
+    )
+    start = F.greatest(F.col("seq_id") * L, F.col("ofs"))
+    end = F.least((F.col("seq_id") + 1) * L, F.col("ofs") + F.col("n"))
+    return d.select(
+        "seq_id",
+        "doc_id",
+        (start - F.col("ofs")).alias("doc_offset"),
+        (start - F.col("seq_id") * L).alias("seq_offset"),
+        (end - start).alias("n_tokens"),
+    )
+
+
+def pack_summary(
+    docs: DataFrame, seq_len: int = 256, **kwargs
+) -> DataFrame:
+    """Per-sequence audit: (seq_id, n_docs, n_tokens, full) — every
+    sequence except the last must hold exactly ``seq_len`` tokens."""
+    m = pack_sequences(docs, seq_len=seq_len, **kwargs)
+    return m.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("n_tokens") == seq_len).alias("full"),
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents", seq_len: int = 256
+) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    L = seq_len
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({toks}) AS n FROM {table} WHERE len({toks}) > 0
+), o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS ofs
+  FROM d
+), bins AS (
+  SELECT doc_id, n, ofs,
+         unnest(range(CAST(ofs // {L} AS BIGINT),
+                      CAST((ofs + n - 1) // {L} + 1 AS BIGINT))) AS seq_id
+  FROM o
+)
+SELECT seq_id, doc_id,
+       GREATEST(seq_id * {L}, ofs) - ofs AS doc_offset,
+       GREATEST(seq_id * {L}, ofs) - seq_id * {L} AS seq_offset,
+       LEAST((seq_id + 1) * {L}, ofs + n) - GREATEST(seq_id * {L}, ofs)
+         AS n_tokens
+FROM bins
+"""

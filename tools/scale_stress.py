@@ -69,6 +69,16 @@ QUERIES = [
     # folds and shuffles ~8x fewer rows than the flat N×C scan —
     # compare directly against similarity_ivf above
     "similarity_ivf_hier",
+    # round 4 operators: the cleaning gates and IR/sketch primitives
+    # are all scan-side or map-side-combined — 100x should be ~linear
+    "quality_rules",
+    "pii_scrub",
+    "decontaminate",
+    "countmin_profile",
+    "inverted_index",
+    "textrank",
+    "bm25_search",
+    "pack_sequences",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
