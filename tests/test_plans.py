@@ -92,3 +92,69 @@ def test_interval_overlap_join_is_equi_join(spark):
     plan = _plan(ranges.interval_overlap_join(left, right))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cleaning_projections_have_no_exchange(spark):
+    """pii_scrub / quality_rules are scan-side projections — zero
+    shuffle, pruned to (doc_id, text)."""
+    from dataframeutils_spark.operators import cleaning
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for fn in (cleaning.pii_scrub, cleaning.quality_rules):
+        plan = _plan(fn(docs))
+        assert "Exchange" not in plan, fn.__name__
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, fn.__name__
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must arrive by broadcast — the corpus
+    side never shuffles its exploded grams to meet it."""
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators import cleaning
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    corpus = docs.filter(~F.col("source").isin("src0", "src1"))
+    plan = _plan(cleaning.decontaminate(corpus, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], (
+        "gram join must not be a sort-merge join"
+    )
+
+
+def test_countmin_estimate_broadcasts_sketch(spark):
+    """Sketch cells (≤ depth×width rows) must broadcast to the probe
+    side — estimation is shuffle-free on the term set."""
+    from dataframeutils_spark.operators import sketches
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(sketches.countmin_profile(docs, k=10, depth=4, width=16))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_filters_query_terms_before_scoring(spark):
+    """The query-term IN filter must sit in the aggregate pipeline
+    (post-groupBy filter on the tf table), not after the scoring
+    joins — only |q|·df rows may reach the df window."""
+    from dataframeutils_spark.operators import text
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(text.bm25_search(docs, ("join", "scan"), k=10))
+    # the IN-filter appears before (deeper than) the Window in plan
+    # text order: Window prints above its child Filter
+    w_pos = plan.index("Window")
+    assert "term#" in plan[w_pos:], "df window keyed on term"
+    f_pos = plan.find("scan")  # the literal in the IN list
+    assert f_pos != -1
+
+
+def test_pagerank_iteration_truncates_lineage(spark):
+    """textrank's 5 rounds must not build an exponentially nested plan:
+    localCheckpoint caps the executed-plan depth per round."""
+    from dataframeutils_spark.operators import graph
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(graph.textrank_keywords(docs, k=10, iters=5))
+    # the final plan hangs off checkpointed RDDs, not 5 nested joins
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 4

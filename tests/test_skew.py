@@ -105,3 +105,22 @@ def test_hot_shingle_deduped_before_shuffle(spark, hot_corpus):
     assert (
         sh.filter(F.col("shingle") == "spam spam spam").count() == 1
     )
+
+
+def test_inverted_index_hot_term_stays_bounded(spark, hot_corpus):
+    """Every hot doc contains the same terms → each term's posting list
+    covers all 200 hot docs. The salted two-phase bottom-k must (a)
+    still report the EXACT df and (b) return the k smallest doc_ids,
+    without funnelling the full list through one task (the partial
+    slice caps per-salt payloads at max_postings)."""
+    from dataframeutils_spark.operators import sketches
+
+    out = {
+        r["term"]: r
+        for r in sketches.inverted_index(
+            hot_corpus, max_postings=5, min_df=1, n_salts=8
+        ).collect()
+    }
+    hot = out["quick"]
+    assert hot["df"] == N_HOT
+    assert hot["postings"] == "0,1,2,3,4"

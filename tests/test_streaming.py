@@ -249,3 +249,32 @@ def test_stream_stream_join_matches_batch(spark, multi_file_events_dir):
     want = _norm(SJ.purchase_click_join(_batch_events(spark)).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_cleaning_gates_run_on_streams(spark, tmp_path):
+    """pii_scrub / quality_rules are pure projections, so the SAME
+    operator code runs on a streaming DataFrame unchanged — gate the
+    stream, drain, compare against batch."""
+    import pyspark.sql.functions as F
+
+    from dataframeutils_spark.operators import cleaning
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} mail a{i}@b.io " + "the and of is word " * 5)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    W.run_to_memory(
+        cleaning.pii_scrub(stream), "pii_stream", output_mode="append"
+    )
+    got = _norm(spark.table("pii_stream").toPandas())
+    want = _norm(cleaning.pii_scrub(docs).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got["n_email"].sum()) == 40
