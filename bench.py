@@ -58,6 +58,8 @@ HEADLINE = [
     "stream_sliding_stats",
     "bm25_search",
     "pack_sequences",
+    "embedding_quantize",
+    "dataset_card",
     "dedup_shared_spans",
     "topk_terms",
     "tfidf_topterms",

@@ -394,6 +394,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dim int8 quantization with reconstruction-error
+    audit; scale array from ONE broadcast aggregate row, quantization
+    scan-side."""
+    return round_floats(
+        sketches.embedding_quantize(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (docs/tokens/quality/language/dup counts)
+    — one scan projection + one per-source aggregate with an exact
+    distinct-hash dup count."""
+    return pipeline.dataset_card(load_table(spark, sf_dir, "documents"))
+
+
 def q_countmin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy-hitter audit: exact top-k counts vs the sketch's
     min-over-rows estimate, overcount >= 0 checked row-by-row by the
@@ -1166,6 +1182,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "bm25_search": q_bm25_search,
         "pack_sequences": q_pack_sequences,
+        "embedding_quantize": q_embedding_quantize,
+        "dataset_card": q_dataset_card,
         "inverted_index": q_inverted_index,
         "embedding_dim_stats": q_embedding_dim_stats,
         # --- body: verified green in round 3, re-checked this round ---
@@ -1179,8 +1197,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "zscore_outliers": q_zscore_outliers,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "dataset_split": q_dataset_split,
@@ -1222,6 +1238,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
         "events_value_profile_approx": q_events_value_profile_approx,
     }
 
@@ -1273,6 +1291,8 @@ def all_oracles() -> dict[str, str]:
         "textrank": graph.textrank_keywords_sql(k=20, iters=5),
         "bm25_search": text.bm25_search_sql(("join", "scan", "slow"), k=25),
         "pack_sequences": packing.pack_sequences_sql(seq_len=256),
+        "embedding_quantize": sketches.embedding_quantize_sql(),
+        "dataset_card": pipeline.dataset_card_sql(),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),
         "embedding_dim_stats": (
             "SELECT * REPLACE ("

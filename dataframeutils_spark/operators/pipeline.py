@@ -179,3 +179,67 @@ SELECT split, lang_pred,
 FROM spl
 GROUP BY 1, 2
 """
+
+
+def dataset_card(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source data card: the summary table a pipeline publishes with
+    a released dataset — (source, n_docs, n_tokens, n_quality_pass,
+    n_english, n_exact_dups).
+
+    One scan projection evaluates quality, language and the content
+    hash together (same single-pass shape as :func:`prepare_corpus`);
+    the only shuffle is the per-source aggregate, with the duplicate
+    count an exact ``count − count(DISTINCT md5)`` inside it.
+    """
+    from dataframeutils_spark.operators.text import (
+        language_id_columns,
+        text_stat_columns,
+    )
+
+    stats = text_stat_columns(text_col)
+    lang = language_id_columns(text_col)
+    enriched = docs.select(
+        F.col(source_col).alias("source"),
+        stats["n_tokens"].alias("n_tokens"),
+        (F.round(stats["quality"], QUALITY_DECIMALS) >= min_quality).alias(
+            "q_ok"
+        ),
+        (lang["lang_pred"] == "en").alias("is_en"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality_pass"),
+        F.sum(F.col("is_en").cast("long")).alias("n_english"),
+        (F.count("*") - F.count_distinct(F.col("h"))).alias("n_exact_dups"),
+    )
+
+
+def dataset_card_sql(table: str = "documents", min_quality: float = 0.3) -> str:
+    from dataframeutils_spark.operators.text import (
+        language_id_sql,
+        text_stats_sql,
+    )
+
+    return f"""
+WITH ts AS ({text_stats_sql(table)}),
+li AS ({language_id_sql(table)})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(ts.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN round(ts.quality, {QUALITY_DECIMALS})
+                          >= {min_quality} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_pass,
+       CAST(sum(CASE WHEN li.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_english,
+       count(*) - count(DISTINCT md5(d.text)) AS n_exact_dups
+FROM {table} d JOIN ts USING (doc_id) JOIN li USING (doc_id)
+GROUP BY d.source
+"""

@@ -300,3 +300,100 @@ SELECT dim, count(*) AS n, avg(v) AS mean, stddev_samp(v) AS std,
        min(v) AS vmin, max(v) AS vmax
 FROM vals GROUP BY dim
 """
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization
+# --------------------------------------------------------------------------
+
+
+def embedding_quantize(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization:
+    (vec_id, qvec, max_abs_err).
+
+    Scales each dimension by its corpus-wide max |value| (from one
+    tiny aggregate, broadcast back) and rounds to [-127, 127] —
+    the standard 4× memory cut before ANN indexing. ``qvec`` is the
+    codes joined with ',' (engine-portable exact comparison);
+    ``max_abs_err`` audits the per-vector reconstruction error.
+
+    Scale shape: the stats pass is the :func:`embedding_dim_stats`
+    aggregate (shuffle = tasks×D partials) collapsed to ONE broadcast
+    row carrying the per-dim scale array; quantization itself is a
+    scan-side projection with `transform` over the zipped
+    (value, scale) pairs — no Python, no extra shuffle.
+    """
+    exploded = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    scales = (
+        exploded.groupBy("dim")
+        .agg(F.greatest(F.max(F.abs("v")), F.lit(1e-30)).alias("s"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s"))
+            ).alias("ds")
+        )
+        .select(F.transform("ds", lambda x: x["s"]).alias("scales"))
+    )
+    q = F.zip_with(
+        F.col(vec_col),
+        F.col("scales"),
+        lambda v, s: F.round(v.cast("double") / s.cast("double") * 127).cast(
+            "int"
+        ),
+    )
+    deq = F.zip_with(
+        F.col("q"),
+        F.col("scales"),
+        lambda c, s: c.cast("double") * s.cast("double") / 127,
+    )
+    err = F.zip_with(
+        F.col(vec_col),
+        F.col("deq"),
+        lambda v, d: F.abs(v.cast("double") - d),
+    )
+    return (
+        emb.crossJoin(F.broadcast(scales))
+        .withColumn("q", q)
+        .withColumn("deq", deq)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.array_join(F.transform("q", lambda c: c.cast("string")), ",").alias(
+                "qvec"
+            ),
+            F.array_max(err).alias("max_abs_err"),
+        )
+    )
+
+
+def embedding_quantize_sql(table: str = "embeddings") -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    return f"""
+WITH vals AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+  FROM {table}
+), sc AS (
+  SELECT dim, GREATEST(max(abs(v)), 1e-30) AS s FROM vals GROUP BY dim
+), scales AS (
+  SELECT list(s ORDER BY dim) AS scales FROM sc
+), q AS (
+  SELECT vec_id, embedding, scales,
+         list_transform(
+           list_zip(embedding, scales),
+           p -> CAST(round(CAST(p[1] AS DOUBLE) / CAST(p[2] AS DOUBLE) * 127)
+                     AS INTEGER)
+         ) AS codes
+  FROM {table} CROSS JOIN scales
+)
+SELECT vec_id,
+       array_to_string(codes, ',') AS qvec,
+       {siground_sql('''list_max(list_transform(
+           list_zip(embedding, codes, scales),
+           p -> abs(CAST(p[1] AS DOUBLE)
+                    - CAST(p[2] AS DOUBLE) * CAST(p[3] AS DOUBLE) / 127)))''')}
+         AS max_abs_err
+FROM q
+"""

@@ -231,3 +231,21 @@ def test_bm25_matches_duckdb_oracle(spark, ddb):
         ).fetchall()
     ]
     assert got == want and len(got) > 0
+
+
+def test_dataset_card_counts(spark):
+    from dataframeutils_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is on the hill for now", "a"),
+            (2, "the quick brown fox is on the hill for now", "a"),  # dup
+            (3, "le chat est dans la maison pour une heure des", "a"),
+            (4, "# # # #", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in pipeline.dataset_card(docs).collect()}
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_exact_dups"] == 1
+    assert out["a"]["n_english"] == 2  # doc 3 scores French
+    assert out["b"]["n_quality_pass"] == 0  # pure punctuation fails

@@ -103,3 +103,17 @@ def test_embedding_dim_stats(spark):
     assert abs(out[1]["mean"] - 20.0) < 1e-9
     assert out[0]["vmin"] == 1.0 and out[1]["vmax"] == 30.0
     assert abs(out[0]["std"] - 2.0) < 1e-9  # sample stddev of 1,3,5
+
+
+def test_embedding_quantize_roundtrip_error_bounded(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5]), (2, [0.5, 0.25]), (3, [-1.0, 0.125])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in sketches.embedding_quantize(emb).collect()}
+    # max|v| per dim = 1.0, 0.5 → codes = v/scale*127
+    assert out[1]["qvec"] == "127,-127"
+    assert out[2]["qvec"] == "64,64"  # 0.5/1*127=63.5 → round half-up 64
+    # reconstruction error bounded by scale/254 (half a code step)
+    for r in out.values():
+        assert r["max_abs_err"] <= 1.0 / 254 + 1e-12
