@@ -72,6 +72,7 @@ HEADLINE = [
     "events_value_profile",
     "events_value_profile_approx",
     "multimodal_real_meta",  # real PNG/WAV header parsing over synthesized containers
+    "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

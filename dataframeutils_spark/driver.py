@@ -982,6 +982,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(media)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel pipeline: valid gradient PNGs -> pure-Python decode
+    (zlib + all 5 row filters) -> nearest-neighbor resize -> pixel-sum
+    audit. The oracle recomputes the resized gradient sum from the
+    generator arithmetic, so actual pixel work is exactly checked."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images_real(media, target_w=16, target_h=16)
+
+
 def q_multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path: synthesize valid PNG/WAV containers with
     hash-derived header fields, then parse them back with the
@@ -1147,18 +1156,20 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order), and 71 are registered, so ordering is a
+    this dict (insertion order), and 75 are registered, so ordering is a
     rotation policy, priority order: (1) never driver-verified (new this
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 12 r2-green head entries plus the 8 round-4 newcomers
+    the 12 r2-green head entries plus the 12 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
-    textrank, inverted_index, embedding_dim_stats, stream_sliding_stats)
-    lead; 21 queries verified in round 3 sit out exactly one round —
-    NEXT ROUND: promote that tail block (asof/sales/range/similarity_topk
-    + the rows-only fits) back into the top 50 so nothing goes more than
-    one round unverified, and demote this round's batch.
+    textrank, bm25_search, pack_sequences, embedding_quantize,
+    dataset_card, inverted_index, embedding_dim_stats,
+    stream_sliding_stats) lead; the 25 tail queries were all verified in
+    round 3 and sit out exactly one round — NEXT ROUND: promote that
+    tail block (asof/sales/range/dedup variants + the rows-only fits)
+    back into the top 50 so nothing goes more than one round unverified,
+    and demote this round's batch.
     """
     return {
         # --- head: longest-unverified first (r2-green or never checked) ---
@@ -1169,6 +1180,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
+        "multimodal_resize": q_multimodal_resize,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_sliding_stats": q_stream_sliding_stats,
         "stream_sessionized": q_stream_sessionized,
@@ -1355,6 +1367,7 @@ GROUP BY event_type
         ),
         "multimodal_meta": multimodal.decode_metadata_sql(),
         "multimodal_real_meta": multimodal.real_decode_metadata_sql(),
+        "multimodal_resize": multimodal.resize_real_sql(),
         "multimodal_frames": multimodal.sample_frames_sql(every_k=8),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),

@@ -237,13 +237,100 @@ def synthesize_png(width: int, height: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raster = (b"\x00" + bytes(width)) * height  # filter 0 + zero pixels
+    # deterministic gradient raster (filter 0 rows): pixel(x, y) =
+    # (7x + 13y) mod 251 — SQL-reproducible, so pixel-level operators
+    # (decode → resize → reduce) are exactly oracle-checkable too
+    raster = b"".join(
+        b"\x00" + bytes(_gradient_pixel(x, y) for x in range(width))
+        for y in range(height)
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raster, 9))
         + chunk(b"IEND", b"")
     )
+
+
+def _gradient_pixel(x: int, y: int) -> int:
+    return (7 * x + 13 * y) % 251
+
+
+def decode_png_pixels(b: bytes):
+    """REAL pixel decode for 8-bit greyscale/RGB/RGBA PNG — stdlib
+    only: IDAT concat → zlib → per-row unfilter (all five spec filter
+    types, so real files decode too, not just the filter-0 fixtures).
+    Returns (width, height, numpy array of shape (h, w[, c]))."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype not in (0, 2, 6):
+                raise NotImplementedError("only 8-bit gray/RGB/RGBA PNG")
+            nch = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                up = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                if ft == 1:
+                    cur[i] = (row[i] + a) % 256
+                elif ft == 3:
+                    cur[i] = (row[i] + (a + up) // 2) % 256
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.uint8)
+    img = out.reshape(h, w, nch)
+    return w, h, (img[:, :, 0] if nch == 1 else img)
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resample via integer index maps:
+    src = (dst · src_dim) // dst_dim — exact in any engine."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return img[np.ix_(ys, xs)] if img.ndim == 2 else img[np.ix_(ys, xs)]
 
 
 def synthesize_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
@@ -414,6 +501,72 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224) ->
         resize_batches,
         schema="media_id long, media_type string, content binary, target_w int, target_h int",
     )
+
+
+def resize_images_real(
+    media: DataFrame, target_w: int = 16, target_h: int = 16
+) -> DataFrame:
+    """REAL pixel pipeline: decode PNG bytes → nearest-neighbor resize
+    → per-image audit row (media_id, src_w, src_h, out_w, out_h,
+    px_sum).
+
+    ``px_sum`` (the resized raster's pixel total) proves actual pixel
+    work happened: for the gradient fixtures it equals a pure-SQL
+    double sum the oracle computes independently, so a wrong filter
+    implementation, index map, or channel order shows as a value
+    mismatch, not just a shape difference. Same scan-side mapInPandas
+    shape as the stub tier — no shuffle, payloads never leave the
+    stage.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = decode_png_pixels(bytes(c))
+                small = resize_nearest(img, target_w, target_h)
+                rows.append((mid, w, h, target_w, target_h, int(small.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "out_w", "out_h", "px_sum",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, src_w int, src_h int, out_w int, out_h int, "
+            "px_sum long"
+        ),
+    )
+
+
+def resize_real_sql(
+    table: str = "documents", target_w: int = 16, target_h: int = 16
+) -> str:
+    """DuckDB oracle for real_media_table → :func:`resize_images_real`:
+    recomputes the nearest-neighbor-resized gradient sum from the same
+    md5 arithmetic that sized the synthesized PNG —
+    Σ_{x,y} (7·((x·w)//ow) + 13·((y·h)//oh)) mod 251."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + {h} % {_PNG_W_MOD} AS BIGINT) AS w,
+         CAST(8 + ({h} // {_PNG_W_MOD}) % {_PNG_H_MOD} AS BIGINT) AS hgt
+  FROM {table} WHERE doc_id % 2 = 0
+)
+SELECT media_id,
+       CAST(w AS INT) AS src_w, CAST(hgt AS INT) AS src_h,
+       {target_w} AS out_w, {target_h} AS out_h,
+       CAST(list_sum(list_transform(range({target_h}), y ->
+         list_sum(list_transform(range({target_w}), x ->
+           (7 * ((x * w) // {target_w})
+            + 13 * ((y * hgt) // {target_h})) % 251)))) AS BIGINT)
+         AS px_sum
+FROM dims
+"""
 
 
 def sample_frames(media: DataFrame, every_k: int = 8) -> DataFrame:

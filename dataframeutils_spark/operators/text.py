@@ -651,17 +651,18 @@ def bm25_search(
         .filter(F.col("term").isin(qt))
     )
     dfreq = F.count("*").over(Window.partitionBy("term"))
-    stats = docs.select(
-        F.count(F.when(F.size(_tokens(F.lower(F.col(text_col)))) > 0, 1)).alias(
-            "n_docs"
-        ),
-        F.avg(F.size(_tokens(F.lower(F.col(text_col)))).cast("double")).alias(
-            "avgdl"
-        ),
-    )
     dl = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_tokens(F.lower(F.col(text_col)))).alias("dl"),
+    )
+    # N and avgdl over token-bearing docs only (empty docs carry no
+    # mass), derived from the same dl projection — one light scan
+    stats = (
+        dl.filter(F.col("dl") > 0)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
     )
     idf = F.log(
         F.lit(1.0)

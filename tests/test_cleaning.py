@@ -249,3 +249,19 @@ def test_dataset_card_counts(spark):
     assert out["a"]["n_docs"] == 3 and out["a"]["n_exact_dups"] == 1
     assert out["a"]["n_english"] == 2  # doc 3 scores French
     assert out["b"]["n_quality_pass"] == 0  # pure punctuation fails
+
+
+def test_bm25_empty_docs_carry_no_mass(spark, ddb):
+    from dataframeutils_spark.operators import text as T
+
+    docs = _docs(
+        spark,
+        [(1, "spark rocks"), (2, ""), (3, "spark spark"), (4, "   ")],
+    )
+    out = {r["doc_id"]: r["score"] for r in T.bm25_search(docs, ("spark",), k=10).collect()}
+    assert set(out) == {1, 3}
+    # N=2 token-bearing docs, avgdl=2 — verify against hand formula
+    import math
+    idf = math.log(1 + (2 - 2 + 0.5) / (2 + 0.5))
+    s1 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 2))
+    assert abs(out[1] - s1) < 1e-5

@@ -106,3 +106,63 @@ def test_real_media_metadata_matches_oracle(spark, ddb):
 
     out = driver.q_multimodal_real_meta(spark, "/root/testdata/sf0.001")
     assert_matches_oracle(out, ddb, M.real_decode_metadata_sql())
+
+
+def test_png_pixel_roundtrip_and_filters():
+    """decode_png_pixels must invert synthesize_png exactly, and the
+    unfilter logic must handle real filter types (a Sub/Up/Paeth-
+    filtered encoding of the same raster decodes to identical pixels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    w, h = 13, 9
+    b = M.synthesize_png(w, h)
+    gw, gh, img = M.decode_png_pixels(b)
+    expect = np.array(
+        [[(7 * x + 13 * y) % 251 for x in range(w)] for y in range(h)],
+        dtype=np.int64,
+    )
+    assert (gw, gh) == (w, h) and (img == expect).all()
+
+    # re-encode the same raster with filter 2 (Up) on every row
+    rows = [bytes(int(v) for v in expect[0])]
+    raster = b"\x02" + bytes(
+        int(expect[0][x]) % 256 for x in range(w)
+    )  # row 0: prev = zeros → Up == None
+    for y in range(1, h):
+        diff = bytes((int(expect[y][x]) - int(expect[y - 1][x])) % 256 for x in range(w))
+        raster += b"\x02" + diff
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    b2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+    _, _, img2 = M.decode_png_pixels(b2)
+    assert (img2 == expect).all()
+
+
+def test_resize_real_pixel_sums(spark, ddb):
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.real_media_table(docs)
+    got = sorted(
+        tuple(r) for r in M.resize_images_real(media, 16, 16).collect()
+    )
+    want = sorted(tuple(t) for t in ddb.execute(M.resize_real_sql()).fetchall())
+    assert got == want and len(got) > 0

@@ -158,3 +158,19 @@ def test_pagerank_iteration_truncates_lineage(spark):
     plan = _plan(graph.textrank_keywords(docs, k=10, iters=5))
     # the final plan hangs off checkpointed RDDs, not 5 nested joins
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 4
+
+
+def test_decontaminate_source_filter_pushed_to_scan(spark):
+    """The corpus/benchmark source predicates must reach the parquet
+    scan (PushedFilters), not evaluate post-scan — at 100 TB that is
+    the difference between reading a partition and reading the lake."""
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators import cleaning
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    corpus = docs.filter(~F.col("source").isin("src0", "src1"))
+    plan = _plan(cleaning.decontaminate(corpus, bench, n=3))
+    assert "PushedFilters: [" in plan
+    assert "In(source" in plan or "in(source" in plan.lower()
