@@ -476,3 +476,119 @@ class TimeSeriesStudy:
                 "total_outliers": row["total_outliers"] or 0,
             },
         }
+
+
+class CorpusStudy:
+    """Facade for the training-data pipeline surface, symmetric with
+    :class:`TimeSeriesStudy`: one object over a ``documents``-shaped
+    DataFrame (``doc_id``, ``text``, optional ``source``) exposing the
+    cleaning / dedup / analysis / packing operators as lazy DataFrames.
+
+    Engine extension (no reference counterpart — SURVEY §2.3): the
+    reference analyses panels; this is the corpus-side entry point a
+    pretraining pipeline drives. Every method delegates to the
+    operator modules, so plan shapes (and their plan-pinned tests)
+    are identical whether called here or directly.
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.docs = docs
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _kw(self) -> dict[str, str]:
+        return {"text_col": self.text_col, "id_col": self.id_col}
+
+    # ---- per-document signals -------------------------------------
+    def text_stats(self) -> DataFrame:
+        from dataframeutils_spark.operators import text
+
+        return text.text_stats(self.docs, **self._kw())
+
+    def language_id(self) -> DataFrame:
+        from dataframeutils_spark.operators import text
+
+        return text.language_id(self.docs, **self._kw())
+
+    def quality_rules(self, **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import cleaning
+
+        return cleaning.quality_rules(self.docs, **self._kw(), **kwargs)
+
+    def pii_scrub(self) -> DataFrame:
+        from dataframeutils_spark.operators import cleaning
+
+        return cleaning.pii_scrub(self.docs, **self._kw())
+
+    def repetition(self, n: int = 3) -> DataFrame:
+        from dataframeutils_spark.operators import text
+
+        return text.repetition_stats(self.docs, n=n, **self._kw())
+
+    # ---- dedup ----------------------------------------------------
+    def exact_dedup(self) -> DataFrame:
+        from dataframeutils_spark.operators import dedup
+
+        return dedup.exact_dedup(self.docs, **self._kw())
+
+    def minhash_dedup(
+        self, num_perm: int = 16, bands: int = 4, **kwargs: Any
+    ) -> DataFrame:
+        from dataframeutils_spark.operators import dedup
+
+        sh = dedup.shingles(self.docs, **self._kw(), **kwargs)
+        sigs = dedup.minhash_signatures(sh, num_perm=num_perm)
+        return dedup.lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+
+    def decontaminate(self, benchmark: DataFrame, **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import cleaning
+
+        return cleaning.decontaminate(
+            self.docs, benchmark, text_col=self.text_col,
+            id_col=self.id_col, **kwargs,
+        )
+
+    # ---- corpus-level analysis ------------------------------------
+    def topk_terms(self, k: int = 50) -> DataFrame:
+        from dataframeutils_spark.operators import text
+
+        return text.topk_terms(self.docs, k=k, **self._kw())
+
+    def keywords(self, k: int = 20, **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import graph
+
+        return graph.textrank_keywords(
+            self.docs, k=k, text_col=self.text_col, **kwargs
+        )
+
+    def search(self, query_terms: tuple[str, ...], k: int = 10) -> DataFrame:
+        from dataframeutils_spark.operators import text
+
+        return text.bm25_search(self.docs, query_terms, k=k, **self._kw())
+
+    def dataset_card(self, **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import pipeline
+
+        return pipeline.dataset_card(
+            self.docs, text_col=self.text_col, id_col=self.id_col, **kwargs
+        )
+
+    # ---- end of pipeline ------------------------------------------
+    def prepare(self, **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import pipeline
+
+        return pipeline.prepare_corpus(
+            self.docs, text_col=self.text_col, id_col=self.id_col, **kwargs
+        )
+
+    def pack(self, seq_len: int = 256) -> DataFrame:
+        from dataframeutils_spark.operators import packing
+
+        return packing.pack_sequences(
+            self.docs, seq_len=seq_len, **self._kw()
+        )

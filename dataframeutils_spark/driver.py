@@ -1222,7 +1222,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_hier": q_similarity_ivf_hier,
@@ -1253,6 +1252,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "events_value_profile_approx": q_events_value_profile_approx,
+        "fingerprint": q_fingerprint,
     }
 
 

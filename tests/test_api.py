@@ -187,3 +187,24 @@ def test_weighted_bins_reexport(spark):
     assert set(rows) == {1, 2}  # last row emits nothing
     # row t=1: future = [(10,2),(10,3)] → bin1 holds both: (10*2+10*3)/20
     assert abs(rows[1]["bin_1_avg"] - 2.5) < 1e-12
+
+
+def test_corpus_study_facade(spark):
+    """CorpusStudy delegates to the operator modules — every method
+    returns a lazy DataFrame with the operator's documented columns."""
+    from dataframeutils_spark.api import CorpusStudy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cs = CorpusStudy(docs)
+    assert set(cs.quality_rules().columns) >= {"doc_id", "passes"}
+    assert set(cs.pii_scrub().columns) >= {"doc_id", "n_pii", "clean_text"}
+    assert set(cs.exact_dedup().columns) >= {"text_hash", "keep_doc_id"}
+    assert {"doc_a", "doc_b"} <= set(cs.minhash_dedup().columns)
+    assert cs.search(("join",), k=3).count() <= 3
+    assert set(cs.pack(seq_len=64).columns) == {
+        "seq_id", "doc_id", "doc_offset", "seq_offset", "n_tokens"
+    }
+    card = cs.dataset_card().collect()
+    assert len(card) > 0 and card[0]["n_docs"] > 0
+    bench = docs.limit(5)
+    assert "contaminated" in cs.decontaminate(bench).columns
