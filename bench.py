@@ -42,6 +42,10 @@ HEADLINE = [
     "similarity_ivf_kmeans",  # production config: kmeans quantizer + cogrouped Arrow re-rank (rows-only query)
     "similarity_ivf_hier",  # two-level quantizer: the extreme-N assignment path (rows-only query)
     "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "shard_manifest",
+    "mixture_temperature",
     "dataset_split",
     "hash_sample",
     "data_mixture",

@@ -296,6 +296,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ongoing-ingest dedup: classify each new-batch doc against the
+    existing corpus snapshot's content-hash store (dup_of_corpus /
+    dup_in_batch / new) — hash-only anti-join, corpus text never
+    rescanned."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, batch = dedup.snapshot_split(docs)
+    store = corpus.select(dedup.portable_hash60(F.col("text")).alias("h"))
+    return dedup.incremental_dedup(batch, store)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution with a quality keep policy: within each
+    transitive near-dup cluster keep the longest doc (tiebreak min id)
+    instead of blindly keeping the min id."""
+    return dedup.keep_best_clusters(load_table(spark, sf_dir, "documents"))
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle shard manifest (doc -> shard, pos,
+    offset): the write-side plan of a training-data export, integer
+    exact."""
+    return sampling.shard_manifest(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-τ mixture reweighting audit (weight ∝ share^0.5):
+    per-language natural share vs temperature weight, boost factor and
+    target doc count."""
+    return sampling.mixture_temperature_summary(
+        load_table(spark, sf_dir, "documents"), tau=0.5
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test assignment, audited per
     language stratum — integer-exact, no float rounding needed."""
@@ -1161,15 +1195,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 12 r2-green head entries plus the 12 round-4 newcomers
+    the 12 r2-green head entries plus the 16 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
-    stream_sliding_stats) lead; the 25 tail queries were all verified in
-    round 3 and sit out exactly one round — NEXT ROUND: promote that
-    tail block (asof/sales/range/dedup variants + the rows-only fits)
-    back into the top 50 so nothing goes more than one round unverified,
-    and demote this round's batch.
+    stream_sliding_stats, dedup_incremental, dedup_keep_best,
+    shard_manifest, mixture_temperature) lead; the tail queries were
+    all verified in round 3 and sit out exactly one round — NEXT
+    ROUND: promote that tail block (asof/sales/range/text/dedup
+    variants + the rows-only fits) back into the top 50 so nothing
+    goes more than one round unverified, and demote this round's batch.
     """
     return {
         # --- head: longest-unverified first (r2-green or never checked) ---
@@ -1198,6 +1233,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "inverted_index": q_inverted_index,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
+        "shard_manifest": q_shard_manifest,
+        "mixture_temperature": q_mixture_temperature,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
@@ -1218,10 +1257,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "lm_quality": q_lm_quality,
         "dedup_shared_spans": q_dedup_shared_spans,
-        "topk_terms": q_topk_terms,
-        "tfidf_topterms": q_tfidf_topterms,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_hier": q_similarity_ivf_hier,
@@ -1230,8 +1265,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_by_nation": q_sales_by_nation,
         "sales_rollup": q_sales_rollup,
         "range_attribution": q_range_attribution,
-        # --- tail: r3-verified rows-only variants; excluded by the
-        # 50-query cap this round, promote next round ---
+        # --- tail: r3-verified entries; excluded by the 50-query cap
+        # this round, promote next round ---
+        "topk_terms": q_topk_terms,
+        "tfidf_topterms": q_tfidf_topterms,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
         "stationarity": q_stationarity,
         "volatility_garch": q_volatility_garch,
         "outliers_iforest": q_outliers_iforest,
@@ -1276,6 +1315,10 @@ def all_oracles() -> dict[str, str]:
         "dedup_embedding": _round_oracle_cols(dedup.embedding_dup_sql(), ["cos_sim"]),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dedup_embedding_clusters": dedup.embedding_dup_clusters_sql(),
+        "dedup_incremental": dedup.incremental_dedup_sql(),
+        "dedup_keep_best": dedup.keep_best_clusters_sql(),
+        "shard_manifest": sampling.shard_manifest_sql(n_shards=16),
+        "mixture_temperature": sampling.mixture_temperature_sql(tau=0.5),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

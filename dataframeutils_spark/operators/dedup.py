@@ -773,3 +773,178 @@ FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
 WHERE {na} > 0 AND {nb} > 0
   AND {dot} / ({na} * {nb}) >= {threshold}
 """
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs corpus snapshot)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+    portable: bool = True,
+) -> DataFrame:
+    """Classify every NEW-batch doc against an existing corpus snapshot:
+    (doc_id, status) with status ∈ {'dup_of_corpus', 'dup_in_batch',
+    'new'} — the operator an ongoing ingestion pipeline runs on each
+    crawl without rescanning the corpus.
+
+    No counterpart in the reference (eager single-frame library,
+    SURVEY §2.3) — north-star dedup surface.
+
+    ``corpus_hashes`` is the maintained signature store: ONE column of
+    content hashes (8-byte longs), not text. At 100 TB the corpus text
+    is never read again — each ingest appends the surviving batch's
+    hashes to the store, so cost is O(|batch| + |store|) hash-only
+    shuffle, not O(|corpus text|).
+
+    Plan: batch is hashed scan-side; the left join against the distinct
+    store and the first-occurrence window both partition by the SAME
+    8-byte key, so Spark plans one exchange for the batch side
+    (ReuseExchange/AQE) and the text never shuffles. 'dup_in_batch'
+    keeps min-doc_id-first semantics consistent with exact_dedup.
+    """
+    hfn = portable_hash60 if portable else fast_hash64
+    b = batch.select(
+        F.col(id_col).alias("doc_id"), hfn(F.col(text_col)).alias("h")
+    )
+    store = corpus_hashes.select(F.col(hash_col).alias("h")).distinct()
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy(F.col("doc_id").asc())
+    )
+    joined = b.join(store.withColumn("in_corpus", F.lit(True)), "h", "left")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+        .when(rn == 1, F.lit("new"))
+        .otherwise(F.lit("dup_in_batch"))
+        .alias("status"),
+    )
+
+
+def snapshot_split(
+    docs: DataFrame, id_col: str = "doc_id", salt: str = "snap", portable: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (corpus, batch) halves of one documents table —
+    the driver-testable stand-in for 'yesterday's corpus, today's
+    crawl'. Hash-parity on the id, same stability contract as
+    operators.sampling (order/partition independent, engine portable).
+    """
+    hfn = portable_hash60 if portable else fast_hash64
+    side = hfn(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 2
+    return docs.filter(side == 0), docs.filter(side == 1)
+
+
+def incremental_dedup_sql(
+    table: str = "documents", salt: str = "snap"
+) -> str:
+    """DuckDB oracle for :func:`incremental_dedup` over the
+    :func:`snapshot_split` halves of ``table``."""
+    side = portable_hash60_sql(f"('{salt}:' || doc_id::VARCHAR)")
+    h = portable_hash60_sql("text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {h} AS h, {side} % 2 AS side FROM {table}
+),
+corpus AS (SELECT DISTINCT h FROM d WHERE side = 0),
+batch AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM d WHERE side = 1
+)
+SELECT b.doc_id,
+       CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.rn = 1 THEN 'new'
+            ELSE 'dup_in_batch' END AS status
+FROM batch b LEFT JOIN corpus c ON b.h = c.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# keep-best cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def keep_best_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """:func:`dedup_clusters` with a QUALITY keep policy: within each
+    transitive near-dup cluster keep the doc maximizing ``quality_col``
+    (tiebreak min doc_id) instead of blindly keeping the min id — the
+    policy real corpora want ('keep the most complete copy', or swap in
+    an lm_quality score for 'keep the cleanest').
+
+    Output: (doc_id, cluster_id, cluster_size, quality, keep).
+
+    Scale: the cluster table is a few % of the corpus (duplicates
+    only), so the quality join is a broadcast of clusters against the
+    docs scan — no extra full shuffle; the keep decision is one window
+    over clusters partitioned by cluster_id (already the join output's
+    key).
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(
+        docs, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm,
+        bands=bands, portable=portable,
+    ).drop("is_canonical")
+    quality = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("quality").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .select("doc_id", "cluster_id", "cluster_size", "quality", (rn == 1).alias("keep"))
+    )
+
+
+def keep_best_clusters_sql(
+    table: str = "documents",
+    quality_col: str = "n_chars",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> str:
+    """Recursive-CTE closure (as :func:`dedup_clusters_sql`) + quality
+    argmax window."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_sql(table, n, num_perm, bands)}),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+),
+lab AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM lab
+)
+SELECT s.doc_id, s.cluster_id, s.cluster_size,
+       t.{quality_col} AS quality,
+       row_number() OVER (PARTITION BY s.cluster_id
+                          ORDER BY t.{quality_col} DESC, s.doc_id ASC) = 1 AS keep
+FROM sized s JOIN {table} t ON s.doc_id = t.doc_id
+"""

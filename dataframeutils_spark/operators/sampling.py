@@ -280,3 +280,157 @@ FROM b, (VALUES {values}) r(rate_pct, next_pct)
 WHERE b.bucket < r.rate_pct
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# shard manifest (training-order export plan)
+# ---------------------------------------------------------------------------
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    salt: str = "shard",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic global-shuffle shard manifest for training export:
+    (doc_id, shard, pos, offset) — which output shard each doc lands
+    in, its position inside the shard, and its starting byte/char
+    offset.
+
+    No counterpart in the reference (SURVEY §2.3) — north-star surface:
+    the write-side plan of a 100 TB corpus export. shard =
+    hash(salt:id) mod n_shards gives an order/partition-independent
+    pseudo-random training order (the 'global shuffle' LM training
+    wants) without ever materializing a random permutation; pos/offset
+    come from one window per shard ordered by (hash, id), which is
+    EXACTLY the physical write plan — repartition(n_shards, shard) +
+    sortWithinPartitions — so the manifest costs nothing beyond the
+    write itself. Production n_shards is 10⁴–10⁵ (shard ≈ a few GB),
+    so window parallelism equals shard count and no task sees more
+    than one shard's rows.
+    """
+    from pyspark.sql import Window
+
+    hfn = portable_hash60 if portable else fast_hash64
+    h = hfn(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(size_col).alias("sz"),
+            h.alias("h"),
+        )
+        .withColumn("shard", F.col("h") % n_shards)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).alias("pos"),
+            (F.sum("sz").over(w) - F.col("sz")).cast("long").alias("offset"),
+        )
+    )
+
+
+def shard_manifest_sql(
+    n_shards: int = 16,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    salt: str = "shard",
+) -> str:
+    h = portable_hash60_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {size_col} AS sz, {h} AS h,
+         {h} % {n_shards} AS shard
+  FROM {table}
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER w AS BIGINT) AS pos,
+       CAST(sum(sz) OVER w - sz AS BIGINT) AS offset
+FROM d
+WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature-reweighted mixture (audit)
+# ---------------------------------------------------------------------------
+
+
+def mixture_temperature_summary(
+    df: DataFrame,
+    tau: float = 0.5,
+    strat_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-:math:`\\tau` mixture reweighting audit — the
+    standard multilingual/multi-source rebalancing rule (sampling
+    weight ∝ share^τ, τ<1 upweights the tail): per stratum —
+    (stratum, n_docs, sum_chars, nat_share, temp_weight, boost,
+    target_docs).
+
+    ``boost`` = temp_weight / nat_share is the per-stratum over/under-
+    sampling factor to feed :func:`stratified_hash_sample` (rates ∝
+    boost, capped at 100 when no replication is wanted);
+    ``target_docs`` = temp_weight × total. Floats go through the
+    cross-engine decimal-rounding contract; counts stay integer-exact.
+
+    Plan: one map-side-combinable groupBy to S stratum rows, then
+    window totals over that TINY table (S rows — the single-partition
+    window is a driver-scale triviality, never corpus-scale).
+    """
+    from pyspark.sql import Window
+
+    from dataframeutils_spark.schema import decround, siground
+
+    w = Window.partitionBy()
+    g = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"), F.sum(size_col).alias("sum_chars")
+    )
+    pow_s = F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
+    g = g.withColumn(
+        "nat_share", F.col("n_docs") / F.sum("n_docs").over(w)
+    ).withColumn("_w", pow_s / F.sum(pow_s).over(w))
+    return g.select(
+        "stratum",
+        "n_docs",
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        decround("nat_share").alias("nat_share"),
+        decround("_w").alias("temp_weight"),
+        siground(F.col("_w") / F.col("nat_share")).alias("boost"),
+        siground(F.col("_w") * F.sum("n_docs").over(w)).alias("target_docs"),
+    )
+
+
+def mixture_temperature_sql(
+    tau: float = 0.5,
+    table: str = "documents",
+    strat_col: str = "lang",
+    size_col: str = "n_chars",
+) -> str:
+    from dataframeutils_spark.schema import decround_sql, siground_sql
+
+    pow_s = f"pow(CAST(n_docs AS DOUBLE), {float(tau)})"
+    return f"""
+WITH g AS (
+  SELECT {strat_col} AS stratum, count(*) AS n_docs,
+         CAST(sum({size_col}) AS BIGINT) AS sum_chars
+  FROM {table} GROUP BY 1
+),
+t AS (
+  SELECT stratum, n_docs, sum_chars,
+         CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS nat_share,
+         {pow_s} / sum({pow_s}) OVER () AS w,
+         CAST(sum(n_docs) OVER () AS DOUBLE) AS total
+  FROM g
+)
+SELECT stratum, n_docs, sum_chars,
+       {decround_sql('nat_share')} AS nat_share,
+       {decround_sql('w')} AS temp_weight,
+       {siground_sql('(w / nat_share)')} AS boost,
+       {siground_sql('(w * total)')} AS target_docs
+FROM t
+"""

@@ -525,3 +525,103 @@ def test_ngram_lm_score_ranks_indomain_above_gibberish(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: r["avg_logprob"] for r in T.ngram_lm_score(df).collect()}
     assert got[100] > got[101]
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: incremental dedup, keep-best, shard manifest,
+# temperature mixture
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_incremental_dedup_statuses(spark):
+    corpus_store = spark.createDataFrame([("a b c",)], "t string").select(
+        dedup.portable_hash60(F.col("t")).alias("h")
+    )
+    batch = docs_df(
+        spark,
+        [
+            (5, "a b c"),        # already in corpus
+            (6, "new text one"),  # first occurrence in batch
+            (7, "new text one"),  # second occurrence in batch
+            (8, "another doc"),   # unique
+        ],
+    )
+    got = {r["doc_id"]: r["status"] for r in dedup.incremental_dedup(batch, corpus_store).collect()}
+    assert got == {5: "dup_of_corpus", 6: "new", 7: "dup_in_batch", 8: "new"}
+
+
+def test_snapshot_split_is_a_partition(spark, sf_docs):
+    corpus, batch = dedup.snapshot_split(sf_docs)
+    n_c, n_b, n = corpus.count(), batch.count(), sf_docs.count()
+    assert n_c + n_b == n and n_c > 0 and n_b > 0
+    assert corpus.join(batch, "doc_id").count() == 0
+
+
+def test_keep_best_keeps_longest_per_cluster(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " extra trailing words here"
+    far = "completely unrelated words about spark engines and parquet columnar files"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    out = dedup.keep_best_clusters(df).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    kept = {r["doc_id"]: r["keep"] for r in out}
+    # doc 2 is longer → it wins, even though doc 1 has the min id
+    assert kept == {2: True, 1: False}
+
+
+def test_keep_best_exactly_one_keeper_per_cluster(sf_docs):
+    out = dedup.keep_best_clusters(sf_docs).toPandas()
+    per = out.groupby("cluster_id")["keep"].sum()
+    assert (per == 1).all()
+    # keeper has the max quality of its cluster
+    mx = out.groupby("cluster_id")["quality"].max()
+    keepers = out[out["keep"]].set_index("cluster_id")["quality"]
+    assert (keepers == mx.loc[keepers.index]).all()
+
+
+def test_shard_manifest_dense_positions_and_offsets(sf_docs):
+    from dataframeutils_spark.operators import sampling
+
+    out = sampling.shard_manifest(sf_docs, n_shards=8).toPandas()
+    sizes = sf_docs.toPandas().set_index("doc_id")["n_chars"]
+    assert len(out) == len(sizes)
+    for shard, grp in out.groupby("shard"):
+        g = grp.sort_values("pos")
+        assert list(g["pos"]) == list(range(1, len(g) + 1))
+        # offset = running sum of previous docs' sizes in shard order
+        expect = sizes.loc[g["doc_id"]].cumsum().shift(fill_value=0)
+        assert list(g["offset"]) == list(expect)
+
+
+def test_shard_manifest_stable_under_input_order(sf_docs):
+    from dataframeutils_spark.operators import sampling
+
+    a = sampling.shard_manifest(sf_docs, n_shards=8).toPandas()
+    b = sampling.shard_manifest(
+        sf_docs.orderBy(F.col("doc_id").desc()).repartition(7), n_shards=8
+    ).toPandas()
+    key = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    assert key(a).equals(key(b))
+
+
+def test_mixture_temperature_limits(sf_docs):
+    from dataframeutils_spark.operators import sampling
+
+    # tolerances at the decround(6-decimal) output contract, not float64
+    t1 = sampling.mixture_temperature_summary(sf_docs, tau=1.0).toPandas()
+    # tau=1 → temperature weight equals natural share
+    assert (abs(t1["temp_weight"] - t1["nat_share"]) < 2e-6).all()
+    t0 = sampling.mixture_temperature_summary(sf_docs, tau=0.0).toPandas()
+    assert (abs(t0["temp_weight"] - 1.0 / len(t0)) < 2e-6).all()
+    th = sampling.mixture_temperature_summary(sf_docs, tau=0.5).toPandas()
+    assert abs(th["temp_weight"].sum() - 1.0) < len(th) * 2e-6
+    # tau<1 boosts the rarest stratum and shrinks the most common one
+    assert th.loc[th["n_docs"].idxmin(), "boost"] > 1.0
+    assert th.loc[th["n_docs"].idxmax(), "boost"] < 1.0
