@@ -63,6 +63,7 @@ HEADLINE = [
     "bm25_search",
     "pack_sequences",
     "embedding_quantize",
+    "embedding_pq",
     "dataset_card",
     "dedup_shared_spans",
     "topk_terms",

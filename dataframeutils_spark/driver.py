@@ -437,6 +437,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (8 subspaces × 16 hash-derived centroids
+    over the 64-dim embeddings): per-vector PQ codes + total squared
+    reconstruction error — exactly oracle-checked including the argmin
+    code assignment."""
+    return sketches.pq_quantize(
+        load_table(spark, sf_dir, "embeddings"), m=8, k=16, dim=EMB_DIM
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data card (docs/tokens/quality/language/dup counts)
     — one scan projection + one per-source aggregate with an exact
@@ -1200,7 +1210,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
     stream_sliding_stats, dedup_incremental, dedup_keep_best,
-    shard_manifest, mixture_temperature) lead; the tail queries were
+    shard_manifest, mixture_temperature, embedding_pq) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1237,6 +1247,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "shard_manifest": q_shard_manifest,
         "mixture_temperature": q_mixture_temperature,
+        "embedding_pq": q_embedding_pq,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
@@ -1244,7 +1255,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_ar1": q_panel_ar1,
         "memory_acf_hurst": q_memory_acf_hurst,
         "lagged_corr": q_lagged_corr,
-        "rolling_corr": q_rolling_corr,
         "mutual_info": q_mutual_info,
         "zscore_outliers": q_zscore_outliers,
         "dedup_exact": q_dedup_exact,
@@ -1267,6 +1277,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "rolling_corr": q_rolling_corr,
         "topk_terms": q_topk_terms,
         "tfidf_topterms": q_tfidf_topterms,
         "text_stats": q_text_stats,
@@ -1319,6 +1330,7 @@ def all_oracles() -> dict[str, str]:
         "dedup_keep_best": dedup.keep_best_clusters_sql(),
         "shard_manifest": sampling.shard_manifest_sql(n_shards=16),
         "mixture_temperature": sampling.mixture_temperature_sql(tau=0.5),
+        "embedding_pq": sketches.pq_quantize_sql(m=8, k=16, dim=EMB_DIM),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

@@ -397,3 +397,147 @@ SELECT vec_id,
          AS max_abs_err
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+_PQ_TWO59 = float(2**59)
+
+
+def _pq_component(s: Column, k: Column, d: Column) -> Column:
+    """Deterministic pseudo-uniform codebook entry in [-1, 1) — same
+    hash→unit-interval construction as the ANN hyperplanes
+    (operators.similarity.hyperplane_component)."""
+    h = portable_hash60(
+        F.concat(
+            F.lit("pq:"), s.cast("string"), F.lit(":"), k.cast("string"),
+            F.lit(":"), d.cast("string"),
+        )
+    )
+    return h.cast("double") / F.lit(_PQ_TWO59) - F.lit(1.0)
+
+
+def pq_quantize(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization: (vec_id, pq_codes, sq_err) — the standard
+    memory-compression step for billion-scale ANN (Jégou, Douze &
+    Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011): split each D-dim vector into ``m`` subspaces of width D/m,
+    code each subspace as the index of its nearest of ``k`` centroids
+    (squared-L2, first-min tiebreak), store m log2(k)-bit codes per
+    vector — 64 dims × 4 bytes → 8 bytes here.
+
+    The codebook is hash-derived (pseudo-uniform in [-1,1)) so the
+    whole operator is exactly oracle-checkable end-to-end, like the
+    hyperplane-LSH path; production swaps in per-subspace k-means
+    sub-codebooks exactly as ivf_topk swaps its hash quantizer for
+    MLlib k-means (same plan shape, rows-only check). ``sq_err`` is the
+    per-vector total squared reconstruction error — the audit column a
+    recall-vs-memory sizing pass reads.
+
+    Scale shape: the codebook (m×k×(D/m) doubles = k×D total) is built
+    ONCE as a one-row DataFrame and broadcast; coding is a scan-side
+    native HOF projection — per vector m·k·(D/m) = k·D multiply-adds,
+    no Python, no shuffle, no explode. The distance fold is
+    sequential-order-pinned so Spark and DuckDB produce bit-identical
+    doubles (same trick as brute_force_topk_sql's list_reduce).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    w = dim // m
+    spark = emb.sparkSession
+    codebook = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda c: F.transform(
+                    F.sequence(F.lit(0), F.lit(w - 1)),
+                    lambda d: _pq_component(s, c, d),
+                ),
+            ),
+        ).alias("cb")
+    )
+    vec = F.col(vec_col)
+    cb = F.col("cb")
+
+    def sub_dists(s: Column) -> Column:
+        # K squared-L2 distances of subspace s against its centroids.
+        # Diffs are materialized once via zip_with (x*x binds the lambda
+        # var — single evaluation; pow(x, 2.0) is avoided because
+        # Math.pow is not guaranteed bit-equal to x*x across engines),
+        # and the fold is sequential so both engines add in index order.
+        return F.transform(
+            F.element_at(cb, s + 1),
+            lambda cent: F.aggregate(
+                F.zip_with(
+                    F.slice(vec, s * w + 1, w),
+                    cent,
+                    lambda a, b: a.cast("double") - b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+        )
+
+    dmat = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), sub_dists)
+    from dataframeutils_spark.schema import siground
+
+    return (
+        emb.crossJoin(F.broadcast(codebook))
+        .withColumn("dmat", dmat)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.array_join(
+                F.transform(
+                    F.col("dmat"),
+                    lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast("string"),
+                ),
+                ",",
+            ).alias("pq_codes"),
+            siground(
+                F.aggregate(
+                    F.transform(F.col("dmat"), F.array_min),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("sq_err"),
+        )
+    )
+
+
+def pq_quantize_sql(
+    m: int = 8, k: int = 16, dim: int = 64, table: str = "embeddings"
+) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    w = dim // m
+    comp = portable_hash60_sql(
+        "('pq:' || s::VARCHAR || ':' || c::VARCHAR || ':' || d::VARCHAR)"
+    )
+    sub = f"""list_transform(range(0, {k}), c ->
+        list_reduce(list_prepend(0.0, list_transform(
+          list_transform(range(0, {w}), d ->
+            embedding[s * {w} + d + 1]::DOUBLE - ({comp} / {_PQ_TWO59} - 1.0)),
+          x -> x * x)),
+          (a, b) -> a + b))"""
+    return f"""
+WITH dm AS (
+  SELECT vec_id,
+         list_transform(range(0, {m}), s -> {sub}) AS dmat
+  FROM {table}
+)
+SELECT vec_id,
+       array_to_string(list_transform(dmat, ds ->
+         (list_position(ds, list_min(ds)) - 1)::VARCHAR), ',') AS pq_codes,
+       {siground_sql("list_reduce(list_prepend(0.0, list_transform(dmat, ds -> list_min(ds))), (a, b) -> a + b)")} AS sq_err
+FROM dm
+"""

@@ -174,3 +174,41 @@ def test_decontaminate_source_filter_pushed_to_scan(spark):
     plan = _plan(cleaning.decontaminate(corpus, bench, n=3))
     assert "PushedFilters: [" in plan
     assert "In(source" in plan or "in(source" in plan.lower()
+
+
+def test_incremental_dedup_single_batch_exchange(spark):
+    """The batch side shuffles ONCE on the 8-byte content hash: the
+    store join (broadcast at this scale) and the first-occurrence
+    window share the h partitioning — and the text column never
+    appears past the scan projection."""
+    from dataframeutils_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, batch = dedup.snapshot_split(docs)
+    store = corpus.select(dedup.portable_hash60(F.col("text")).alias("h"))
+    plan = _plan(dedup.incremental_dedup(batch, store))
+    assert plan.count("Exchange hashpartitioning(h#") <= 2  # store agg + batch window
+    assert "hashpartitioning(text" not in plan
+
+
+def test_shard_manifest_single_shuffle_on_shard(spark):
+    """pos and offset come from the SAME window — exactly one exchange,
+    keyed on shard (the export's write partitioning)."""
+    from dataframeutils_spark.operators import sampling
+
+    plan = _plan(sampling.shard_manifest(load_table(spark, SF_DIR, "documents"), n_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "hashpartitioning(shard" in plan
+
+
+def test_mixture_temperature_aggregates_before_window(spark):
+    """The corpus-scale work is ONE map-side-combinable groupBy; the
+    single-partition window runs over the tiny stratum table only."""
+    from dataframeutils_spark.operators import sampling
+
+    plan = _plan(sampling.mixture_temperature_summary(load_table(spark, SF_DIR, "documents")))
+    # exactly one corpus-scale hash aggregate exchange; the
+    # SinglePartition exchange moves S rows, not the corpus
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" in plan

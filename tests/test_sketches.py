@@ -1,6 +1,7 @@
 """Count-min sketch, inverted index, embedding dim stats."""
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataframeutils_spark.operators import sketches
@@ -117,3 +118,35 @@ def test_embedding_quantize_roundtrip_error_bounded(spark):
     # reconstruction error bounded by scale/254 (half a code step)
     for r in out.values():
         assert r["max_abs_err"] <= 1.0 / 254 + 1e-12
+
+
+def test_pq_quantize_codes_shape_and_nearest(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in sketches.pq_quantize(emb, m=2, k=4, dim=8).collect()}
+    assert len(out) == 20
+    # rebuild the hash-derived codebook independently and check the
+    # argmin the operator claims
+    import hashlib
+
+    def comp(s, c, d):
+        h = int(hashlib.md5(f"pq:{s}:{c}:{d}".encode()).hexdigest()[:15], 16)
+        return h / float(2**59) - 1.0
+
+    cb = np.array([[[comp(s, c, d) for d in range(4)] for c in range(4)] for s in range(2)])
+    for vid, vec in vecs:
+        x = np.array(vec, dtype=np.float32).astype(np.float64).reshape(2, 4)
+        codes = [int(np.argmin(((x[s] - cb[s]) ** 2).sum(axis=1))) for s in range(2)]
+        got = [int(c) for c in out[vid]["pq_codes"].split(",")]
+        assert got == codes, vid
+        want_err = sum(((x[s] - cb[s][codes[s]]) ** 2).sum() for s in range(2))
+        assert abs(out[vid]["sq_err"] - want_err) < 1e-5
+
+
+def test_pq_quantize_rejects_indivisible_dim(spark):
+    emb = spark.createDataFrame([(1, [0.0] * 10)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        sketches.pq_quantize(emb, m=4, k=4, dim=10)
