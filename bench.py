@@ -64,6 +64,7 @@ HEADLINE = [
     "pack_sequences",
     "embedding_quantize",
     "embedding_pq",
+    "pq_topk",
     "dataset_card",
     "dedup_shared_spans",
     "topk_terms",

@@ -419,6 +419,57 @@ def _pq_component(s: Column, k: Column, d: Column) -> Column:
     return h.cast("double") / F.lit(_PQ_TWO59) - F.lit(1.0)
 
 
+def _pq_dmat(
+    emb: DataFrame, m: int, k: int, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Input plus ``dmat``: per-subspace distance matrix (m arrays of k
+    squared-L2 distances of the vector's subspace against the
+    hash-derived codebook). ``dmat`` is the shared kernel of PQ:
+    argmin per row → the code (:func:`pq_quantize`); the raw arrays of
+    a QUERY vector → the ADC lookup table (:func:`pq_topk`).
+
+    Diffs are materialized once via zip_with (x*x binds the lambda var
+    — single evaluation; pow(x, 2.0) is avoided because Math.pow is
+    not guaranteed bit-equal to x*x across engines), and the fold is
+    sequential so both engines add in index order.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    w = dim // m
+    spark = emb.sparkSession
+    codebook = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda c: F.transform(
+                    F.sequence(F.lit(0), F.lit(w - 1)),
+                    lambda d: _pq_component(s, c, d),
+                ),
+            ),
+        ).alias("cb")
+    )
+    vec = F.col(vec_col)
+    cb = F.col("cb")
+
+    def sub_dists(s: Column) -> Column:
+        return F.transform(
+            F.element_at(cb, s + 1),
+            lambda cent: F.aggregate(
+                F.zip_with(
+                    F.slice(vec, s * w + 1, w),
+                    cent,
+                    lambda a, b: a.cast("double") - b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+        )
+
+    dmat = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), sub_dists)
+    return emb.crossJoin(F.broadcast(codebook)).withColumn("dmat", dmat).drop("cb")
+
+
 def pq_quantize(
     emb: DataFrame,
     m: int = 8,
@@ -450,50 +501,10 @@ def pq_quantize(
     sequential-order-pinned so Spark and DuckDB produce bit-identical
     doubles (same trick as brute_force_topk_sql's list_reduce).
     """
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
-    w = dim // m
-    spark = emb.sparkSession
-    codebook = spark.range(1).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda c: F.transform(
-                    F.sequence(F.lit(0), F.lit(w - 1)),
-                    lambda d: _pq_component(s, c, d),
-                ),
-            ),
-        ).alias("cb")
-    )
-    vec = F.col(vec_col)
-    cb = F.col("cb")
-
-    def sub_dists(s: Column) -> Column:
-        # K squared-L2 distances of subspace s against its centroids.
-        # Diffs are materialized once via zip_with (x*x binds the lambda
-        # var — single evaluation; pow(x, 2.0) is avoided because
-        # Math.pow is not guaranteed bit-equal to x*x across engines),
-        # and the fold is sequential so both engines add in index order.
-        return F.transform(
-            F.element_at(cb, s + 1),
-            lambda cent: F.aggregate(
-                F.zip_with(
-                    F.slice(vec, s * w + 1, w),
-                    cent,
-                    lambda a, b: a.cast("double") - b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x * x,
-            ),
-        )
-
-    dmat = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), sub_dists)
     from dataframeutils_spark.schema import siground
 
     return (
-        emb.crossJoin(F.broadcast(codebook))
-        .withColumn("dmat", dmat)
+        _pq_dmat(emb, m, k, dim, vec_col)
         .select(
             F.col(id_col).alias("vec_id"),
             F.array_join(
@@ -540,4 +551,117 @@ SELECT vec_id,
          (list_position(ds, list_min(ds)) - 1)::VARCHAR), ',') AS pq_codes,
        {siground_sql("list_reduce(list_prepend(0.0, list_transform(dmat, ds -> list_min(ds))), (a, b) -> a + b)")} AS sq_err
 FROM dm
+"""
+
+
+def pq_topk(
+    emb: DataFrame,
+    k_neighbors: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    query_mod: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of Jégou et al. 2011: (query_id, neighbor_id, rank, adc_dist).
+
+    The corpus is represented ONLY by its m PQ codes (8 bytes/vector
+    here vs 256 raw); each query vector builds an m×k lookup table —
+    which is exactly its :func:`_pq_dmat` distance matrix — and scoring
+    a corpus vector is m table lookups + adds instead of D multiplies.
+    Queries are the deterministic ``id % query_mod == 0`` slice so the
+    operator is self-contained on one table.
+
+    Scale shape: query LUTs broadcast (Q·m·k doubles); the corpus side
+    streams codes through a scan-side projection — no shuffle until the
+    per-query top-k window over Q·N scored rows, and in production the
+    same LUTs ride on an IVF routing join (FAISS IVFADC) so N shrinks
+    to the probed lists first. Native HOFs end-to-end; exactly
+    oracle-checkable including rank order (bit-identical fold sums).
+    """
+    dm = _pq_dmat(emb, m, k, dim, vec_col)
+    corpus = dm.select(
+        F.col(id_col).alias("nid"),
+        F.transform(
+            F.col("dmat"), lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+        ).alias("codes"),
+    )
+    queries = (
+        dm.filter(F.col(id_col) % query_mod == 0)
+        .select(F.col(id_col).alias("qid"), F.col("dmat").alias("lut"))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, ds: F.element_at(ds, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    from dataframeutils_spark.schema import siground
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        corpus.join(F.broadcast(queries), F.col("nid") != F.col("qid"))
+        .withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            siground("adc").alias("adc_dist"),
+        )
+    )
+
+
+def pq_topk_sql(
+    k_neighbors: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    query_mod: int = 10,
+    table: str = "embeddings",
+) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    w = dim // m
+    comp = portable_hash60_sql(
+        "('pq:' || s::VARCHAR || ':' || c::VARCHAR || ':' || d::VARCHAR)"
+    )
+    sub = f"""list_transform(range(0, {k}), c ->
+        list_reduce(list_prepend(0.0, list_transform(
+          list_transform(range(0, {w}), d ->
+            embedding[s * {w} + d + 1]::DOUBLE - ({comp} / {_PQ_TWO59} - 1.0)),
+          x -> x * x)),
+          (a, b) -> a + b))"""
+    return f"""
+WITH dm AS (
+  SELECT vec_id, list_transform(range(0, {m}), s -> {sub}) AS dmat
+  FROM {table}
+),
+corpus AS (
+  SELECT vec_id AS nid,
+         list_transform(dmat, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+  FROM dm
+),
+queries AS (
+  SELECT vec_id AS qid, dmat AS lut FROM dm WHERE vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT q.qid, c.nid,
+         list_reduce(list_prepend(0.0, list_transform(range(0, {m}), s ->
+           q.lut[s + 1][c.codes[s + 1] + 1])), (a, b) -> a + b) AS adc
+  FROM corpus c JOIN queries q ON c.nid <> q.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS INTEGER) AS rank,
+       {siground_sql('adc')} AS adc_dist
+FROM scored
+QUALIFY rank <= {k_neighbors}
 """

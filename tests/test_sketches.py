@@ -150,3 +150,40 @@ def test_pq_quantize_rejects_indivisible_dim(spark):
     emb = spark.createDataFrame([(1, [0.0] * 10)], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         sketches.pq_quantize(emb, m=4, k=4, dim=10)
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(30)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = sketches.pq_topk(emb, k_neighbors=3, m=2, k=4, dim=8, query_mod=10).collect()
+
+    def comp(s, c, d):
+        h = int(hashlib.md5(f"pq:{s}:{c}:{d}".encode()).hexdigest()[:15], 16)
+        return h / float(2**59) - 1.0
+
+    cb = np.array([[[comp(s, c, d) for d in range(4)] for c in range(4)] for s in range(2)])
+    X = np.array([v for _, v in vecs], dtype=np.float32).astype(np.float64).reshape(30, 2, 4)
+    codes = np.array(
+        [[int(np.argmin(((X[i, s] - cb[s]) ** 2).sum(axis=1))) for s in range(2)] for i in range(30)]
+    )
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 10, 20}
+    for qid, rows in by_query.items():
+        lut = ((X[qid][:, None, :] - cb) ** 2).sum(axis=2)  # m × k
+        adc = {
+            nid: sum(lut[s, codes[nid, s]] for s in range(2))
+            for nid in range(30)
+            if nid != qid
+        }
+        want = sorted(adc, key=lambda n: (adc[n], n))[:3]
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == want, qid
+        for r in rows:
+            assert abs(r["adc_dist"] - adc[r["neighbor_id"]]) < 1e-5

@@ -79,6 +79,16 @@ QUERIES = [
     "textrank",
     "bm25_search",
     "pack_sequences",
+    # round 4 dedup-policy / export / PQ operators: the replica
+    # families make keep_best resolve a ~mult-clique per source doc
+    # and give incremental_dedup a store-hit for every replica whose
+    # twin landed in the snapshot half; shard_manifest and pq are
+    # scan-dominated and should be ~linear
+    "dedup_incremental",
+    "dedup_keep_best",
+    "shard_manifest",
+    "mixture_temperature",
+    "embedding_pq",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
