@@ -65,6 +65,7 @@ HEADLINE = [
     "embedding_quantize",
     "embedding_pq",
     "pq_topk",
+    "chunk_documents",
     "dataset_card",
     "dedup_shared_spans",
     "topk_terms",

@@ -396,6 +396,13 @@ def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.prepare_corpus_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, stride 24)
+    with per-chunk portable hash — the pre-embedding chunk step;
+    scan-side explode, zero shuffle."""
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy-hitter terms (map-side combine + TakeOrdered)."""
     return text.topk_terms(load_table(spark, sf_dir, "documents"), k=50)
@@ -1220,7 +1227,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
     stream_sliding_stats, dedup_incremental, dedup_keep_best,
-    shard_manifest, mixture_temperature, embedding_pq, pq_topk) lead; the tail queries were
+    shard_manifest, mixture_temperature, embedding_pq, pq_topk,
+    chunk_documents) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1259,6 +1267,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": q_mixture_temperature,
         "embedding_pq": q_embedding_pq,
         "pq_topk": q_pq_topk,
+        "chunk_documents": q_chunk_documents,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
@@ -1266,7 +1275,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_ar1": q_panel_ar1,
         "memory_acf_hurst": q_memory_acf_hurst,
         "lagged_corr": q_lagged_corr,
-        "mutual_info": q_mutual_info,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -1287,6 +1295,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "mutual_info": q_mutual_info,
         "zscore_outliers": q_zscore_outliers,
         "rolling_corr": q_rolling_corr,
         "topk_terms": q_topk_terms,
@@ -1343,6 +1352,7 @@ def all_oracles() -> dict[str, str]:
         "mixture_temperature": sampling.mixture_temperature_sql(tau=0.5),
         "embedding_pq": sketches.pq_quantize_sql(m=8, k=16, dim=EMB_DIM),
         "pq_topk": sketches.pq_topk_sql(k_neighbors=5, m=8, k=16, dim=EMB_DIM),
+        "chunk_documents": text.chunk_documents_sql(),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

@@ -725,3 +725,81 @@ SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context windows for embedding / retrieval)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping token windows per doc — the chunking step
+    an embedding / retrieval pipeline runs before encoding:
+    (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash).
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + window)`` for
+    every start below the doc's token count; the final chunk may be
+    short. ``chunk_hash`` is the portable 60-bit hash of the
+    space-rejoined window — the id a downstream embedding cache or
+    chunk-level dedup keys on — so the output carries 8-byte hashes,
+    never repeated text.
+
+    No counterpart in the reference (SURVEY §2.3) — north-star text
+    surface. Scale: one scan-side projection + explode (~n/stride rows
+    per doc), zero shuffle, no Python; at 100 TB the explode factor is
+    bounded by window/stride overlap (≈1.33× token volume here).
+    """
+    from dataframeutils_spark.operators.dedup import portable_hash60
+
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}, {window}")
+    toks = _tokens(F.col(text_col))
+    n = F.size("toks")
+    n_chunks = F.ceil(n.cast("double") / stride).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tokd = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    chunk = F.slice(F.col("toks"), F.col("i") * stride + 1, window)
+    return (
+        tokd.select("doc_id", "toks", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            (F.col("i") * stride).cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            portable_hash60(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents", window: int = 32, stride: int = 24
+) -> str:
+    from dataframeutils_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        f"array_to_string(toks[i * {stride} + 1 : i * {stride} + {window}], ' ')"
+    )
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+  FROM {table}
+),
+ex AS (
+  SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks) / {stride}.0) AS INTEGER))) AS i
+  FROM tokd WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS start_tok,
+       CAST(len(toks[i * {stride} + 1 : i * {stride} + {window}]) AS BIGINT) AS n_tokens,
+       {h} AS chunk_hash
+FROM ex
+"""

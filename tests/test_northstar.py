@@ -625,3 +625,32 @@ def test_mixture_temperature_limits(sf_docs):
     # tau<1 boosts the rarest stratum and shrinks the most common one
     assert th.loc[th["n_docs"].idxmin(), "boost"] > 1.0
     assert th.loc[th["n_docs"].idxmax(), "boost"] < 1.0
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    df = docs_df(spark, [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")])
+    out = text.chunk_documents(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, stride 3 → starts 0,3,6,9 → lens 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_tok"], r["n_tokens"]) for r in c1] == [(0, 4), (3, 4), (6, 4), (9, 1)]
+    # doc 2: 2 tokens → one short chunk
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[2]] == [(0, 2)]
+    # empty doc → no chunks
+    assert 3 not in by_doc
+    # overlap: chunk 0 covers t0..t3, chunk 1 covers t3..t6 — hashes of
+    # the rejoined windows must differ yet be deterministic
+    from dataframeutils_spark.operators.dedup import portable_hash60
+
+    redo = {r["chunk_idx"]: r["chunk_hash"] for r in text.chunk_documents(df, window=4, stride=3).collect() if r["doc_id"] == 1}
+    assert redo == {r["chunk_idx"]: r["chunk_hash"] for r in c1}
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    df = docs_df(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, window=4, stride=5)
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, window=4, stride=0)

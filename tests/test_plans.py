@@ -212,3 +212,11 @@ def test_mixture_temperature_aggregates_before_window(spark):
     # SinglePartition exchange moves S rows, not the corpus
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" in plan
+
+
+def test_chunk_documents_no_exchange(spark):
+    """Chunking is a scan-side projection + explode — zero shuffle."""
+    from dataframeutils_spark.operators import text
+
+    plan = _plan(text.chunk_documents(load_table(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan
