@@ -553,6 +553,22 @@ class CorpusStudy:
             id_col=self.id_col, **kwargs,
         )
 
+    def dedup_keep_best(self, quality_col: str = "n_chars", **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import dedup
+
+        return dedup.keep_best_clusters(
+            self.docs, quality_col=quality_col, **self._kw(), **kwargs
+        )
+
+    def dedup_against(self, corpus_hashes: DataFrame, **kwargs: Any) -> DataFrame:
+        """Incremental dedup of THIS frame (the new batch) against an
+        existing corpus's content-hash store."""
+        from dataframeutils_spark.operators import dedup
+
+        return dedup.incremental_dedup(
+            self.docs, corpus_hashes, **self._kw(), **kwargs
+        )
+
     # ---- corpus-level analysis ------------------------------------
     def topk_terms(self, k: int = 50) -> DataFrame:
         from dataframeutils_spark.operators import text
@@ -576,6 +592,26 @@ class CorpusStudy:
 
         return pipeline.dataset_card(
             self.docs, text_col=self.text_col, id_col=self.id_col, **kwargs
+        )
+
+    def chunk(self, window: int = 32, stride: int = 24) -> DataFrame:
+        from dataframeutils_spark.operators import text
+
+        return text.chunk_documents(
+            self.docs, window=window, stride=stride, **self._kw()
+        )
+
+    # ---- sampling / mixture ---------------------------------------
+    def mixture_temperature(self, tau: float = 0.5, **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import sampling
+
+        return sampling.mixture_temperature_summary(self.docs, tau=tau, **kwargs)
+
+    def shard_manifest(self, n_shards: int = 16, **kwargs: Any) -> DataFrame:
+        from dataframeutils_spark.operators import sampling
+
+        return sampling.shard_manifest(
+            self.docs, n_shards=n_shards, id_col=self.id_col, **kwargs
         )
 
     # ---- end of pipeline ------------------------------------------

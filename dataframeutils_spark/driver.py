@@ -1217,12 +1217,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order), and 75 are registered, so ordering is a
+    this dict (insertion order), and 83 are registered, so ordering is a
     rotation policy, priority order: (1) never driver-verified (new this
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 12 r2-green head entries plus the 16 round-4 newcomers
+    the 13 r2-green head entries plus the 19 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,

@@ -208,3 +208,17 @@ def test_corpus_study_facade(spark):
     assert len(card) > 0 and card[0]["n_docs"] > 0
     bench = docs.limit(5)
     assert "contaminated" in cs.decontaminate(bench).columns
+    # round-4 additions on the facade
+    assert set(cs.dedup_keep_best().columns) == {
+        "doc_id", "cluster_id", "cluster_size", "quality", "keep"
+    }
+    from dataframeutils_spark.operators.dedup import portable_hash60
+    from pyspark.sql import functions as F
+
+    store = docs.limit(10).select(portable_hash60(F.col("text")).alias("h"))
+    assert set(cs.dedup_against(store).columns) == {"doc_id", "status"}
+    assert set(cs.chunk().columns) == {
+        "doc_id", "chunk_idx", "start_tok", "n_tokens", "chunk_hash"
+    }
+    assert set(cs.mixture_temperature().columns) >= {"stratum", "temp_weight", "boost"}
+    assert set(cs.shard_manifest(n_shards=4).columns) == {"doc_id", "shard", "pos", "offset"}
