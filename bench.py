@@ -25,6 +25,8 @@ HEADLINE = [
     "weighted_bins",
     "panel_distribution",
     "panel_dispersion",
+    "panel_ffill",
+    "panel_resample",
     "panel_ar1",
     "memory_acf_hurst",
     "lagged_corr",
@@ -138,16 +140,30 @@ def main() -> None:
     # holds ~100 entries, and with 45+ headline queries an upfront
     # sweep EVICTS the early queries' classes before they are timed
     # (measured: pipeline_prepare 11 s "warmed" vs 3.4 s actually warm).
+    # Adaptive warm count: most plans stabilize after one warm run, but
+    # ITERATIVE operators (dedup_clusters' pointer-doubling rounds) run
+    # a different stage graph per round — one warm pass leaves later
+    # rounds' codegen cold (measured: 22 s cold → 11 s after one warm →
+    # 3.7 s after two). Warm until consecutive untimed runs stop
+    # improving by >1.4×, capped at 3 — steady state is the number that
+    # extrapolates, compile cost is per-executor-lifetime.
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        try:
-            fn(spark, sf_dir).count()  # untimed warm run
-        except Exception:
-            pass
+        prev = None
+        for _ in range(3):
+            try:
+                w0 = time.time()
+                fn(spark, sf_dir).count()  # untimed warm run
+                wdt = time.time() - w0
+            except Exception:
+                break
+            if prev is not None and wdt > prev / 1.4:
+                break
+            prev = wdt
         t0 = time.time()
         try:
             n = fn(spark, sf_dir).count()

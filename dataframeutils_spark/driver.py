@@ -105,6 +105,36 @@ def q_panel_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_panel_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series forward fill over a deterministically nulled panel
+    (hash-selected ~1/7 of values nulled identically in both engines,
+    so the gate checks the fill itself): last non-null at or before
+    each date, leading nulls stay null."""
+    m = _melted(spark, sf_dir)
+    hole = (
+        dedup.portable_hash60(
+            F.concat_ws(":", F.col("grp"), F.col("date").cast("string"), F.col("feature"))
+        )
+        % 7
+        == 0
+    )
+    nulled = m.withColumn("value", F.when(hole, F.lit(None).cast("double")).otherwise(F.col("value")))
+    # decround, not siground: the panel features are money-valued
+    # (sums of cent prices), which land EXACTLY on 6th-significant-
+    # digit .5 mantissa boundaries where Spark HALF_UP and DuckDB
+    # rounding diverge systematically; fixed decimals never do.
+    return round_floats(panel_stats.forward_fill(nulled), all_dec=True)
+
+
+def q_panel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC-style downsampling of every (grp, feature) series —
+    one map-side-combinable aggregate, open/close via min_by/max_by."""
+    # decround for the same money-boundary reason as q_panel_ffill
+    return round_floats(
+        panel_stats.resample_panel(_melted(spark, sf_dir), unit="week"), all_dec=True
+    )
+
+
 def q_panel_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(panel_stats.predictability_ar1(_melted(spark, sf_dir)), all_dec=True)
 
@@ -1222,13 +1252,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 13 r2-green head entries plus the 19 round-4 newcomers
+    the 13 r2-green head entries plus the 21 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
     stream_sliding_stats, dedup_incremental, dedup_keep_best,
     shard_manifest, mixture_temperature, embedding_pq, pq_topk,
-    chunk_documents) lead; the tail queries were
+    chunk_documents, panel_ffill, panel_resample) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1268,11 +1298,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq": q_embedding_pq,
         "pq_topk": q_pq_topk,
         "chunk_documents": q_chunk_documents,
+        "panel_ffill": q_panel_ffill,
+        "panel_resample": q_panel_resample,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
-        "panel_dispersion": q_panel_dispersion,
-        "panel_ar1": q_panel_ar1,
         "memory_acf_hurst": q_memory_acf_hurst,
         "lagged_corr": q_lagged_corr,
         "dedup_exact": q_dedup_exact,
@@ -1295,6 +1325,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "panel_dispersion": q_panel_dispersion,
+        "panel_ar1": q_panel_ar1,
         "mutual_info": q_mutual_info,
         "zscore_outliers": q_zscore_outliers,
         "rolling_corr": q_rolling_corr,
@@ -1353,6 +1385,8 @@ def all_oracles() -> dict[str, str]:
         "embedding_pq": sketches.pq_quantize_sql(m=8, k=16, dim=EMB_DIM),
         "pq_topk": sketches.pq_topk_sql(k_neighbors=5, m=8, k=16, dim=EMB_DIM),
         "chunk_documents": text.chunk_documents_sql(),
+        "panel_ffill": oracles.FFILL_SQL,
+        "panel_resample": oracles.RESAMPLE_SQL,
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

@@ -111,3 +111,54 @@ def predictability_ar1(long_df: DataFrame, min_pairs: int = 10) -> DataFrame:
     return agg.filter(F.col("n_pairs") >= min_pairs).select(
         "grp", "feature", "n_pairs", r2.alias("ar1_r2")
     )
+
+
+def forward_fill(long_df: DataFrame) -> DataFrame:
+    """Per-series forward fill — the missing-data repair the reference's
+    pandas users get from ``DataFrame.ffill()``: (grp, date, feature,
+    value, value_filled, was_filled).
+
+    ``value_filled`` carries the last non-null observation at or before
+    each date within its (grp, feature) series; leading nulls stay null
+    (``was_filled`` false). One window over the series ordering — the
+    same single shuffle every other panel statistic pays, entirely
+    inside whole-stage codegen.
+    """
+    w = (
+        Window.partitionBy("grp", "feature")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last("value", ignorenulls=True).over(w)
+    return long_df.select(
+        "grp",
+        "date",
+        "feature",
+        "value",
+        filled.alias("value_filled"),
+        (F.col("value").isNull() & filled.isNotNull()).alias("was_filled"),
+    )
+
+
+def resample_panel(long_df: DataFrame, unit: str = "week") -> DataFrame:
+    """Calendar-bucket downsampling of every (grp, feature) series —
+    pandas ``resample('W')`` for the panel: per (grp, feature, bucket)
+    — n, open (value at the bucket's first date), high, low, close
+    (value at the last date), mean.
+
+    ``date_trunc`` gives identical ISO Monday-start weeks in Spark and
+    DuckDB, so the bucketing is engine-exact. One map-side-combinable
+    groupBy (open/close via ``min_by``/``max_by``) — resampling 100 TB
+    of ticks to bars is exactly this one aggregate, no window, no
+    explode.
+    """
+    d = long_df.filter(F.col("value").isNotNull())
+    bucket = F.date_trunc(unit, F.col("date")).cast("date")
+    return d.groupBy("grp", "feature", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min_by("value", "date").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "date").alias("close"),
+        F.avg("value").alias("mean"),
+    )

@@ -294,3 +294,48 @@ SELECT grp, 'feature_1' AS feature, 'zscore' AS method, n_outliers,
 FROM agg WHERE n >= 10
 """
 )
+
+
+# Deterministic null injection for the forward-fill driver query: null
+# out ~1/7 of values by portable hash of (grp:date:feature) — identical
+# in both engines, so the fill itself is what the gate checks.
+_FFILL_NULLED = """
+nulled AS (
+  SELECT grp, date, feature,
+         CASE WHEN CAST(concat('0x', substr(md5(grp || ':' || date::VARCHAR || ':' || feature), 1, 15)) AS BIGINT) % 7 = 0
+              THEN NULL ELSE value END AS value
+  FROM melt
+)"""
+
+FFILL_SQL = with_panel(
+    f""", {_FFILL_NULLED}
+SELECT grp, date, feature,
+       {dec('value')} AS value,
+       {dec('value_filled')} AS value_filled,
+       was_filled
+FROM (
+  SELECT grp, date, feature, value,
+         last_value(value IGNORE NULLS) OVER w AS value_filled,
+         (value IS NULL AND last_value(value IGNORE NULLS) OVER w IS NOT NULL) AS was_filled
+  FROM nulled
+  WINDOW w AS (PARTITION BY grp, feature ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""
+)
+
+RESAMPLE_SQL = with_panel(
+    f"""
+SELECT grp, feature,
+       date_trunc('week', date)::DATE AS bucket,
+       count(*) AS n,
+       {dec('arg_min(value, date)')} AS open,
+       {dec('max(value)')} AS high,
+       {dec('min(value)')} AS low,
+       {dec('arg_max(value, date)')} AS close,
+       {dec('avg(value)')} AS mean
+FROM melt
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+)

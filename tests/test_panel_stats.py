@@ -96,3 +96,45 @@ def test_driver_oracle_parity(spark, ddb, qname):
     q = driver.all_queries()[qname]
     sql = driver.all_oracles()[qname]
     assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
+
+
+def test_forward_fill_semantics(spark):
+    import datetime as dt
+
+    rows = [
+        ("A", dt.date(2024, 1, 1), "f", None),   # leading null stays null
+        ("A", dt.date(2024, 1, 2), "f", 1.0),
+        ("A", dt.date(2024, 1, 3), "f", None),   # filled with 1.0
+        ("A", dt.date(2024, 1, 4), "f", 2.0),
+        ("B", dt.date(2024, 1, 3), "f", None),   # other series: no bleed
+    ]
+    long_df = spark.createDataFrame(rows, "grp string, date date, feature string, value double")
+    got = {
+        (r["grp"], r["date"].isoformat()): (r["value_filled"], r["was_filled"])
+        for r in panel_stats.forward_fill(long_df).collect()
+    }
+    assert got[("A", "2024-01-01")] == (None, False)
+    assert got[("A", "2024-01-03")] == (1.0, True)
+    assert got[("A", "2024-01-04")] == (2.0, False)
+    assert got[("B", "2024-01-03")] == (None, False)
+
+
+def test_resample_panel_weekly_ohlc(spark):
+    import datetime as dt
+
+    # 2024-01-01 is a Monday: days 1..7 one ISO week, day 8 the next
+    rows = [("A", dt.date(2024, 1, d), "f", float(v)) for d, v in [(1, 5), (3, 9), (7, 2), (8, 4)]]
+    long_df = spark.createDataFrame(rows, "grp string, date date, feature string, value double")
+    got = {r["bucket"].isoformat(): r for r in panel_stats.resample_panel(long_df).collect()}
+    w1 = got["2024-01-01"]
+    assert (w1["n"], w1["open"], w1["high"], w1["low"], w1["close"], w1["mean"]) == (
+        3, 5.0, 9.0, 2.0, 2.0, (5 + 9 + 2) / 3,
+    )
+    assert got["2024-01-08"]["n"] == 1 and got["2024-01-08"]["open"] == 4.0
+
+
+@pytest.mark.parametrize("qname", ["panel_ffill", "panel_resample"])
+def test_driver_oracle_parity_round4(spark, ddb, qname):
+    q = driver.all_queries()[qname]
+    sql = driver.all_oracles()[qname]
+    assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
