@@ -82,6 +82,7 @@ HEADLINE = [
     "events_value_profile_approx",
     "multimodal_real_meta",  # real PNG/WAV header parsing over synthesized containers
     "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
+    "multimodal_features",  # real pixel decode + histogram/extrema feature extraction
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

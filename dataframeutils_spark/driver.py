@@ -1073,6 +1073,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(media)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel feature extraction (the feature-extract verb): decode
+    the synthesized PNGs and emit per-image mean/extrema/4-bin
+    histogram; the oracle recomputes every feature from the generator's
+    gradient arithmetic, so the decoder must recover the exact
+    raster."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_features(media)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel pipeline: valid gradient PNGs -> pure-Python decode
     (zlib + all 5 row filters) -> nearest-neighbor resize -> pixel-sum
@@ -1252,13 +1262,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 13 r2-green head entries plus the 21 round-4 newcomers
+    the 13 r2-green head entries plus the 22 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
     stream_sliding_stats, dedup_incremental, dedup_keep_best,
     shard_manifest, mixture_temperature, embedding_pq, pq_topk,
-    chunk_documents, panel_ffill, panel_resample) lead; the tail queries were
+    chunk_documents, panel_ffill, panel_resample,
+    multimodal_features) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1300,11 +1311,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "panel_ffill": q_panel_ffill,
         "panel_resample": q_panel_resample,
+        "multimodal_features": q_multimodal_features,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
         "memory_acf_hurst": q_memory_acf_hurst,
-        "lagged_corr": q_lagged_corr,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -1325,6 +1336,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "lagged_corr": q_lagged_corr,
         "panel_dispersion": q_panel_dispersion,
         "panel_ar1": q_panel_ar1,
         "mutual_info": q_mutual_info,
@@ -1387,6 +1399,7 @@ def all_oracles() -> dict[str, str]:
         "chunk_documents": text.chunk_documents_sql(),
         "panel_ffill": oracles.FFILL_SQL,
         "panel_resample": oracles.RESAMPLE_SQL,
+        "multimodal_features": multimodal.image_features_sql(),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

@@ -591,3 +591,88 @@ def sample_frames(media: DataFrame, every_k: int = 8) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(
         sample_batches, schema="media_id long, frame_idx int"
     )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL pixel feature extraction — the feature-extract verb of the
+    multimodal pipeline: decode PNG bytes → per-image intensity
+    features (media_id, src_w, src_h, px_mean, px_min, px_max,
+    hist_0..hist_3 — counts of pixels in [0,64), [64,128), [128,192),
+    [192,256)).
+
+    ``px_mean`` is computed as (integer pixel sum) / (w·h) so both
+    engines divide identical integers — exactly comparable without a
+    rounding contract. Same scan-side ``mapInPandas`` shape as decode
+    and resize: no shuffle, payloads never leave the stage; at 100 TB
+    the feature rows (a few ints per image) are what shuffles, never
+    rasters.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = decode_png_pixels(bytes(c))
+                flat = np.asarray(img, dtype=np.int64).ravel()
+                hist = np.bincount(flat // 64, minlength=4)[:4]
+                rows.append(
+                    (
+                        mid, w, h,
+                        float(int(flat.sum()) / flat.size),
+                        int(flat.min()), int(flat.max()),
+                        int(hist[0]), int(hist[1]), int(hist[2]), int(hist[3]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "px_mean", "px_min",
+                    "px_max", "hist_0", "hist_1", "hist_2", "hist_3",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, src_w int, src_h int, px_mean double, "
+            "px_min int, px_max int, hist_0 long, hist_1 long, "
+            "hist_2 long, hist_3 long"
+        ),
+    )
+
+
+def image_features_sql(table: str = "documents") -> str:
+    """DuckDB oracle for real_media_table → :func:`image_features`:
+    recomputes every feature from the generator's gradient arithmetic
+    pixel(x,y) = (7x+13y) mod 251 — the decoder must recover exactly
+    this raster for the histogram and extrema to match."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    px = "(7 * x + 13 * y) % 251"
+    hist_col = (
+        "CAST(list_sum(list_transform(range(hgt), y -> "
+        "list_sum(list_transform(range(w), x -> "
+        "CASE WHEN ({px}) // 64 = {k} THEN 1 ELSE 0 END)))) AS BIGINT)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + {h} % {_PNG_W_MOD} AS BIGINT) AS w,
+         CAST(8 + ({h} // {_PNG_W_MOD}) % {_PNG_H_MOD} AS BIGINT) AS hgt
+  FROM {table} WHERE doc_id % 2 = 0
+)
+SELECT media_id,
+       CAST(w AS INT) AS src_w, CAST(hgt AS INT) AS src_h,
+       CAST(list_sum(list_transform(range(hgt), y ->
+         list_sum(list_transform(range(w), x -> {px}))))
+         AS DOUBLE) / (w * hgt) AS px_mean,
+       CAST(list_min(list_transform(range(hgt), y ->
+         list_min(list_transform(range(w), x -> {px})))) AS INT) AS px_min,
+       CAST(list_max(list_transform(range(hgt), y ->
+         list_max(list_transform(range(w), x -> {px})))) AS INT) AS px_max,
+       {hist_col.format(px=px, k=0)} AS hist_0,
+       {hist_col.format(px=px, k=1)} AS hist_1,
+       {hist_col.format(px=px, k=2)} AS hist_2,
+       {hist_col.format(px=px, k=3)} AS hist_3
+FROM dims
+"""

@@ -166,3 +166,22 @@ def test_resize_real_pixel_sums(spark, ddb):
     )
     want = sorted(tuple(t) for t in ddb.execute(M.resize_real_sql()).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_image_features_recovers_gradient_stats(spark):
+    from dataframeutils_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(mm.synthesize_png(5, 3)))],
+        "media_id long, media_type string, content binary",
+    )
+    r = mm.image_features(media).collect()[0]
+    import numpy as np
+
+    img = np.array([[(7 * x + 13 * y) % 251 for x in range(5)] for y in range(3)])
+    assert (r["src_w"], r["src_h"]) == (5, 3)
+    assert r["px_min"] == img.min() and r["px_max"] == img.max()
+    assert abs(r["px_mean"] - img.mean()) < 1e-12
+    hist = np.bincount(img.ravel() // 64, minlength=4)[:4]
+    assert [r["hist_0"], r["hist_1"], r["hist_2"], r["hist_3"]] == hist.tolist()
+    assert r["hist_0"] + r["hist_1"] + r["hist_2"] + r["hist_3"] == 15
