@@ -89,6 +89,13 @@ QUERIES = [
     "shard_manifest",
     "mixture_temperature",
     "embedding_pq",
+    # chunking explodes ~1.33x token volume scan-side; the real-codec
+    # feature extractor decodes one PNG per even doc in Python — both
+    # should be ~linear. (panel_ffill/resample are NOT here: they read
+    # lineitem, which the stress generator does not replicate, and the
+    # aggregated panel is ~7.5k rows at any SF — no stress axis.)
+    "chunk_documents",
+    "multimodal_features",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
