@@ -52,6 +52,7 @@ HEADLINE = [
     "hash_sample",
     "data_mixture",
     "pipeline_prepare",
+    "apply_changes",
     "text_repetition",
     "lm_quality",
     "decontaminate",

@@ -494,6 +494,78 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_changes(docs: DataFrame) -> DataFrame:
+    """Deterministic change batch for the CDC-apply gate: deletes
+    (id%10==3), text-v2 upserts (id%10 in 4,5), a seq-2 re-upsert of
+    the original over the v2 (id%100==4 — proves last-writer-wins),
+    and brand-new inserts (id%20==7 at id+1e6)."""
+    base = ["text", "lang", "source", "n_chars"]
+    d = F.col("doc_id")
+    deletes = docs.filter(d % 10 == 3).select(
+        "doc_id", *base, F.lit("delete").alias("op"), F.lit(1).alias("seq")
+    )
+    upserts = docs.filter((d % 10).isin(4, 5)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "lang", "source",
+        (F.col("n_chars") + 3).alias("n_chars"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("seq"),
+    )
+    reupserts = docs.filter(d % 100 == 4).select(
+        "doc_id", *base, F.lit("upsert").alias("op"), F.lit(2).alias("seq")
+    )
+    inserts = docs.filter(d % 20 == 7).select(
+        (d + 1_000_000).alias("doc_id"), *base,
+        F.lit("upsert").alias("op"), F.lit(1).alias("seq"),
+    )
+    return deletes.unionByName(upserts).unionByName(reupserts).unionByName(inserts)
+
+
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (insert/update/delete with last-writer-wins on a
+    change sequence, delete outranking upsert on ties) — the snapshot
+    maintenance step of an ongoing ingestion pipeline; audited per
+    language stratum, integer exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.apply_changes_summary(docs, _cdc_changes(docs))
+
+
+APPLY_CHANGES_SQL = """
+WITH changes AS (
+  SELECT doc_id, text, lang, source, n_chars, 'delete' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, text || ' v2', lang, source, n_chars + 3, 'upsert', 1
+  FROM documents WHERE doc_id % 10 IN (4, 5)
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 'upsert', 2
+  FROM documents WHERE doc_id % 100 = 4
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars, 'upsert', 1
+  FROM documents WHERE doc_id % 20 = 7
+),
+win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY seq DESC, CASE WHEN op = 'delete' THEN 0 ELSE 1 END
+  ) AS rn
+  FROM changes
+),
+keep AS (
+  SELECT doc_id, text, lang, source, n_chars FROM win WHERE rn = 1 AND op = 'upsert'
+),
+untouched AS (
+  SELECT s.* FROM documents s
+  WHERE NOT EXISTS (SELECT 1 FROM win WHERE rn = 1 AND win.doc_id = s.doc_id)
+),
+snap AS (SELECT * FROM untouched UNION ALL SELECT * FROM keep)
+SELECT lang AS stratum, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM snap GROUP BY 1
+"""
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data card (docs/tokens/quality/language/dup counts)
     — one scan projection + one per-source aggregate with an exact
@@ -1262,14 +1334,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 13 r2-green head entries plus the 22 round-4 newcomers
+    the 13 r2-green head entries plus the 23 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
     stream_sliding_stats, dedup_incremental, dedup_keep_best,
     shard_manifest, mixture_temperature, embedding_pq, pq_topk,
     chunk_documents, panel_ffill, panel_resample,
-    multimodal_features) lead; the tail queries were
+    multimodal_features, apply_changes) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1312,10 +1384,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_ffill": q_panel_ffill,
         "panel_resample": q_panel_resample,
         "multimodal_features": q_multimodal_features,
+        "apply_changes": q_apply_changes,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
-        "memory_acf_hurst": q_memory_acf_hurst,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -1336,6 +1408,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "memory_acf_hurst": q_memory_acf_hurst,
         "lagged_corr": q_lagged_corr,
         "panel_dispersion": q_panel_dispersion,
         "panel_ar1": q_panel_ar1,
@@ -1400,6 +1473,7 @@ def all_oracles() -> dict[str, str]:
         "panel_ffill": oracles.FFILL_SQL,
         "panel_resample": oracles.RESAMPLE_SQL,
         "multimodal_features": multimodal.image_features_sql(),
+        "apply_changes": APPLY_CHANGES_SQL,
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

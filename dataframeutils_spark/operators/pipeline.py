@@ -243,3 +243,73 @@ SELECT d.source,
 FROM {table} d JOIN ts USING (doc_id) JOIN li USING (doc_id)
 GROUP BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (snapshot maintenance)
+# ---------------------------------------------------------------------------
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change batch to a corpus snapshot — the MERGE/upsert an
+    ongoing ingestion pipeline runs to maintain the table that
+    :func:`~dataframeutils_spark.operators.dedup.incremental_dedup`'s
+    hash store tracks: inserts new ids, updates (replaces) existing
+    ones, deletes tombstoned ones.
+
+    ``changes`` carries the snapshot's payload columns plus ``op`` ∈
+    {'upsert', 'delete'} and a monotone ``seq``; when a batch holds
+    several changes for one id, the HIGHEST seq wins (ties: 'delete'
+    over 'upsert' — a replay-safe convention), matching Delta/Iceberg
+    MERGE last-writer-wins semantics without requiring a table format.
+
+    Plan: one window over the (small) change batch picks each id's
+    winning change, then a single hash join against the snapshot:
+    unchanged rows pass through the anti side, surviving changes union
+    in. At 100 TB the snapshot never sorts and never shuffles more
+    than the join on its id column; with a bucketed snapshot table the
+    join is shuffle-free on the big side.
+    """
+    from pyspark.sql import Window
+
+    payload = [c for c in snapshot.columns]
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(seq_col).desc(),
+        # tie on seq: delete outranks upsert (replay-safe)
+        F.when(F.col(op_col) == "delete", 0).otherwise(1).asc(),
+    )
+    winner = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    untouched = snapshot.join(
+        winner.select(id_col), id_col, "left_anti"
+    )
+    survivors = winner.filter(F.col(op_col) == "upsert").select(*payload)
+    return untouched.unionByName(survivors)
+
+
+def apply_changes_summary(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Audit of :func:`apply_changes`: per stratum — (stratum, n_docs,
+    sum_chars, min_doc_id, max_doc_id) of the NEW snapshot. Integer
+    exact."""
+    applied = apply_changes(snapshot, changes, id_col=id_col)
+    return applied.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("sum_chars"),
+        F.min(id_col).alias("min_doc_id"),
+        F.max(id_col).alias("max_doc_id"),
+    )

@@ -265,3 +265,47 @@ def test_bm25_empty_docs_carry_no_mass(spark, ddb):
     idf = math.log(1 + (2 - 2 + 0.5) / (2 + 0.5))
     s1 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 2))
     assert abs(out[1] - s1) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (pipeline.apply_changes)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changes_semantics(spark):
+    from dataframeutils_spark.operators import pipeline
+
+    snap = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "two-v2", "upsert", 1),       # update
+            (3, "x", "delete", 1),            # delete
+            (4, "four", "upsert", 1),         # insert
+            (5, "five-a", "upsert", 1),       # superseded...
+            (5, "five-b", "upsert", 2),       # ...by higher seq
+            (6, "six", "upsert", 3),          # equal-seq tie:
+            (6, "x", "delete", 3),            # delete wins
+        ],
+        "doc_id long, text string, op string, seq int",
+    )
+    got = {r["doc_id"]: r["text"] for r in pipeline.apply_changes(snap, changes).collect()}
+    assert got == {1: "one", 2: "two-v2", 4: "four", 5: "five-b"}
+
+
+def test_apply_changes_idempotent_replay(spark):
+    """Replaying the same batch over the applied snapshot is a no-op —
+    the replay-safety the delete-over-upsert tie rule buys."""
+    from dataframeutils_spark.operators import pipeline
+
+    snap = spark.createDataFrame([(1, "one"), (2, "two")], "doc_id long, text string")
+    changes = spark.createDataFrame(
+        [(2, "two-v2", "upsert", 1), (1, "x", "delete", 1)],
+        "doc_id long, text string, op string, seq int",
+    )
+    once = pipeline.apply_changes(snap, changes)
+    twice = pipeline.apply_changes(once, changes)
+    assert sorted(r["text"] for r in once.collect()) == sorted(
+        r["text"] for r in twice.collect()
+    ) == ["two-v2"]
