@@ -222,3 +222,22 @@ def test_corpus_study_facade(spark):
     }
     assert set(cs.mixture_temperature().columns) >= {"stratum", "temp_weight", "boost"}
     assert set(cs.shard_manifest(n_shards=4).columns) == {"doc_id", "shard", "pos", "offset"}
+
+
+def test_registry_contract():
+    """Driver-contract invariants the external gate depends on: every
+    oracle belongs to a registered query, every registry entry is
+    callable, and the first-50 checked window carries at most the ONE
+    intentional rows-only entry (ivf_hier's coarse level is driver-side
+    Lloyd — not SQL-expressible). A new rows-only query accidentally
+    landing in the cap would silently weaken the gate."""
+    from dataframeutils_spark import driver
+
+    qs = driver.all_queries()
+    os_ = driver.all_oracles()
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+    assert all(callable(f) for f in qs.values())
+    names = list(qs)
+    assert len(names) == len(set(names))
+    rows_only_in_cap = [n for n in names[:50] if n not in os_]
+    assert rows_only_in_cap == ["similarity_ivf_hier"], rows_only_in_cap
