@@ -17,6 +17,7 @@ entirely (Spark reuses the bucketing as the required distribution).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DOCUMENTS_SCHEMA = T.StructType(
@@ -139,3 +140,44 @@ def read_documents_xml(
         .load(path)
     )
     return _check_columns(df, schema, f"read_documents_xml({path})")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    salt: str = "shard",
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus as ``n_shards`` deterministic training shards —
+    the physical realization of
+    :func:`~dataframeutils_spark.operators.sampling.shard_manifest`:
+    ``repartition(n_shards, shard)`` + ``sortWithinPartitions(h, id)``
+    + parquet partitioned by ``shard``.
+
+    The manifest IS this write's plan, so positions/offsets computed by
+    ``shard_manifest`` describe the rows' physical order inside each
+    shard directory (pinned by ``tests/test_formats.py``). One shuffle
+    on the shard key — the minimum any global-shuffle export pays; at
+    100 TB pick n_shards so a shard ≈ a few GB and the sort stays
+    in-memory per task.
+    """
+    from dataframeutils_spark.operators.dedup import portable_hash60
+
+    h = portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    (
+        df.withColumn("h", h)
+        .withColumn("shard", F.col("h") % n_shards)
+        .repartition(n_shards, F.col("shard"))
+        # lead with the partition column: the dynamic-partition writer
+        # requires rows ordered by partition keys and would otherwise
+        # inject its own (non-stable) sort, scrambling the (h, id)
+        # order the manifest promises
+        .sortWithinPartitions(F.col("shard").asc(), F.col("h").asc(), F.col(id_col).asc())
+        .drop("h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -127,3 +127,25 @@ def test_xml_roundtrip_and_corrupt_record(spark, tmp_path):
     want = sorted((r["doc_id"], r["text"]) for r in docs)
     have = sorted((r["doc_id"], r["text"]) for r in good.select("doc_id", "text").collect())
     assert want == have
+
+
+def test_export_shards_matches_manifest(spark, tmp_path):
+    """The physical shard files must realize shard_manifest exactly:
+    per shard, file row order == manifest pos order, and doc sets
+    match."""
+    from dataframeutils_spark.operators import sampling
+    from dataframeutils_spark.sources import formats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    formats.export_shards(docs, out, n_shards=4)
+    manifest = sampling.shard_manifest(docs, n_shards=4).toPandas()
+    for shard in range(4):
+        # preserve parquet file order: read the shard directory alone
+        got = spark.read.parquet(f"{out}/shard={shard}").toPandas()["doc_id"].tolist()
+        want = (
+            manifest[manifest["shard"] == shard]
+            .sort_values("pos")["doc_id"]
+            .tolist()
+        )
+        assert got == want, f"shard {shard} order diverges from manifest"
