@@ -196,3 +196,99 @@ def test_asof_join_direction_tolerance_matches_pandas(
         tolerance=None if tol is None else pd.Timedelta(seconds=tol),
     ).sort_values("event_id").reset_index(drop=True)
     assert list(got["score_asof"].fillna(-1)) == list(want["score"].fillna(-1))
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators vs single-node references
+# ---------------------------------------------------------------------------
+
+
+def _chunk_reference(n: int, window: int, stride: int) -> list[tuple[int, int, int]]:
+    """Reference chunker: (chunk_idx, start, length) per chunk."""
+    out = []
+    i = 0
+    while i * stride < n:
+        start = i * stride
+        out.append((i, start, min(window, n - start)))
+        i += 1
+    return out
+
+
+@given(
+    n_tokens=st.lists(st.integers(0, 40), min_size=1, max_size=6),
+    window=st.integers(1, 12),
+    stride_off=st.integers(0, 11),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_reference(spark, n_tokens, window, stride_off):
+    from dataframeutils_spark.operators import text
+
+    stride = max(1, window - stride_off)
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["n_tokens"])
+        for r in text.chunk_documents(df, window=window, stride=stride).collect()
+    }
+    want = {
+        (i, idx): (start, length)
+        for i, n in enumerate(n_tokens)
+        for idx, start, length in _chunk_reference(n, window, stride)
+    }
+    assert got == want
+
+
+def _apply_changes_reference(
+    snap: dict[int, str], changes: list[tuple[int, str, str, int]]
+) -> dict[int, str]:
+    """Reference: last-writer-wins per id (delete beats upsert on seq ties)."""
+    out = dict(snap)
+    best: dict[int, tuple[int, int, str, str]] = {}
+    for doc_id, text, op, seq in changes:
+        rank = (seq, 0 if op == "delete" else -1)
+        cur = best.get(doc_id)
+        if cur is None or rank > (cur[0], 0 if cur[2] == "delete" else -1):
+            best[doc_id] = (seq, doc_id, op, text)
+    for doc_id, (_, _, op, text) in best.items():
+        if op == "delete":
+            out.pop(doc_id, None)
+        else:
+            out[doc_id] = text
+    return out
+
+
+@given(
+    snap_ids=st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 12),
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(1, 3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_apply_changes_matches_reference(spark, snap_ids, changes):
+    from dataframeutils_spark.operators import pipeline
+
+    snap_rows = [(i, f"orig{i}") for i in snap_ids]
+    change_rows = [
+        (i, f"chg{i}s{seq}", op, seq) for (i, op, seq) in changes
+    ]
+    snap = spark.createDataFrame(
+        snap_rows, "doc_id long, text string"
+    ) if snap_rows else spark.createDataFrame([], "doc_id long, text string")
+    chg = spark.createDataFrame(
+        change_rows, "doc_id long, text string, op string, seq int"
+    ) if change_rows else spark.createDataFrame([], "doc_id long, text string, op string, seq int")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in pipeline.apply_changes(snap, chg).collect()
+    }
+    want = _apply_changes_reference(
+        dict(snap_rows),
+        [(i, f"chg{i}s{seq}", op, seq) for (i, op, seq) in changes],
+    )
+    assert got == want
