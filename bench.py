@@ -50,6 +50,7 @@ HEADLINE = [
     "mixture_temperature",
     "dataset_split",
     "hash_sample",
+    "weighted_sample",
     "data_mixture",
     "pipeline_prepare",
     "apply_changes",

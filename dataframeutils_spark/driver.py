@@ -370,6 +370,16 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES keys from the portable hash): top-250 docs by
+    -ln(u)/n_chars, key rounded before ranking so rank order is
+    engine-exact."""
+    return sampling.weighted_sample(
+        load_table(spark, sf_dir, "documents"), k=250
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test assignment, audited per
     language stratum — integer-exact, no float rounding needed."""
@@ -1334,14 +1344,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 13 r2-green head entries plus the 23 round-4 newcomers
+    the 13 r2-green head entries plus the 24 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
     stream_sliding_stats, dedup_incremental, dedup_keep_best,
     shard_manifest, mixture_temperature, embedding_pq, pq_topk,
     chunk_documents, panel_ffill, panel_resample,
-    multimodal_features, apply_changes) lead; the tail queries were
+    multimodal_features, apply_changes, weighted_sample) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1385,12 +1395,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_resample": q_panel_resample,
         "multimodal_features": q_multimodal_features,
         "apply_changes": q_apply_changes,
+        "weighted_sample": q_weighted_sample,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
         "panel_distribution": q_panel_distribution,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
         "data_mixture": q_data_mixture,
@@ -1408,6 +1418,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "memory_acf_hurst": q_memory_acf_hurst,
         "lagged_corr": q_lagged_corr,
         "panel_dispersion": q_panel_dispersion,
@@ -1474,6 +1485,7 @@ def all_oracles() -> dict[str, str]:
         "panel_resample": oracles.RESAMPLE_SQL,
         "multimodal_features": multimodal.image_features_sql(),
         "apply_changes": APPLY_CHANGES_SQL,
+        "weighted_sample": sampling.weighted_sample_sql(k=250),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

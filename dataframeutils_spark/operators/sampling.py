@@ -434,3 +434,77 @@ SELECT stratum, n_docs, sum_chars,
        {siground_sql('(w * total)')} AS target_docs
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k rows
+    with the largest Efraimidis–Spirakis keys u^(1/w) — equivalently
+    the smallest exp-draws -ln(u)/w (Efraimidis & Spirakis, "Weighted
+    random sampling with a reservoir", IPL 2006, public). Inclusion
+    probability scales with ``weight_col`` — the 'sample documents
+    proportional to quality/length' op — yet every run, engine and
+    partitioning draws the SAME sample because u comes from the
+    portable hash of (salt:id), not a RNG.
+
+    Output: (doc_id, weight, es_key) for the k winners, es_key =
+    -ln(u)/w rounded to the cross-engine contract BEFORE ranking (the
+    tfidf round-then-rank pattern) so rank order is engine-exact; ties
+    break by id.
+
+    Scale: scan-side key projection + a global top-k (TakeOrdered —
+    per-partition heaps, never a full sort); rows with weight <= 0 are
+    excluded (the reference algorithm's domain).
+    """
+    from dataframeutils_spark.schema import decround
+
+    u = (
+        portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        .cast("double")
+        / F.lit(float(2**60))
+    )
+    # u in [0,1): shift to (0,1] so ln is finite
+    w = F.col(weight_col).cast("double")
+    key = decround(-F.log(F.lit(1.0) - u) / w)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            w.cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    k: int = 100,
+    table: str = "documents",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> str:
+    from dataframeutils_spark.schema import decround_sql
+
+    h = portable_hash60_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    key = decround_sql(f"(-ln(1.0 - {h} / {float(2**60)}) / {weight_col})")
+    return f"""
+SELECT {id_col} AS doc_id,
+       CAST({weight_col} AS BIGINT) AS weight,
+       {key} AS es_key
+FROM {table}
+WHERE {weight_col} > 0
+ORDER BY es_key, doc_id
+LIMIT {k}
+"""

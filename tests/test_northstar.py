@@ -654,3 +654,20 @@ def test_chunk_documents_rejects_bad_stride(spark):
         text.chunk_documents(df, window=4, stride=5)
     with pytest.raises(ValueError):
         text.chunk_documents(df, window=4, stride=0)
+
+
+def test_weighted_sample_determinism_and_bias(spark, sf_docs):
+    from dataframeutils_spark.operators import sampling
+
+    a = sampling.weighted_sample(sf_docs, k=100).toPandas()
+    b = sampling.weighted_sample(
+        sf_docs.orderBy(F.col("doc_id").desc()).repartition(5), k=100
+    ).toPandas()
+    assert a.equals(b)  # order/partitioning independent
+    assert len(a) == 100 and a["es_key"].is_monotonic_increasing
+    # weight bias: the sampled docs skew longer than the corpus average
+    corpus_mean = sf_docs.agg(F.avg("n_chars")).first()[0]
+    assert a["weight"].mean() > corpus_mean
+    # fresh salt draws a different sample
+    c = sampling.weighted_sample(sf_docs, k=100, salt="other").toPandas()
+    assert set(c["doc_id"]) != set(a["doc_id"])
