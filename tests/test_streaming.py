@@ -278,3 +278,38 @@ def test_cleaning_gates_run_on_streams(spark, tmp_path):
     want = _norm(cleaning.pii_scrub(docs).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert int(got["n_email"].sum()) == 40
+
+
+def test_stream_apply_changes_equals_batch_apply(spark, tmp_path):
+    """foreachBatch CDC merge across >=2 real micro-batches must land
+    on the one-shot batch apply (ids are batch-local so sequential
+    application commutes)."""
+    from dataframeutils_spark.operators import pipeline
+    from dataframeutils_spark.streaming import cdc
+
+    snap = spark.createDataFrame(
+        [(i, f"orig{i}") for i in range(10)], "doc_id long, text string"
+    )
+    all_changes = [
+        (2, "two-v2", "upsert", 1),
+        (3, "x", "delete", 1),
+        (11, "new", "upsert", 1),
+        (5, "five-a", "upsert", 1),
+        (5, "five-b", "upsert", 2),
+    ]
+    schema = "doc_id long, text string, op string, seq int"
+    # two batch files: ids {2,3} then {11,5,5}
+    d = str(tmp_path / "changes")
+    spark.createDataFrame(all_changes[:2], schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(all_changes[2:], schema).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got, n_batches = cdc.run_change_stream(snap, stream)
+    assert n_batches >= 2, "must cross micro-batch boundaries"
+    want = pipeline.apply_changes(
+        snap, spark.createDataFrame(all_changes, schema)
+    )
+    a = {r["doc_id"]: r["text"] for r in got.collect()}
+    b = {r["doc_id"]: r["text"] for r in want.collect()}
+    assert a == b
