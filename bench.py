@@ -69,6 +69,7 @@ HEADLINE = [
     "embedding_quantize",
     "embedding_pq",
     "pq_topk",
+    "similarity_ivfadc",
     "chunk_documents",
     "dataset_card",
     "dedup_shared_spans",

@@ -380,6 +380,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: IVF routing + ADC scoring over PQ codes composed in one
+    plan (FAISS's billion-scale layout) — candidates bounded to the
+    probed lists, each scored by m table lookups; fully hash-derived,
+    exact oracle including rank order."""
+    return sketches.ivfadc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        k_neighbors=5, m=8, k=16, dim=EMB_DIM, n_centroids=24, n_probe=4,
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test assignment, audited per
     language stratum — integer-exact, no float rounding needed."""
@@ -1378,7 +1389,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 13 r2-green head entries plus the 25 round-4 newcomers
+    the 13 r2-green head entries plus the 26 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
@@ -1386,7 +1397,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shard_manifest, mixture_temperature, embedding_pq, pq_topk,
     chunk_documents, panel_ffill, panel_resample,
     multimodal_features, apply_changes, weighted_sample,
-    stream_apply_changes) lead; the tail queries were
+    stream_apply_changes, similarity_ivfadc) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1432,9 +1443,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
         "stream_apply_changes": q_stream_apply_changes,
+        "similarity_ivfadc": q_similarity_ivfadc,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
-        "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
@@ -1453,6 +1464,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "dedup_exact": q_dedup_exact,
         "panel_distribution": q_panel_distribution,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "memory_acf_hurst": q_memory_acf_hurst,
@@ -1523,6 +1535,9 @@ def all_oracles() -> dict[str, str]:
         "apply_changes": APPLY_CHANGES_SQL,
         "weighted_sample": sampling.weighted_sample_sql(k=250),
         "stream_apply_changes": APPLY_CHANGES_SQL,
+        "similarity_ivfadc": sketches.ivfadc_topk_sql(
+            k_neighbors=5, m=8, k=16, dim=EMB_DIM, n_centroids=24, n_probe=4
+        ),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),

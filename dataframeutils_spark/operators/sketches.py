@@ -665,3 +665,166 @@ SELECT qid AS query_id, nid AS neighbor_id,
 FROM scored
 QUALIFY rank <= {k_neighbors}
 """
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    k_neighbors: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_centroids: int = 24,
+    n_probe: int = 4,
+    query_mod: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + ADC composed — FAISS's IVFADC layout (Jégou et al. 2011
+    §IV) as one Spark plan: vectors live in coarse inverted lists
+    (hash-derived IVF centroids, exactly as :func:`~dataframeutils_spark
+    .operators.similarity.ivf_topk`), and within the probed lists
+    candidates are scored by ADC lookups over their m PQ codes instead
+    of full-vector math.
+
+    This removes :func:`pq_topk`'s Q×N wall: a query touches only its
+    ``n_probe`` lists (≈ n_probe·N/C candidates), and each candidate
+    costs m table lookups against the query's broadcast LUT. Raw
+    vectors appear in exactly two scan-side projections (assignment
+    fold, PQ coding) and never shuffle; the only wide rows are
+    (qid, nid, adc) candidates.
+
+    Fully hash-derived (IVF 'ivf:' salt, PQ 'pq:' salt) → exact DuckDB
+    oracle including rank order. Production swaps both quantizers for
+    their k-means twins (rows-only), same plan shape.
+    """
+    from pyspark.sql import Window
+
+    from dataframeutils_spark.operators import similarity as sim
+    from dataframeutils_spark.schema import siground
+
+    spark = emb.sparkSession
+    centroids = sim.ivf_centroids(spark, n_centroids, dim)
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "centroid",
+            F.try_divide(sim._dot(F.col("v"), F.col("u"), dim), F.col("nrm")).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("centroid"))
+    ranked = scored.withColumn("r", F.row_number().over(wr))
+    assign = ranked.filter(F.col("r") == 1).select(F.col("vec_id").alias("nid"), "centroid")
+    probes = ranked.filter(
+        (F.col("r") <= n_probe) & (F.col("vec_id") % query_mod == 0)
+    ).select(F.col("vec_id").alias("qid"), "centroid")
+
+    dm = _pq_dmat(emb, m, k, dim, vec_col)
+    codes = dm.select(
+        F.col(id_col).alias("nid"),
+        F.transform(
+            F.col("dmat"), lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+        ).alias("codes"),
+    )
+    luts = dm.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"), F.col("dmat").alias("lut")
+    )
+    cand = (
+        probes.join(assign, "centroid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda c, ds: F.element_at(ds, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        cand.join(codes, "nid")
+        .join(F.broadcast(luts), "qid")
+        .withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            siground("adc").alias("adc_dist"),
+        )
+    )
+
+
+def ivfadc_topk_sql(
+    k_neighbors: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_centroids: int = 24,
+    n_probe: int = 4,
+    query_mod: int = 10,
+    table: str = "embeddings",
+) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    TWO59 = float(2**59)
+    w = dim // m
+    cu = portable_hash60_sql("('ivf:' || c.c::VARCHAR || ':' || (d - 1)::VARCHAR)")
+    fold = "list_reduce(list_prepend(0.0, {terms}), (a, b) -> a + b)"
+    cdot = fold.format(
+        terms=f"list_transform(range(1, {dim} + 1), i -> e.embedding[i]::DOUBLE * c.u[i])"
+    )
+    nrm = "sqrt(" + fold.format(terms="list_transform({v}, x -> x::DOUBLE * x::DOUBLE)") + ")"
+    comp = portable_hash60_sql(
+        "('pq:' || s::VARCHAR || ':' || c::VARCHAR || ':' || d::VARCHAR)"
+    )
+    sub = f"""list_transform(range(0, {k}), c ->
+        list_reduce(list_prepend(0.0, list_transform(
+          list_transform(range(0, {w}), d ->
+            embedding[s * {w} + d + 1]::DOUBLE - ({comp} / {TWO59} - 1.0)),
+          x -> x * x)),
+          (a, b) -> a + b))"""
+    return f"""
+WITH cent AS (
+  SELECT c.c AS centroid,
+         list_transform(range(1, {dim} + 1), d -> ({cu}::DOUBLE / {TWO59} - 1.0)) AS u
+  FROM range(0, {n_centroids}) c(c)
+), cn AS (
+  SELECT centroid, u, {nrm.format(v='u')} AS nrm FROM cent
+), sc AS (
+  SELECT e.vec_id, c.centroid, {cdot} / NULLIF(c.nrm, 0) AS score
+  FROM {table} e, cn c
+), ranked AS (
+  SELECT vec_id, centroid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid) AS r
+  FROM sc
+), assign AS (
+  SELECT vec_id AS nid, centroid FROM ranked WHERE r = 1
+), probes AS (
+  SELECT vec_id AS qid, centroid FROM ranked
+  WHERE r <= {n_probe} AND vec_id % {query_mod} = 0
+), dm AS (
+  SELECT vec_id, list_transform(range(0, {m}), s -> {sub}) AS dmat
+  FROM {table}
+), codes AS (
+  SELECT vec_id AS nid,
+         list_transform(dmat, ds -> list_position(ds, list_min(ds)) - 1) AS codes
+  FROM dm
+), luts AS (
+  SELECT vec_id AS qid, dmat AS lut FROM dm WHERE vec_id % {query_mod} = 0
+), cand AS (
+  SELECT p.qid, a.nid FROM probes p JOIN assign a USING (centroid)
+  WHERE p.qid <> a.nid
+), scored AS (
+  SELECT c.qid, c.nid,
+         list_reduce(list_prepend(0.0, list_transform(range(0, {m}), s ->
+           l.lut[s + 1][cd.codes[s + 1] + 1])), (a, b) -> a + b) AS adc
+  FROM cand c JOIN codes cd USING (nid) JOIN luts l USING (qid)
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS INTEGER) AS rank,
+       {siground_sql('adc')} AS adc_dist
+FROM scored
+QUALIFY rank <= {k_neighbors}
+"""

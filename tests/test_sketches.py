@@ -187,3 +187,33 @@ def test_pq_topk_matches_numpy_adc(spark):
         assert [r["neighbor_id"] for r in rows] == want, qid
         for r in rows:
             assert abs(r["adc_dist"] - adc[r["neighbor_id"]]) < 1e-5
+
+
+def test_ivfadc_routes_and_scores_consistently(spark):
+    """Every IVFADC neighbor must share a probed inverted list with its
+    query, and its ADC distance must equal the full-scan pq_topk ADC
+    for the same (query, neighbor) pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    kw = dict(m=2, k=4, dim=8, query_mod=10)
+    adc_full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in sketches.pq_topk(emb, k_neighbors=39, **kw).collect()
+    }
+    got = sketches.ivfadc_topk(
+        emb, k_neighbors=5, n_centroids=4, n_probe=2, **kw
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        pair = (r["query_id"], r["neighbor_id"])
+        assert pair in adc_full
+        assert abs(r["adc_dist"] - adc_full[pair]) < 1e-9, pair
+    # ranks are dense per query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
