@@ -32,6 +32,7 @@ HEADLINE = [
     "lagged_corr",
     "mutual_info",
     "zscore_outliers",
+    "mad_outliers",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_xxhash",  # production hash path (rows-only query)

@@ -233,6 +233,15 @@ def q_volatility_gjr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outliers (Iglewicz-Hoaglin modified z-score) —
+    the masking-immune companion to zscore_outliers; exact-percentile
+    kernel, money columns on the fixed-decimal contract."""
+    return round_floats(
+        outliers.mad_outliers(_melted(spark, sf_dir), "feature_1"), all_dec=True
+    )
+
+
 def q_outliers_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
         ml_fits.ml_outliers(_melted(spark, sf_dir), "feature_1", "isolation_forest"),
@@ -1389,7 +1398,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 13 r2-green head entries plus the 26 round-4 newcomers
+    the 13 r2-green head entries plus the 27 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
@@ -1397,7 +1406,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shard_manifest, mixture_temperature, embedding_pq, pq_topk,
     chunk_documents, panel_ffill, panel_resample,
     multimodal_features, apply_changes, weighted_sample,
-    stream_apply_changes, similarity_ivfadc) lead; the tail queries were
+    stream_apply_changes, similarity_ivfadc, mad_outliers) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1444,9 +1453,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "stream_apply_changes": q_stream_apply_changes,
         "similarity_ivfadc": q_similarity_ivfadc,
+        "mad_outliers": q_mad_outliers,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
-        "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
         "data_mixture": q_data_mixture,
@@ -1464,6 +1473,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "panel_distribution": q_panel_distribution,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -1537,6 +1547,10 @@ def all_oracles() -> dict[str, str]:
         "stream_apply_changes": APPLY_CHANGES_SQL,
         "similarity_ivfadc": sketches.ivfadc_topk_sql(
             k_neighbors=5, m=8, k=16, dim=EMB_DIM, n_centroids=24, n_probe=4
+        ),
+        "mad_outliers": _round_oracle_cols(
+            oracles.with_panel(outliers.mad_outliers_sql("feature_1")),
+            ["med", "mad", "max_robust_z"],
         ),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),

@@ -138,3 +138,35 @@ def test_driver_oracle_parity_round4(spark, ddb, qname):
     q = driver.all_queries()[qname]
     sql = driver.all_oracles()[qname]
     assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
+
+
+def test_mad_outliers_resists_masking(spark):
+    """One extreme point inflates stddev enough to mask a second,
+    smaller outlier from the z-score — the MAD score flags both."""
+    import datetime as dt
+
+    from dataframeutils_spark.operators import outliers
+
+    vals = [10.0] * 20 + [11.0] * 20 + [500.0, 60.0]
+    rows = [
+        ("A", dt.date(2024, 1, 1) + dt.timedelta(days=i), "feature_1", v)
+        for i, v in enumerate(vals)
+    ]
+    long_df = spark.createDataFrame(
+        rows, "grp string, date date, feature string, value double"
+    )
+    r = outliers.mad_outliers(long_df, "feature_1", threshold=3.5).collect()[0]
+    assert r["n"] == 42
+    assert r["med"] == 11.0 and r["mad"] == 1.0
+    # both 500 and 60 exceed |M| > 3.5 under MAD scaling
+    assert r["n_outliers"] == 2
+    # plain z-score only catches the giant one: stddev ~75 masks 60
+    z = outliers.zscore_outliers(long_df, "feature_1", threshold=3.0).collect()[0]
+    assert z["n_outliers"] == 1
+
+
+@pytest.mark.parametrize("qname", ["mad_outliers"])
+def test_driver_oracle_parity_mad(spark, ddb, qname):
+    q = driver.all_queries()[qname]
+    sql = driver.all_oracles()[qname]
+    assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
