@@ -577,7 +577,9 @@ WITH changes AS (
 win AS (
   SELECT *, row_number() OVER (
     PARTITION BY doc_id
-    ORDER BY seq DESC, CASE WHEN op = 'delete' THEN 0 ELSE 1 END
+    ORDER BY seq DESC, CASE WHEN op = 'delete' THEN 0 ELSE 1 END,
+             text NULLS FIRST, lang NULLS FIRST, source NULLS FIRST,
+             n_chars NULLS FIRST
   ) AS rn
   FROM changes
 ),
@@ -610,16 +612,21 @@ def q_stream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     changes = _cdc_changes(docs)
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="cdc_changes_")
-    b = dedup.portable_hash60(F.concat(F.lit("cdcb:"), F.col("doc_id").cast("string"))) % 3
-    for i in range(3):
-        changes.filter(b == i).coalesce(1).write.mode("append").parquet(tmp)
-    stream = (
-        spark.readStream.schema(changes.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp)
-    )
-    snap, n_batches = cdc.run_change_stream(docs, stream)
+    try:
+        b = dedup.portable_hash60(F.concat(F.lit("cdcb:"), F.col("doc_id").cast("string"))) % 3
+        for i in range(3):
+            changes.filter(b == i).coalesce(1).write.mode("append").parquet(tmp)
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        snap, n_batches = cdc.run_change_stream(docs, stream)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     if n_batches < 2:
         raise RuntimeError(f"change stream drained in {n_batches} micro-batches; expected >= 2")
     return snap.groupBy(F.col("lang").alias("stratum")).agg(
@@ -1393,7 +1400,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order), and 83 are registered, so ordering is a
+    this dict (insertion order), and 91 are registered, so ordering is a
     rotation policy, priority order: (1) never driver-verified (new this
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal

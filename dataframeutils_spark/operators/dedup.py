@@ -836,7 +836,10 @@ def snapshot_split(
     operators.sampling (order/partition independent, engine portable).
     """
     hfn = portable_hash60 if portable else fast_hash64
-    side = hfn(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 2
+    # pmod, not %: xxhash64 is signed, and Spark's % keeps the sign —
+    # a plain `% 2` yields {-1, 0, 1} and rows with -1 would vanish
+    # from BOTH halves (22% measured), breaking the partition promise
+    side = F.pmod(hfn(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(2))
     return docs.filter(side == 0), docs.filter(side == 1)
 
 

@@ -266,8 +266,11 @@ def apply_changes(
     ``changes`` carries the snapshot's payload columns plus ``op`` ∈
     {'upsert', 'delete'} and a monotone ``seq``; when a batch holds
     several changes for one id, the HIGHEST seq wins (ties: 'delete'
-    over 'upsert' — a replay-safe convention), matching Delta/Iceberg
-    MERGE last-writer-wins semantics without requiring a table format.
+    over 'upsert' — a replay-safe convention; two same-seq upserts tie-
+    break on the payload columns themselves so the winner is
+    deterministic, never partition-order dependent), matching
+    Delta/Iceberg MERGE last-writer-wins semantics without requiring a
+    table format.
 
     Plan: one window over the (small) change batch picks each id's
     winning change, then a single hash join against the snapshot:
@@ -283,6 +286,10 @@ def apply_changes(
         F.col(seq_col).desc(),
         # tie on seq: delete outranks upsert (replay-safe)
         F.when(F.col(op_col) == "delete", 0).otherwise(1).asc(),
+        # final tiebreak: the payload itself — row_number with equal
+        # keys is partition-order dependent, so two same-seq upserts
+        # would otherwise keep an arbitrary (rerun-unstable) winner
+        *[F.col(c).asc_nulls_first() for c in payload if c != id_col],
     )
     winner = (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -287,6 +287,14 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+def shard_hash(id_col: Column, salt: str = "shard", portable: bool = True) -> Column:
+    """The ONE shard-order hash shared by :func:`shard_manifest` and
+    ``sources.formats.export_shards`` — a single definition so the
+    manifest-realizes-the-export invariant cannot drift."""
+    hfn = portable_hash60 if portable else fast_hash64
+    return hfn(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+
+
 def shard_manifest(
     df: DataFrame,
     n_shards: int = 16,
@@ -314,8 +322,7 @@ def shard_manifest(
     """
     from pyspark.sql import Window
 
-    hfn = portable_hash60 if portable else fast_hash64
-    h = hfn(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    h = shard_hash(F.col(id_col), salt, portable)
     w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
         df.select(
@@ -323,7 +330,9 @@ def shard_manifest(
             F.col(size_col).alias("sz"),
             h.alias("h"),
         )
-        .withColumn("shard", F.col("h") % n_shards)
+        # pmod, not %: xxhash64 is signed and % keeps the sign — plain
+        # `%` would emit shard ids in [-(n-1), n-1] (2n-1 directories)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
         .select(
             "doc_id",
             "shard",

@@ -743,9 +743,12 @@ def chunk_documents(
     an embedding / retrieval pipeline runs before encoding:
     (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash).
 
-    Chunk ``i`` covers tokens ``[i·stride, i·stride + window)`` for
-    every start below the doc's token count; the final chunk may be
-    short. ``chunk_hash`` is the portable 60-bit hash of the
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + window)``;
+    chunking stops once a window reaches the doc's end (1 chunk when
+    n ≤ window, else ⌈(n−window)/stride⌉+1), so no trailing chunk is
+    ever fully contained in its predecessor — each chunk contributes
+    ≥1 new token and no embedding call is wasted on a redundant
+    window. The final chunk may be short. ``chunk_hash`` is the portable 60-bit hash of the
     space-rejoined window — the id a downstream embedding cache or
     chunk-level dedup keys on — so the output carries 8-byte hashes,
     never repeated text.
@@ -761,7 +764,9 @@ def chunk_documents(
         raise ValueError(f"need 0 < stride <= window, got {stride}, {window}")
     toks = _tokens(F.col(text_col))
     n = F.size("toks")
-    n_chunks = F.ceil(n.cast("double") / stride).cast("int")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window).cast("double") / stride).cast("int") + 1
+    )
     starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -793,7 +798,10 @@ WITH tokd AS (
   FROM {table}
 ),
 ex AS (
-  SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks) / {stride}.0) AS INTEGER))) AS i
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN len(toks) <= {window} THEN 1
+                              ELSE CAST(ceil((len(toks) - {window}) / {stride}.0) AS INTEGER) + 1
+                         END)) AS i
   FROM tokd WHERE len(toks) > 0
 )
 SELECT doc_id,

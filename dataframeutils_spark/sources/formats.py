@@ -164,12 +164,11 @@ def export_shards(
     100 TB pick n_shards so a shard ≈ a few GB and the sort stays
     in-memory per task.
     """
-    from dataframeutils_spark.operators.dedup import portable_hash60
+    from dataframeutils_spark.operators.sampling import shard_hash
 
-    h = portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     (
-        df.withColumn("h", h)
-        .withColumn("shard", F.col("h") % n_shards)
+        df.withColumn("h", shard_hash(F.col(id_col), salt))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
         .repartition(n_shards, F.col("shard"))
         # lead with the partition column: the dynamic-partition writer
         # requires rows ordered by partition keys and would otherwise

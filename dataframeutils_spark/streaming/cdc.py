@@ -54,26 +54,36 @@ def run_change_stream(
 ) -> tuple[DataFrame, int]:
     """Drain ``change_stream`` (availableNow) applying every micro-batch
     to ``snapshot``; returns (final snapshot, micro-batch count)."""
+    import shutil
+    import tempfile
+
     spark = snapshot.sparkSession
     maintainer = SnapshotMaintainer(snapshot, id_col=id_col)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
     )
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
     try:
         q = (
             change_stream.writeStream.foreachBatch(maintainer.merge_batch)
             .trigger(availableNow=True)
-            .option("checkpointLocation", _tmp_checkpoint())
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination(timeout_s)
+        # a drain that outlives the timeout must be STOPPED before the
+        # snapshot is read — otherwise later micro-batches keep
+        # reassigning maintainer.snapshot under the caller (and run with
+        # the caller's restored shuffle conf); same guard as
+        # streaming.windows.run_to_memory
+        if q.isActive:
+            q.stop()
+            raise RuntimeError(
+                f"change stream did not drain within {timeout_s}s "
+                f"({maintainer.n_batches} micro-batches applied)"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return maintainer.snapshot, maintainer.n_batches
-
-
-def _tmp_checkpoint() -> str:
-    import tempfile
-
-    return tempfile.mkdtemp(prefix="cdc_ckpt_")

@@ -633,9 +633,11 @@ def test_chunk_documents_windows_and_tail(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 1: 10 tokens, stride 3 → starts 0,3,6,9 → lens 4,4,4,1
+    # doc 1: 10 tokens, window 4, stride 3 → ceil((10-4)/3)+1 = 3
+    # chunks; the window starting at 6 reaches the end, so no
+    # redundant (9, 1) tail chunk is emitted
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
-    assert [(r["start_tok"], r["n_tokens"]) for r in c1] == [(0, 4), (3, 4), (6, 4), (9, 1)]
+    assert [(r["start_tok"], r["n_tokens"]) for r in c1] == [(0, 4), (3, 4), (6, 4)]
     # doc 2: 2 tokens → one short chunk
     assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[2]] == [(0, 2)]
     # empty doc → no chunks
@@ -671,3 +673,19 @@ def test_weighted_sample_determinism_and_bias(spark, sf_docs):
     # fresh salt draws a different sample
     c = sampling.weighted_sample(sf_docs, k=100, salt="other").toPandas()
     assert set(c["doc_id"]) != set(a["doc_id"])
+
+
+def test_snapshot_split_production_hash_is_partition(spark, sf_docs):
+    """portable=False (xxhash64): the split must still be a PARTITION —
+    Spark's signed % once dropped 22% of rows from both halves."""
+    corpus, batch = dedup.snapshot_split(sf_docs, portable=False)
+    assert corpus.count() + batch.count() == sf_docs.count()
+    assert corpus.join(batch, "doc_id").count() == 0
+
+
+def test_shard_manifest_production_hash_shard_range(spark, sf_docs):
+    from dataframeutils_spark.operators import sampling
+
+    out = sampling.shard_manifest(sf_docs, n_shards=8, portable=False).toPandas()
+    assert len(out) == sf_docs.count()
+    assert set(out["shard"]) <= set(range(8)), sorted(set(out["shard"]))

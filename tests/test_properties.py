@@ -204,14 +204,16 @@ def test_asof_join_direction_tolerance_matches_pandas(
 
 
 def _chunk_reference(n: int, window: int, stride: int) -> list[tuple[int, int, int]]:
-    """Reference chunker: (chunk_idx, start, length) per chunk."""
-    out = []
-    i = 0
-    while i * stride < n:
-        start = i * stride
-        out.append((i, start, min(window, n - start)))
-        i += 1
-    return out
+    """Reference chunker: (chunk_idx, start, length) per chunk; stops
+    once a window reaches the end of the doc."""
+    if n <= 0:
+        return []
+    import math
+
+    n_chunks = 1 if n <= window else math.ceil((n - window) / stride) + 1
+    return [
+        (i, i * stride, min(window, n - i * stride)) for i in range(n_chunks)
+    ]
 
 
 @given(
