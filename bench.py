@@ -71,6 +71,7 @@ HEADLINE = [
     "embedding_pq",
     "pq_topk",
     "similarity_ivfadc",
+    "similarity_recall",
     "chunk_documents",
     "dataset_card",
     "dedup_shared_spans",

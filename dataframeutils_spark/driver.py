@@ -789,6 +789,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH and IVF paths vs exact brute force — the ANN
+    quality dial as a gate-checked number (same params as the
+    registered similarity_ann / similarity_ivf queries). The absolute
+    values are LOW BY CONSTRUCTION here: the oracle-checkable
+    quantizers are hash-derived (random directions) and the synthetic
+    embeddings are near-uniform — no cluster structure to exploit, the
+    known worst case for sublinear ANN. On clustered data the k-means
+    quantizer (similarity_ivf_kmeans) is the production answer; this
+    audit is HOW that tuning gets measured."""
+    return similarity.recall_audit(
+        load_table(spark, sf_dir, "embeddings"),
+        k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM,
+    )
+
+
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with MLlib k-means-trained centroids, Arrow-vectorized
     ASSIGNMENT (one numpy matmul per batch — no N×C crossJoin, no
@@ -1405,7 +1421,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round, or rows-only variants that haven't had even a rows row), (2)
     longest since last verified (r2-green streaming/events/multimodal
     re-verify this round), (3) verified last round.  Round 4 ordering:
-    the 13 r2-green head entries plus the 27 round-4 newcomers
+    the 13 r2-green head entries plus the 28 round-4 newcomers
     (decontaminate, pii_scrub, quality_rules, countmin_profile,
     textrank, bm25_search, pack_sequences, embedding_quantize,
     dataset_card, inverted_index, embedding_dim_stats,
@@ -1413,7 +1429,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shard_manifest, mixture_temperature, embedding_pq, pq_topk,
     chunk_documents, panel_ffill, panel_resample,
     multimodal_features, apply_changes, weighted_sample,
-    stream_apply_changes, similarity_ivfadc, mad_outliers) lead; the tail queries were
+    stream_apply_changes, similarity_ivfadc, mad_outliers,
+    similarity_recall) lead; the tail queries were
     all verified in round 3 and sit out exactly one round — NEXT
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
@@ -1461,9 +1478,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_apply_changes": q_stream_apply_changes,
         "similarity_ivfadc": q_similarity_ivfadc,
         "mad_outliers": q_mad_outliers,
+        "similarity_recall": q_similarity_recall,
         # --- body: verified green in round 3, re-checked this round ---
         "weighted_bins": q_weighted_bins,
-        "dataset_split": q_dataset_split,
         "hash_sample": q_hash_sample,
         "data_mixture": q_data_mixture,
         "pipeline_prepare": q_pipeline_prepare,
@@ -1480,6 +1497,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_attribution": q_range_attribution,
         # --- tail: r3-verified entries; excluded by the 50-query cap
         # this round, promote next round ---
+        "dataset_split": q_dataset_split,
         "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "panel_distribution": q_panel_distribution,
@@ -1554,6 +1572,9 @@ def all_oracles() -> dict[str, str]:
         "stream_apply_changes": APPLY_CHANGES_SQL,
         "similarity_ivfadc": sketches.ivfadc_topk_sql(
             k_neighbors=5, m=8, k=16, dim=EMB_DIM, n_centroids=24, n_probe=4
+        ),
+        "similarity_recall": similarity.recall_audit_sql(
+            k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM
         ),
         "mad_outliers": _round_oracle_cols(
             oracles.with_panel(outliers.mad_outliers_sql("feature_1")),

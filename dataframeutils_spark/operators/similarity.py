@@ -1026,3 +1026,93 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def recall_audit(
+    emb: DataFrame,
+    k: int = 5,
+    bits: int = 32,
+    bands: int = 4,
+    n_probe: int = 2,
+    dim: int | None = None,
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Recall@k of the approximate search paths measured against the
+    exact brute-force top-k, as a first-class query: one row per method
+    — (method, n_queries, avg_recall, min_recall).
+
+    This is the quality dial a real ANN deployment tunes (bits/bands
+    for LSH, C/n_probe for IVF) — here it is a gate-checked number, not
+    a notebook anecdote: everything is hash-derived and deterministic,
+    so the DuckDB oracle recomputes the identical recall exactly.
+
+    Bounded by the brute-force baseline's O(n²) guard (``max_rows``) —
+    this is an AUDIT query for samples/testdata; at 100 TB you run it
+    on a sampled slice, never the corpus (the approximate paths
+    themselves stay linear).
+    """
+    from dataframeutils_spark.schema import decround
+
+    exact = brute_force_topk(emb, k=k, dim=dim, max_query_rows=max_rows).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "ann_lsh": ann_topk(emb, k=k, bits=bits, bands=bands, dim=dim).select(
+            "query_id", "neighbor_id"
+        ),
+        "ivf": ivf_topk(emb, k=k, n_centroids=None, n_probe=n_probe, dim=dim).select(
+            "query_id", "neighbor_id"
+        ),
+    }
+    spark = emb.sparkSession
+    out = None
+    for name, approx in methods.items():
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact")).join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        ).select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+        row = per_q.agg(
+            F.lit(name).alias("method"),
+            F.count("*").alias("n_queries"),
+            decround(F.avg("recall")).alias("avg_recall"),
+            decround(F.min("recall")).alias("min_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def recall_audit_sql(
+    k: int = 5,
+    bits: int = 32,
+    bands: int = 4,
+    n_probe: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    from dataframeutils_spark.schema import decround_sql
+
+    def one(name: str, approx_sql: str) -> str:
+        return f"""
+SELECT '{name}' AS method,
+       count(*) AS n_queries,
+       {decround_sql('avg(recall)')} AS avg_recall,
+       {decround_sql('min(recall)')} AS min_recall
+FROM (
+  SELECT e.query_id,
+         CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+  FROM ({brute_force_topk_sql(k, table)}) e
+  LEFT JOIN ({approx_sql}) a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)"""
+
+    return (
+        one("ann_lsh", ann_topk_sql(k=k, bits=bits, bands=bands, dim=dim, table=table))
+        + "\nUNION ALL\n"
+        + one("ivf", ivf_topk_sql(k=k, n_centroids=None, n_probe=n_probe, table=table, dim=dim))
+    )

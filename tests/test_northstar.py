@@ -689,3 +689,18 @@ def test_shard_manifest_production_hash_shard_range(spark, sf_docs):
     out = sampling.shard_manifest(sf_docs, n_shards=8, portable=False).toPandas()
     assert len(out) == sf_docs.count()
     assert set(out["shard"]) <= set(range(8)), sorted(set(out["shard"]))
+
+
+def test_recall_audit_bounds_and_budget_response(spark):
+    """Recall lies in [0,1]; widening the IVF probe budget can only
+    help (more lists searched ⊇ fewer)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    narrow = {r["method"]: r for r in similarity.recall_audit(emb, k=3, n_probe=1, dim=8).collect()}
+    wide = {r["method"]: r for r in similarity.recall_audit(emb, k=3, n_probe=8, dim=8).collect()}
+    for m, r in narrow.items():
+        assert 0.0 <= r["avg_recall"] <= 1.0 and r["n_queries"] == 60
+    assert wide["ivf"]["avg_recall"] >= narrow["ivf"]["avg_recall"]
