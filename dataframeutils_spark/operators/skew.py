@@ -1,0 +1,89 @@
+"""Skew-hardened join: deterministic key salting.
+
+No counterpart in the reference (SURVEY §2.3 — it has no joins);
+north-star scale surface. A shuffle join partitions both sides by the
+join key, so ONE hot key (the power-law user, the empty-string
+document, the null-ish default id) lands its entire row set in one
+task — the canonical 100 TB straggler. AQE's skew-join split handles
+the sort-merge case at runtime (pinned in ``tests/test_skew.py``);
+salting is the PLAN-TIME answer that also covers the cases AQE cannot
+touch (broadcast-hash probes are fine, but e.g. skewed aggregations
+feeding a join, or engines/stages where AQE is off).
+
+Mechanics: the fact side appends ``_salt = hash(row_id) % n_salt`` —
+a DETERMINISTIC per-row salt (``rand()`` would break retries,
+re-runs, and the oracle) — splitting each hot key's rows across
+``n_salt`` shuffle partitions; the dim side is exploded ×``n_salt``
+so every (key, salt) fact partition still finds its dim row. The
+join result is row-for-row IDENTICAL to the unsalted join (the salt
+column is internal and dropped), so the operator carries an exact
+plain-join oracle. Cost: dim side ×``n_salt`` rows — cheap when the
+dim is the small side, which is exactly the skewed-fact/modest-dim
+shape the technique exists for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.dedup import fast_hash64, portable_hash60
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    row_col: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    portable: bool = True,
+) -> DataFrame:
+    """Join ``fact`` to ``dim`` on ``on`` with ``n_salt``-way key
+    salting; result ≡ ``fact.join(dim, on, how)``.
+
+    ``row_col`` names a fact column that varies PER ROW (a row id /
+    event id) — the salt must spread a single hot key's rows, so it
+    cannot be derived from the join key itself. ``dim`` must be unique
+    per join key (the usual dim contract); the explode multiplies it
+    ×``n_salt``, so keep it the small side. ``how`` supports inner and
+    left — the fact side keeps exactly one salt per row, so unmatched
+    fact rows surface once, like the unsalted left join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = F.concat(F.lit("salt:"), F.col(row_col).cast("string"))
+    h = portable_hash60(salted) if portable else F.abs(fast_hash64(salted))
+    f = fact.withColumn("_salt", (h % n_salt).cast("int"))
+    # sequence of int literals explodes to int directly (a cast wrapped
+    # AROUND the generator is rejected: UNSUPPORTED_GENERATOR)
+    d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return f.join(d, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+def user_profile_salted(
+    events: DataFrame, n_salt: int = 8, portable: bool = True
+) -> DataFrame:
+    """Registered-query shape: every event joined to its user's mean
+    value via :func:`salted_join` — (event_id, user_id, value,
+    user_avg). The dim is the per-user profile aggregate; the fact is
+    the raw event stream whose per-user row counts are the skew
+    surface."""
+    fact = events.select("event_id", "user_id", "value")
+    dim = events.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    return salted_join(
+        fact, dim, on=("user_id",), row_col="event_id", n_salt=n_salt,
+        portable=portable,
+    )
+
+
+def user_profile_salted_sql(table: str = "events") -> str:
+    """Oracle = the UNSALTED join: salting must not change the answer."""
+    return f"""
+SELECT e.event_id, e.user_id, e.value, p.user_avg
+FROM {table} e
+JOIN (SELECT user_id, avg(value) AS user_avg FROM {table} GROUP BY user_id) p
+  USING (user_id)
+"""
