@@ -88,6 +88,9 @@ HEADLINE = [
     "zorder_layout",  # Z-order vs linear zone-map pruning audit
     "salted_join",  # skew-hardened fact join via deterministic salting
     "lsh_tuning",  # LSH band tuning: empirical vs analytic S-curve
+    "quantile_bin",  # exact-percentile discretization audit
+    "feature_matrix",  # per-user lag/rolling point-in-time features
+    "psi_drift",  # population-stability drift monitor
     "multimodal_real_meta",  # real PNG/WAV header parsing over synthesized containers
     "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
     "multimodal_features",  # real pixel decode + histogram/extrema feature extraction

@@ -19,6 +19,7 @@ from dataframeutils_spark.operators import (
     cleaning,
     cross_feature,
     dedup,
+    features,
     layout,
     memory,
     ml_fits,
@@ -1408,6 +1409,29 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantile discretization of events.value audited per type
+    (operators/features.py): exact-percentile boundaries rounded before
+    comparison so bin membership is engine-exact."""
+    return round_floats(features.quantile_bin(_events_normalized(spark, sf_dir)))
+
+
+def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time per-user lag/rolling feature matrix — frames end
+    at the current row (no future leakage), ties broken by event_id."""
+    return round_floats(
+        features.feature_matrix(_events_normalized(spark, sf_dir)), all_dec=True
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between a deterministic reference/current split with
+    reference-only bin boundaries — the production drift monitor."""
+    return round_floats(
+        features.psi_drift(_events_normalized(spark, sf_dir)), all_dec=True
+    )
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -1517,6 +1541,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "salted_join": q_salted_join,
         "lsh_tuning": q_lsh_tuning,
+        "quantile_bin": q_quantile_bin,
+        "feature_matrix": q_feature_matrix,
+        "psi_drift": q_psi_drift,
         # --- body: verified green in round 3, re-checked this round.
         # similarity_ann/similarity_ivf stay inside the 50-cap: VERDICT
         # r3 graded similarity_ivf weak on the bench number and asks for
@@ -1622,6 +1649,16 @@ def all_oracles() -> dict[str, str]:
             ["med", "mad", "max_robust_z"],
         ),
         "zorder_layout": layout.zorder_layout_audit_sql(),
+        "quantile_bin": (
+            f"SELECT * REPLACE ({siground_sql('v_min')} AS v_min, "
+            f"{siground_sql('v_max')} AS v_max) "
+            f"FROM (\n{features.quantile_bin_sql()}\n)"
+        ),
+        "feature_matrix": _round_oracle_cols(
+            features.feature_matrix_sql(),
+            ["value", "lag1", "lag2", "roll_mean", "roll_std"],
+        ),
+        "psi_drift": _round_oracle_cols(features.psi_drift_sql(), ["psi"]),
         "salted_join": _round_oracle_cols(
             skew.user_profile_salted_sql(), ["value", "user_avg"]
         ),

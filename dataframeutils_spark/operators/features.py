@@ -1,0 +1,245 @@
+"""Training-feature preparation and drift monitoring.
+
+No counterpart in the reference (SURVEY §2.3); north-star pipeline
+surface: before events become training features a pipeline (a)
+discretizes heavy-tailed numerics into quantile bins, (b) builds
+point-in-time lag/rolling feature matrices, and (c) monitors
+distribution drift between a reference window and the current one
+(PSI — the standard production drift metric). All three are exactly
+oracle-checkable: boundaries are rounded to the engine's significant-
+digit contract BEFORE any comparison, so bin membership is identical
+across engines even though raw interpolated percentiles can differ in
+the last ulp.
+
+Scale notes:
+- :func:`quantile_bin`: ONE exact-percentile aggregate row (Spark
+  ``percentile`` ≡ DuckDB ``quantile_cont``), broadcast to the scan;
+  bin assignment is a scan-side fold over the ≤ n_bins boundary array
+  — no shuffle beyond the final small groupBy. At 100 TB swap the
+  exact percentile for ``percentile_approx`` (same plan shape,
+  rows-only check) — the audit keeps both honest.
+- :func:`feature_matrix`: one hash shuffle on the entity key, then
+  window frames evaluated within partitions — the canonical
+  feature-engineering shape; no global window anywhere.
+- :func:`psi_drift`: reference vs current are hash-split scan-side;
+  per (type, bin) counts are one map-side-combinable aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.schema import siground, siground_sql
+
+# Laplace-style smoothing for PSI bins that are empty on one side —
+# without it a single empty bin sends PSI to ±inf (ln 0)
+PSI_EPS = 1e-6
+
+
+def _rounded_boundaries(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """One row: array of n_bins-1 interior quantile boundaries, each
+    rounded to the significant-digit contract (round-then-compare is
+    what makes bin membership engine-exact)."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    pct = F.percentile(col, F.array(*[F.lit(q) for q in qs]))
+    return df.agg(
+        F.transform(pct, lambda b: siground(b)).alias("bnds")
+    )
+
+
+def quantile_bin(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Global quantile discretization audited per type: (event_type,
+    bin, n, v_min, v_max) — bin b means value ≤ boundary b (last bin
+    open). The per-(type, bin) histogram is the feature-QA table: a
+    type whose mass collapses into two bins needs its own boundaries.
+    """
+    bnds = _rounded_boundaries(events, value_col, n_bins)
+    e = events.select(type_col, value_col).crossJoin(F.broadcast(bnds))
+    bin_ = F.aggregate(
+        F.transform(
+            F.col("bnds"),
+            lambda b: (F.col(value_col) > b).cast("int"),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        e.withColumn("bin", bin_)
+        .groupBy(F.col(type_col).alias("event_type"), "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(value_col).alias("v_min"),
+            F.max(value_col).alias("v_max"),
+        )
+    )
+
+
+def quantile_bin_sql(
+    table: str = "events",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    n_bins: int = 10,
+) -> str:
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    rb = siground_sql("b")
+    return f"""
+WITH bnds AS (
+  SELECT list_transform(quantile_cont({value_col}, [{qs}]), b -> {rb}) AS bnds
+  FROM {table}
+), binned AS (
+  SELECT {type_col} AS event_type, {value_col} AS v,
+         len(list_filter(bnds, b -> {value_col} > b)) AS bin
+  FROM {table}, bnds
+)
+SELECT event_type, CAST(bin AS INT) AS bin, count(*) AS n,
+       min(v) AS v_min, max(v) AS v_max
+FROM binned GROUP BY 1, 2
+"""
+
+
+def feature_matrix(
+    events: DataFrame,
+    by: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 5,
+) -> DataFrame:
+    """Point-in-time per-entity feature matrix: (event_id, user_id,
+    value, lag1, lag2, roll_mean, roll_std, n_prev).
+
+    Frames end at the CURRENT row (no future leakage — the same
+    contract as the as-of join); ties on ``order`` break by
+    ``id_col`` so the lag features are deterministic. ``roll_std`` is
+    the sample stddev over the trailing ``window`` rows (NULL until
+    two rows exist).
+    """
+    w = Window.partitionBy(by).orderBy(F.col(order), F.col(id_col))
+    wf = w.rowsBetween(-(window - 1), 0)
+    return events.select(
+        id_col,
+        by,
+        order,
+        value_col,
+        F.lag(value_col, 1).over(w).alias("lag1"),
+        F.lag(value_col, 2).over(w).alias("lag2"),
+        F.avg(value_col).over(wf).alias("roll_mean"),
+        F.stddev_samp(value_col).over(wf).alias("roll_std"),
+        (F.count("*").over(wf) - 1).alias("n_prev"),
+    )
+
+
+def feature_matrix_sql(
+    table: str = "events",
+    by: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 5,
+) -> str:
+    frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    w = f"PARTITION BY {by} ORDER BY {order}, {id_col}"
+    return f"""
+SELECT {id_col}, {by}, {order}, {value_col},
+       lag({value_col}, 1) OVER ({w}) AS lag1,
+       lag({value_col}, 2) OVER ({w}) AS lag2,
+       avg({value_col}) OVER ({w} {frame}) AS roll_mean,
+       stddev_samp({value_col}) OVER ({w} {frame}) AS roll_std,
+       count(*) OVER ({w} {frame}) - 1 AS n_prev
+FROM {table}
+"""
+
+
+def psi_drift(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift audit per type: (event_type,
+    n_ref, n_cur, psi).
+
+    Reference sample = even ids, current = odd ids (a deterministic
+    split standing in for "last week vs this week" — production passes
+    two time windows). Boundaries come from the REFERENCE sample only
+    (the monitoring contract: the baseline defines the bins), rounded
+    before comparison. PSI = Σ (p−q)·ln(p/q) over bins with
+    ``PSI_EPS`` smoothing; > 0.2 is the conventional drift alarm.
+    """
+    ref_pred = F.col(id_col) % 2 == 0
+    bnds = _rounded_boundaries(events.filter(ref_pred), value_col, n_bins)
+    e = events.select(type_col, value_col, ref_pred.alias("is_ref")).crossJoin(
+        F.broadcast(bnds)
+    )
+    bin_ = F.aggregate(
+        F.transform(F.col("bnds"), lambda b: (F.col(value_col) > b).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    counts = (
+        e.withColumn("bin", bin_)
+        .groupBy(F.col(type_col).alias("event_type"), "bin")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("r"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("c"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("r").alias("nr"), F.sum("c").alias("nc")
+    )
+    p = F.col("r") / F.col("nr") + F.lit(PSI_EPS)
+    q = F.col("c") / F.col("nc") + F.lit(PSI_EPS)
+    term = (p - q) * F.log(p / q)
+    return (
+        counts.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("nr").alias("n_ref"),
+            F.min("nc").alias("n_cur"),
+            F.sum(term).alias("psi"),
+        )
+    )
+
+
+def psi_drift_sql(
+    table: str = "events",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_bins: int = 10,
+) -> str:
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    rb = siground_sql("b")
+    eps = PSI_EPS
+    return f"""
+WITH bnds AS (
+  SELECT list_transform(quantile_cont({value_col}, [{qs}]), b -> {rb}) AS bnds
+  FROM {table} WHERE {id_col} % 2 = 0
+), binned AS (
+  SELECT {type_col} AS event_type,
+         len(list_filter(bnds, b -> {value_col} > b)) AS bin,
+         CASE WHEN {id_col} % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+  FROM {table}, bnds
+), counts AS (
+  SELECT event_type, bin,
+         CAST(sum(is_ref) AS BIGINT) AS r,
+         CAST(sum(1 - is_ref) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(r) AS nr, sum(c) AS nc FROM counts GROUP BY 1
+)
+SELECT event_type,
+       CAST(min(nr) AS BIGINT) AS n_ref,
+       CAST(min(nc) AS BIGINT) AS n_cur,
+       sum(((r / nr + {eps}) - (c / nc + {eps}))
+           * ln((r / nr + {eps}) / (c / nc + {eps}))) AS psi
+FROM counts JOIN tot USING (event_type)
+GROUP BY event_type
+"""

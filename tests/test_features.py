@@ -1,0 +1,81 @@
+"""Feature-preparation operators: binning, lag/rolling matrix, PSI."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import features
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            i % 10,
+            base + dt.timedelta(minutes=i),
+            "a" if i % 3 else "b",
+            float(i % 97),
+        )
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_quantile_bin_covers_all_rows_evenly(spark, ev):
+    out = features.quantile_bin(ev, n_bins=10).collect()
+    assert sum(r["n"] for r in out) == 2000
+    per_bin = {}
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert r["v_min"] <= r["v_max"]
+        per_bin[r["bin"]] = per_bin.get(r["bin"], 0) + r["n"]
+    # quantile boundaries must roughly equalize global bin mass
+    assert max(per_bin.values()) <= 2 * min(per_bin.values())
+    # bins are value-ordered: every bin's max stays below the next bin's min
+    lo = {}
+    hi = {}
+    for r in out:
+        lo[r["bin"]] = min(lo.get(r["bin"], r["v_min"]), r["v_min"])
+        hi[r["bin"]] = max(hi.get(r["bin"], r["v_max"]), r["v_max"])
+    for b in range(9):
+        if b in hi and b + 1 in lo:
+            assert hi[b] <= lo[b + 1]
+
+
+def test_feature_matrix_no_future_leakage(spark, ev):
+    out = features.feature_matrix(ev, window=5)
+    rows = {r["event_id"]: r for r in out.filter(F.col("user_id") == 3).collect()}
+    # user 3 sees events 3, 13, 23, ... in ts order; lag1 of event 23
+    # must be event 13's value and roll_mean must average PAST values
+    assert rows[3]["lag1"] is None and rows[3]["n_prev"] == 0
+    assert rows[13]["lag1"] == pytest.approx(3.0)
+    assert rows[23]["lag2"] == pytest.approx(3.0)
+    assert rows[43]["roll_mean"] == pytest.approx((3 + 13 + 23 + 33 + 43) / 5)
+    assert rows[3]["roll_std"] is None  # a single row has no sample std
+
+
+def test_psi_zero_on_identical_distributions(spark, ev):
+    # even/odd ids draw from the same i%97 cycle → near-zero drift
+    out = {r["event_type"]: r for r in features.psi_drift(ev).collect()}
+    for r in out.values():
+        assert abs(r["psi"]) < 0.05
+
+
+def test_psi_flags_planted_drift(spark, ev):
+    shifted = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 2 == 1, F.col("value") + 80.0).otherwise(
+            F.col("value")
+        ),
+    )
+    out = features.psi_drift(shifted).collect()
+    assert all(r["psi"] > 0.2 for r in out), out  # conventional alarm level
+    assert all(math.isfinite(r["psi"]) for r in out)  # eps kills ln(0)
