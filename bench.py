@@ -91,6 +91,7 @@ HEADLINE = [
     "quantile_bin",  # exact-percentile discretization audit
     "feature_matrix",  # per-user lag/rolling point-in-time features
     "psi_drift",  # population-stability drift monitor
+    "compaction_plan",  # small-file coalescing rewrite planner
     "multimodal_real_meta",  # real PNG/WAV header parsing over synthesized containers
     "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
     "multimodal_features",  # real pixel decode + histogram/extrema feature extraction

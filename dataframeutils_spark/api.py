@@ -545,6 +545,18 @@ class CorpusStudy:
         sigs = dedup.minhash_signatures(sh, num_perm=num_perm)
         return dedup.lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
 
+    def lsh_tuning(
+        self, num_perm: int = 16, bands: int = 4, **kwargs: Any
+    ) -> DataFrame:
+        """Empirical vs analytic LSH detection per Jaccard decile —
+        run on a hash-sample before committing (r, b) for a dedup
+        pass (see :func:`operators.dedup.lsh_tuning_audit`)."""
+        from dataframeutils_spark.operators import dedup
+
+        return dedup.lsh_tuning_audit(
+            self.docs, num_perm=num_perm, bands=bands, **self._kw(), **kwargs
+        )
+
     def decontaminate(self, benchmark: DataFrame, **kwargs: Any) -> DataFrame:
         from dataframeutils_spark.operators import cleaning
 

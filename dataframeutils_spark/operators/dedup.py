@@ -964,6 +964,8 @@ def lsh_tuning_audit(
     bands: int = 4,
     n: int = 3,
     n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Band-parameter tuning audit: per true-Jaccard decile —
     (bucket, n_pairs, n_detected, detect_rate, expected).
@@ -990,7 +992,7 @@ def lsh_tuning_audit(
     corpus's.
     """
     r = num_perm // bands
-    sh = shingles(docs, n=n)
+    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
     hashed = sh.select("doc_id", portable_hash60(F.col("shingle")).alias("sh_h"))
     sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = hashed.select(F.col("doc_id").alias("doc_a"), "sh_h")

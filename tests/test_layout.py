@@ -148,3 +148,39 @@ def test_lsh_tuning_audit_calibration(spark, near_dup_corpus):
     det_hi = sum(r["n_detected"] for r in hi)
     assert n_hi >= 20
     assert det_hi / n_hi > 0.9
+
+
+def test_compaction_plan_matches_sequential_packing(spark, grid_events):
+    """The plan must equal the sequential in-order packing rule
+    recomputed in plain Python: group = exclusive-cumsum DIV target."""
+    manifest = grid_events.groupBy(
+        (F.col("user_id") % 4).cast("string").alias("part_key"),
+        (F.col("event_id") % 16).alias("file_id"),
+    ).agg(F.count("*").alias("n_bytes"))
+    target = 300
+    got = {
+        (r["part_key"], r["grp"]): r
+        for r in layout.compaction_plan(manifest, target_bytes=target).collect()
+    }
+    rows = sorted(
+        manifest.collect(), key=lambda r: (r["part_key"], r["file_id"])
+    )
+    want: dict[tuple, dict] = {}
+    cum: dict[str, int] = {}
+    for r in rows:
+        pre = cum.get(r["part_key"], 0)
+        g = pre // target
+        cum[r["part_key"]] = pre + r["n_bytes"]
+        k = (r["part_key"], g)
+        w = want.setdefault(
+            k, {"n_files": 0, "total_bytes": 0, "first": r["file_id"]}
+        )
+        w["n_files"] += 1
+        w["total_bytes"] += r["n_bytes"]
+        w["last"] = r["file_id"]
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["n_files"] == w["n_files"]
+        assert got[k]["total_bytes"] == w["total_bytes"]
+        assert got[k]["first_file"] == w["first"]
+        assert got[k]["last_file"] == w["last"]

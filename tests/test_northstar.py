@@ -699,8 +699,26 @@ def test_recall_audit_bounds_and_budget_response(spark):
     rng = np.random.default_rng(5)
     vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    narrow = {r["method"]: r for r in similarity.recall_audit(emb, k=3, n_probe=1, dim=8).collect()}
-    wide = {r["method"]: r for r in similarity.recall_audit(emb, k=3, n_probe=8, dim=8).collect()}
+    narrow = {
+        r["method"]: r
+        for r in similarity.recall_audit(
+            emb, k=3, n_probe=1, dim=8, sample_mod=None
+        ).collect()
+    }
+    wide = {
+        r["method"]: r
+        for r in similarity.recall_audit(
+            emb, k=3, n_probe=8, dim=8, sample_mod=None
+        ).collect()
+    }
     for m, r in narrow.items():
         assert 0.0 <= r["avg_recall"] <= 1.0 and r["n_queries"] == 60
     assert wide["ivf"]["avg_recall"] >= narrow["ivf"]["avg_recall"]
+    # default sampling audits a strict hash-subset of the vectors as
+    # queries (the O(N²)→O(N²/mod) ground-truth reduction)
+    sampled = {
+        r["method"]: r
+        for r in similarity.recall_audit(emb, k=3, n_probe=1, dim=8).collect()
+    }
+    for r in sampled.values():
+        assert 0 < r["n_queries"] < 60

@@ -96,6 +96,19 @@ QUERIES = [
     # aggregated panel is ~7.5k rows at any SF — no stress axis.)
     "chunk_documents",
     "multimodal_features",
+    # late round-4 operators: layout planning and skew salting stress
+    # the two-phase global-position machinery and the ×salt dim
+    # explode on a 10M-row fact; the feature-prep trio is window/scan
+    # work that should stay linear. lsh_tuning is NOT here at high
+    # mult: the replica families make the true-Jaccard pair universe
+    # itself Θ(docs·mult) — run it at 10× (29M intersect rows) where
+    # the audit is realistic, per its own sample-the-corpus contract.
+    "zorder_layout",
+    "salted_join",
+    "quantile_bin",
+    "feature_matrix",
+    "psi_drift",
+    "lsh_tuning",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
