@@ -220,3 +220,45 @@ def test_chunk_documents_no_exchange(spark):
 
     plan = _plan(text.chunk_documents(load_table(spark, SF_DIR, "documents")))
     assert "Exchange" not in plan
+
+
+def test_feature_matrix_single_exchange_on_entity_key(spark):
+    """The feature matrix is one hash shuffle on the entity key and
+    nothing else — every lag/rolling column shares the same window
+    partitioning (docstring claim)."""
+    from dataframeutils_spark.operators import features
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    plan = _plan(features.feature_matrix(ev))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_quantile_bin_boundaries_broadcast_not_joined(spark):
+    """Bin assignment must consume the boundary row via broadcast —
+    a hash join against the aggregate row would shuffle the scan."""
+    from dataframeutils_spark.operators import features
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    plan = _plan(features.quantile_bin(ev))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_no_global_sort_exchange_on_data_path(spark):
+    """File positions come from the two-phase prefix sum: the 10M-row
+    data path must never pass through a rangepartitioning exchange (a
+    global orderBy) — only the tiny block-totals window may be
+    single-partition."""
+    from dataframeutils_spark.operators import layout
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    plan = _plan(layout.zorder_layout_audit(ev))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(_blk" in plan
