@@ -92,6 +92,7 @@ HEADLINE = [
     "feature_matrix",  # per-user lag/rolling point-in-time features
     "psi_drift",  # population-stability drift monitor
     "compaction_plan",  # small-file coalescing rewrite planner
+    "dsir_select",  # hashed-bigram importance-resampling data selection
     "multimodal_real_meta",  # real PNG/WAV header parsing over synthesized containers
     "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
     "multimodal_features",  # real pixel decode + histogram/extrema feature extraction

@@ -565,6 +565,18 @@ class CorpusStudy:
             id_col=self.id_col, **kwargs,
         )
 
+    def dsir_select(
+        self, target_sources: tuple[str, ...], k: int = 250, **kwargs: Any
+    ) -> DataFrame:
+        """DSIR importance-resampling selection of the raw pool toward
+        the named target sources (operators/sampling.py)."""
+        from dataframeutils_spark.operators import sampling
+
+        return sampling.dsir_select(
+            self.docs, target_sources=target_sources, k=k,
+            text_col=self.text_col, id_col=self.id_col, **kwargs,
+        )
+
     def dedup_keep_best(self, quality_col: str = "n_chars", **kwargs: Any) -> DataFrame:
         from dataframeutils_spark.operators import dedup
 

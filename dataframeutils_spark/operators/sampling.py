@@ -517,3 +517,147 @@ WHERE {weight_col} > 0
 ORDER BY es_key, doc_id
 LIMIT {k}
 """
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    k: int = 250,
+    n_feat: int = 1024,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    NeurIPS — public): pick the raw-pool documents whose hashed-bigram
+    profile looks most like a target domain.
+
+    Method, on its published formulation: hash every bigram into
+    ``n_feat`` buckets (the hashing trick keeps BOTH bag-of-ngrams
+    models fixed-size regardless of vocabulary), fit add-α bucket
+    models for the target slice and the raw pool, and score each raw
+    doc by its importance log-weight ``Σ_b c_b·(ln p_target(b) −
+    ln p_raw(b))``; the top-k scored docs are the selected training
+    subset. (The paper samples with Gumbel noise; the engine takes the
+    deterministic top-k — same estimand, reproducible across runs.)
+
+    Output: (doc_id, n_bigrams, logw, selected) for the k winners,
+    ``logw`` rounded to the cross-engine contract BEFORE ranking
+    (round-then-rank), ties by id.
+
+    Scale shape: bigrams are hashed SCAN-SIDE (8-byte features, text
+    never shuffles past tokenization); both models are ``n_feat``-row
+    tables built by ONE map-side-combinable aggregate over (feat,
+    is_target) and joined back by BROADCAST; per-doc scoring is one
+    groupBy(doc, feat) + one groupBy(doc); selection is TakeOrdered.
+    Nothing grows with corpus size except the two linear passes.
+    """
+    from dataframeutils_spark.schema import decround
+
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).isin(*target_sources).alias("is_target"),
+        F.split(F.col(text_col), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feat = (portable_hash60(F.col("bg")) % n_feat).alias("feat")
+    doc_feat = tokd.select(
+        "doc_id", "is_target", F.explode(grams).alias("bg")
+    ).select("doc_id", "is_target", feat)
+
+    counts = doc_feat.groupBy("feat").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").cast("double").alias("tt"),
+        F.sum("cr").cast("double").alias("tr"),
+    )
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_feat))
+    lw = F.log((F.col("ct") + a) / (F.col("tt") + a * b)) - F.log(
+        (F.col("cr") + a) / (F.col("tr") + a * b)
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select("feat", lw.alias("lw"))
+
+    raw_counts = (
+        doc_feat.filter(~F.col("is_target"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        raw_counts.join(F.broadcast(model), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            decround(F.sum(F.col("c") * F.col("lw"))).alias("logw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("selected", F.lit(True))
+    )
+
+
+def dsir_select_sql(
+    table: str = "documents",
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    k: int = 250,
+    n_feat: int = 1024,
+    alpha: float = 0.5,
+) -> str:
+    from dataframeutils_spark.schema import decround_sql
+
+    srcs = ", ".join(f"'{s}'" for s in target_sources)
+    h = portable_hash60_sql("bg")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source IN ({srcs}) AS is_target,
+         string_split_regex(text, '\\s+') AS toks
+  FROM {table}
+), bi AS (
+  SELECT doc_id, is_target, {h} % {n_feat} AS feat FROM (
+    SELECT doc_id, is_target,
+           unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1])
+                       ELSE [] END) AS bg
+    FROM tok)
+), counts AS (
+  SELECT feat,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM bi GROUP BY feat
+), tot AS (
+  SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM counts
+), model AS (
+  SELECT feat,
+         ln((ct + {alpha}) / (tt + {alpha} * {n_feat}))
+           - ln((cr + {alpha}) / (tr + {alpha} * {n_feat})) AS lw
+  FROM counts CROSS JOIN tot
+), doc_counts AS (
+  SELECT doc_id, feat, count(*) AS c FROM bi WHERE NOT is_target
+  GROUP BY doc_id, feat
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         {decround_sql('sum(c * lw)')} AS logw
+  FROM doc_counts JOIN model USING (feat)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, logw, TRUE AS selected
+FROM scored
+ORDER BY logw DESC, doc_id ASC
+LIMIT {k}
+"""

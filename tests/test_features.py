@@ -79,3 +79,30 @@ def test_psi_flags_planted_drift(spark, ev):
     out = features.psi_drift(shifted).collect()
     assert all(r["psi"] > 0.2 for r in out), out  # conventional alarm level
     assert all(math.isfinite(r["psi"]) for r in out)  # eps kills ln(0)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Raw docs written in the target domain's vocabulary must outrank
+    raw docs written in a disjoint vocabulary (the importance weight
+    is exactly the target/raw bucket-model log-ratio)."""
+    from dataframeutils_spark.operators import sampling
+
+    a_vocab = "code data spark query join table scan filter merge sort"
+    b_vocab = "moss fern lichen birch cedar alder willow aspen maple oak"
+    rows = []
+    for i in range(40):  # target slice: vocabulary A
+        rows.append((i, f"{a_vocab} doc {i} " + a_vocab, "target_src", 100))
+    for i in range(20):  # raw pool, target-like
+        rows.append((100 + i, f"{a_vocab} sample {i} " + a_vocab, "raw_src", 100))
+    for i in range(20):  # raw pool, off-domain
+        rows.append((200 + i, f"{b_vocab} sample {i} " + b_vocab, "raw_src", 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = sampling.dsir_select(
+        docs, target_sources=("target_src",), k=20
+    ).collect()
+    assert len(out) == 20
+    picked = {r["doc_id"] for r in out}
+    assert picked == {100 + i for i in range(20)}, picked
+    assert all(r["selected"] for r in out)
