@@ -161,6 +161,23 @@ def main() -> None:
     # 3.7 s after two). Warm until consecutive untimed runs stop
     # improving by >1.4×, capped at 3 — steady state is the number that
     # extrapolates, compile cost is per-executor-lifetime.
+    # Cold-run honesty number (VERDICT r4 #7): the very first flagship
+    # execution in this fresh JVM, before ANY warm pass — codegen
+    # compile + JIT included — so the warm protocol's delta is visible
+    # in the published JSON rather than only the steady-state number.
+    t0 = time.time()
+    try:
+        qs["weighted_bins"](spark, sf_dir).count()
+        weighted_bins_cold = round(time.time() - t0, 3)
+    except Exception as exc:
+        weighted_bins_cold = -1.0
+        print(f"# weighted_bins cold: FAILED {exc}", file=sys.stderr, flush=True)
+    print(
+        f"# weighted_bins cold (first run, fresh JVM): {weighted_bins_cold:.2f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -196,6 +213,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "weighted_bins_cold": weighted_bins_cold,
                 "sf": sf,
             }
         ),

@@ -58,9 +58,20 @@ def quantile_bin(
     bin, n, v_min, v_max) — bin b means value ≤ boundary b (last bin
     open). The per-(type, bin) histogram is the feature-QA table: a
     type whose mass collapses into two bins needs its own boundaries.
+
+    NULL policy: NULL values are excluded from both the boundary
+    estimate and the histogram (filtered symmetrically here and in the
+    SQL oracle). Without the explicit filter the engines silently
+    diverge: Spark's ``F.aggregate`` fold propagates NULL through the
+    predicate sum (NULL bin) while DuckDB's ``list_filter`` drops
+    NULL-predicate elements (bin 0).
     """
     bnds = _rounded_boundaries(events, value_col, n_bins)
-    e = events.select(type_col, value_col).crossJoin(F.broadcast(bnds))
+    e = (
+        events.select(type_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bnds))
+    )
     bin_ = F.aggregate(
         F.transform(
             F.col("bnds"),
@@ -96,6 +107,7 @@ WITH bnds AS (
   SELECT {type_col} AS event_type, {value_col} AS v,
          len(list_filter(bnds, b -> {value_col} > b)) AS bin
   FROM {table}, bnds
+  WHERE {value_col} IS NOT NULL
 )
 SELECT event_type, CAST(bin AS INT) AS bin, count(*) AS n,
        min(v) AS v_min, max(v) AS v_max
@@ -172,11 +184,16 @@ def psi_drift(
     (the monitoring contract: the baseline defines the bins), rounded
     before comparison. PSI = Σ (p−q)·ln(p/q) over bins with
     ``PSI_EPS`` smoothing; > 0.2 is the conventional drift alarm.
+
+    NULL policy: NULL values are excluded from boundaries and counts on
+    both engines (same divergence rationale as :func:`quantile_bin`).
     """
     ref_pred = F.col(id_col) % 2 == 0
     bnds = _rounded_boundaries(events.filter(ref_pred), value_col, n_bins)
-    e = events.select(type_col, value_col, ref_pred.alias("is_ref")).crossJoin(
-        F.broadcast(bnds)
+    e = (
+        events.select(type_col, value_col, ref_pred.alias("is_ref"))
+        .filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bnds))
     )
     bin_ = F.aggregate(
         F.transform(F.col("bnds"), lambda b: (F.col(value_col) > b).cast("int")),
@@ -227,6 +244,7 @@ WITH bnds AS (
          len(list_filter(bnds, b -> {value_col} > b)) AS bin,
          CASE WHEN {id_col} % 2 = 0 THEN 1 ELSE 0 END AS is_ref
   FROM {table}, bnds
+  WHERE {value_col} IS NOT NULL
 ), counts AS (
   SELECT event_type, bin,
          CAST(sum(is_ref) AS BIGINT) AS r,

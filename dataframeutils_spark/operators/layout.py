@@ -32,8 +32,18 @@ Scale notes:
   and let each task write its files; the audit's math is the same.
 - Bit-bucketing needs only ONE global min/max row (broadcast), not a
   rank pass. ``bits=16`` per dimension keeps the interleave in a
-  single 32-bit key; the ``(t - tmin) * (2¹⁶-1)`` product stays far
-  inside int64 for microsecond timestamps spanning < ~4 000 years.
+  single 32-bit key. The bucket expression is overflow-aware: the
+  exact scale-up form ``(t - tmin) * m DIV span`` overflows int64 once
+  ``span * m`` exceeds 2⁶³ — for microsecond timestamps that is a span
+  of only ~4.5 years (2⁶³/65535 ≈ 1.4·10¹⁴ µs), and Spark's non-ANSI
+  mode would silently wrap to negative buckets, corrupting Morton
+  keys, while DuckDB errors. So the expression branches on the span:
+  the multiply form when ``span <= (2⁶³-1) DIV m`` (exact, and the
+  scale-up is what gives a narrow dimension its full ``bits`` of
+  Z-resolution), else the pre-divided step form ``(t - tmin) DIV
+  (span DIV m)`` capped at ``m`` (error ≤ 1 bucket, irrelevant at a
+  >4-year span). Both branches are exact integer arithmetic, mirrored
+  verbatim in the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -44,6 +54,20 @@ from pyspark.sql import functions as F
 # top bits of the sort key that define a prefix-sum block: 2^6 = 64
 # blocks through the small second-phase window
 _BLK_BITS = 6
+
+
+def _bucket_expr(v: str, vmin: str, vmax: str, m: int, div: str) -> str:
+    """Overflow-aware ``m+1``-way bucketization of ``v`` over
+    [vmin, vmax], identical in Spark (``div='DIV'``) and DuckDB
+    (``div='//'``). See the module docstring for the branch rationale.
+    """
+    safe = (1 << 63) - 1
+    span = f"({vmax} - {vmin})"
+    return (
+        f"CASE WHEN {span} <= {safe} {div} {m} "
+        f"THEN ({v} - {vmin}) * {m} {div} greatest({span}, 1) "
+        f"ELSE least(({v} - {vmin}) {div} greatest({span} {div} {m}, 1), {m}) END"
+    )
 
 
 def _morton_expr(bx: str, bt: str, bits: int) -> Column:
@@ -124,8 +148,9 @@ def zorder_layout_audit(
     m = (1 << bits) - 1
     e = (
         e.crossJoin(F.broadcast(b))
-        .withColumn("bx", F.expr(f"(x - xmin) * {m} DIV greatest(xmax - xmin, 1)"))
-        .withColumn("bt", F.expr(f"(t - tmin) * {m} DIV greatest(tmax - tmin, 1)"))
+        # overflow-aware bucketing (see module docstring / _bucket_expr)
+        .withColumn("bx", F.expr(_bucket_expr("x", "xmin", "xmax", m, "DIV")))
+        .withColumn("bt", F.expr(_bucket_expr("t", "tmin", "tmax", m, "DIV")))
         .withColumn("x_lo", F.expr("xmin + (xmax - xmin) DIV 4"))
         .withColumn("x_hi", F.expr("xmin + (xmax - xmin) DIV 2"))
         .withColumn("t_lo", F.expr("tmin + (tmax - tmin) DIV 4"))
@@ -321,8 +346,8 @@ WITH e0 AS (
   SELECT min(x) AS xmin, max(x) AS xmax, min(t) AS tmin, max(t) AS tmax FROM e0
 ), e AS (
   SELECT x, t, rid,
-         (x - xmin) * {m} // greatest(xmax - xmin, 1) AS bx,
-         (t - tmin) * {m} // greatest(tmax - tmin, 1) AS bt,
+         {_bucket_expr("x", "xmin", "xmax", m, "//")} AS bx,
+         {_bucket_expr("t", "tmin", "tmax", m, "//")} AS bt,
          xmin + (xmax - xmin) // 4 AS x_lo,
          xmin + (xmax - xmin) // 2 AS x_hi,
          tmin + (tmax - tmin) // 4 AS t_lo,

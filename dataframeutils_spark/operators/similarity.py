@@ -99,16 +99,25 @@ def brute_force_topk(
                 "exact baseline — use ann_topk for large corpora, or pass "
                 "max_query_rows=None to force."
             )
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    q = (queries if queries is not None else corpus).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    # Norms are per-VECTOR quantities: compute them under the join
+    # (once per corpus row / once per broadcast query row), never in
+    # the pair projection where the interpreted array fold would run
+    # |Q|·|corpus| times instead of |Q|+|corpus| (measured ~2× on the
+    # sf0.1 recall audit). Same doubles, bit-identical cos_sim.
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    ).withColumn("nn", _norm(F.col("nv"), dim))
+    q = (
+        (queries if queries is not None else corpus)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("qn", _norm(F.col("qv"), dim))
     )
     joined = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
     # try_divide: a zero-norm vector would make ANSI mode (Spark 4
     # default) throw on the division; DuckDB yields NULL — match it
     cos = F.try_divide(
         _dot(F.col("qv"), F.col("nv"), dim),
-        _norm(F.col("qv"), dim) * _norm(F.col("nv"), dim),
+        F.col("qn") * F.col("nn"),
     )
     scored = joined.select("qid", "nid", cos.alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
@@ -1071,9 +1080,14 @@ def recall_audit(
             % sample_mod
             == 0
         )
+    # The brute-force ground truth is by far the dominant cost and is
+    # read once per method (twice total) — eager-localCheckpoint it so
+    # the O(N²/mod) matmul pipeline runs EXACTLY once, and the result
+    # (n_queries × k id pairs, a few kB) feeds both method branches
+    # from the block cache with truncated lineage.
     exact = brute_force_topk(
         emb, queries=queries, k=k, dim=dim, max_query_rows=max_rows
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint()
     methods = {
         "ann_lsh": ann_topk(emb, k=k, bits=bits, bands=bands, dim=dim).select(
             "query_id", "neighbor_id"
@@ -1082,17 +1096,26 @@ def recall_audit(
             "query_id", "neighbor_id"
         ),
     }
-    spark = emb.sparkSession
     out = None
     for name, approx in methods.items():
-        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact")).join(
-            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-            "query_id",
-            "left",
-        ).select(
-            "query_id",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+        # one LEFT join per method (approx top-k pairs are unique, so
+        # multiplicity is 1) — hit counting and the per-query exact
+        # count come out of the same aggregate, instead of a semi-join
+        # plus a second scan of `exact`
+        per_q = (
+            exact.join(
+                approx.withColumn("_hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_exact"), F.sum("_hit").alias("n_hit"))
+            .select(
+                "query_id",
+                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias(
+                    "recall"
+                ),
+            )
         )
         row = per_q.agg(
             F.lit(name).alias("method"),

@@ -106,3 +106,34 @@ def test_dsir_select_prefers_target_like_docs(spark):
     picked = {r["doc_id"] for r in out}
     assert picked == {100 + i for i in range(20)}, picked
     assert all(r["selected"] for r in out)
+
+
+def test_null_values_excluded_symmetrically(spark, ev):
+    """NULL policy: NULL values join neither the boundaries nor the
+    counts — and the exclusion happens in BOTH the Spark operator and
+    the DuckDB oracle SQL. Without the explicit filter Spark's
+    F.aggregate fold yields a NULL bin while DuckDB's list_filter
+    yields bin 0 — a silent engine divergence the parquet testdata
+    (no NULLs) would never surface."""
+    import duckdb
+
+    nulled = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    out = features.quantile_bin(nulled, n_bins=10).collect()
+    assert sum(r["n"] for r in out) == 2000 - 400  # NULL rows dropped
+    assert all(r["bin"] is not None for r in out)
+
+    psi = features.psi_drift(nulled).collect()
+    assert all(r["n_ref"] + r["n_cur"] > 0 and r["psi"] is not None for r in psi)
+
+    # oracle symmetry on the same NULL-bearing frame
+    pdf = nulled.select("event_id", "event_type", "value").toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(features.quantile_bin_sql()).fetchdf()
+    assert int(want["n"].sum()) == 1600
+    got = {(r["event_type"], r["bin"]): r["n"] for r in out}
+    for _, w in want.iterrows():
+        assert got[(w["event_type"], int(w["bin"]))] == int(w["n"])

@@ -46,26 +46,31 @@ def test_zorder_audit_invariants_and_win(spark, grid_events):
     assert z["n_files_pruned"] > lin["n_files_pruned"]
 
 
-def test_zorder_positions_partition_files_evenly(spark, grid_events):
-    """The two-phase global position must be a permutation of 0..N-1:
-    every file except the last holds exactly rows_per_file rows."""
+def test_zorder_positions_match_global_sort_order(spark, grid_events):
+    """The two-phase global position must be a permutation of 0..N-1
+    AND equal the true global (t, rid) sort rank. The block column is
+    monotone in the sort order (top bits of the leading sort key, the
+    operator's own form) — _global_positions' documented precondition;
+    a non-monotone block would satisfy the permutation property yet
+    scramble the order, which is exactly what this test pins."""
     e = grid_events.select(
         F.col("user_id").alias("x"),
         F.unix_micros("ts").alias("t"),
         F.col("event_id").alias("rid"),
-    ).withColumn("bt", F.col("t") % (1 << 16))
-    pos = layout._global_positions(
-        e, ("t", "rid"), F.expr("shiftright(bt, 10)")
     )
-    sizes = (
-        pos.withColumn("file_id", F.expr(f"_pos DIV {RPF}"))
-        .groupBy("file_id")
-        .count()
-        .collect()
+    pos = layout._global_positions(e, ("t", "rid"), F.expr("shiftright(t, 26)"))
+    rows = pos.select("t", "rid", "_pos").collect()
+    # permutation of 0..N-1 → every file except the last is full
+    assert sorted(r["_pos"] for r in rows) == list(range(N))
+    # positions reproduce the true global sort order
+    by_pos = sorted(rows, key=lambda r: r["_pos"])
+    assert [(r["t"], r["rid"]) for r in by_pos] == sorted(
+        (r["t"], r["rid"]) for r in rows
     )
-    full = [r for r in sizes if r["count"] == RPF]
-    assert len(sizes) == (N + RPF - 1) // RPF
-    assert len(full) >= len(sizes) - 1
+    # multiple blocks must actually be exercised (else the test
+    # degenerates to a single intra-block row_number)
+    n_blocks = pos.select(F.expr("shiftright(t, 26)")).distinct().count()
+    assert n_blocks > 1
 
 
 def test_salted_join_equals_plain_join(spark, grid_events):
@@ -184,3 +189,31 @@ def test_compaction_plan_matches_sequential_packing(spark, grid_events):
         assert got[k]["total_bytes"] == w["total_bytes"]
         assert got[k]["first_file"] == w["first"]
         assert got[k]["last_file"] == w["last"]
+
+
+def test_zorder_survives_multi_year_span(spark):
+    """A >4.5-year microsecond span overflows the naive
+    ``(t - tmin) * 65535`` int64 scale-up (2^63/65535 ~= 1.4e14 us);
+    Spark's non-ANSI mode would wrap to NEGATIVE buckets and corrupt
+    Morton keys while the DuckDB oracle errors. The overflow-aware
+    bucket expression must keep every bucket in [0, 65535] and the
+    audit invariants intact on a 10-year span."""
+    base = dt.datetime(2016, 1, 1)
+    rows = [
+        (i, i % 64, base + dt.timedelta(days=(i // 64) * 57))  # ~10 years
+        for i in range(N)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    span_us = ev.agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("s")
+    ).collect()[0]["s"]
+    assert span_us * 65535 > (1 << 63)  # the naive form WOULD overflow
+    out = {
+        r["layout"]: r
+        for r in layout.zorder_layout_audit(ev, rows_per_file=RPF).collect()
+    }
+    z, lin = out["zorder"], out["linear"]
+    assert z["n_files"] == lin["n_files"] == (N + RPF - 1) // RPF
+    assert z["rows_matched"] == lin["rows_matched"] > 0
+    assert z["rows_scanned"] >= z["rows_matched"]
+    assert z["rows_scanned"] <= lin["rows_scanned"]
