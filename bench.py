@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_real_meta",  # real PNG/WAV header parsing over synthesized containers
     "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
     "multimodal_features",  # real pixel decode + histogram/extrema feature extraction
+    "multimodal_gif_frames",  # animated GIF: real LZW frame decode + per-frame stats
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

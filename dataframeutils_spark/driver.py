@@ -1275,6 +1275,18 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_k=8)
 
 
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-pixel frame sampling for an ANIMATED container: synthesize
+    valid multi-frame GIF89a payloads (gradient rasters, real LZW
+    compression), decode every 2nd frame with the from-scratch GIF-LZW
+    decoder, and reduce each to intensity stats. The oracle recomputes
+    every sampled frame from the generator's gradient arithmetic, so
+    the whole codec (width schedule, sub-blocks, palette) is exactly
+    value-checked per frame."""
+    media = multimodal.gif_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.gif_frame_stats(media, every_k=2)
+
+
 def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframeutils_spark.streaming import windows as sw
 
@@ -1566,6 +1578,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "events_value_profile_approx": q_events_value_profile_approx,
         "fingerprint": q_fingerprint,
+        # --- position 51: new this round (never driver-verified). The
+        # r3 tail fills the cap EXACTLY this round — nothing can sit
+        # out two consecutive rounds to make room — so the newcomer
+        # waits one round on local-sweep + pytest golden evidence and
+        # LEADS the r6 window per the rotation's never-verified-first
+        # rule. (With 101 registered and a 50-cap, one query per round
+        # necessarily stretches to a 2-round driver gap from r6 on;
+        # the local full sweep keeps it auditable every round.) ---
+        "multimodal_gif_frames": q_multimodal_gif_frames,
         # --- below the cap: the round-4-driver-verified batch (50 green
         # rows in CORRECTNESS_r04.json), demoted for one round; all
         # remain green in the committed r5 local full sweep ---
@@ -1777,6 +1798,7 @@ GROUP BY event_type
         "multimodal_real_meta": multimodal.real_decode_metadata_sql(),
         "multimodal_resize": multimodal.resize_real_sql(),
         "multimodal_frames": multimodal.sample_frames_sql(every_k=8),
+        "multimodal_gif_frames": multimodal.gif_frame_stats_sql(every_k=2),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),
         "stream_sessionized": _stream_sessions_sql(),

@@ -741,6 +741,16 @@ def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
         w = bytes([ch])
     if w:
         emit(table[w])
+        # END-edge sync: the decoder appends a table entry for EVERY
+        # data code after the first-since-clear — including this final
+        # one — while the encoder normally adds only between emits. If
+        # that phantom append lands exactly on 2^width, the decoder
+        # widens before reading END; mirror the bookkeeping here so the
+        # END code is emitted at the width the decoder will read it at.
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
     emit(end)
     if nacc:
         out.append(acc & 0xFF)
@@ -920,7 +930,13 @@ def gif_media_table(
             )
 
     src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(
+    # spread the pure-Python LZW work across cores even when the doc
+    # source is one small parquet file (one narrow (id, text) shuffle;
+    # measured 13.5 s single-task → ~1.5 s at sf0.1). At corpus scale
+    # the input arrives in many splits and this is a cheap no-op-shaped
+    # round-robin of already-narrow rows.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par, F.col("media_id")).mapInPandas(
         synth_batches, schema="media_id long, media_type string, content binary"
     )
 

