@@ -97,6 +97,8 @@ HEADLINE = [
     "multimodal_resize",  # real PNG pixel decode + nearest resize + pixel-sum audit
     "multimodal_features",  # real pixel decode + histogram/extrema feature extraction
     "multimodal_gif_frames",  # animated GIF: real LZW frame decode + per-frame stats
+    "multimodal_jpeg_pixels",  # baseline JPEG: Huffman+IDCT pixel decode + stats
+    "multimodal_wav_samples",  # PCM16 WAV: real sample decode + audio features
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

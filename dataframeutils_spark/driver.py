@@ -1287,6 +1287,31 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.gif_frame_stats(media, every_k=2)
 
 
+def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode: synthesize valid grayscale JFIF
+    payloads whose 8x8 blocks are constant (exact through JPEG
+    quantization — see operators/jpeg.py), decode them with the
+    from-scratch Huffman+IDCT decoder (cross-validated against Java
+    ImageIO in tests/test_jpeg.py), and reduce each image to intensity
+    stats. The oracle recomputes every pixel from the block gradient,
+    so the entropy decoder, DC-prediction chain, dequant, and IDCT are
+    exactly value-checked."""
+    media = multimodal.jpeg_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.jpeg_block_stats(media)
+
+
+def q_multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM16 sample decode: synthesize valid mono/stereo WAVs with
+    a deterministic sawtooth payload, lift the int16 stream off the
+    RIFF data chunk, and reduce each to integer-exact audio features
+    (energy numerator, zero-crossing count, extrema). The oracle
+    recomputes every feature from the sawtooth arithmetic, so the
+    chunk walk, interleave handling, and feature kernels are exactly
+    value-checked."""
+    media = multimodal.wav_audio_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_features(media)
+
+
 def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframeutils_spark.streaming import windows as sw
 
@@ -1496,105 +1521,40 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 100 queries are registered, so ordering
-    is a rotation policy with priority: (1) longest since last
-    driver-verified, (2) verified last round. With a 50-entry window and
-    100 registered queries the rotation gives every query a driver row
-    every second round; the committed CORRECTNESS_LOCAL.json full sweep
-    (tools/driver_sim.py, the same vanilla-session + DuckDB-oracle
-    compare the driver runs) covers ALL queries at HEAD every round.
+    this dict (insertion order); 103 queries are registered, so ordering
+    is a rotation policy with priority: (1) never driver-verified,
+    (2) longest since last driver-verified. With a 50-entry window the
+    rotation gives every query a driver row at least every second round
+    (one overflow entry per newcomer stretches to a 2-round gap); the
+    committed CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py,
+    the same vanilla-session + DuckDB-oracle compare the driver runs)
+    covers ALL queries at HEAD every round.
 
-    Round 5 ordering: the ENTIRE round-3-verified tail (which sat out
-    exactly one round in r4 per the promise in the r4 docstring) fills
-    the 50-entry window — the VERDICT-r4-mandated block
-    (asof/sales/range/split/dedup/panel/text variants + the rows-only
-    fits stationarity..outliers_lof) leads, the remaining r3-green
-    entries follow. The rows-only fits are inside the window by design
-    this round: the driver records their weaker rows-check (they are
-    iterative MLE/EM fits, not ANSI-SQL-expressible) and
-    tests/test_stat_kernels.py + test_ml_fits.py pin their values to
-    the reference's golden CSVs at ~1e-9.
-
-    The round-4-driver-verified batch (50 green rows in
-    CORRECTNESS_r04.json) is demoted below the cap for exactly one
-    round — NEXT ROUND (r6): promote that whole batch back into the
-    window, led by any never-driver-verified newcomers, and demote this
-    round's 50.
+    Round 6 ordering: `multimodal_gif_frames` (added in r5 at position
+    51, never driver-verified) leads, followed by 49 of the 50-entry
+    round-4-verified batch — every entry exact-oracled, so the r6
+    window is 50/50 hash-checked. The single overflow (`events_props`,
+    a trivial exact-oracled projection, r4-green and green in every
+    committed local sweep since) sits at position 51 and, together with
+    this round's newcomers `multimodal_jpeg_pixels` and
+    `multimodal_wav_samples` (positions 52-53, exact-oracled,
+    local-sweep verified this round; the JPEG tier additionally
+    ImageIO-cross-validated in pytest), LEADS the r7 window. The round-5-verified 50
+    (CORRECTNESS_r05.json: 34 exact + 16 rows-only-by-design, zero
+    failures) are demoted below the cap for exactly one round — NEXT
+    ROUND (r7): promote `events_props` + newcomers first, then the r5
+    batch, and demote this round's 50.
     """
     return {
-        # --- r5 window, part 1: the VERDICT-r4 mandated rotation block
-        # (all r3-driver-green; the whole SURVEY §2 core A1-A15 surface
-        # re-verifies this round) ---
-        "asof_profile": q_asof_profile,
-        "asof_profile_forward": q_asof_profile_forward,
-        "sales_by_nation": q_sales_by_nation,
-        "sales_rollup": q_sales_rollup,
-        "range_attribution": q_range_attribution,
-        "dataset_split": q_dataset_split,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "panel_distribution": q_panel_distribution,
-        "panel_dispersion": q_panel_dispersion,
-        "panel_ar1": q_panel_ar1,
-        "lagged_corr": q_lagged_corr,
-        "mutual_info": q_mutual_info,
-        "zscore_outliers": q_zscore_outliers,
-        "rolling_corr": q_rolling_corr,
-        "topk_terms": q_topk_terms,
-        "tfidf_topterms": q_tfidf_topterms,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "similarity_topk": q_similarity_topk,
-        # rows-only fits (no oracle_sql by design — driver rows-check;
-        # values pinned to reference golden CSVs in pytest):
-        "stationarity": q_stationarity,
-        "stationarity_summary": q_stationarity_summary,
-        "memory_dependence": q_memory_dependence,
-        "frequency_domain": q_frequency_domain,
-        "cointegration": q_cointegration,
-        "granger": q_granger,
-        "regime_detection": q_regime_detection,
-        "volatility_garch": q_volatility_garch,
-        "volatility_egarch": q_volatility_egarch,
-        "volatility_gjr": q_volatility_gjr,
-        "outliers_iforest": q_outliers_iforest,
-        "outliers_lof": q_outliers_lof,
-        # --- r5 window, part 2: the rest of the r3-verified tail ---
-        "similarity_ann": q_similarity_ann,
-        "hash_sample": q_hash_sample,
-        "data_mixture": q_data_mixture,
-        "pipeline_prepare": q_pipeline_prepare,
-        "text_repetition": q_text_repetition,
-        "lm_quality": q_lm_quality,
-        "dedup_shared_spans": q_dedup_shared_spans,
-        "similarity_ivf_hier": q_similarity_ivf_hier,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "memory_acf_hurst": q_memory_acf_hurst,
-        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
-        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "events_value_profile_approx": q_events_value_profile_approx,
-        "fingerprint": q_fingerprint,
-        # --- position 51: new this round (never driver-verified). The
-        # r3 tail fills the cap EXACTLY this round — nothing can sit
-        # out two consecutive rounds to make room — so the newcomer
-        # waits one round on local-sweep + pytest golden evidence and
-        # LEADS the r6 window per the rotation's never-verified-first
-        # rule. (With 101 registered and a 50-cap, one query per round
-        # necessarily stretches to a 2-round driver gap from r6 on;
-        # the local full sweep keeps it auditable every round.) ---
+        # --- r6 window: never-driver-verified newcomer leads (r5 local
+        # sweep + golden pytest green; exact oracle) ---
         "multimodal_gif_frames": q_multimodal_gif_frames,
-        # --- below the cap: the round-4-driver-verified batch (50 green
-        # rows in CORRECTNESS_r04.json), demoted for one round; all
-        # remain green in the committed r5 local full sweep ---
+        # --- then the round-4-verified batch (50 green hash rows in
+        # CORRECTNESS_r04.json), minus the one overflow entry ---
         "session_overlap": q_session_overlap,
         "multimodal_frames": q_multimodal_frames,
         "stream_join": q_stream_join,
         "events_value_profile": q_events_value_profile,
-        "events_props": q_events_props,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_meta": q_multimodal_real_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1640,6 +1600,65 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
+        # --- position 51+: the rotation overflow (r4-green, local-sweep
+        # green every round since) and this round's newcomer — both
+        # lead the r7 window ---
+        "events_props": q_events_props,
+        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+        "multimodal_wav_samples": q_multimodal_wav_samples,
+        # --- below the cap: the round-5-verified batch (50 rows in
+        # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
+        # demoted for exactly one round ---
+        "asof_profile": q_asof_profile,
+        "asof_profile_forward": q_asof_profile_forward,
+        "sales_by_nation": q_sales_by_nation,
+        "sales_rollup": q_sales_rollup,
+        "range_attribution": q_range_attribution,
+        "dataset_split": q_dataset_split,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "panel_distribution": q_panel_distribution,
+        "panel_dispersion": q_panel_dispersion,
+        "panel_ar1": q_panel_ar1,
+        "lagged_corr": q_lagged_corr,
+        "mutual_info": q_mutual_info,
+        "zscore_outliers": q_zscore_outliers,
+        "rolling_corr": q_rolling_corr,
+        "topk_terms": q_topk_terms,
+        "tfidf_topterms": q_tfidf_topterms,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        "stationarity": q_stationarity,
+        "stationarity_summary": q_stationarity_summary,
+        "memory_dependence": q_memory_dependence,
+        "frequency_domain": q_frequency_domain,
+        "cointegration": q_cointegration,
+        "granger": q_granger,
+        "regime_detection": q_regime_detection,
+        "volatility_garch": q_volatility_garch,
+        "volatility_egarch": q_volatility_egarch,
+        "volatility_gjr": q_volatility_gjr,
+        "outliers_iforest": q_outliers_iforest,
+        "outliers_lof": q_outliers_lof,
+        "similarity_ann": q_similarity_ann,
+        "hash_sample": q_hash_sample,
+        "data_mixture": q_data_mixture,
+        "pipeline_prepare": q_pipeline_prepare,
+        "text_repetition": q_text_repetition,
+        "lm_quality": q_lm_quality,
+        "dedup_shared_spans": q_dedup_shared_spans,
+        "similarity_ivf_hier": q_similarity_ivf_hier,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "memory_acf_hurst": q_memory_acf_hurst,
+        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
+        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "events_value_profile_approx": q_events_value_profile_approx,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -1799,6 +1818,8 @@ GROUP BY event_type
         "multimodal_resize": multimodal.resize_real_sql(),
         "multimodal_frames": multimodal.sample_frames_sql(every_k=8),
         "multimodal_gif_frames": multimodal.gif_frame_stats_sql(every_k=2),
+        "multimodal_jpeg_pixels": multimodal.jpeg_block_stats_sql(),
+        "multimodal_wav_samples": multimodal.audio_features_sql(),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),
         "stream_sessionized": _stream_sessions_sql(),

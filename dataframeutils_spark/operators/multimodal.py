@@ -700,26 +700,33 @@ _GIF_W_MOD, _GIF_H_MOD, _GIF_F_MOD = 25, 25, 5
 
 
 def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
-    """GIF-variant LZW encode. Invariant: every emitted code is
-    < next_code <= 2^width (width grows when next_code reaches
-    2^width; at 4096 a clear code resets the dictionary)."""
+    """GIF-LZW encode with the STANDARD (giflib) code-width schedule:
+    each code is written at the current width, and the width grows
+    only AFTER a write finds next_code >= 2^width — i.e. the boundary
+    code itself is emitted at the old width ("late change"), matching
+    every compliant GIF89a decoder. At 4096 a clear code resets the
+    dictionary."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     acc = 0
     nacc = 0
     width = min_code_size + 1
+    next_code = end + 1
 
     def emit(code: int) -> None:
-        nonlocal acc, nacc
+        # write at the current width, THEN widen if the table has
+        # outgrown it (giflib EGifCompressOutput ordering)
+        nonlocal acc, nacc, width
         acc |= code << nacc
         nacc += width
         while nacc >= 8:
             out.append(acc & 0xFF)
             acc >>= 8
             nacc -= 8
+        if next_code >= (1 << width) and width < 12:
+            width += 1
 
     table = {bytes([i]): i for i in range(clear)}
-    next_code = end + 1
     emit(clear)
     w = b""
     for ch in data:
@@ -736,21 +743,9 @@ def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
         else:
             table[wc] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
         w = bytes([ch])
     if w:
         emit(table[w])
-        # END-edge sync: the decoder appends a table entry for EVERY
-        # data code after the first-since-clear — including this final
-        # one — while the encoder normally adds only between emits. If
-        # that phantom append lands exactly on 2^width, the decoder
-        # widens before reading END; mirror the bookkeeping here so the
-        # END code is emitted at the width the decoder will read it at.
-        if next_code < 4096:
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
     emit(end)
     if nacc:
         out.append(acc & 0xFF)
@@ -758,9 +753,12 @@ def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
 
 
 def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
-    """GIF-variant LZW decode — the exact mirror of
-    :func:`_lzw_encode_gif`'s width schedule (table length tracks the
-    encoder's next_code at identical stream positions)."""
+    """GIF-LZW decode with the STANDARD (giflib) code-width schedule:
+    the decoder appends one table entry per data code after the first
+    since a clear, and widens when the table length reaches 2^width —
+    exactly one entry behind the encoder's next_code, so both sides
+    cross each width boundary at the same bit position. Tolerates
+    "deferred clear" streams (full table, no appends past 4096)."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     width = min_code_size + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -783,21 +781,21 @@ def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
             if code == end:
                 return bytes(out)
             if prev is None:
+                if code >= len(table):
+                    raise ValueError(
+                        f"LZW code {code} beyond table {len(table)}"
+                    )
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
             elif code == len(table):  # the KwKwK special case
                 entry = prev + prev[:1]
                 table.append(entry)
             else:
                 raise ValueError(f"LZW code {code} beyond table {len(table)}")
-            # the decoder's table lags the encoder's next_code by ONE
-            # at read time (the encoder adds its entry before emitting
-            # the next code; the decoder can only add after seeing it),
-            # so width grows at 2^w - 1 here vs 2^w in the encoder —
-            # the classic GIF-LZW "early change" pairing
-            if prev is not None and len(table) == (1 << width) - 1 and width < 12:
+            if len(table) == (1 << width) and width < 12:
                 width += 1
             out.extend(entry)
             prev = entry
@@ -879,8 +877,7 @@ def decode_gif_frames(b: bytes):
                 n = 2 << (lflags & 0x07)
                 pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
                 pos += 3 * n
-            if lflags & 0x40:
-                raise NotImplementedError("interlaced GIF frames")
+            interlaced = bool(lflags & 0x40)
             if pal is None:
                 raise ValueError("GIF frame without any color table")
             min_code = b[pos]
@@ -894,6 +891,20 @@ def decode_gif_frames(b: bytes):
             idx = np.frombuffer(
                 _lzw_decode_gif(bytes(lzw), min_code), dtype=np.uint8
             )[: fw * fh].reshape(fh, fw)
+            if interlaced:
+                # GIF89a 4-pass interlace: rows arrive as passes
+                # 0,8,16… / 4,12… / 2,6,10… / 1,3,5… — reorder back
+                order = np.concatenate(
+                    [
+                        np.arange(0, fh, 8),
+                        np.arange(4, fh, 8),
+                        np.arange(2, fh, 4),
+                        np.arange(1, fh, 2),
+                    ]
+                )
+                deinterlaced = np.empty_like(idx)
+                deinterlaced[order] = idx
+                idx = deinterlaced
             grey = (pal.astype(np.int32).sum(axis=1) // 3).astype(np.uint8)
             frames.append(grey[idx])
         else:
@@ -1007,4 +1018,276 @@ SELECT media_id, CAST(f AS INT) AS frame_idx,
        CAST(list_max(list_transform(range(hgt), y ->
          list_max(list_transform(range(w), x -> {px})))) AS INT) AS px_max
 FROM sampled
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec tier 4: baseline JPEG (operators/jpeg.py — pure-Python
+# Huffman + exact IDCT; cross-validated against Java ImageIO in
+# tests/test_jpeg.py). Fixtures are block-constant rasters, which
+# survive JPEG quantization EXACTLY (DC-only blocks, q00 = 8), so the
+# per-pixel oracle is pixel(x, y) = (11*(x//8) + 17*(y//8) + s) % 256
+# — the same hash-derived-oracle pattern as the PNG and GIF tiers, with
+# the real DC-prediction chain, Huffman tables, and byte stuffing in
+# the decode path.
+# ---------------------------------------------------------------------------
+
+# non-multiples of 8 on purpose: edge blocks exercise the pad-and-crop
+# path of both codec sides
+_JPEG_W_MOD, _JPEG_H_MOD, _JPEG_S_MOD = 48, 48, 251
+
+
+def jpeg_media_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture builder for the baseline-JPEG pixel tier: one valid
+    grayscale JFIF per document, dimensions and gradient shift
+    hash-derived (same md5 arithmetic as :func:`real_media_table`),
+    synthesized scan-side in ``mapInPandas`` so payload bytes never
+    shuffle."""
+    from dataframeutils_spark.operators.jpeg import synthesize_jpeg
+
+    def synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+                payloads.append(
+                    synthesize_jpeg(
+                        9 + h % _JPEG_W_MOD,
+                        9 + (h // _JPEG_W_MOD) % _JPEG_H_MOD,
+                        (h // 7) % _JPEG_S_MOD,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "image",
+                    "content": payloads,
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par, F.col("media_id")).mapInPandas(
+        synth_batches, schema="media_id long, media_type string, content binary"
+    )
+
+
+def jpeg_block_stats(media: DataFrame) -> DataFrame:
+    """REAL JPEG pixel decode reduced to per-image intensity stats —
+    (media_id, src_w, src_h, px_sum, px_min, px_max). Payloads stay
+    inside their scan task (``mapInPandas``, no shuffle); only the
+    narrow stat rows flow downstream, so at 100 TB the decode cost is
+    embarrassingly parallel and the shuffle volume is rows, not
+    bytes."""
+    import numpy as np
+
+    from dataframeutils_spark.operators.jpeg import decode_jpeg_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = decode_jpeg_pixels(bytes(c))
+                flat = img.astype(np.int64).ravel()
+                rows.append(
+                    (mid, w, h, int(flat.sum()), int(flat.min()), int(flat.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "src_w", "src_h", "px_sum", "px_min", "px_max"],
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, src_w int, src_h int, "
+            "px_sum long, px_min int, px_max int"
+        ),
+    )
+
+
+def jpeg_block_stats_sql(table: str = "documents") -> str:
+    """DuckDB oracle for jpeg_media_table → :func:`jpeg_block_stats`:
+    recomputes every image's stats from the block gradient
+    pixel(x, y) = (11*(x//8) + 17*(y//8) + s) % 256. The Huffman
+    decoder must recover exactly this raster — any entropy-decode,
+    DC-prediction, dequant, or IDCT bug shows as a value mismatch."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    px = "(11 * (x // 8) + 17 * (y // 8) + s) % 256"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(9 + {h} % {_JPEG_W_MOD} AS BIGINT) AS w,
+         CAST(9 + ({h} // {_JPEG_W_MOD}) % {_JPEG_H_MOD} AS BIGINT) AS hgt,
+         CAST(({h} // 7) % {_JPEG_S_MOD} AS BIGINT) AS s
+  FROM {table}
+)
+SELECT media_id,
+       CAST(w AS INT) AS src_w, CAST(hgt AS INT) AS src_h,
+       CAST(list_sum(list_transform(range(hgt), y ->
+         list_sum(list_transform(range(w), x -> {px})))) AS BIGINT) AS px_sum,
+       CAST(list_min(list_transform(range(hgt), y ->
+         list_min(list_transform(range(w), x -> {px})))) AS INT) AS px_min,
+       CAST(list_max(list_transform(range(hgt), y ->
+         list_max(list_transform(range(w), x -> {px})))) AS INT) AS px_max
+FROM dims
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec tier 5: WAV PCM16 sample decode. PCM needs no external
+# library — the data chunk IS the samples — so the audio analogue of
+# the pixel tiers is fully real: parse the RIFF layout, lift the
+# little-endian int16 stream, and reduce it to the integer audio
+# features a training-data pipeline filters on (energy, zero-crossing
+# rate, clipping extrema). The synthesized payload is the sawtooth
+# s(i) = (i*257) % 32768 - 16384 (synthesize_wav above), so every
+# feature is exactly recomputable by the SQL oracle.
+# ---------------------------------------------------------------------------
+
+_WAV_AUDIO_RATE_MOD, _WAV_AUDIO_N_MOD = 8000, 1793
+
+
+def decode_wav_samples(b: bytes):
+    """REAL sample decode for PCM16 WAV: RIFF chunk walk, then the data
+    chunk as a little-endian int16 array. Returns (sample_rate,
+    n_channels, numpy int16 array of shape (n_frames, n_channels)).
+    Non-PCM or non-16-bit formats raise."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    rate = nch = bits = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            if fmt_tag != 1:
+                raise NotImplementedError(f"only PCM WAV (fmt tag {fmt_tag})")
+            nch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise NotImplementedError(f"only 16-bit PCM (got {bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, nch, samples.reshape(-1, nch)
+
+
+def wav_audio_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture builder for the PCM sample tier: one valid PCM16 WAV per
+    document (mono or stereo, hash-derived rate/length), synthesized
+    scan-side in ``mapInPandas`` so payload bytes never shuffle."""
+
+    def synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+                payloads.append(
+                    synthesize_wav(
+                        8000 + h % _WAV_AUDIO_RATE_MOD,
+                        1 + h % 2,
+                        256 + (h // 3) % _WAV_AUDIO_N_MOD,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "audio",
+                    "content": payloads,
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par, F.col("media_id")).mapInPandas(
+        synth_batches, schema="media_id long, media_type string, content binary"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL PCM feature extraction: decode every payload's int16 stream
+    and reduce it to integer-exact audio features — (media_id,
+    sample_rate, n_channels, n_frames, sq_sum, zero_crossings, s_min,
+    s_max). sq_sum is the energy numerator (RMS = sqrt(sq_sum/N) —
+    kept as the exact integer so the oracle compares without float
+    drift); zero_crossings counts strict sign flips along the
+    interleaved stream. Payloads never shuffle (``mapInPandas``), only
+    narrow feature rows do."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rate, nch, samples = decode_wav_samples(bytes(c))
+                flat = samples.ravel().astype(np.int64)  # interleaved order
+                zc = int(((flat[:-1] * flat[1:]) < 0).sum())
+                rows.append(
+                    (
+                        mid, rate, nch, samples.shape[0],
+                        int((flat * flat).sum()), zc,
+                        int(flat.min()), int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "sq_sum", "zero_crossings", "s_min", "s_max",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, sample_rate int, n_channels int, n_frames int, "
+            "sq_sum long, zero_crossings int, s_min int, s_max int"
+        ),
+    )
+
+
+def audio_features_sql(table: str = "documents") -> str:
+    """DuckDB oracle for wav_audio_table → :func:`audio_features`:
+    recomputes every feature from the sawtooth s(i) = (i*257) % 32768
+    - 16384 over the interleaved stream — all integer arithmetic, so
+    the compare is exact."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    s = "((i * 257) % 32768 - 16384)"
+    s1 = "(((i + 1) * 257) % 32768 - 16384)"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8000 + {h} % {_WAV_AUDIO_RATE_MOD} AS BIGINT) AS rate,
+         CAST(1 + {h} % 2 AS BIGINT) AS nch,
+         CAST(256 + ({h} // 3) % {_WAV_AUDIO_N_MOD} AS BIGINT) AS nfr
+  FROM {table}
+)
+SELECT media_id,
+       CAST(rate AS INT) AS sample_rate, CAST(nch AS INT) AS n_channels,
+       CAST(nfr AS INT) AS n_frames,
+       CAST(list_sum(list_transform(range(nfr * nch), i ->
+         {s} * {s})) AS BIGINT) AS sq_sum,
+       CAST(len(list_filter(range(nfr * nch - 1), i ->
+         {s} * {s1} < 0)) AS INT) AS zero_crossings,
+       CAST(list_min(list_transform(range(nfr * nch), i -> {s})) AS INT) AS s_min,
+       CAST(list_max(list_transform(range(nfr * nch), i -> {s})) AS INT) AS s_max
+FROM dims
 """

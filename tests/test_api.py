@@ -227,13 +227,15 @@ def test_corpus_study_facade(spark):
 def test_registry_contract():
     """Driver-contract invariants the external gate depends on: every
     oracle belongs to a registered query, every registry entry is
-    callable, and the round-5 rotation holds — the entire
-    VERDICT-r4-mandated block sits inside the first-50 checked window,
-    and the only rows-only entries in the window are the 12 fit-based
-    ops that are rows-only BY DESIGN (iterative MLE/EM, no ANSI-SQL
-    oracle; values pinned to reference golden CSVs in
-    test_stat_kernels.py / test_ml_fits.py). Any other rows-only query
-    accidentally landing in the cap would silently weaken the gate."""
+    callable, and the round-6 rotation holds — the never-driver-verified
+    newcomer leads, the whole first-50 window is exact-oracled (no
+    rows-only entry can silently weaken the gate this round), and
+    everything demoted below the cap has a driver row in
+    CORRECTNESS_r05.json (nothing goes two rounds unverified except the
+    single documented overflow at position 51, which is r4-green)."""
+    import json
+    import os as _os
+
     from dataframeutils_spark import driver
 
     qs = driver.all_queries()
@@ -242,48 +244,30 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # rows-only-by-design fit ops: the only names allowed in the cap
-    # without an exact oracle
-    FIT_ROWS_ONLY = {
-        "stationarity", "stationarity_summary", "memory_dependence",
-        "frequency_domain", "cointegration", "granger",
-        "regime_detection", "volatility_garch", "volatility_egarch",
-        "volatility_gjr", "outliers_iforest", "outliers_lof",
-    }
+    # r6 window composition: newcomer first, then the r4-verified batch
+    assert names[0] == "multimodal_gif_frames"
     rows_only_in_cap = {n for n in names[:50] if n not in os_}
-    # plus the non-fit rows-only-by-design entries rotating through
-    # this round: driver-side Lloyd quantizers (not SQL-expressible),
-    # the xxhash production hash path (no DuckDB xxhash64), and the
-    # approx-sketch profile (approx_percentile has no exact oracle)
-    assert rows_only_in_cap <= FIT_ROWS_ONLY | {
-        "similarity_ivf_kmeans", "similarity_ivf_hier",
-        "dedup_minhash_lsh_xxhash", "events_value_profile_approx",
-    }, rows_only_in_cap - FIT_ROWS_ONLY
-    # the full VERDICT-r4 rotation mandate must be inside the window
-    MANDATED = {
-        "asof_profile", "asof_profile_forward", "sales_by_nation",
-        "sales_rollup", "range_attribution", "dataset_split",
-        "dedup_clusters", "dedup_exact", "panel_distribution",
-        "panel_dispersion", "panel_ar1", "lagged_corr", "mutual_info",
-        "zscore_outliers", "rolling_corr", "topk_terms",
-        "tfidf_topterms", "text_stats", "language_id",
-        "dedup_minhash_lsh", "dedup_simhash", "similarity_topk",
-    } | FIT_ROWS_ONLY
-    assert MANDATED <= set(names[:50]), MANDATED - set(names[:50])
-    # nothing may go two rounds without a driver row: everything now
-    # below the cap must have a green row in CORRECTNESS_r04.json
-    import json
-    import os as _os
-
-    # position-51 newcomers: added after the r5 window was already
-    # exactly filled by the r3 tail; covered by the committed local
-    # full sweep + golden pytest this round, promoted to lead r6
-    NEW_THIS_ROUND = {"multimodal_gif_frames"}
-    r04 = _os.path.join(_os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
+    assert rows_only_in_cap == set(), rows_only_in_cap  # 50/50 exact this round
+    # the overflow entry leads the r7 window
+    assert names[50] == "events_props" and "events_props" in os_
+    # everything in the window besides the newcomer must be r4-green,
+    # and everything demoted below the cap must be r5-green
+    here = _os.path.dirname(__file__)
+    r04 = _os.path.join(here, "..", "CORRECTNESS_r04.json")
+    r05 = _os.path.join(here, "..", "CORRECTNESS_r05.json")
     if _os.path.exists(r04):
         with open(r04) as fh:
             r4 = json.load(fh)
-        below = [n for n in names[50:] if n in qs]
-        missing = [n for n in below if n not in r4 and n not in NEW_THIS_ROUND]
+        missing = [n for n in names[1:50] if n not in r4]
         assert missing == [], missing
-    assert list(qs)[50] in NEW_THIS_ROUND  # newcomers head the demoted block
+        assert "events_props" in r4
+    if _os.path.exists(r05):
+        with open(r05) as fh:
+            r5 = json.load(fh)
+        # newcomers this round sit right after the overflow (r6 local
+        # sweep + pytest evidence) and lead the r7 window with it
+        NEW_THIS_ROUND = {"multimodal_jpeg_pixels", "multimodal_wav_samples"}
+        missing = [n for n in names[51:] if n not in r5 and n not in NEW_THIS_ROUND]
+        assert missing == [], missing
+        bad = [n for n, v in r5.items() if v.get("err") not in (None, "no_oracle")]
+        assert bad == [], bad

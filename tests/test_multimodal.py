@@ -188,11 +188,9 @@ def test_image_features_recovers_gradient_stats(spark):
 
 
 def test_gif_lzw_roundtrip_width_boundaries():
-    """The codec pair must roundtrip across every code-width boundary,
-    including the END-edge case where the decoder's phantom append for
-    the FINAL data code lands exactly on 2^width (a 14x19 gradient
-    raster hits it — the original repro) and the 4096 dictionary
-    reset."""
+    """The codec pair must roundtrip across every code-width boundary
+    (standard giflib late-change schedule on both sides), including
+    boundary-adjacent lengths and the 4096 dictionary reset."""
     import random
 
     from dataframeutils_spark.operators import multimodal as M
@@ -205,6 +203,76 @@ def test_gif_lzw_roundtrip_width_boundaries():
         assert M._lzw_decode_gif(M._lzw_encode_gif(data)) == data, n
     big = bytes(rng.randrange(256) for _ in range(120_000))  # forces 4096 reset
     assert M._lzw_decode_gif(M._lzw_encode_gif(big)) == big
+
+
+# Two REAL externally-encoded GIFs (not produced by this repo), embedded
+# verbatim so format compliance is tested against independent encoders and
+# self-consistency of the codec pair can never mask a width-schedule bug
+# again. Sources: an 8x8 256-grey GIF87a shipped in gsutil's test data and
+# the 14x11 2-color GIF89a Tk icon from CPython's idlelib (both tiny,
+# redistributable test assets). Expected pixel sums verified by hand from
+# the palettes: test.gif is all-white (64*255); tk.gif has 62 red pixels
+# (grey (255+0+0)//3 = 85) on a 0xc0c0c0 field (85*62 + 192*92 = 22934).
+_EXT_GIF_WHITE_8X8 = bytes.fromhex(
+    "47494638376108000800e70000"  # header, 8x8, 256-entry GCT flags
+    + "".join(f"{i:02x}" * 3 for i in range(256))  # greyscale identity GCT
+    + "2c000000000800080000080f00ff091c48b0a0c18308132a4c1810003b"
+)
+_EXT_GIF_TK_14X11 = bytes.fromhex(
+    "4749463839610e000b00f00100ff0000c0c0c021f90405000001002c000000000e00"
+    "0b0000021f0c8e10bbe9da126bd14c6aa0655a9dfb591ec88d5328695bf6755dc55d"
+    "5701003b"
+)
+
+
+def test_gif_decode_externally_encoded_streams():
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    w, h, frames = M.decode_gif_frames(_EXT_GIF_WHITE_8X8)
+    assert (w, h, len(frames)) == (8, 8, 1)
+    assert frames[0].shape == (8, 8) and (frames[0] == 255).all()
+
+    w, h, frames = M.decode_gif_frames(_EXT_GIF_TK_14X11)
+    assert (w, h, len(frames)) == (14, 11, 1)
+    f0 = frames[0]
+    assert f0.shape == (11, 14)
+    assert sorted(np.unique(f0).tolist()) == [85, 192]  # red + silver only
+    assert int(f0.sum()) == 22934 and int((f0 == 85).sum()) == 62
+
+    # re-encoding the decoded indices with the repo encoder must yield a
+    # stream the (externally-validated) decoder reads back identically
+    idx = np.where(f0 == 85, 0, 1).astype(np.uint8)  # palette: 0=red 1=silver
+    enc = M._lzw_encode_gif(idx.tobytes(), min_code_size=2)
+    assert M._lzw_decode_gif(enc, min_code_size=2) == idx.tobytes()
+
+
+def test_gif_decode_system_corpus():
+    """Every real non-repo GIF present on the machine must decode —
+    width-schedule non-compliance shows up as 'code beyond table'
+    errors on externally encoded streams, so plain decode success over
+    a diverse corpus (large multi-boundary rasters, interlaced frames,
+    local palettes, extension blocks) is the compliance signal."""
+    import glob
+    import os
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    paths = sorted(
+        set(
+            glob.glob("/usr/share/tcltk/tk8.6/images/*.gif")
+            + glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif")
+        )
+    )
+    if len(paths) < 3:
+        import pytest
+
+        pytest.skip("system GIF corpus not present")
+    for p in paths:
+        with open(p, "rb") as fh:
+            w, h, frames = M.decode_gif_frames(fh.read())
+        assert frames and all(f.size > 0 for f in frames), os.path.basename(p)
 
 
 def test_gif_synthesize_decode_all_frames():
@@ -223,6 +291,37 @@ def test_gif_synthesize_decode_all_frames():
             assert (img == want).all(), (w, h, f)
         # the metadata header walk must agree with the pixel decoder
         assert M._parse_gif(b) == (w, h, nf)
+
+
+def test_wav_sample_decode_roundtrip():
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    for (rate, nch, n) in [(8000, 1, 256), (11025, 2, 997), (15999, 2, 2048)]:
+        b = M.synthesize_wav(rate, nch, n)
+        r, c, samples = M.decode_wav_samples(b)
+        assert (r, c) == (rate, nch) and samples.shape == (n, nch)
+        want = np.array(
+            [(i * 257) % 32768 - 16384 for i in range(n * nch)], dtype=np.int16
+        ).reshape(n, nch)
+        assert (samples == want).all()
+    # odd-length chunk word alignment must not desync the walk
+    raw = bytearray(M.synthesize_wav(8000, 1, 16))
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOX" + b"\x00"  # padded
+    aligned = raw[:12] + extra + raw[12:]
+    r, c, samples = M.decode_wav_samples(bytes(aligned))
+    assert (r, c, samples.shape) == (8000, 1, (16, 1))
+
+
+def test_audio_features_matches_oracle(spark, ddb):
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.wav_audio_table(docs)
+    got = sorted(tuple(r) for r in M.audio_features(media).collect())
+    want = sorted(tuple(t) for t in ddb.execute(M.audio_features_sql()).fetchall())
+    assert got == want and len(got) == 500
 
 
 def test_gif_frame_stats_matches_oracle(spark, ddb):

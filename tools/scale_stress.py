@@ -96,6 +96,12 @@ QUERIES = [
     # aggregated panel is ~7.5k rows at any SF — no stress axis.)
     "chunk_documents",
     "multimodal_features",
+    # real-codec media tiers: pure-Python LZW/Huffman decode per doc,
+    # embarrassingly parallel scan-side work — should be ~linear in
+    # doc count with zero payload shuffle
+    "multimodal_gif_frames",
+    "multimodal_jpeg_pixels",
+    "multimodal_wav_samples",
     # late round-4 operators: layout planning and skew salting stress
     # the two-phase global-position machinery and the ×salt dim
     # explode on a 10M-row fact; the feature-prep trio is window/scan
