@@ -3,10 +3,12 @@ tier (no PIL/libjpeg in the environment — see reference parity note in
 operators/multimodal.py; the reference repo has no media ops at all, so
 this whole tier is north-star surface, not reference parity).
 
-Decoder: baseline sequential Huffman JPEG (SOF0/SOF1) with arbitrary
-chroma subsampling (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT segments,
-16-bit quant tables, and DRI/RSTn restart intervals. Progressive
-(SOF2) raises ``NotImplementedError`` with the marker named.
+Decoder: Huffman JPEG — baseline/extended sequential (SOF0/SOF1) AND
+progressive (SOF2: spectral selection, successive approximation, EOB
+runs per T.81 G.1.2) — with arbitrary chroma subsampling (4:4:4 /
+4:2:2 / 4:2:0), multiple DQT/DHT segments, 16-bit quant tables, and
+DRI/RSTn restart intervals. Lossless/hierarchical/arithmetic SOFs
+raise ``NotImplementedError`` with the marker named.
 
 Encoder: single-component (grayscale) baseline JPEG whose rasters are
 CONSTANT per 8x8 block. A constant block survives JPEG exactly — the
@@ -174,11 +176,14 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg_pixels(b: bytes):
-    """REAL pixel decode for baseline sequential JPEG (SOF0/SOF1):
-    Huffman entropy decode, dequantize, inverse zigzag, exact float64
-    IDCT, nearest-neighbor chroma upsample, JFIF YCbCr->RGB. Returns
-    (width, height, uint8 array of shape (h, w) for grayscale or
-    (h, w, 3) RGB). Progressive (SOF2) and arithmetic coding raise
+    """REAL pixel decode for Huffman JPEG — baseline/extended
+    sequential (SOF0/SOF1) AND progressive (SOF2, spectral selection +
+    successive approximation per ITU-T T.81 G.1.2). All scans fill a
+    per-component DCT coefficient store; the shared finish step
+    dequantizes, inverse-zigzags, applies an exact float64 IDCT,
+    nearest-neighbor-upsamples chroma, and converts JFIF YCbCr->RGB.
+    Returns (width, height, uint8 array of shape (h, w) for grayscale
+    or (h, w, 3) RGB). Lossless/hierarchical/arithmetic SOFs raise
     ``NotImplementedError``."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -188,6 +193,8 @@ def decode_jpeg_pixels(b: bytes):
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     W = H = 0
     restart_interval = 0
+    coefs: list[np.ndarray] = []  # per comp: (blocks_y, blocks_x, 64) zigzag
+    eobrun_preds: dict = {}
     pos = 2
     while pos + 1 < len(b):
         if b[pos] != 0xFF:
@@ -222,7 +229,7 @@ def decode_jpeg_pixels(b: bytes):
                 dec, _ = _canonical_codes(bits, vals)
                 (huff_ac if cls else huff_dc)[tid] = dec
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             H = struct.unpack(">H", seg[1:3])[0]
             W = struct.unpack(">H", seg[3:5])[0]
             nc = seg[5]
@@ -230,77 +237,237 @@ def decode_jpeg_pixels(b: bytes):
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
                 for c in range(nc)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-W // (8 * hmax))
+            mcus_y = -(-H // (8 * vmax))
+            coefs = [
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+                for _, ch, cv, _ in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0/SOF1); got SOF marker 0x{marker:02x}"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) Huffman "
+                f"JPEG; got SOF marker 0x{marker:02x}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS: scan header then entropy data
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []  # (comp_index, dc_table, ac_table)
             for s in range(ns):
                 cid, tabs = seg[1 + 2 * s], seg[2 + 2 * s]
                 ci = next(i for i, c in enumerate(comps) if c[0] == cid)
                 scan.append((ci, tabs >> 4, tabs & 15))
-            data_pos = pos + 2 + ln
-            return _decode_scan(
-                b, data_pos, W, H, comps, scan, qt, huff_dc, huff_ac, restart_interval
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            reader = _BitReader(b, pos + 2 + ln)
+            _decode_scan_into(
+                reader, W, H, comps, scan, coefs, huff_dc, huff_ac,
+                restart_interval, ss, se, ah, al,
             )
+            # resume the marker walk after this scan's entropy data
+            pos = reader.pos
+            while pos + 1 < len(b):
+                if b[pos] == 0xFF:
+                    nxt = b[pos + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        pos += 2
+                        continue
+                    break
+                pos += 1
+            continue
         pos += 2 + ln
-    raise ValueError("JPEG ended before SOS")
+    if not coefs:
+        raise ValueError("JPEG ended before SOS")
+    return _finish(W, H, comps, coefs, qt)
 
 
-def _decode_scan(b, data_pos, W, H, comps, scan, qt, huff_dc, huff_ac, restart_interval):
+def _decode_scan_into(
+    reader, W, H, comps, scan, coefs, huff_dc, huff_ac, restart_interval, ss, se, ah, al
+):
+    """Entropy-decode one scan into the coefficient store. Sequential
+    scans are the ss=0..se=63, ah=al=0 case of the progressive
+    machinery (T.81 G.1.2): DC-first scans shift by al, DC-refine
+    scans append one bit per block, AC-first scans run-length decode
+    the ss..se band with EOB runs, AC-refine scans apply the
+    correction-bit procedure of G.1.2.3."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
-    planes = []
-    for cid, ch, cv, tq in comps:
-        planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64))
-    reader = _BitReader(b, data_pos)
     preds = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def dc_block(ci, dct, by, bx):
+        s = reader.decode_symbol(huff_dc[dct])
+        diff = _extend(reader.receive(s), s)
+        preds[ci] += diff
+        coefs[ci][by, bx, 0] = preds[ci] << al
+
+    def dc_refine_block(ci, by, bx):
+        if reader.read_bit():
+            coefs[ci][by, bx, 0] |= 1 << al
+
+    def seq_block(ci, dct, act, by, bx):
+        dc_block(ci, dct, by, bx)
+        zz = coefs[ci][by, bx]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(huff_ac[act])
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = _extend(reader.receive(size), size)
+            k += 1
+
+    def ac_first_block(ci, act, by, bx):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        zz = coefs[ci][by, bx]
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(huff_ac[act])
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + reader.receive(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            zz[k] = _extend(reader.receive(size), size) << al
+            k += 1
+
+    def ac_refine_block(ci, act, by, bx):
+        # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine semantics
+        zz = coefs[ci][by, bx]
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if reader.read_bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(huff_ac[act])
+                r, size = rs >> 4, rs & 15
+                val = 0
+                if size == 0:
+                    if r < 15:
+                        # NOTE: unlike the AC-first case there is no -1
+                        # here — the current block's remainder is
+                        # corrected by the eobrun>0 walk below, which
+                        # then decrements (libjpeg AC_refine ordering)
+                        state["eobrun"] = (1 << r) + reader.receive(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            if val:
+                                zz[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def restart():
+        reader.align_restart()
+        preds[:] = [0] * len(comps)
+        state["eobrun"] = 0
+
+    if len(scan) == 1:
+        # non-interleaved scan (T.81 A.2.2): one block per MCU, units
+        # iterate the component's OWN block grid (ceil dims, not
+        # MCU-padded), row-major — covers single-component sequential
+        # images and every progressive DC/AC band scan
+        ci, dct, act = scan[0]
+        _, ch, cv, _ = comps[ci]
+        cols = -(-W * ch // hmax)  # ceil(W * h_i / hmax) component samples
+        rows = -(-H * cv // vmax)
+        bw = -(-cols // 8)
+        bh = -(-rows // 8)
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                if ss == 0 and se == 63 and ah == 0 and al == 0:
+                    seq_block(ci, dct, act, by, bx)
+                elif ss == 0:
+                    if ah == 0:
+                        dc_block(ci, dct, by, bx)
+                    else:
+                        dc_refine_block(ci, by, bx)
+                else:
+                    if ah == 0:
+                        ac_first_block(ci, act, by, bx)
+                    else:
+                        ac_refine_block(ci, act, by, bx)
+                unit += 1
+        return
+
+    # interleaved scan (sequential full scans and progressive DC scans)
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_restart()
-                preds = [0] * len(comps)
+                restart()
             for ci, dct, act in scan:
-                _, ch, cv, tq = comps[ci]
-                q = qt[tq]  # DQT stores the table in zigzag order, like zz
+                _, ch, cv, _ = comps[ci]
                 for by in range(cv):
                     for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = reader.decode_symbol(huff_dc[dct])
-                        diff = _extend(reader.receive(s), s)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(huff_ac[act])
-                            r, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = _extend(reader.receive(size), size)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[_ZIGZAG] = zz * q
-                        f = blk.reshape(8, 8)
-                        px = _C.T @ f @ _C + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        gy, gx = my * cv + by, mx * ch + bx
+                        if ss == 0 and se == 63 and ah == 0 and al == 0:
+                            seq_block(ci, dct, act, gy, gx)
+                        elif ss == 0 and ah == 0:
+                            dc_block(ci, dct, gy, gx)
+                        elif ss == 0:
+                            dc_refine_block(ci, gy, gx)
+                        else:
+                            raise ValueError("interleaved JPEG AC scan")
             mcu_count += 1
+
+
+def _finish(W, H, comps, coefs, qt):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
-    for (cid, ch, cv, tq), plane in zip(comps, planes):
+    for (cid, ch, cv, tq), cf in zip(comps, coefs):
+        q = qt[tq]  # DQT stores the table in zigzag order, like cf
+        by_n, bx_n, _ = cf.shape
+        deq = cf.astype(np.float64) * q[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq
+        blocks = nat.reshape(by_n, bx_n, 8, 8)
+        # batched exact IDCT: C.T @ F @ C over all blocks at once
+        px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
         up = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
         out_planes.append(up[:H, :W])
     if len(out_planes) == 1:

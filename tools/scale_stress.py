@@ -115,6 +115,9 @@ QUERIES = [
     "feature_matrix",
     "psi_drift",
     "lsh_tuning",
+    # export planning: both are scan + one bounded aggregate/TakeOrdered
+    "compaction_plan",
+    "dsir_select",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
