@@ -806,11 +806,17 @@ def _gif_gradient_pixel(x: int, y: int, f: int) -> int:
     return (7 * x + 13 * y + 11 * f) % 251
 
 
-def synthesize_gif(width: int, height: int, n_frames: int) -> bytes:
+def synthesize_gif(
+    width: int, height: int, n_frames: int, interlaced: bool = False
+) -> bytes:
     """A minimal VALID animated GIF89a: logical screen descriptor,
     256-entry greyscale global color table, one full-frame image per
     frame, REAL LZW-compressed rasters, trailer. Deterministic bytes
-    (no extensions, no timing metadata — structure only)."""
+    (no extensions, no timing metadata — structure only). With
+    ``interlaced`` the rasters are emitted in the GIF89a 4-pass row
+    order and the image descriptors carry the interlace flag — the
+    decoded pixels are identical, which is exactly what lets the
+    fixture mix interlaced frames under the same SQL oracle."""
     import struct
 
     out = bytearray(b"GIF89a")
@@ -818,10 +824,15 @@ def synthesize_gif(width: int, height: int, n_frames: int) -> bytes:
     out += bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0; aspect 0
     for i in range(256):
         out += bytes([i, i, i])  # greyscale identity palette
+    row_order = list(range(0, height, 8)) + list(range(4, height, 8)) \
+        + list(range(2, height, 4)) + list(range(1, height, 2))
     for f in range(n_frames):
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        flags = 0x40 if interlaced else 0x00
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([flags])
+        rows = row_order if interlaced else range(height)
         raster = bytes(
-            _gif_gradient_pixel(x, y, f) for y in range(height) for x in range(width)
+            _gif_gradient_pixel(x, y, f) for y in rows for x in range(width)
         )
         lzw = _lzw_encode_gif(raster)
         out.append(8)  # LZW minimum code size
@@ -930,6 +941,10 @@ def gif_media_table(
                         8 + h % _GIF_W_MOD,
                         8 + (h // _GIF_W_MOD) % _GIF_H_MOD,
                         2 + (h // 11) % _GIF_F_MOD,
+                        # every 3rd doc interlaced: decoded pixels are
+                        # identical, so the oracle also pins the
+                        # de-interlace path
+                        interlaced=(h % 3 == 0),
                     )
                 )
             yield pd.DataFrame(
@@ -1262,6 +1277,86 @@ def audio_features(media: DataFrame) -> DataFrame:
             "sq_sum long, zero_crossings int, s_min int, s_max int"
         ),
     )
+
+
+def audio_window_features(media: DataFrame, window: int = 512) -> DataFrame:
+    """Windowed PCM feature extraction — the audio segmentation shape a
+    training pipeline needs (silence trimming, VAD-ish gating, chunked
+    captioning): split each decoded int16 stream into fixed
+    non-overlapping windows of ``window`` frames and emit one feature
+    row per window — (media_id, win_idx, n_in_window, sq_sum,
+    zero_crossings, s_min, s_max). Same scale shape as GIF frame
+    sampling: the fan-out multiplies ROW COUNT, never payload bytes,
+    and payloads stay inside their scan task."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rate, nch, samples = decode_wav_samples(bytes(c))
+                n = samples.shape[0]
+                for wi in range(-(-n // window)):
+                    seg = samples[wi * window : (wi + 1) * window]
+                    flat = seg.ravel().astype(np.int64)  # interleaved
+                    zc = int(((flat[:-1] * flat[1:]) < 0).sum())
+                    rows.append(
+                        (
+                            mid, wi, seg.shape[0],
+                            int((flat * flat).sum()), zc,
+                            int(flat.min()), int(flat.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "win_idx", "n_in_window",
+                    "sq_sum", "zero_crossings", "s_min", "s_max",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, win_idx int, n_in_window int, "
+            "sq_sum long, zero_crossings int, s_min int, s_max int"
+        ),
+    )
+
+
+def audio_window_features_sql(table: str = "documents", window: int = 512) -> str:
+    """DuckDB oracle for :func:`audio_window_features`: per window,
+    recompute the sawtooth over the interleaved index range
+    [win*window*nch, min((win+1)*window, nfr)*nch) — all integer."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    s = "((i * 257) % 32768 - 16384)"
+    s1 = "(((i + 1) * 257) % 32768 - 16384)"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + {h} % 2 AS BIGINT) AS nch,
+         CAST(256 + ({h} // 3) % {_WAV_AUDIO_N_MOD} AS BIGINT) AS nfr
+  FROM {table}
+), wins AS (
+  SELECT media_id, nch, nfr, unnest(range(0, (nfr + {window} - 1) // {window}))
+         AS win
+  FROM dims
+), spans AS (
+  SELECT media_id, CAST(win AS INT) AS win_idx, nch,
+         win * {window} * nch AS lo,
+         least((win + 1) * {window}, nfr) * nch AS hi
+  FROM wins
+)
+SELECT media_id, win_idx,
+       CAST((hi - lo) // nch AS INT) AS n_in_window,
+       CAST(list_sum(list_transform(range(lo, hi), i ->
+         {s} * {s})) AS BIGINT) AS sq_sum,
+       CAST(len(list_filter(range(lo, hi - 1), i ->
+         {s} * {s1} < 0)) AS INT) AS zero_crossings,
+       CAST(list_min(list_transform(range(lo, hi), i -> {s})) AS INT) AS s_min,
+       CAST(list_max(list_transform(range(lo, hi), i -> {s})) AS INT) AS s_max
+FROM spans
+"""
 
 
 def audio_features_sql(table: str = "documents") -> str:

@@ -266,7 +266,10 @@ def test_registry_contract():
             r5 = json.load(fh)
         # newcomers this round sit right after the overflow (r6 local
         # sweep + pytest evidence) and lead the r7 window with it
-        NEW_THIS_ROUND = {"multimodal_jpeg_pixels", "multimodal_wav_samples"}
+        NEW_THIS_ROUND = {
+            "multimodal_jpeg_pixels", "multimodal_wav_samples",
+            "multimodal_audio_windows",
+        }
         missing = [n for n in names[51:] if n not in r5 and n not in NEW_THIS_ROUND]
         assert missing == [], missing
         bad = [n for n, v in r5.items() if v.get("err") not in (None, "no_oracle")]

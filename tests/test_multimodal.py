@@ -281,16 +281,18 @@ def test_gif_synthesize_decode_all_frames():
     from dataframeutils_spark.operators import multimodal as M
 
     for (w, h, nf) in [(8, 8, 2), (14, 19, 5), (32, 32, 6), (25, 9, 1)]:
-        b = M.synthesize_gif(w, h, nf)
-        W, H, frames = M.decode_gif_frames(b)
-        assert (W, H, len(frames)) == (w, h, nf)
-        for f, img in enumerate(frames):
-            want = np.fromfunction(
-                lambda y, x: (7 * x + 13 * y + 11 * f) % 251, (h, w)
-            )
-            assert (img == want).all(), (w, h, f)
-        # the metadata header walk must agree with the pixel decoder
-        assert M._parse_gif(b) == (w, h, nf)
+        for interlaced in (False, True):
+            b = M.synthesize_gif(w, h, nf, interlaced=interlaced)
+            W, H, frames = M.decode_gif_frames(b)
+            assert (W, H, len(frames)) == (w, h, nf)
+            for f, img in enumerate(frames):
+                want = np.fromfunction(
+                    lambda y, x: (7 * x + 13 * y + 11 * f) % 251, (h, w)
+                )
+                # interlace must be transparent after de-interlacing
+                assert (img == want).all(), (w, h, f, interlaced)
+            # the metadata header walk must agree with the pixel decoder
+            assert M._parse_gif(b) == (w, h, nf)
 
 
 def test_wav_sample_decode_roundtrip():
@@ -322,6 +324,21 @@ def test_audio_features_matches_oracle(spark, ddb):
     got = sorted(tuple(r) for r in M.audio_features(media).collect())
     want = sorted(tuple(t) for t in ddb.execute(M.audio_features_sql()).fetchall())
     assert got == want and len(got) == 500
+
+
+def test_audio_window_features_matches_oracle(spark, ddb):
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.wav_audio_table(docs)
+    got = sorted(tuple(r) for r in M.audio_window_features(media, window=512).collect())
+    want = sorted(
+        tuple(t)
+        for t in ddb.execute(M.audio_window_features_sql(window=512)).fetchall()
+    )
+    assert got == want and len(got) > 500  # window fan-out
+    # short tail windows must be partial, not padded
+    assert any(r[2] < 512 for r in got)
 
 
 def test_gif_frame_stats_matches_oracle(spark, ddb):
