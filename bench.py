@@ -99,6 +99,8 @@ HEADLINE = [
     "multimodal_gif_frames",  # animated GIF: real LZW frame decode + per-frame stats
     "multimodal_jpeg_pixels",  # baseline JPEG: Huffman+IDCT pixel decode + stats
     "multimodal_wav_samples",  # PCM16 WAV: real sample decode + audio features
+    "multimodal_audio_windows",  # windowed PCM segmentation features
+    "multimodal_mp4_meta",  # ISO BMFF box walk: tkhd size + stts frame count
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1312,6 +1312,17 @@ def q_multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media)
 
 
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF metadata walk: structurally valid MP4 skeletons
+    (hash-derived presentation size + stts frame count), parsed with
+    the from-scratch box walker; the oracle recomputes the header
+    fields AND the exact container byte total, pinning every box
+    length. Validated against a hand-built spec vector in pytest (no
+    MP4 files or independent parsers ship in this environment)."""
+    media = multimodal.mp4_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.mp4_meta(media)
+
+
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM segmentation: decode each WAV's int16 stream and
     emit one integer-exact feature row per fixed 512-frame window —
@@ -1531,7 +1542,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 104 queries are registered, so ordering
+    this dict (insertion order); 105 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -1547,8 +1558,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a trivial exact-oracled projection, r4-green and green in every
     committed local sweep since) sits at position 51 and, together with
     this round's newcomers `multimodal_jpeg_pixels`,
-    `multimodal_wav_samples`, and `multimodal_audio_windows`
-    (positions 52-54, exact-oracled,
+    `multimodal_wav_samples`, `multimodal_audio_windows`, and
+    `multimodal_mp4_meta` (positions 52-55, exact-oracled,
     local-sweep verified this round; the JPEG tier additionally
     ImageIO-cross-validated in pytest), LEADS the r7 window. The round-5-verified 50
     (CORRECTNESS_r05.json: 34 exact + 16 rows-only-by-design, zero
@@ -1618,6 +1629,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
         "multimodal_audio_windows": q_multimodal_audio_windows,
+        "multimodal_mp4_meta": q_multimodal_mp4_meta,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---
@@ -1833,6 +1845,7 @@ GROUP BY event_type
         "multimodal_jpeg_pixels": multimodal.jpeg_block_stats_sql(),
         "multimodal_wav_samples": multimodal.audio_features_sql(),
         "multimodal_audio_windows": multimodal.audio_window_features_sql(window=512),
+        "multimodal_mp4_meta": multimodal.mp4_meta_sql(),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),
         "stream_sessionized": _stream_sessions_sql(),

@@ -206,10 +206,12 @@ def _real_decode(media_type: str, content: bytes) -> tuple[str, int, int, int]:
         w, h, n = _parse_gif(content)
     elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         w, h, n = _parse_wav(content)
+    elif content[4:8] == b"ftyp":
+        w, h, n = _parse_mp4(content)
     else:
         raise NotImplementedError(
-            "unrecognized media container (not PNG/JPEG/GIF/WAV); full "
-            "decoding would require PIL/soundfile/av, which this "
+            "unrecognized media container (not PNG/JPEG/GIF/WAV/MP4); "
+            "full decoding would require PIL/soundfile/av, which this "
             "environment ships none of"
         )
     return md5_hex, w, h, n
@@ -1277,6 +1279,196 @@ def audio_features(media: DataFrame) -> DataFrame:
             "sq_sum long, zero_crossings int, s_min int, s_max int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL-metadata tier: MP4 / ISO BMFF (ISO/IEC 14496-12 public box
+# layout). No MP4 files ship in this environment and no independent
+# parser exists here, so — per the GIF width-schedule lesson — the
+# tests validate against a HAND-BUILT byte vector with offsets
+# computed from the spec, not against the repo's own synthesizer.
+# Pixel decode of the embedded streams (H.264 etc.) stays stubbed
+# until av exists.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end):
+    size==1 → 64-bit largesize, size==0 → box extends to `end`."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        btype = b[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("MP4 box size out of bounds")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _parse_mp4(b: bytes) -> tuple[int, int, int]:
+    """MP4/ISO-BMFF metadata walk: recurse moov→trak→mdia→minf→stbl,
+    read the presentation size from the first video `tkhd` (16.16
+    fixed point, version 0 or 1 layouts) and the TRUE sample count
+    from `stts` (sum of entry sample_counts — the actual number of
+    frames, not a duration-derived guess). Returns
+    (width, height, n_frames)."""
+    if b[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF / MP4 container")
+    width = height = 0
+    n_frames = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, n_frames
+        for btype, body, box_end in _mp4_boxes(b, start, end):
+            if btype in _MP4_CONTAINERS:
+                walk(body, box_end)
+            elif btype == b"tkhd" and not width:
+                ver = b[body]
+                # ver/flags(4) + times/id/dur (v0 20, v1 32) +
+                # reserved(8) + layer/group/volume/reserved(8) +
+                # matrix(36) → width/height as 16.16 fixed
+                off = body + 4 + (32 if ver else 20) + 52
+                w = int.from_bytes(b[off : off + 4], "big") >> 16
+                h = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                if w and h:  # skip audio tracks (0x0 presentation)
+                    width, height = w, h
+            elif btype == b"stts" and not n_frames:
+                n_entries = int.from_bytes(b[body + 4 : body + 8], "big")
+                total = 0
+                for e in range(n_entries):
+                    total += int.from_bytes(
+                        b[body + 8 + 8 * e : body + 12 + 8 * e], "big"
+                    )
+                n_frames = total
+
+    walk(0, len(b))
+    if not (width and height):
+        raise ValueError("MP4 missing a video tkhd")
+    return width, height, max(n_frames, 1)
+
+
+def synthesize_mp4(width: int, height: int, n_frames: int) -> bytes:
+    """A minimal structurally valid ISO BMFF skeleton: ftyp + moov
+    (mvhd, trak(tkhd + mdia(minf(stbl(stts))))) with the presentation
+    size in tkhd (16.16 fixed) and the frame count as one stts entry.
+    No media data — this tier is metadata plumbing; the codec payloads
+    need av."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, 25, n_frames)  # times, timescale, dur
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, res
+        + bytes(8)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(3) + b"\x07"  # version 0, flags: enabled|in-movie|preview
+        + struct.pack(">IIIII", 0, 0, 1, 0, n_frames)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    stts = box(
+        b"stts", bytes(4) + struct.pack(">III", 1, n_frames, 1)
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stts)))))
+    return ftyp + moov
+
+
+_MP4_W_MOD, _MP4_H_MOD, _MP4_F_MOD = 1264, 688, 2400
+
+
+def mp4_media_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture builder for the MP4 metadata tier: one structurally
+    valid ISO BMFF skeleton per document, presentation size and frame
+    count hash-derived; synthesized scan-side (``mapInPandas``)."""
+
+    def synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+                payloads.append(
+                    synthesize_mp4(
+                        16 + h % _MP4_W_MOD,
+                        16 + (h // 13) % _MP4_H_MOD,
+                        1 + (h // 7) % _MP4_F_MOD,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video",
+                    "content": payloads,
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par, F.col("media_id")).mapInPandas(
+        synth_batches, schema="media_id long, media_type string, content binary"
+    )
+
+
+def mp4_meta(media: DataFrame) -> DataFrame:
+    """REAL ISO-BMFF box walk over MP4 payloads → (media_id, width,
+    height, n_frames, n_bytes). Same scale shape as every media tier:
+    payloads stay inside their scan task, narrow rows flow on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                bb = bytes(c)
+                w, h, n = _parse_mp4(bb)
+                rows.append((mid, w, h, n, len(bb)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_frames", "n_bytes"]
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches,
+        schema="media_id long, width int, height int, n_frames int, n_bytes long",
+    )
+
+
+def mp4_meta_sql(table: str = "documents") -> str:
+    """DuckDB oracle for mp4_media_table → :func:`mp4_meta`: recompute
+    the embedded header fields AND the exact container size — the byte
+    total pins every box length in the skeleton (ftyp 28 + moov 8 +
+    mvhd 108 + trak 8 + tkhd 92 + mdia 8 + minf 8 + stbl 8 + stts 24
+    = 292), so a parser/synthesizer layout drift fails the hash."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(16 + {h} % {_MP4_W_MOD} AS INT) AS width,
+       CAST(16 + ({h} // 13) % {_MP4_H_MOD} AS INT) AS height,
+       CAST(1 + ({h} // 7) % {_MP4_F_MOD} AS INT) AS n_frames,
+       CAST(292 AS BIGINT) AS n_bytes
+FROM {table}
+"""
 
 
 def audio_window_features(media: DataFrame, window: int = 512) -> DataFrame:

@@ -268,7 +268,7 @@ def test_registry_contract():
         # sweep + pytest evidence) and lead the r7 window with it
         NEW_THIS_ROUND = {
             "multimodal_jpeg_pixels", "multimodal_wav_samples",
-            "multimodal_audio_windows",
+            "multimodal_audio_windows", "multimodal_mp4_meta",
         }
         missing = [n for n in names[51:] if n not in r5 and n not in NEW_THIS_ROUND]
         assert missing == [], missing

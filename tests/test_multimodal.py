@@ -351,3 +351,67 @@ def test_gif_frame_stats_matches_oracle(spark, ddb):
         tuple(t) for t in ddb.execute(M.gif_frame_stats_sql(every_k=2)).fetchall()
     )
     assert got == want and len(got) > len(set(r[0] for r in got))  # multi-frame fan-out
+
+
+def test_mp4_parser_on_hand_built_spec_vector():
+    """Per the GIF width-schedule lesson: no MP4 files or independent
+    parsers exist in this environment, so the box walker is validated
+    against a byte vector assembled HERE with offsets from ISO/IEC
+    14496-12 — version-1 tkhd, an audio track (0x0 presentation size)
+    BEFORE the video track, a multi-entry stts, and a 64-bit largesize
+    box — none of which the repo synthesizer emits."""
+    import struct
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    # audio tkhd: version 0, width/height 0 -> must be skipped
+    tkhd_audio = box(
+        b"tkhd",
+        bytes(4) + struct.pack(">IIIII", 0, 0, 1, 0, 0) + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0) + matrix
+        + struct.pack(">II", 0, 0),
+    )
+    # video tkhd: VERSION 1 layout (64-bit times/duration)
+    tkhd_video = box(
+        b"tkhd",
+        b"\x01" + bytes(3)
+        + struct.pack(">QQIIQ", 0, 0, 2, 0, 0)  # ctime mtime id res dur
+        + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    # stts with three entries: 100 + 23 + 2 = 125 frames
+    stts = box(
+        b"stts",
+        bytes(4) + struct.pack(">I", 3)
+        + struct.pack(">II", 100, 1)
+        + struct.pack(">II", 23, 2)
+        + struct.pack(">II", 2, 1),
+    )
+    stbl = box(b"stbl", stts)
+    trak_v = box(b"trak", tkhd_video + box(b"mdia", box(b"minf", stbl)))
+    trak_a = box(b"trak", tkhd_audio)
+    moov_payload = trak_a + trak_v
+    # moov as a LARGESIZE box (size==1 + 64-bit length)
+    moov = (
+        struct.pack(">I", 1) + b"moov"
+        + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload
+    )
+    b = box(b"ftyp", b"isom" + bytes(4)) + moov
+    assert M._parse_mp4(b) == (640, 360, 125)
+    md5, w, h, n = M._real_decode("video", b)
+    assert (w, h, n) == (640, 360, 125)
+
+
+def test_mp4_synthesize_parse_roundtrip_and_oracle(spark, ddb):
+    from dataframeutils_spark.operators import multimodal as M
+
+    assert M._parse_mp4(M.synthesize_mp4(320, 240, 750)) == (320, 240, 750)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.mp4_media_table(docs)
+    got = sorted(tuple(r) for r in M.mp4_meta(media).collect())
+    want = sorted(tuple(t) for t in ddb.execute(M.mp4_meta_sql()).fetchall())
+    assert got == want and len(got) == 500

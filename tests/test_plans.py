@@ -262,3 +262,35 @@ def test_zorder_no_global_sort_exchange_on_data_path(spark):
     plan = _plan(layout.zorder_layout_audit(ev))
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(_blk" in plan
+
+
+def test_media_tiers_single_exchange_payload_stays_scan_side(spark):
+    """The real-codec media tiers claim 'payload bytes never shuffle':
+    the ONLY Exchange in each plan is the narrow (media_id, text)
+    round-robin BEFORE synthesis — synthesize and decode run as
+    chained ArrowEvalPython/MapInPandas stages with no Exchange
+    between them, so at 100 TB the raster/PCM bytes stay inside their
+    scan task."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for build, reduce_ in [
+        (M.gif_media_table, lambda m: M.gif_frame_stats(m, every_k=2)),
+        (M.jpeg_media_table, M.jpeg_block_stats),
+        (M.wav_audio_table, M.audio_features),
+        (M.wav_audio_table, lambda m: M.audio_window_features(m, window=512)),
+    ]:
+        plan = _plan(reduce_(build(docs)))
+        assert plan.count("Exchange") == 1, plan
+        # the one Exchange must sit below BOTH python stages: nothing
+        # python-produced (payload included) may feed a shuffle
+        exch_pos = plan.index("Exchange")
+        first_py = min(
+            p
+            for p in (plan.find("MapInPandas"), plan.find("ArrowEvalPython"))
+            if p >= 0
+        )
+        # executedPlan prints top-down: upstream operators appear LATER
+        # in the string, so the Exchange (input side) must print after
+        # the python stages (output side)
+        assert exch_pos > first_py, plan
