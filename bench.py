@@ -101,6 +101,10 @@ HEADLINE = [
     "multimodal_wav_samples",  # PCM16 WAV: real sample decode + audio features
     "multimodal_audio_windows",  # windowed PCM segmentation features
     "multimodal_mp4_meta",  # ISO BMFF box walk: tkhd size + stts frame count
+    "events_funnel",  # ordered-step funnel: one user exchange, window min-chain
+    "events_retention",  # grid-anchored weekly cohort retention matrix
+    "bloom_membership",  # mergeable bloom build + broadcast probe + truth audit
+    "semdedup",  # cluster-scoped semantic dedup (SemDeDup)
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

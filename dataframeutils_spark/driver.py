@@ -19,6 +19,7 @@ from dataframeutils_spark.operators import (
     cleaning,
     cross_feature,
     dedup,
+    events as events_ops,
     features,
     layout,
     memory,
@@ -41,6 +42,7 @@ from dataframeutils_spark.streaming import joins as stream_joins
 from dataframeutils_spark.schema import (
     PanelSchema,
     decround,
+    decround_sql,
     melt_panel,
     siground,
     siground_sql,
@@ -1228,6 +1230,61 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): nearest hash-derived
+    centroid assignment, then within-cluster cosine pruning keeping the
+    member least similar to its centroid — the scale path for embedding
+    near-dup (cluster-bounded quadratic; no crossJoin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semdedup_prune(emb, threshold=0.45, dim=EMB_DIM)
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build the filter over 3/4 of the
+    corpus content hashes, probe with the distinct keys of
+    an OVERLAPPING mod-3 slice (so true members, true negatives, and
+    the filter's false positives all occur),
+    emit claimed vs actual vs false-positive per probe. The filter is
+    a bit_or word aggregate (mergeable, ≤ m/32 rows, broadcast to the
+    probe side) — the standard pre-join existence filter at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0).select(
+        F.md5("text").alias("key")
+    )
+    probes = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+        .select(F.md5("text").alias("key"))
+        .distinct()
+    )
+    return sketches.bloom_membership(corpus, probes, m_bits=2048, k_hashes=3)
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view → click → purchase, 7-day conversion
+    window anchored at first view): per-step reach + conversion rates.
+    One exchange by user; every per-step first-match window reuses that
+    partitioning (see operators.events scale notes)."""
+    ev = _events_normalized(spark, sf_dir)
+    out = events_ops.funnel(
+        ev, FUNNEL_STEPS, within_seconds=7 * 86_400
+    )
+    return round_floats(out, dec=("conv_from_prev", "conv_from_first"))
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix on the integer epoch-day grid —
+    cohort = first-activity day floored to the 7-day grid; cells carry
+    distinct active users and the retention rate vs the cohort's
+    offset-0 size."""
+    ev = _events_normalized(spark, sf_dir)
+    return round_floats(
+        events_ops.retention_cohorts(ev, period_days=7), dec=("retention_rate",)
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: docs → binary payloads → Arrow-batched
     metadata decode (deterministic fake; see operators.multimodal)."""
@@ -1542,7 +1599,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 105 queries are registered, so ordering
+    this dict (insertion order); 109 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -1551,25 +1608,30 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the same vanilla-session + DuckDB-oracle compare the driver runs)
     covers ALL queries at HEAD every round.
 
-    Round 6 ordering: `multimodal_gif_frames` (added in r5 at position
-    51, never driver-verified) leads, followed by 49 of the 50-entry
-    round-4-verified batch — every entry exact-oracled, so the r6
-    window is 50/50 hash-checked. The single overflow (`events_props`,
-    a trivial exact-oracled projection, r4-green and green in every
-    committed local sweep since) sits at position 51 and, together with
-    this round's newcomers `multimodal_jpeg_pixels`,
-    `multimodal_wav_samples`, `multimodal_audio_windows`, and
-    `multimodal_mp4_meta` (positions 52-55, exact-oracled,
-    local-sweep verified this round; the JPEG tier additionally
-    ImageIO-cross-validated in pytest), LEADS the r7 window. The round-5-verified 50
+    Round 6 ordering: the never-driver-verified newcomers lead —
+    `semdedup`, `bloom_membership`, `events_funnel`,
+    `events_retention` (this session, exact-oracled) and
+    `multimodal_gif_frames` (added r5) — followed by 45 of the 50-entry
+    round-4-verified batch, keeping the flagship `weighted_bins` and
+    `similarity_ivf` inside the gate; every entry is exact-oracled, so
+    the r6 window is 50/50 hash-checked. Positions 51+: the four
+    r4-green entries the newcomers displaced (`mad_outliers`,
+    `psi_drift`, `compaction_plan`, `dsir_select`), last round's
+    overflow `events_props`, and the r5-session media newcomers
+    (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
+    `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
+    local-sweep green, JPEG ImageIO-cross-validated in pytest) — ALL
+    of these lead the r7 window, then the round-5-verified batch
     (CORRECTNESS_r05.json: 34 exact + 16 rows-only-by-design, zero
-    failures) are demoted below the cap for exactly one round — NEXT
-    ROUND (r7): promote `events_props` + newcomers first, then the r5
-    batch, and demote this round's 50.
+    failures), demoting this round's 50.
     """
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
         # sweep + golden pytest green; exact oracle) ---
+        "semdedup": q_semdedup,
+        "bloom_membership": q_bloom_membership,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         # --- then the round-4-verified batch (50 green hash rows in
         # CORRECTNESS_r04.json), minus the one overflow entry ---
@@ -1610,21 +1672,23 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "stream_apply_changes": q_stream_apply_changes,
         "similarity_ivfadc": q_similarity_ivfadc,
-        "mad_outliers": q_mad_outliers,
         "similarity_recall": q_similarity_recall,
         "zorder_layout": q_zorder_layout,
         "salted_join": q_salted_join,
         "lsh_tuning": q_lsh_tuning,
         "quantile_bin": q_quantile_bin,
         "feature_matrix": q_feature_matrix,
+        "similarity_ivf": q_similarity_ivf,
+        "weighted_bins": q_weighted_bins,
+        # --- position 51+: the rotation overflow — all r4-green and
+        # local-sweep green every round since; the four entries this
+        # round's newcomers displaced (mad_outliers, psi_drift,
+        # compaction_plan, dsir_select) plus last round's overflow and
+        # newcomers — ALL lead the r7 window ---
+        "mad_outliers": q_mad_outliers,
         "psi_drift": q_psi_drift,
         "compaction_plan": q_compaction_plan,
         "dsir_select": q_dsir_select,
-        "similarity_ivf": q_similarity_ivf,
-        "weighted_bins": q_weighted_bins,
-        # --- position 51+: the rotation overflow (r4-green, local-sweep
-        # green every round since) and this round's newcomer — both
-        # lead the r7 window ---
         "events_props": q_events_props,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
@@ -1836,6 +1900,22 @@ FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) A
 GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],
+        ),
+        "semdedup": dedup.semdedup_prune_sql(threshold=0.45, dim=EMB_DIM),
+        "bloom_membership": sketches.bloom_membership_sql(
+            "SELECT md5(text) AS key FROM documents WHERE doc_id % 4 <> 0",
+            "SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 3 = 0",
+            m_bits=2048,
+            k_hashes=3,
+        ),
+        "events_funnel": (
+            f"SELECT * REPLACE ({decround_sql('conv_from_prev')} AS conv_from_prev, "
+            f"{decround_sql('conv_from_first')} AS conv_from_first, "
+            f"{siground_sql('avg_secs_from_prev')} AS avg_secs_from_prev) "
+            f"FROM (\n{events_ops.funnel_sql(FUNNEL_STEPS, within_seconds=7 * 86_400)}\n)"
+        ),
+        "events_retention": _round_oracle_cols(
+            events_ops.retention_cohorts_sql(period_days=7), ["retention_rate"]
         ),
         "multimodal_meta": multimodal.decode_metadata_sql(),
         "multimodal_real_meta": multimodal.real_decode_metadata_sql(),

@@ -1077,3 +1077,170 @@ SELECT bucket, count(*) AS n_pairs,
        avg(exp) AS expected
 FROM flagged GROUP BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (the embedding-dedup scale path)
+# ---------------------------------------------------------------------------
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    n_clusters: int | None = None,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    whose quadratic is bounded by CLUSTER size, never corpus size.
+
+    1. Assign every embedding to its nearest coarse centroid (the same
+       hash-derived, oracle-checkable quantizer as ``ivf_topk``;
+       ``n_clusters=None`` auto-sizes C = max(4, ceil(sqrt(N))) so
+       cluster population ~ sqrt(N) keeps the within-cluster pairwise
+       step at ~N total pair work).
+    2. Within each cluster, pairs with cosine >= ``threshold`` are
+       near-duplicates; following the paper we KEEP the member with
+       the LOWEST similarity to its centroid (it carries the most
+       non-redundant signal) — deterministically: a prunes b iff
+       sim(a,b) >= t AND (cent_sim(a), id(a)) < (cent_sim(b), id(b))
+       on siground-rounded similarities (round-before-compare, the
+       engine's cross-engine ordering contract).
+
+    Output: (vec_id, centroid, cent_sim, kept) for every input vector.
+
+    Scale: assignment is a broadcast nested-loop over <= C centroid
+    rows (scan-side, no shuffle of the corpus); the only exchange of
+    vectors is the equi-join on ``centroid`` — exactly the co-location
+    the published algorithm requires — and each task's pairwise work
+    is quadratic only in its cluster's population. Unlike
+    :func:`embedding_dup_pairs` (the O(n^2) exactness baseline) there
+    is no crossJoin anywhere.
+    """
+    from dataframeutils_spark.operators.similarity import (
+        _dot,
+        _norm,
+        auto_centroid_count,
+        ivf_centroids,
+    )
+    from dataframeutils_spark.schema import siground
+
+    spark = embeddings.sparkSession
+    if n_clusters is None:
+        n_clusters = auto_centroid_count(embeddings.count())
+    cents = ivf_centroids(spark, n_clusters, dim)
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col), dim).alias("nv"),
+    ).filter(F.col("nv") > 0)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vid", "v", "nv", "centroid",
+        (_dot(F.col("v"), F.col("u"), dim) / (F.col("nrm") * F.col("nv"))).alias("cs"),
+    )
+    from pyspark.sql import Window
+
+    r = F.row_number().over(
+        Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("centroid"))
+    )
+    assigned = (
+        scored.withColumn("r", r)
+        .filter(F.col("r") == 1)
+        .select("vid", "v", "nv", "centroid", siground(F.col("cs")).alias("cent_sim"))
+    )
+    a = assigned.select(
+        F.col("vid").alias("a_vid"), F.col("v").alias("a_v"), F.col("nv").alias("a_nv"),
+        "centroid", F.col("cent_sim").alias("a_cent"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("b_vid"), F.col("v").alias("b_v"), F.col("nv").alias("b_nv"),
+        "centroid", F.col("cent_sim").alias("b_cent"),
+    )
+    pair_sim = siground(
+        _dot(F.col("a_v"), F.col("b_v"), dim) / (F.col("a_nv") * F.col("b_nv"))
+    )
+    dominates = (F.col("a_cent") < F.col("b_cent")) | (
+        (F.col("a_cent") == F.col("b_cent")) & (F.col("a_vid") < F.col("b_vid"))
+    )
+    pruned = (
+        a.join(b, "centroid")
+        .filter(F.col("a_vid") != F.col("b_vid"))
+        .filter(dominates)
+        .filter(pair_sim >= F.lit(threshold))
+        .select(F.col("b_vid").alias("vid"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pruned, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "centroid",
+            "cent_sim",
+            (~F.coalesce("is_pruned", F.lit(False))).alias("kept"),
+        )
+    )
+
+
+def semdedup_prune_sql(
+    n_clusters: int | None = None,
+    threshold: float = 0.45,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`semdedup_prune` — identical hash-derived
+    centroids, sequential list_reduce folds (bit-identical to Spark's
+    aggregate), siground rounding BEFORE every comparison."""
+    from dataframeutils_spark.operators.similarity import TWO59
+    from dataframeutils_spark.schema import siground_sql
+
+    u = portable_hash60_sql("('ivf:' || c.c::VARCHAR || ':' || (d - 1)::VARCHAR)")
+    fold = "list_reduce(list_prepend(0.0, {terms}), (a, b) -> a + b)"
+    cdot = fold.format(
+        terms=f"list_transform(range(1, {dim} + 1), i -> e.embedding[i]::DOUBLE * c.u[i])"
+    )
+    pdot = fold.format(
+        terms=f"list_transform(range(1, {dim} + 1), "
+        "i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)"
+    )
+    nrm = "sqrt(" + fold.format(terms="list_transform({v}, x -> x::DOUBLE * x::DOUBLE)") + ")"
+    if n_clusters is None:
+        c_bound = (
+            f"(SELECT CAST(greatest(4, ceil(sqrt(count(*)))) AS BIGINT) - 1 FROM {table})"
+        )
+        cent_src = f"(SELECT unnest(generate_series(0, {c_bound})) AS c) c"
+    else:
+        cent_src = f"range(0, {n_clusters}) c(c)"
+    return f"""
+WITH cent AS (
+  SELECT c.c AS centroid,
+         list_transform(range(1, {dim} + 1), d -> ({u}::DOUBLE / {TWO59} - 1.0)) AS u
+  FROM {cent_src}
+), cn AS (
+  SELECT centroid, u, {nrm.format(v='u')} AS nrm FROM cent
+), ev AS (
+  SELECT vec_id, embedding, {nrm.format(v='embedding')} AS nv FROM {table}
+), sc AS (
+  SELECT e.vec_id, e.embedding, e.nv, c.centroid,
+         {cdot} / (c.nrm * e.nv) AS cs
+  FROM (SELECT * FROM ev WHERE nv > 0) e, cn c
+), ranked AS (
+  SELECT vec_id, embedding, nv, centroid, cs,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid) AS r
+  FROM sc
+), assigned AS (
+  SELECT vec_id AS vid, embedding AS v, nv, centroid,
+         {siground_sql('cs')} AS cent_sim
+  FROM ranked WHERE r = 1
+), pruned AS (
+  SELECT DISTINCT b.vid
+  FROM assigned a JOIN assigned b USING (centroid)
+  WHERE a.vid <> b.vid
+    AND (a.cent_sim < b.cent_sim OR (a.cent_sim = b.cent_sim AND a.vid < b.vid))
+    AND {siground_sql(f'({pdot} / (a.nv * b.nv))')} >= {threshold}
+)
+SELECT s.vid AS vec_id, s.centroid, s.cent_sim,
+       (p.vid IS NULL) AS kept
+FROM assigned s LEFT JOIN pruned p ON p.vid = s.vid
+"""

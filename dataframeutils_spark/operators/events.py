@@ -1,0 +1,266 @@
+"""Event-stream product analytics: funnel conversion and cohort retention.
+
+Classic OLAP-engine capabilities over an event log (user_id, ts,
+event_type) that the reference's panel analyses do not cover but any
+analytics engine at this surface is expected to ship:
+
+* :func:`funnel` — ordered multi-step conversion (e.g. view → click →
+  purchase): per user, the first step-1 event, then the earliest step-2
+  event strictly after it, and so on, optionally bounded to a
+  conversion window anchored at step 1. Emits one summary row per step
+  with reach counts, step/overall conversion rates, and the mean
+  seconds from the previous step.
+* :func:`retention_cohorts` — cohort retention matrix: cohort = the
+  UTC day-of-first-activity truncated to a ``period_days`` grid,
+  offset = full periods between the cohort start and each later active
+  day; emits distinct active users and the retention rate per
+  (cohort, offset) cell.
+
+Both are exactly ANSI-SQL-expressible (full DuckDB hash oracles) —
+calendar arithmetic is done on integer epoch days (``unix_micros DIV
+86_400_000_000``) rather than engine date_trunc so the two engines
+cannot disagree on week anchoring or time zones.
+
+Scale notes (100 TB posture):
+
+* :func:`funnel` costs ONE exchange: the event log is hash-partitioned
+  by user once, and every per-step first-match is a window aggregate
+  over that same partitioning (Catalyst chains the Window operators
+  with no re-exchange — pinned by ``tests/test_plans.py``). The
+  per-user reduction that follows reuses the partitioning too, and the
+  final per-step summary is a ``steps``-row aggregate. No join, no
+  driver loop, nothing proportional to users held in memory.
+* :func:`retention_cohorts` is two bounded shuffles: one exchange by
+  user for the first-activity window, then an exchange carrying only
+  (cohort, offset, user) distinct triples — at most active-days rows,
+  collapsed map-side. The output is cohorts × offsets cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICROS_PER_DAY = 86_400_000_000
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-step funnel summary: one row per step.
+
+    Step semantics: ``t1 = min(ts | type = steps[0])``;
+    ``t_k = min(ts | type = steps[k] AND ts > t_{k-1})`` — strictly
+    increasing timestamps, so one event can never satisfy two adjacent
+    steps. ``within_seconds`` (anchored at t1, the standard
+    "convert within N days of entry" contract) additionally requires
+    ``ts <= t1 + within``.
+
+    Output columns: step (1-based), step_name, n_users,
+    conv_from_prev, conv_from_first, avg_secs_from_prev.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    w = Window.partitionBy(by)
+    df = events.select(by, ts_col, type_col)
+    t_names: list[str] = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if i > 0:
+            cond = cond & (F.col(ts_col) > F.col(t_names[i - 1]))
+            if within_seconds is not None:
+                cond = cond & (
+                    F.unix_micros(F.col(ts_col))
+                    <= F.unix_micros(F.col("t1")) + within_seconds * 1_000_000
+                )
+        name = f"t{i + 1}"
+        # window over the SAME partitioning each pass: one exchange total
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        t_names.append(name)
+    per_user = df.groupBy(by).agg(*[F.min(n).alias(n) for n in t_names])
+    # long form: one row per (user, reached step)
+    reached = (
+        per_user.select(
+            F.col(by),
+            F.posexplode(F.array(*[F.col(n) for n in t_names])).alias("step0", "t"),
+        )
+        .select(by, (F.col("step0") + 1).alias("step"), "t")
+        .withColumn(
+            "t_prev", F.lag("t").over(Window.partitionBy(by).orderBy("step"))
+        )
+    )
+    agg = (
+        reached.filter(F.col("t").isNotNull())
+        .groupBy("step")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.avg(
+                (F.unix_micros("t") - F.unix_micros("t_prev")) / F.lit(1_000_000.0)
+            ).alias("avg_secs_from_prev"),
+        )
+    )
+    w_all = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    out = agg.select(
+        "step",
+        F.element_at(names, F.col("step")).alias("step_name"),
+        "n_users",
+        (
+            F.col("n_users")
+            / F.lag("n_users", 1).over(Window.orderBy("step"))
+        ).alias("conv_from_prev"),
+        (F.col("n_users") / F.first("n_users").over(w_all)).alias("conv_from_first"),
+        "avg_secs_from_prev",
+    )
+    return out
+
+
+def funnel_sql(
+    steps: list[str],
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`funnel` — same sequential min-chain via
+    one FILTERed aggregate per step (funnel summaries are tiny either
+    way; the oracle optimizes for obviousness, not distribution)."""
+    ctes = [
+        f"s1 AS (SELECT {by}, min({ts_col}) FILTER (WHERE {type_col} = '{steps[0]}') AS t1 "
+        f"FROM {table} GROUP BY {by})"
+    ]
+    prev_cols = ["t1"]
+    for i in range(1, len(steps)):
+        k = i + 1
+        bound = ""
+        if within_seconds is not None:
+            bound = (
+                f" AND epoch_us(e.{ts_col}) <= "
+                f"epoch_us(p.t1) + CAST({within_seconds} AS BIGINT) * 1000000"
+            )
+        carried = ", ".join(f"p.{c}" for c in prev_cols)
+        ctes.append(
+            f"s{k} AS (SELECT p.{by}, {carried}, "
+            f"min(e.{ts_col}) FILTER (WHERE e.{type_col} = '{steps[i]}' "
+            f"AND e.{ts_col} > p.t{i}{bound}) AS t{k} "
+            f"FROM s{i} p JOIN {table} e ON e.{by} = p.{by} "
+            f"GROUP BY p.{by}, {carried})"
+        )
+        prev_cols.append(f"t{k}")
+    last = f"s{len(steps)}"
+    unions = []
+    for i, name in enumerate(steps):
+        k = i + 1
+        prev = f"t{i}" if i > 0 else "NULL::TIMESTAMP"
+        unions.append(
+            f"SELECT {k} AS step, '{name}' AS step_name, t{k} AS t, {prev} AS t_prev "
+            f"FROM {last} WHERE t{k} IS NOT NULL"
+        )
+    union_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH {', '.join(ctes)}, long AS ({union_sql}),
+agg AS (
+  SELECT step, any_value(step_name) AS step_name, count(*) AS n_users,
+         avg((epoch_us(t) - epoch_us(t_prev)) / 1000000.0) AS avg_secs_from_prev
+  FROM long GROUP BY step
+)
+SELECT step, step_name, n_users,
+       n_users / lag(n_users, 1) OVER (ORDER BY step) AS conv_from_prev,
+       n_users / first_value(n_users) OVER (ORDER BY step) AS conv_from_first,
+       avg_secs_from_prev
+FROM agg
+"""
+
+
+def retention_cohorts(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix on an integer epoch-day grid.
+
+    cohort_start = the user's first active UTC day floored to the
+    global ``period_days`` grid (``day DIV p * p`` — grid-anchored so
+    cohort labels are stable as data arrives, unlike per-user anchors);
+    offset = full periods from cohort_start to each active day. Output:
+    (cohort_date, period_offset, n_active, cohort_size,
+    retention_rate), one row per non-empty cell.
+    """
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
+    w = Window.partitionBy(by)
+    base = events.select(F.col(by), day.alias("day"))
+    # one exchange by user; min-day window reuses it
+    with_first = base.withColumn("first_day", F.min("day").over(w))
+    cohort_day = (F.col("first_day") / period_days).cast("long") * period_days
+    cells = (
+        with_first.select(
+            F.col(by),
+            cohort_day.alias("cohort_day"),
+            ((F.col("day") - cohort_day) / period_days).cast("long").alias(
+                "period_offset"
+            ),
+        )
+        .distinct()  # map-side partial distinct: shuffle carries ≤ active cells
+        .groupBy("cohort_day", "period_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    w_c = Window.partitionBy("cohort_day")
+    out = cells.select(
+        F.date_from_unix_date(F.col("cohort_day").cast("int")).alias("cohort_date"),
+        "period_offset",
+        "n_active",
+        F.max(F.when(F.col("period_offset") == 0, F.col("n_active"))).over(w_c).alias(
+            "cohort_size"
+        ),
+    )
+    return out.select(
+        "cohort_date",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention_rate"),
+    )
+
+
+def retention_cohorts_sql(
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> str:
+    """DuckDB oracle for :func:`retention_cohorts` — identical integer
+    epoch-day arithmetic (``//`` is floor division; epoch days are
+    non-negative here so it matches Spark's DIV-on-cast-long)."""
+    return f"""
+WITH base AS (
+  SELECT {by}, CAST(epoch_us({ts_col}) // {MICROS_PER_DAY} AS BIGINT) AS day
+  FROM {table}
+), wf AS (
+  SELECT {by}, day, min(day) OVER (PARTITION BY {by}) AS first_day FROM base
+), cells AS (
+  SELECT DISTINCT {by},
+         CAST(first_day // {period_days} AS BIGINT) * {period_days} AS cohort_day,
+         CAST((day - CAST(first_day // {period_days} AS BIGINT) * {period_days})
+              // {period_days} AS BIGINT) AS period_offset
+  FROM wf
+), agg AS (
+  SELECT cohort_day, period_offset, count(*) AS n_active
+  FROM cells GROUP BY cohort_day, period_offset
+)
+SELECT DATE '1970-01-01' + CAST(cohort_day AS INTEGER) AS cohort_date,
+       period_offset, n_active,
+       max(CASE WHEN period_offset = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_day) AS cohort_size,
+       n_active / (max(CASE WHEN period_offset = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_day)) AS retention_rate
+FROM agg
+"""

@@ -828,3 +828,153 @@ SELECT qid AS query_id, nid AS neighbor_id,
 FROM scored
 QUALIFY rank <= {k_neighbors}
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    # k independent hash functions via seeded portable hash (same trick
+    # as _cm_bucket; 'bl' salt keeps the family independent of count-min)
+    return F.pmod(
+        portable_hash60(F.concat(F.lit(f"bl{i}:"), key)), F.lit(m_bits)
+    )
+
+
+def _bloom_pos_sql(key_expr: str, i: int, m_bits: int) -> str:
+    seeded = f"('bl{i}:' || {key_expr})"
+    return f"{portable_hash60_sql(seeded)} % {m_bits}"
+
+
+def bloom_words(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970) as packed 32-bit words.
+
+    Output: (word_idx, word) — at most ``m_bits / 32`` rows. Each key
+    sets ``k_hashes`` bits; the build is a ``bit_or`` aggregate, so the
+    sketch is MERGEABLE (union two filters = OR their words) and the
+    map-side partial collapses every task's contribution to ≤ m/32
+    rows before the exchange — the same boundedness argument as the
+    count-min build. 32-bit words keep the shift arithmetic far from
+    BIGINT sign territory in both engines.
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k_hashes)]
+            )
+        ).alias("pos")
+    )
+    return pos.select(
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    ).groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe a corpus-built Bloom filter and audit it against truth.
+
+    Output per probe key: (key, claimed_member, actual_member,
+    false_positive). ``claimed_member`` is the filter's answer (all k
+    bits set); ``actual_member`` the exact semi-join truth; a Bloom
+    filter admits false positives but NEVER false negatives — the
+    driver oracle re-derives all three columns, so a single missed
+    member would hash-mismatch.
+
+    Scale: the filter is ≤ m/32 rows and is broadcast, so probing any
+    stream is scan-side (explode k ints per probe, broadcast-join,
+    bool_and) — no shuffle proportional to probes. The exact-truth join
+    exists only for the audit; production membership is the broadcast
+    probe alone. At 100 TB this is the standard pre-join existence
+    filter: build once on the small side, probe the big side in its
+    scan stage.
+    """
+    words = bloom_words(corpus, key_col, m_bits, k_hashes)
+    probe_bits = probes.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(
+            F.array(
+                *[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k_hashes)]
+            )
+        ).alias("i", "pos"),
+    ).select(
+        "key",
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    )
+    claimed = (
+        probe_bits.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "key",
+            (F.col("bit").bitwiseAND(F.coalesce("word", F.lit(0))) != 0).alias("hit"),
+        )
+        .groupBy("key")
+        .agg(F.bool_and("hit").alias("claimed_member"))
+    )
+    truth = corpus.select(F.col(key_col).alias("key")).distinct().withColumn(
+        "actual_member", F.lit(True)
+    )
+    return claimed.join(truth, "key", "left").select(
+        "key",
+        "claimed_member",
+        F.coalesce("actual_member", F.lit(False)).alias("actual_member"),
+        (F.col("claimed_member") & ~F.coalesce("actual_member", F.lit(False))).alias(
+            "false_positive"
+        ),
+    )
+
+
+def bloom_membership_sql(
+    corpus_sql: str,
+    probes_sql: str,
+    key_expr: str = "key",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`bloom_membership` — identical seeded
+    positions, 32-bit word packing, and bit tests; ``corpus_sql`` /
+    ``probes_sql`` are subqueries yielding a ``key`` column."""
+    build_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('key', i, m_bits)} AS pos FROM corpus"
+        for i in range(k_hashes)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT key, {_bloom_pos_sql('key', i, m_bits)} AS pos FROM probes"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}), probes AS ({probes_sql}),
+bpos AS ({build_pos}),
+words AS (
+  SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+  FROM bpos GROUP BY 1
+),
+ppos AS ({probe_pos}),
+hits AS (
+  SELECT p.key,
+         (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+           & COALESCE(w.word, 0) <> 0 AS hit
+  FROM ppos p LEFT JOIN words w ON w.word_idx = CAST(p.pos // 32 AS BIGINT)
+),
+claimed AS (
+  SELECT key, bool_and(hit) AS claimed_member FROM hits GROUP BY key
+),
+truth AS (SELECT DISTINCT key FROM corpus)
+SELECT c.key, c.claimed_member,
+       (t.key IS NOT NULL) AS actual_member,
+       c.claimed_member AND t.key IS NULL AS false_positive
+FROM claimed c LEFT JOIN truth t ON t.key = c.key
+"""

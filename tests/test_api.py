@@ -244,12 +244,21 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # r6 window composition: newcomer first, then the r4-verified batch
-    assert names[0] == "multimodal_gif_frames"
+    # r6 window composition: the never-driver-verified newcomers first,
+    # then the r4-verified batch (flagship kept in-window)
+    assert names[:5] == [
+        "semdedup", "bloom_membership", "events_funnel",
+        "events_retention", "multimodal_gif_frames",
+    ]
+    assert "weighted_bins" in names[:50] and "similarity_ivf" in names[:50]
     rows_only_in_cap = {n for n in names[:50] if n not in os_}
     assert rows_only_in_cap == set(), rows_only_in_cap  # 50/50 exact this round
-    # the overflow entry leads the r7 window
-    assert names[50] == "events_props" and "events_props" in os_
+    # the displaced r4-green entries + last round's overflow lead r7
+    assert names[50:55] == [
+        "mad_outliers", "psi_drift", "compaction_plan", "dsir_select",
+        "events_props",
+    ]
+    assert all(n in os_ for n in names[50:55])
     # everything in the window besides the newcomer must be r4-green,
     # and everything demoted below the cap must be r5-green
     here = _os.path.dirname(__file__)
@@ -258,19 +267,32 @@ def test_registry_contract():
     if _os.path.exists(r04):
         with open(r04) as fh:
             r4 = json.load(fh)
-        missing = [n for n in names[1:50] if n not in r4]
+        NEW_R6 = {
+            "semdedup", "bloom_membership", "events_funnel", "events_retention",
+            "multimodal_gif_frames",
+        }
+        missing = [n for n in names[:50] if n not in r4 and n not in NEW_R6]
         assert missing == [], missing
         assert "events_props" in r4
     if _os.path.exists(r05):
         with open(r05) as fh:
             r5 = json.load(fh)
-        # newcomers this round sit right after the overflow (r6 local
-        # sweep + pytest evidence) and lead the r7 window with it
-        NEW_THIS_ROUND = {
+        # everything below the cap must carry a driver row from r4 or
+        # r5 (the displaced overflow is r4-green) or be a documented
+        # media newcomer (local sweep + pytest evidence); all of it
+        # leads the r7 window
+        NEW_MEDIA = {
             "multimodal_jpeg_pixels", "multimodal_wav_samples",
             "multimodal_audio_windows", "multimodal_mp4_meta",
         }
-        missing = [n for n in names[51:] if n not in r5 and n not in NEW_THIS_ROUND]
+        r4d = {}
+        if _os.path.exists(r04):
+            with open(r04) as fh:
+                r4d = json.load(fh)
+        missing = [
+            n for n in names[50:]
+            if n not in r5 and n not in r4d and n not in NEW_MEDIA
+        ]
         assert missing == [], missing
         bad = [n for n, v in r5.items() if v.get("err") not in (None, "no_oracle")]
         assert bad == [], bad

@@ -1,0 +1,106 @@
+"""Funnel / cohort-retention analytics (operators.events).
+
+Hand-built event logs with known conversions pin the step semantics
+(strictly-after ordering, the anchored conversion window, grid-anchored
+cohorts); the driver oracle covers the full-table exactness at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import events as ev
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+@pytest.fixture()
+def log(spark):
+    rows = [
+        # u1: full clean conversion view -> click -> purchase
+        (1, _ts(1, 9), "view"),
+        (1, _ts(1, 10), "click"),
+        (1, _ts(1, 11), "purchase"),
+        # u2: click BEFORE the first view must not count; no purchase
+        (2, _ts(2, 8), "click"),
+        (2, _ts(2, 9), "view"),
+        (2, _ts(2, 10), "click"),
+        # u3: view only
+        (3, _ts(3, 9), "view"),
+        # u4: purchase 10 days after first view — outside a 7-day window
+        (4, _ts(1, 9), "view"),
+        (4, _ts(1, 10), "click"),
+        (4, _ts(11, 9), "purchase"),
+        # u5: no view at all — never enters the funnel
+        (5, _ts(1, 9), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strict_order_and_window(spark, log):
+    out = {
+        r["step_name"]: r
+        for r in ev.funnel(
+            log, ["view", "click", "purchase"], within_seconds=7 * 86_400
+        ).collect()
+    }
+    assert out["view"]["n_users"] == 4  # u1,u2,u3,u4 (u5 never views)
+    assert out["click"]["n_users"] == 3  # u1,u2,u4 — u2's pre-view click ignored
+    assert out["purchase"]["n_users"] == 1  # u1 only; u4 is outside the window
+    assert out["click"]["conv_from_prev"] == pytest.approx(3 / 4)
+    assert out["purchase"]["conv_from_first"] == pytest.approx(1 / 4)
+    # u1 converted view->click in exactly 1h; u2 in 1h; u4 in 1h
+    assert out["click"]["avg_secs_from_prev"] == pytest.approx(3600.0)
+    assert out["view"]["avg_secs_from_prev"] is None
+
+
+def test_funnel_unbounded_window_admits_late_purchase(spark, log):
+    out = {
+        r["step_name"]: r
+        for r in ev.funnel(log, ["view", "click", "purchase"]).collect()
+    }
+    assert out["purchase"]["n_users"] == 2  # u4's day-11 purchase now counts
+
+
+def test_retention_grid_anchored_cohorts(spark):
+    # u1 first active day 0 -> cohort day 0; active again days 8 (offset 1)
+    # u2 first active day 9 -> cohort day 7 (grid floor); active day 15 (offset 1)
+    rows = [
+        (1, dt.datetime(1970, 1, 1)),
+        (1, dt.datetime(1970, 1, 9)),
+        (2, dt.datetime(1970, 1, 10)),
+        (2, dt.datetime(1970, 1, 16)),
+        (2, dt.datetime(1970, 1, 10, 5)),  # same day twice -> one cell
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_date"], r["period_offset"]): r
+        for r in ev.retention_cohorts(df, period_days=7).collect()
+    }
+    assert set(out) == {
+        (dt.date(1970, 1, 1), 0),
+        (dt.date(1970, 1, 1), 1),
+        (dt.date(1970, 1, 8), 0),
+        (dt.date(1970, 1, 8), 1),
+    }
+    for k, r in out.items():
+        assert r["n_active"] == 1 and r["cohort_size"] == 1
+        assert r["retention_rate"] == pytest.approx(1.0)
+
+
+def test_funnel_single_user_exchange(spark, log):
+    """Scale claim: all per-step windows + the per-user reduction ride
+    ONE hash exchange on user_id; remaining exchanges only carry the
+    steps-row summary."""
+    plan = (
+        ev.funnel(log, ["view", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning(user_id") == 1

@@ -722,3 +722,48 @@ def test_recall_audit_bounds_and_budget_response(spark):
     }
     for r in sampled.values():
         assert 0 < r["n_queries"] < 60
+
+
+def test_semdedup_prunes_near_identical_keeps_low_cent_sim(spark):
+    # two tight pairs of near-identical vectors + isolated singles; the
+    # pruned member of each pair must be the one CLOSER to its centroid
+    # (SemDeDup keeps the least-redundant example), and every pruned
+    # vector must have a same-cluster near-dup at >= threshold
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, base))
+        if i < 2:  # two exact-duplicate pairs
+            rows.append((2 * i + 1, [x * 1.001 for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.semdedup_prune(emb, threshold=0.999, dim=8)
+    rowsd = {r["vec_id"]: r for r in out.collect()}
+    assert len(rowsd) == 42
+    for pair in ((0, 1), (2, 3)):
+        a, b = (rowsd[p] for p in pair)
+        assert a["centroid"] == b["centroid"]  # near-identical co-cluster
+        assert a["kept"] != b["kept"]  # exactly one survives
+        kept = a if a["kept"] else b
+        lost = b if a["kept"] else a
+        assert kept["cent_sim"] <= lost["cent_sim"]  # keep-rule
+    # scaled duplicates have identical cosine geometry -> everything else kept
+    assert sum(not r["kept"] for r in rowsd.values()) == 2
+
+
+def test_semdedup_no_cartesian_over_corpus(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5, -1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        dedup.semdedup_prune(emb, n_clusters=4, threshold=0.9, dim=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # corpus x corpus must be an equi-join on centroid, never a product;
+    # the only nested-loop is the broadcast over the <= C centroid rows
+    assert "CartesianProduct" not in plan

@@ -217,3 +217,45 @@ def test_ivfadc_routes_and_scores_consistently(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+# --------------------------------------------------------------------------
+# bloom filter
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_ever(spark):
+    # adversarially tiny filter (64 bits, 200 keys → saturated): every
+    # true member MUST still claim membership — Bloom's one guarantee
+    corpus = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    out = sketches.bloom_membership(corpus, corpus, m_bits=64, k_hashes=3).collect()
+    assert len(out) == 200
+    assert all(r["claimed_member"] for r in out)
+    assert not any(r["false_positive"] for r in out)
+
+
+def test_bloom_words_bounded_and_mergeable(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+    m, k = 256, 3
+    wa = {r["word_idx"]: r["word"] for r in sketches.bloom_words(a, m_bits=m, k_hashes=k).collect()}
+    wb = {r["word_idx"]: r["word"] for r in sketches.bloom_words(b, m_bits=m, k_hashes=k).collect()}
+    wu = {
+        r["word_idx"]: r["word"]
+        for r in sketches.bloom_words(a.union(b), m_bits=m, k_hashes=k).collect()
+    }
+    assert max(wu) <= m // 32 - 1
+    merged = {i: wa.get(i, 0) | wb.get(i, 0) for i in set(wa) | set(wb)}
+    assert merged == wu  # union of filters == OR of their words
+
+
+def test_bloom_probe_side_broadcasts_filter(spark):
+    corpus = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    probes = spark.createDataFrame([(f"p{i}",) for i in range(10)], "key string")
+    plan = (
+        sketches.bloom_membership(corpus, probes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # the words join must broadcast

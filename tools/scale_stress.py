@@ -118,6 +118,17 @@ QUERIES = [
     # export planning: both are scan + one bounded aggregate/TakeOrdered
     "compaction_plan",
     "dsir_select",
+    # round 6 operators: the funnel is one user exchange + window
+    # min-chain (groups mult× longer); retention shuffles only distinct
+    # (cohort, offset, user) cells; the bloom build stays ≤ m/32 rows
+    # no matter the corpus and the probe side is broadcast scan-side;
+    # semdedup's replica families make every cluster a dense near-dup
+    # clique — the worst case for its within-cluster quadratic, bounded
+    # by the auto C = √N sizing
+    "events_funnel",
+    "events_retention",
+    "bloom_membership",
+    "semdedup",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
