@@ -105,6 +105,7 @@ HEADLINE = [
     "events_retention",  # grid-anchored weekly cohort retention matrix
     "bloom_membership",  # mergeable bloom build + broadcast probe + truth audit
     "semdedup",  # cluster-scoped semantic dedup (SemDeDup)
+    "scd2_history",  # type-2 SCD history: one key exchange + windows
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -652,3 +652,90 @@ class CorpusStudy:
         return packing.pack_sequences(
             self.docs, seq_len=seq_len, **self._kw()
         )
+
+    def bpe(self, n_merges: int = 30, vocab_top: int = 2000):
+        """Train a BPE tokenizer on this corpus: (merge table, rules)."""
+        from dataframeutils_spark.operators import bpe as bpe_ops
+
+        return bpe_ops.bpe_train(
+            self.docs, n_merges=n_merges, vocab_top=vocab_top,
+            text_col=self.text_col,
+        )
+
+    def bpe_stats(self, rules) -> DataFrame:
+        """Per-doc token stats under previously learned BPE rules."""
+        from dataframeutils_spark.operators import bpe as bpe_ops
+
+        return bpe_ops.bpe_encode_stats(
+            self.docs, rules, id_col=self.id_col, text_col=self.text_col
+        )
+
+    def semdedup(self, embeddings: DataFrame, **kwargs: Any) -> DataFrame:
+        """Cluster-scoped semantic dedup over this corpus's embeddings."""
+        from dataframeutils_spark.operators import dedup
+
+        return dedup.semdedup_prune(embeddings, **kwargs)
+
+    def scd2_history(self, changes: DataFrame, **kwargs: Any) -> DataFrame:
+        """Type-2 SCD version history from a CDC change log."""
+        from dataframeutils_spark.operators import pipeline
+
+        return pipeline.scd2_history(changes, id_col=self.id_col, **kwargs)
+
+
+class EventStudy:
+    """Facade for the event-log analytics surface: one object over an
+    ``events``-shaped DataFrame (``user_id``, ``ts``, ``event_type``)
+    exposing sessionization, funnel, retention, and windowed stats as
+    lazy DataFrames — the product-analytics entry point, symmetric
+    with :class:`TimeSeriesStudy` (panels) and :class:`CorpusStudy`
+    (documents). Engine extension; no reference counterpart.
+    """
+
+    def __init__(
+        self,
+        events: DataFrame,
+        by: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> None:
+        self.events = events
+        self.by = by
+        self.ts_col = ts_col
+        self.type_col = type_col
+
+    def sessionize(self, gap_seconds: int = 1800) -> DataFrame:
+        from dataframeutils_spark.operators import ranges
+
+        return ranges.sessionize(
+            self.events.select(self.by, self.ts_col),
+            on=self.ts_col,
+            by=(self.by,),
+            gap_seconds=gap_seconds,
+        )
+
+    def funnel(
+        self, steps: list[str], within_seconds: int | None = None
+    ) -> DataFrame:
+        from dataframeutils_spark.operators import events as events_ops
+
+        return events_ops.funnel(
+            self.events,
+            steps,
+            by=self.by,
+            ts_col=self.ts_col,
+            type_col=self.type_col,
+            within_seconds=within_seconds,
+        )
+
+    def retention(self, period_days: int = 7) -> DataFrame:
+        from dataframeutils_spark.operators import events as events_ops
+
+        return events_ops.retention_cohorts(
+            self.events, by=self.by, ts_col=self.ts_col, period_days=period_days
+        )
+
+    def windowed_stats(self, window: str = "1 hour") -> DataFrame:
+        from dataframeutils_spark.streaming import windows as sw
+
+        return sw.windowed_event_stats(self.events, window=window)

@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 
 from dataframeutils_spark import oracles
 from dataframeutils_spark.operators import (
+    bpe,
     cleaning,
     cross_feature,
     dedup,
@@ -564,6 +565,40 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pipeline.apply_changes_summary(docs, _cdc_changes(docs))
 
+
+SCD2_HISTORY_SQL = """
+WITH changes AS (
+  SELECT doc_id, text, lang, source, n_chars, 'delete' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, text || ' v2', lang, source, n_chars + 3, 'upsert', 1
+  FROM documents WHERE doc_id % 10 IN (4, 5)
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 'upsert', 2
+  FROM documents WHERE doc_id % 100 = 4
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars, 'upsert', 1
+  FROM documents WHERE doc_id % 20 = 7
+),
+win AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY seq, op, text NULLS FIRST, lang NULLS FIRST,
+               source NULLS FIRST, n_chars NULLS FIRST
+    ) AS version,
+    lead(seq) OVER (
+      PARTITION BY doc_id
+      ORDER BY seq, op, text NULLS FIRST, lang NULLS FIRST,
+               source NULLS FIRST, n_chars NULLS FIRST
+    ) AS valid_to_seq
+  FROM changes
+)
+SELECT doc_id, version, text, lang, source, n_chars,
+       seq AS valid_from_seq, valid_to_seq,
+       valid_to_seq IS NULL AS is_current
+FROM win WHERE op = 'upsert'
+"""
 
 APPLY_CHANGES_SQL = """
 WITH changes AS (
@@ -1233,6 +1268,36 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016) on the bounded
+    top-2000 word-frequency table: 30 greedy merges, each round one
+    map-side-combined pair count + a 1-row argmax collect. Iterative →
+    rows-only gate; exactness pinned vs a pure-Python reference in
+    tests/test_bpe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    table, _ = bpe.bpe_train(docs, n_merges=30, vocab_top=2000)
+    return table
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 30 learned BPE rules to every document as chained
+    scan-side folds (zero shuffle, zero Python): per-doc word/symbol/
+    token counts + compression ratio. Depends on the learned rules →
+    rows-only gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, rules = bpe.bpe_train(docs, n_merges=30, vocab_top=2000)
+    return round_floats(bpe.bpe_encode_stats(docs, rules))
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the CDC change batch: every upsert
+    becomes a version row with a [valid_from_seq, valid_to_seq)
+    interval; deletes close intervals without opening one. One exchange
+    on the key; versioning/lead/currency share its partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.scd2_history(_cdc_changes(docs))
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): nearest hash-derived
     centroid assignment, then within-cluster cosine pruning keeping the
@@ -1609,14 +1674,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers ALL queries at HEAD every round.
 
     Round 6 ordering: the never-driver-verified newcomers lead —
-    `semdedup`, `bloom_membership`, `events_funnel`,
+    `scd2_history`, `semdedup`, `bloom_membership`, `events_funnel`,
     `events_retention` (this session, exact-oracled) and
-    `multimodal_gif_frames` (added r5) — followed by 45 of the 50-entry
+    `multimodal_gif_frames` (added r5) — followed by 44 of the 50-entry
     round-4-verified batch, keeping the flagship `weighted_bins` and
     `similarity_ivf` inside the gate; every entry is exact-oracled, so
-    the r6 window is 50/50 hash-checked. Positions 51+: the four
+    the r6 window is 50/50 hash-checked. Positions 51+: the five
     r4-green entries the newcomers displaced (`mad_outliers`,
-    `psi_drift`, `compaction_plan`, `dsir_select`), last round's
+    `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`),
+    last round's
     overflow `events_props`, and the r5-session media newcomers
     (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
@@ -1628,6 +1694,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
         # sweep + golden pytest green; exact oracle) ---
+        "scd2_history": q_scd2_history,
         "semdedup": q_semdedup,
         "bloom_membership": q_bloom_membership,
         "events_funnel": q_events_funnel,
@@ -1677,7 +1744,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "lsh_tuning": q_lsh_tuning,
         "quantile_bin": q_quantile_bin,
-        "feature_matrix": q_feature_matrix,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
         # --- position 51+: the rotation overflow — all r4-green and
@@ -1689,11 +1755,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "compaction_plan": q_compaction_plan,
         "dsir_select": q_dsir_select,
+        "feature_matrix": q_feature_matrix,
         "events_props": q_events_props,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
         "multimodal_audio_windows": q_multimodal_audio_windows,
         "multimodal_mp4_meta": q_multimodal_mp4_meta,
+        # --- this session's rows-only newcomers (iterative BPE — not
+        # SQL-expressible; golden-pinned in tests/test_bpe.py); they
+        # lead the r7 window with the block above ---
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---
@@ -1901,6 +1973,7 @@ GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],
         ),
+        "scd2_history": SCD2_HISTORY_SQL,
         "semdedup": dedup.semdedup_prune_sql(threshold=0.45, dim=EMB_DIM),
         "bloom_membership": sketches.bloom_membership_sql(
             "SELECT md5(text) AS key FROM documents WHERE doc_id % 4 <> 0",

@@ -1139,15 +1139,20 @@ def semdedup_prune(
         "vid", "v", "nv", "centroid",
         (_dot(F.col("v"), F.col("u"), dim) / (F.col("nrm") * F.col("nv"))).alias("cs"),
     )
-    from pyspark.sql import Window
-
-    r = F.row_number().over(
-        Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("centroid"))
-    )
+    # argmax(cs, tiebreak min centroid) as a map-side-combined max(struct):
+    # the N×C scored rows stay inside their scan task and the exchange
+    # carries ONE partial row per vector — a window over vid here would
+    # shuffle all N×C rows with their vector payloads (the flat-IVF
+    # pathology README "Scale lessons" measured and killed)
+    best = F.max(F.struct(F.col("cs"), (-F.col("centroid")).alias("negc")))
     assigned = (
-        scored.withColumn("r", r)
-        .filter(F.col("r") == 1)
-        .select("vid", "v", "nv", "centroid", siground(F.col("cs")).alias("cent_sim"))
+        scored.groupBy("vid")
+        .agg(best.alias("best"), F.first("v").alias("v"), F.first("nv").alias("nv"))
+        .select(
+            "vid", "v", "nv",
+            (-F.col("best.negc")).cast("int").alias("centroid"),
+            siground(F.col("best.cs")).alias("cent_sim"),
+        )
     )
     a = assigned.select(
         F.col("vid").alias("a_vid"), F.col("v").alias("a_v"), F.col("nv").alias("a_nv"),

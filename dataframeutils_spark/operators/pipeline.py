@@ -320,3 +320,52 @@ def apply_changes_summary(
         F.min(id_col).alias("min_doc_id"),
         F.max(id_col).alias("max_doc_id"),
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log —
+    the warehouse-side complement of :func:`apply_changes` (which keeps
+    only the latest state): every upsert becomes a VERSION row with a
+    ``[valid_from_seq, valid_to_seq)`` validity interval; a later
+    change of any kind closes the open interval, deletes close it
+    without opening a new one, and ``is_current`` marks versions no
+    later change superseded.
+
+    Per-key change order is total and replay-stable: seq ASC, then op
+    ('delete' sorts before 'upsert' — a same-seq delete is superseded
+    by the same-seq upsert, mirroring :func:`apply_changes`' delete-
+    outranks-upsert rule from the opposite direction: the delete loses
+    currency, the upsert wins it), then the payload columns, so
+    re-running on identical input can never swap version numbers.
+
+    Plan: ONE exchange on the key; version numbering, the validity
+    lead, and currency are windows over that same partitioning. Linear
+    at 100 TB — the change log shuffles once, nothing else moves.
+    """
+    from pyspark.sql import Window
+
+    payload = [c for c in changes.columns if c not in (id_col, op_col, seq_col)]
+    order = [
+        F.col(seq_col).asc(),
+        F.col(op_col).asc(),
+        *[F.col(c).asc_nulls_first() for c in payload],
+    ]
+    w = Window.partitionBy(id_col).orderBy(*order)
+    versioned = changes.select(
+        id_col, op_col, seq_col, *payload
+    ).withColumn("version", F.row_number().over(w)).withColumn(
+        "valid_to_seq", F.lead(seq_col).over(w)
+    )
+    return versioned.filter(F.col(op_col) == "upsert").select(
+        id_col,
+        "version",
+        *payload,
+        F.col(seq_col).alias("valid_from_seq"),
+        "valid_to_seq",
+        F.col("valid_to_seq").isNull().alias("is_current"),
+    )

@@ -222,6 +222,31 @@ def test_corpus_study_facade(spark):
     }
     assert set(cs.mixture_temperature().columns) >= {"stratum", "temp_weight", "boost"}
     assert set(cs.shard_manifest(n_shards=4).columns) == {"doc_id", "shard", "pos", "offset"}
+    # round-6 additions on the facade
+    table, rules = cs.bpe(n_merges=5, vocab_top=200)
+    assert set(table.columns) == {"rank", "left", "right", "merged", "pair_count"}
+    assert set(cs.bpe_stats(rules).columns) == {
+        "doc_id", "n_words", "n_symbols", "n_tokens", "compression"
+    }
+
+
+def test_event_study_facade(spark):
+    from dataframeutils_spark.api import EventStudy
+    from dataframeutils_spark.streaming.windows import normalize_event_times
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = normalize_event_times(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    es = EventStudy(ev)
+    assert set(es.sessionize().columns) >= {"user_id", "s_start", "s_end"}
+    fun = es.funnel(["view", "click", "purchase"]).collect()
+    assert [r["step_name"] for r in sorted(fun, key=lambda r: r["step"])][:1] == ["view"]
+    ret = es.retention(period_days=7)
+    assert set(ret.columns) == {
+        "cohort_date", "period_offset", "n_active", "cohort_size", "retention_rate"
+    }
+    assert es.windowed_stats().count() > 0
 
 
 def test_registry_contract():
@@ -246,19 +271,19 @@ def test_registry_contract():
     assert len(names) == len(set(names))
     # r6 window composition: the never-driver-verified newcomers first,
     # then the r4-verified batch (flagship kept in-window)
-    assert names[:5] == [
-        "semdedup", "bloom_membership", "events_funnel",
+    assert names[:6] == [
+        "scd2_history", "semdedup", "bloom_membership", "events_funnel",
         "events_retention", "multimodal_gif_frames",
     ]
     assert "weighted_bins" in names[:50] and "similarity_ivf" in names[:50]
     rows_only_in_cap = {n for n in names[:50] if n not in os_}
     assert rows_only_in_cap == set(), rows_only_in_cap  # 50/50 exact this round
     # the displaced r4-green entries + last round's overflow lead r7
-    assert names[50:55] == [
+    assert names[50:56] == [
         "mad_outliers", "psi_drift", "compaction_plan", "dsir_select",
-        "events_props",
+        "feature_matrix", "events_props",
     ]
-    assert all(n in os_ for n in names[50:55])
+    assert all(n in os_ for n in names[50:56])
     # everything in the window besides the newcomer must be r4-green,
     # and everything demoted below the cap must be r5-green
     here = _os.path.dirname(__file__)
@@ -268,8 +293,8 @@ def test_registry_contract():
         with open(r04) as fh:
             r4 = json.load(fh)
         NEW_R6 = {
-            "semdedup", "bloom_membership", "events_funnel", "events_retention",
-            "multimodal_gif_frames",
+            "scd2_history", "semdedup", "bloom_membership", "events_funnel",
+            "events_retention", "multimodal_gif_frames",
         }
         missing = [n for n in names[:50] if n not in r4 and n not in NEW_R6]
         assert missing == [], missing
@@ -284,6 +309,9 @@ def test_registry_contract():
         NEW_MEDIA = {
             "multimodal_jpeg_pixels", "multimodal_wav_samples",
             "multimodal_audio_windows", "multimodal_mp4_meta",
+            # r6 rows-only newcomers: iterative BPE, golden-pinned in
+            # tests/test_bpe.py, local-sweep rows evidence
+            "bpe_train", "bpe_encode",
         }
         r4d = {}
         if _os.path.exists(r04):

@@ -1,0 +1,105 @@
+"""BPE trainer/encoder vs an independent pure-Python reference.
+
+The Spark trainer is iterative (not SQL-expressible), so exactness is
+pinned here instead of the DuckDB gate: identical greedy semantics —
+max weighted pair count, ties broken (left, right) lexicographic,
+left-to-right non-overlapping rule application — must reproduce the
+reference merge list symbol for symbol.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators import bpe
+
+
+def ref_bpe(texts: list[str], n_merges: int):
+    """Reference implementation: word-frequency-table BPE with the
+    module's exact tie rules."""
+    wc = Counter(w for t in texts for w in t.lower().split() if w)
+    seqs = {w: list(w) + [bpe.END_OF_WORD] for w in wc}
+    rules = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if n < 2:
+            break
+        rules.append((a, b, n))
+        for w in seqs:
+            out: list[str] = []
+            for x in seqs[w]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return rules, seqs
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats eat the fish",
+    "low lower lowest newer newest",
+    "der die das die der den",
+    "aaaa aaa aa aaaa",  # overlap stress: greedy left-to-right
+    "the mat on the cat",
+]
+
+
+def test_bpe_train_matches_reference_exactly(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    table, rules = bpe.bpe_train(docs, n_merges=25, vocab_top=1000)
+    got = [(r["left"], r["right"], r["pair_count"]) for r in table.orderBy("rank").collect()]
+    want, _ = ref_bpe(TEXTS, 25)
+    assert got == want
+    assert rules == want  # driver-side list mirrors the table
+
+
+def test_bpe_encode_matches_reference_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    _, rules = bpe.bpe_train(docs, n_merges=25, vocab_top=1000)
+    got = {r["doc_id"]: r for r in bpe.bpe_encode_stats(docs, rules).collect()}
+    ref_rules, ref_seqs = ref_bpe(TEXTS, 25)
+    for i, t in enumerate(TEXTS):
+        n_tokens = sum(len(ref_seqs[w]) for w in t.lower().split())
+        n_syms = sum(len(w) + 1 for w in t.lower().split())
+        assert got[i]["n_tokens"] == n_tokens, t
+        assert got[i]["n_symbols"] == n_syms
+        assert got[i]["n_tokens"] <= got[i]["n_symbols"]
+
+
+def test_bpe_encode_is_scan_side(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    _, rules = bpe.bpe_train(docs, n_merges=10, vocab_top=1000)
+    plan = (
+        bpe.bpe_encode_stats(docs, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # chained folds are one projection
+
+
+def test_bpe_train_stops_below_min_count(spark):
+    # every word unique -> every pair count 1 -> zero merges learned
+    docs = spark.createDataFrame(
+        [(0, "ab cd ef"), (1, "gh ij kl")], "doc_id long, text string"
+    )
+    table, rules = bpe.bpe_train(docs, n_merges=10, vocab_top=100)
+    assert rules == [] and table.count() == 0

@@ -309,3 +309,44 @@ def test_apply_changes_idempotent_replay(spark):
     assert sorted(r["text"] for r in once.collect()) == sorted(
         r["text"] for r in twice.collect()
     ) == ["two-v2"]
+
+
+def test_scd2_history_versions_and_currency(spark):
+    from dataframeutils_spark.operators import pipeline
+
+    changes = spark.createDataFrame(
+        [
+            # k1: v1 -> v2 -> delete: two closed versions, none current
+            (1, "a", "upsert", 1),
+            (1, "b", "upsert", 2),
+            (1, None, "delete", 3),
+            # k2: v1 -> v2: second version open and current
+            (2, "x", "upsert", 1),
+            (2, "y", "upsert", 5),
+            # k3: delete only: no version rows at all
+            (3, None, "delete", 1),
+        ],
+        "doc_id long, text string, op string, seq int",
+    )
+    out = {
+        (r["doc_id"], r["version"]): r
+        for r in pipeline.scd2_history(changes).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    assert out[(1, 1)]["valid_from_seq"] == 1 and out[(1, 1)]["valid_to_seq"] == 2
+    assert out[(1, 2)]["valid_from_seq"] == 2 and out[(1, 2)]["valid_to_seq"] == 3
+    assert not out[(1, 1)]["is_current"] and not out[(1, 2)]["is_current"]
+    assert out[(2, 2)]["valid_to_seq"] is None and out[(2, 2)]["is_current"]
+    assert not out[(2, 1)]["is_current"]
+
+
+def test_scd2_same_seq_delete_superseded_by_upsert(spark):
+    from dataframeutils_spark.operators import pipeline
+
+    # same-seq delete+upsert: delete sorts first, upsert wins currency
+    changes = spark.createDataFrame(
+        [(1, "a", "delete", 1), (1, "b", "upsert", 1)],
+        "doc_id long, text string, op string, seq int",
+    )
+    rows = pipeline.scd2_history(changes).collect()
+    assert len(rows) == 1 and rows[0]["is_current"] and rows[0]["version"] == 2

@@ -19,6 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FIT_OPS = [
+    # iterative driver-loop ops (not fit-based, but the same "excluded
+    # from headline yet measured" contract): BPE's 30 merge rounds
+    "bpe_train",
+    "bpe_encode",
     "stationarity",
     "stationarity_summary",
     "memory_dependence",

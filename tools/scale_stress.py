@@ -129,6 +129,12 @@ QUERIES = [
     "events_retention",
     "bloom_membership",
     "semdedup",
+    # scd2 is one key exchange + windows (linear); bpe_train's cost is
+    # bounded by the top-V word table no matter the corpus size — the
+    # 100x run proves corpus-size independence, not throughput
+    "scd2_history",
+    "bpe_train",
+    "bpe_encode",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
