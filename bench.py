@@ -106,6 +106,7 @@ HEADLINE = [
     "bloom_membership",  # mergeable bloom build + broadcast probe + truth audit
     "semdedup",  # cluster-scoped semantic dedup (SemDeDup)
     "scd2_history",  # type-2 SCD history: one key exchange + windows
+    "bloom_skipping",  # per-shard bloom data-skipping audit
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1268,6 +1268,32 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level Bloom data-skipping audit (the Parquet-bloom/Delta
+    file-pruning pattern): per-shard filters over content hashes,
+    probed per key — claimed vs actual shard membership, false-positive
+    scans, shards skipped. Index bounded at shards×m/32 rows and
+    broadcast; no false negatives (oracle-checked per row)."""
+    from dataframeutils_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.md5("text").alias("key"),
+        F.pmod(
+            portable_hash60(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))),
+            F.lit(16),
+        ).cast("int").alias("shard"),
+    )
+    probes = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        .select(F.md5("text").alias("key"))
+        .distinct()
+    )
+    return sketches.bloom_skipping_audit(
+        keys, probes, n_shards=16, m_bits=1024, k_hashes=3
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich et al. 2016) on the bounded
     top-2000 word-frequency table: 30 greedy merges, each round one
@@ -1674,15 +1700,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers ALL queries at HEAD every round.
 
     Round 6 ordering: the never-driver-verified newcomers lead —
-    `scd2_history`, `semdedup`, `bloom_membership`, `events_funnel`,
-    `events_retention` (this session, exact-oracled) and
-    `multimodal_gif_frames` (added r5) — followed by 44 of the 50-entry
+    `bloom_skipping`, `scd2_history`, `semdedup`, `bloom_membership`,
+    `events_funnel`, `events_retention` (this session, exact-oracled)
+    and `multimodal_gif_frames` (added r5) — followed by 43 of the 50-entry
     round-4-verified batch, keeping the flagship `weighted_bins` and
     `similarity_ivf` inside the gate; every entry is exact-oracled, so
-    the r6 window is 50/50 hash-checked. Positions 51+: the five
+    the r6 window is 50/50 hash-checked. Positions 51+: the six
     r4-green entries the newcomers displaced (`mad_outliers`,
-    `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`),
-    last round's
+    `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`,
+    `lsh_tuning`), last round's
     overflow `events_props`, and the r5-session media newcomers
     (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
@@ -1694,6 +1720,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
         # sweep + golden pytest green; exact oracle) ---
+        "bloom_skipping": q_bloom_skipping,
         "scd2_history": q_scd2_history,
         "semdedup": q_semdedup,
         "bloom_membership": q_bloom_membership,
@@ -1742,7 +1769,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall": q_similarity_recall,
         "zorder_layout": q_zorder_layout,
         "salted_join": q_salted_join,
-        "lsh_tuning": q_lsh_tuning,
         "quantile_bin": q_quantile_bin,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
@@ -1756,6 +1782,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "dsir_select": q_dsir_select,
         "feature_matrix": q_feature_matrix,
+        "lsh_tuning": q_lsh_tuning,
         "events_props": q_events_props,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
@@ -1972,6 +1999,15 @@ FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) A
 GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],
+        ),
+        "bloom_skipping": sketches.bloom_skipping_audit_sql(
+            "SELECT md5(text) AS key, "
+            "CAST(CAST(concat('0x', substr(md5('sh:' || doc_id::VARCHAR), 1, 15)) AS BIGINT)"
+            " % 16 AS INTEGER) AS shard FROM documents",
+            "SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 5 = 0",
+            n_shards=16,
+            m_bits=1024,
+            k_hashes=3,
         ),
         "scd2_history": SCD2_HISTORY_SQL,
         "semdedup": dedup.semdedup_prune_sql(threshold=0.45, dim=EMB_DIM),

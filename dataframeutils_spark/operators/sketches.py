@@ -978,3 +978,144 @@ SELECT c.key, c.claimed_member,
        c.claimed_member AND t.key IS NULL AS false_positive
 FROM claimed c LEFT JOIN truth t ON t.key = c.key
 """
+
+
+def bloom_shard_index(
+    keys: DataFrame,
+    key_col: str = "key",
+    shard_col: str = "shard",
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Per-shard Bloom index: (shard, word_idx, word) — the file-level
+    data-skipping structure Parquet bloom filters / Delta file stats
+    implement: one small filter per storage unit, consulted at query
+    time to prune units that cannot contain a key. ≤ shards × m/32
+    rows, built with one map-side-combined bit_or aggregate."""
+    pos = keys.select(
+        shard_col,
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k_hashes)]
+            )
+        ).alias("pos"),
+    )
+    return pos.select(
+        shard_col,
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    ).groupBy(shard_col, "word_idx").agg(F.bit_or("bit").alias("word"))
+
+
+def bloom_skipping_audit(
+    keys: DataFrame,
+    probes: DataFrame,
+    n_shards: int,
+    key_col: str = "key",
+    shard_col: str = "shard",
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Audit shard pruning: for every probe key, how many shards the
+    per-shard Bloom index admits vs how many actually hold the key.
+
+    Output per probe: (key, n_shards_claimed, n_shards_actual,
+    n_false_pos, n_skipped) with n_skipped = n_shards −
+    n_shards_claimed — the scan work the index saves. False negatives
+    are impossible (oracle-checked: claimed ⊇ actual for every row).
+
+    Scale: the index is ≤ shards × m/32 rows and broadcasts; probing
+    is scan-side (probe × shard × k bit tests, collapsed map-side to
+    one row per probe). At 100 TB the real deployment consults the
+    index in the planner — this operator is the calibration query that
+    sizes m against the observed false-positive scan waste."""
+    index = bloom_shard_index(keys, key_col, shard_col, m_bits, k_hashes)
+    shards = keys.sparkSession.range(n_shards).select(
+        F.col("id").cast("int").alias(shard_col)
+    )
+    probe_bits = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k_hashes)]
+            )
+        ).alias("pos"),
+    ).select(
+        "key",
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    )
+    tested = (
+        probe_bits.crossJoin(F.broadcast(shards))
+        .join(F.broadcast(index), [shard_col, "word_idx"], "left")
+        .select(
+            "key",
+            shard_col,
+            (F.col("bit").bitwiseAND(F.coalesce("word", F.lit(0))) != 0).alias("hit"),
+        )
+        .groupBy("key", shard_col)
+        .agg(F.bool_and("hit").alias("claimed"))
+    )
+    truth = keys.select(
+        F.col(key_col).alias("key"), F.col(shard_col), F.lit(True).alias("actual")
+    ).distinct()
+    per_shard = tested.join(truth, ["key", shard_col], "left").select(
+        "key",
+        "claimed",
+        F.coalesce("actual", F.lit(False)).alias("actual"),
+    )
+    return per_shard.groupBy("key").agg(
+        F.sum(F.col("claimed").cast("int")).alias("n_shards_claimed"),
+        F.sum(F.col("actual").cast("int")).alias("n_shards_actual"),
+        F.sum((F.col("claimed") & ~F.col("actual")).cast("int")).alias("n_false_pos"),
+        (F.lit(n_shards) - F.sum(F.col("claimed").cast("int"))).alias("n_skipped"),
+    )
+
+
+def bloom_skipping_audit_sql(
+    keys_sql: str,
+    probes_sql: str,
+    n_shards: int,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`bloom_skipping_audit`; ``keys_sql``
+    yields (key, shard), ``probes_sql`` yields key."""
+    build_pos = " UNION ALL ".join(
+        f"SELECT shard, {_bloom_pos_sql('key', i, m_bits)} AS pos FROM keys"
+        for i in range(k_hashes)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT key, {_bloom_pos_sql('key', i, m_bits)} AS pos FROM probes"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH keys AS ({keys_sql}), probes AS ({probes_sql}),
+bpos AS ({build_pos}),
+idx AS (
+  SELECT shard, CAST(pos // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+  FROM bpos GROUP BY 1, 2
+),
+shards AS (SELECT CAST(unnest(generate_series(0, {n_shards} - 1)) AS INTEGER) AS shard),
+ppos AS ({probe_pos}),
+tested AS (
+  SELECT p.key, s.shard,
+         bool_and(((CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+                   & COALESCE(i.word, 0)) <> 0) AS claimed
+  FROM ppos p
+  CROSS JOIN shards s
+  LEFT JOIN idx i
+    ON i.shard = s.shard AND i.word_idx = CAST(p.pos // 32 AS BIGINT)
+  GROUP BY p.key, s.shard
+),
+truth AS (SELECT DISTINCT key, shard, TRUE AS actual FROM keys)
+SELECT t.key,
+       CAST(sum(CASE WHEN t.claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_shards_claimed,
+       CAST(sum(CASE WHEN COALESCE(u.actual, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_shards_actual,
+       CAST(sum(CASE WHEN t.claimed AND NOT COALESCE(u.actual, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       {n_shards} - CAST(sum(CASE WHEN t.claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+FROM tested t
+LEFT JOIN truth u ON u.key = t.key AND u.shard = t.shard
+GROUP BY t.key
+"""

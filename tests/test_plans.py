@@ -294,3 +294,34 @@ def test_media_tiers_single_exchange_payload_stays_scan_side(spark):
         # in the string, so the Exchange (input side) must print after
         # the python stages (output side)
         assert exch_pos > first_py, plan
+
+
+def test_scd2_single_key_exchange(spark):
+    """scd2_history's docstring claim: ONE exchange on the key; version
+    numbering, validity lead, and currency share its partitioning."""
+    from dataframeutils_spark.operators import pipeline
+
+    changes = spark.createDataFrame(
+        [(1, "a", "upsert", 1), (1, "b", "upsert", 2), (2, "c", "delete", 1)],
+        "doc_id long, text string, op string, seq int",
+    )
+    plan = _plan(pipeline.scd2_history(changes))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_retention_two_bounded_exchanges(spark):
+    """retention_cohorts: one exchange by user (first-activity window),
+    one carrying only distinct (cohort, offset, user) cells."""
+    import datetime as dt
+
+    from dataframeutils_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(1970, 1, 1)), (2, dt.datetime(1970, 1, 5))],
+        "user_id long, ts timestamp",
+    )
+    plan = _plan(ev.retention_cohorts(df))
+    assert plan.count("hashpartitioning(user_id") == 1
+    # final cohort window over the tiny cells frame may add one more
+    assert plan.count("Exchange") <= 3

@@ -259,3 +259,44 @@ def test_bloom_probe_side_broadcasts_filter(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # the words join must broadcast
+
+
+def test_bloom_shard_index_never_misses_and_skips(spark):
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame(
+        [(f"k{i}", i % 4) for i in range(200)], "key string, shard int"
+    )
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 200, 7)] + [("absent",)], "key string"
+    )
+    out = {
+        r["key"]: r
+        for r in sketches.bloom_skipping_audit(
+            keys, probes, n_shards=4, m_bits=512, k_hashes=3
+        ).collect()
+    }
+    for k, r in out.items():
+        # the data-skipping contract: claimed ⊇ actual, never a miss
+        assert r["n_shards_claimed"] >= r["n_shards_actual"], k
+        assert r["n_false_pos"] == r["n_shards_claimed"] - r["n_shards_actual"]
+        assert r["n_skipped"] == 4 - r["n_shards_claimed"]
+    assert out["absent"]["n_shards_actual"] == 0
+    present = [r for k, r in out.items() if k != "absent"]
+    assert all(r["n_shards_actual"] == 1 for r in present)
+    # with 50 keys/shard in 512 bits the filter must actually skip work
+    assert sum(r["n_skipped"] for r in present) > 0
+
+
+def test_bloom_shard_index_is_broadcast(spark):
+    keys = spark.createDataFrame(
+        [(f"k{i}", i % 4) for i in range(50)], "key string, shard int"
+    )
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(5)], "key string")
+    plan = (
+        sketches.bloom_skipping_audit(keys, probes, n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

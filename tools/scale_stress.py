@@ -135,6 +135,7 @@ QUERIES = [
     "scd2_history",
     "bpe_train",
     "bpe_encode",
+    "bloom_skipping",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
