@@ -107,6 +107,7 @@ HEADLINE = [
     "semdedup",  # cluster-scoped semantic dedup (SemDeDup)
     "scd2_history",  # type-2 SCD history: one key exchange + windows
     "bloom_skipping",  # per-shard bloom data-skipping audit
+    "fuzzy_terms",  # SymSpell deletion-blocked Levenshtein lookup
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1249,3 +1249,159 @@ SELECT s.vid AS vec_id, s.centroid, s.cent_sim,
        (p.vid IS NULL) AS kept
 FROM assigned s LEFT JOIN pruned p ON p.vid = s.vid
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy term matching: SymSpell deletion-neighborhood blocked edit distance
+# ---------------------------------------------------------------------------
+
+
+def _deletion_keys(term: Column) -> Column:
+    """The term plus every single-character deletion of it — the
+    SymSpell blocking set (Garbe): two terms with Levenshtein ≤ 1
+    ALWAYS share at least one entry (substitution → both delete that
+    position; insert/delete → the shorter string IS a deletion of the
+    longer), so the block join has perfect recall at distance 1 — a
+    guarantee length-band/prefix heuristics cannot give."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: F.concat(
+            term.substr(F.lit(1), i - 1),
+            term.substr(i + 1, F.length(term)),
+        ),
+    )
+    return F.array_union(F.array(term), dels)
+
+
+def fuzzy_term_pairs(
+    docs: DataFrame,
+    min_len: int = 4,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Spell-variant candidate pairs over the corpus vocabulary:
+    (term_a, term_b, dist, n_a, n_b) for every distinct token pair at
+    Levenshtein distance ≤ 1 — the fuzzy-dedup / spell-normalization
+    primitive (suggesting the higher-frequency side as canonical).
+
+    Scale: the quadratic is avoided by exact SymSpell blocking — each
+    VOCABULARY term (already collapsed from the corpus by one count
+    aggregate; min_len/min_count prune it) explodes into ≤ len+1
+    deletion keys, hashed to 8 bytes so the block join shuffles ints,
+    never strings times keys. Pairs sharing several keys are deduped
+    BEFORE the Levenshtein verify, and the verify itself is a native
+    JVM function on the bounded candidate set. No all-pairs anywhere.
+    """
+    from dataframeutils_spark.operators.text import _tokens
+
+    vocab = (
+        docs.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    keyed = vocab.select(
+        "term",
+        "n",
+        F.explode(_deletion_keys(F.col("term"))).alias("variant"),
+    ).select("term", "n", portable_hash60(F.col("variant")).alias("k"))
+    a = keyed.select(
+        F.col("k"), F.col("term").alias("term_a"), F.col("n").alias("n_a")
+    )
+    b = keyed.select(
+        F.col("k"), F.col("term").alias("term_b"), F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b", "n_a", "n_b")
+        .distinct()
+    )
+    return cand.select(
+        "term_a",
+        "term_b",
+        F.levenshtein("term_a", "term_b").alias("dist"),
+        "n_a",
+        "n_b",
+    ).filter(F.col("dist") <= 1)
+
+
+def fuzzy_term_pairs_sql(
+    table: str = "documents", min_len: int = 4, min_count: int = 1
+) -> str:
+    """DuckDB oracle for :func:`fuzzy_term_pairs` — same deletion
+    neighborhood, same native levenshtein (unit-cost edit distance in
+    both engines)."""
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*) AS n
+  FROM (SELECT unnest({toks}) AS term FROM {table})
+  WHERE length(term) >= {min_len}
+  GROUP BY term
+  HAVING count(*) >= {min_count}
+), keyed AS (
+  SELECT term, n, unnest(list_append(
+    list_transform(range(1, length(term) + 1),
+                   i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+    term)) AS variant
+  FROM vocab
+), cand AS (
+  SELECT DISTINCT a.term AS term_a, b.term AS term_b,
+         a.n AS n_a, b.n AS n_b
+  FROM keyed a JOIN keyed b ON a.variant = b.variant AND a.term < b.term
+)
+SELECT term_a, term_b, levenshtein(term_a, term_b) AS dist, n_a, n_b
+FROM cand
+WHERE levenshtein(term_a, term_b) <= 1
+"""
+
+
+def fuzzy_term_lookup(
+    probes: DataFrame,
+    vocab: DataFrame,
+    probe_col: str = "probe",
+    term_col: str = "term",
+) -> DataFrame:
+    """Spell-correction lookup: match every probe string against a
+    vocabulary at Levenshtein ≤ 1 via the same SymSpell deletion-key
+    blocking as :func:`fuzzy_term_pairs` (perfect recall at distance
+    1). Output: (probe, term, dist) — one row per match.
+
+    Scale: both sides explode ≤ len+1 deletion keys hashed to 8 bytes;
+    the candidate join shuffles ints, candidates dedupe before the
+    native Levenshtein verify. A dictionary-sized vocab side can be
+    broadcast by the optimizer; nothing is ever all-pairs."""
+    p = (
+        probes.select(F.col(probe_col).alias("probe"))
+        .select("probe", F.explode(_deletion_keys(F.col("probe"))).alias("variant"))
+        .select("probe", portable_hash60(F.col("variant")).alias("k"))
+    )
+    v = (
+        vocab.select(F.col(term_col).alias("term"))
+        .select("term", F.explode(_deletion_keys(F.col("term"))).alias("variant"))
+        .select("term", portable_hash60(F.col("variant")).alias("k"))
+    )
+    cand = p.join(v, "k").select("probe", "term").distinct()
+    return cand.select(
+        "probe", "term", F.levenshtein("probe", "term").alias("dist")
+    ).filter(F.col("dist") <= 1)
+
+
+def fuzzy_term_lookup_sql(probes_sql: str, vocab_sql: str) -> str:
+    """DuckDB oracle for :func:`fuzzy_term_lookup`; subqueries yield a
+    ``probe`` / ``term`` column respectively."""
+    dels = (
+        "list_append(list_transform(range(1, length({t}) + 1), "
+        "i -> substr({t}, 1, i - 1) || substr({t}, i + 1)), {t})"
+    )
+    return f"""
+WITH probes AS ({probes_sql}), vocab AS ({vocab_sql}),
+pk AS (SELECT probe, unnest({dels.format(t='probe')}) AS variant FROM probes),
+vk AS (SELECT term, unnest({dels.format(t='term')}) AS variant FROM vocab),
+cand AS (SELECT DISTINCT p.probe, v.term FROM pk p JOIN vk v USING (variant))
+SELECT probe, term, levenshtein(probe, term) AS dist
+FROM cand
+WHERE levenshtein(probe, term) <= 1
+"""

@@ -767,3 +767,35 @@ def test_semdedup_no_cartesian_over_corpus(spark):
     # corpus x corpus must be an equi-join on centroid, never a product;
     # the only nested-loop is the broadcast over the <= C centroid rows
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_term_pairs_symspell_recall(spark):
+    # every true distance-1 pair must be found (SymSpell blocking is
+    # exact at d=1), and nothing at distance >= 2 may leak through
+    docs = spark.createDataFrame(
+        [(0, "color colour flavor flavour word sword apple appl grape")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["term_a"], r["term_b"]): r["dist"]
+        for r in dedup.fuzzy_term_pairs(docs, min_len=4).collect()
+    }
+    assert ("color", "colour") in out and out[("color", "colour")] == 1
+    assert ("flavor", "flavour") in out
+    assert ("sword", "word") in out  # insertion at position 1
+    assert ("appl", "apple") in out
+    assert ("apple", "grape") not in out  # distance 4
+    assert all(d <= 1 for d in out.values())
+
+
+def test_fuzzy_term_lookup_matches_and_plan(spark):
+    vocab = spark.createDataFrame(
+        [("table",), ("cable",), ("fable",), ("zebra",)], "term string"
+    )
+    probes = spark.createDataFrame([("qable",), ("zzzzz",)], "probe string")
+    out = dedup.fuzzy_term_lookup(probes, vocab)
+    got = {(r["probe"], r["term"]) for r in out.collect()}
+    # one substitution away from three vocab entries, zero from zebra
+    assert got == {("qable", "table"), ("qable", "cable"), ("qable", "fable")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

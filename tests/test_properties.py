@@ -294,3 +294,163 @@ def test_apply_changes_matches_reference(spark, snap_ids, changes):
         [(i, f"chg{i}s{seq}", op, seq) for (i, op, seq) in changes],
     )
     assert got == want
+
+
+@given(
+    corpus=st.lists(st.integers(0, 60), min_size=0, max_size=40),
+    probes=st.lists(st.integers(0, 80), min_size=1, max_size=20),
+    m_bits=st.sampled_from([64, 256, 1024]),
+)
+@settings(**SETTINGS)
+def test_bloom_membership_no_false_negatives(spark, corpus, probes, m_bits):
+    """The Bloom invariant under arbitrary key sets and saturation:
+    every true member claims membership; false_positive is exactly
+    claimed ∧ ¬actual."""
+    from dataframeutils_spark.operators import sketches
+
+    c = spark.createDataFrame([(f"k{i}",) for i in corpus] or [("__none__",)], "key string")
+    p = spark.createDataFrame([(f"k{i}",) for i in set(probes)], "key string")
+    out = sketches.bloom_membership(c, p, m_bits=m_bits, k_hashes=3).collect()
+    members = {f"k{i}" for i in corpus} or {"__none__"}
+    for r in out:
+        if r["key"] in members:
+            assert r["actual_member"] and r["claimed_member"], r
+        else:
+            assert not r["actual_member"]
+        assert r["false_positive"] == (r["claimed_member"] and not r["actual_member"])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 5),        # user
+            st.integers(0, 1000),     # seconds offset
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_funnel_matches_reference(spark, events):
+    """Funnel vs a straightforward per-user reference: same reach
+    counts at every step, monotone non-increasing."""
+    import datetime as dt
+
+    from dataframeutils_spark.operators import events as ev
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), t)
+        for (u, s, t) in events
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        if rows
+        else spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    )
+    steps = ["a", "b", "c"]
+    got = {r["step"]: r["n_users"] for r in ev.funnel(df, steps).collect()}
+    # reference
+    per_user: dict[int, list] = {}
+    for u, s, t in events:
+        per_user.setdefault(u, []).append((s, t))
+    want = {1: 0, 2: 0, 3: 0}
+    for u, evs in per_user.items():
+        evs.sort()
+        t_prev = None
+        for k, step in enumerate(steps, 1):
+            cands = [s for s, t in evs if t == step and (t_prev is None or s > t_prev)]
+            if not cands:
+                break
+            t_prev = min(cands)
+            want[k] += 1
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want
+    reach = [want.get(k, 0) for k in (1, 2, 3)]
+    assert reach[0] >= reach[1] >= reach[2]
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(1, 4),               # key
+            st.integers(1, 9),               # seq
+            st.sampled_from(["upsert", "delete"]),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda c: (c[0], c[1]),    # unique (key, seq)
+    ),
+)
+@settings(**SETTINGS)
+def test_scd2_interval_invariants(spark, changes):
+    """SCD2 structural invariants under arbitrary change logs with
+    unique (key, seq): per key, validity intervals chain exactly
+    through the change sequence, and at most one version is current
+    (current ⟺ the key's LAST change is that upsert)."""
+    from dataframeutils_spark.operators import pipeline
+
+    rows = [(k, f"v{k}s{s}", op, s) for (k, s, op) in changes]
+    df = spark.createDataFrame(rows, "doc_id long, text string, op string, seq int")
+    out = pipeline.scd2_history(df).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["doc_id"], []).append(r)
+    log: dict[int, list] = {}
+    for k, s, op in changes:
+        log.setdefault(k, []).append((s, op))
+    for k, seqs in log.items():
+        seqs.sort()
+        upserts = [s for s, op in seqs if op == "upsert"]
+        vers = sorted(by_key.get(k, []), key=lambda r: r["valid_from_seq"])
+        assert [r["valid_from_seq"] for r in vers] == upserts
+        currents = [r for r in vers if r["is_current"]]
+        # current iff the key's last change is an upsert
+        if upserts and seqs[-1][1] == "upsert":
+            assert len(currents) == 1
+            assert currents[0]["valid_from_seq"] == seqs[-1][0]
+        else:
+            assert currents == []
+        # every non-final version's valid_to is the NEXT change's seq
+        all_seqs = [s for s, _ in seqs]
+        for r in vers:
+            later = [s for s in all_seqs if s > r["valid_from_seq"]]
+            assert r["valid_to_seq"] == (min(later) if later else None)
+
+
+@given(
+    vocab=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=5),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    probes=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_fuzzy_lookup_matches_bruteforce(spark, vocab, probes):
+    """SymSpell-blocked lookup ≡ brute-force Levenshtein ≤ 1 — the
+    perfect-recall-at-d1 claim, adversarially (repeats, subsets,
+    1-char strings)."""
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    v = spark.createDataFrame([(t,) for t in vocab], "term string")
+    p = spark.createDataFrame([(t,) for t in probes], "probe string")
+    got = {
+        (r["probe"], r["term"])
+        for r in dedup.fuzzy_term_lookup(p, v).collect()
+    }
+    want = {(pr, t) for pr in probes for t in vocab if lev(pr, t) <= 1}
+    assert got == want

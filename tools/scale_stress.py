@@ -136,6 +136,7 @@ QUERIES = [
     "bpe_train",
     "bpe_encode",
     "bloom_skipping",
+    "fuzzy_terms",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
