@@ -108,6 +108,7 @@ HEADLINE = [
     "scd2_history",  # type-2 SCD history: one key exchange + windows
     "bloom_skipping",  # per-shard bloom data-skipping audit
     "fuzzy_terms",  # SymSpell deletion-blocked Levenshtein lookup
+    "events_attribution",  # last-touch + linear conversion attribution
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -735,6 +735,26 @@ class EventStudy:
             self.events, by=self.by, ts_col=self.ts_col, period_days=period_days
         )
 
+    def attribution(
+        self,
+        conversion_type: str,
+        touch_types: list[str],
+        lookback_seconds: int = 86_400,
+        value_col: str = "value",
+    ) -> DataFrame:
+        from dataframeutils_spark.operators import events as events_ops
+
+        return events_ops.attribution(
+            self.events,
+            conversion_type,
+            touch_types,
+            lookback_seconds=lookback_seconds,
+            by=self.by,
+            ts_col=self.ts_col,
+            type_col=self.type_col,
+            value_col=value_col,
+        )
+
     def windowed_stats(self, window: str = "1 hour") -> DataFrame:
         from dataframeutils_spark.streaming import windows as sw
 

@@ -1268,6 +1268,18 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution: purchases credited to prior view/click
+    touches within a 24h lookback — last-touch and linear credit in one
+    pass (one user-key join + one per-conversion window)."""
+    ev = _events_normalized(spark, sf_dir)
+    return round_floats(
+        events_ops.attribution(
+            ev, "purchase", ["view", "click"], lookback_seconds=86_400
+        )
+    )
+
+
 def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell-correction lookup via exact SymSpell deletion-neighborhood
     blocking + native Levenshtein verify (no all-pairs join anywhere):
@@ -1726,16 +1738,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers ALL queries at HEAD every round.
 
     Round 6 ordering: the never-driver-verified newcomers lead —
-    `fuzzy_terms`, `bloom_skipping`, `scd2_history`, `semdedup`,
-    `bloom_membership`, `events_funnel`, `events_retention` (this
-    session, exact-oracled) and `multimodal_gif_frames` (added r5) —
-    followed by 42 of the 50-entry
+    `events_attribution`, `fuzzy_terms`, `bloom_skipping`,
+    `scd2_history`, `semdedup`, `bloom_membership`, `events_funnel`,
+    `events_retention` (this session, exact-oracled) and
+    `multimodal_gif_frames` (added r5) — followed by 41 of the 50-entry
     round-4-verified batch, keeping the flagship `weighted_bins` and
     `similarity_ivf` inside the gate; every entry is exact-oracled, so
-    the r6 window is 50/50 hash-checked. Positions 51+: the seven
+    the r6 window is 50/50 hash-checked. Positions 51+: the eight
     r4-green entries the newcomers displaced (`mad_outliers`,
     `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`,
-    `lsh_tuning`, `quantile_bin`), last round's
+    `lsh_tuning`, `quantile_bin`, `salted_join`), last round's
     overflow `events_props`, and the r5-session media newcomers
     (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
@@ -1747,6 +1759,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
         # sweep + golden pytest green; exact oracle) ---
+        "events_attribution": q_events_attribution,
         "fuzzy_terms": q_fuzzy_terms,
         "bloom_skipping": q_bloom_skipping,
         "scd2_history": q_scd2_history,
@@ -1796,7 +1809,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfadc": q_similarity_ivfadc,
         "similarity_recall": q_similarity_recall,
         "zorder_layout": q_zorder_layout,
-        "salted_join": q_salted_join,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
         # --- position 51+: the rotation overflow — all r4-green and
@@ -1811,6 +1823,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_matrix": q_feature_matrix,
         "lsh_tuning": q_lsh_tuning,
         "quantile_bin": q_quantile_bin,
+        "salted_join": q_salted_join,
         "events_props": q_events_props,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
@@ -2027,6 +2040,15 @@ FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) A
 GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],
+        ),
+        "events_attribution": (
+            f"SELECT * REPLACE ({siground_sql('credit_last')} AS credit_last, "
+            f"{siground_sql('credit_linear')} AS credit_linear) "
+            f"FROM (\n"
+            + events_ops.attribution_sql(
+                "purchase", ["view", "click"], lookback_seconds=86_400
+            )
+            + "\n)"
         ),
         "fuzzy_terms": dedup.fuzzy_term_lookup_sql(
             "SELECT DISTINCT CASE WHEN substr(term, 1, 1) = 'q' THEN 'z' "

@@ -264,3 +264,130 @@ SELECT DATE '1970-01-01' + CAST(cohort_day AS INTEGER) AS cohort_date,
            OVER (PARTITION BY cohort_day)) AS retention_rate
 FROM agg
 """
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_seconds: int = 86_400,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion's
+    value to the qualifying touchpoints that preceded it within the
+    lookback window — both LAST-touch (full credit to the latest touch)
+    and LINEAR (equal split across all touches in window) in one pass.
+
+    Output per (touch event_type): n_conversions_last (conversions
+    last-touched by this type), credit_last (their summed value),
+    credit_linear (the equal-split share), n_touches (touch rows that
+    received any credit).
+
+    Scale: conversions and touches are two filters of ONE scan; the
+    only exchange is the equi-join on the user key (bucketized by the
+    lookback the same way the interval joins are — here plain user
+    equi-join + window filter, since a user's own history is the join
+    domain). Per-conversion fan-in is bounded by the lookback window;
+    the final per-type rollup is a map-side-combined aggregate over
+    len(touch_types) rows.
+    """
+    lb_us = F.lit(lookback_seconds).cast("long") * F.lit(1_000_000).cast("long")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(by),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(value_col).alias("conv_value"),
+    )
+    touch = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(by),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("touch_ts"),
+        (F.unix_micros(ts_col) / lb_us).cast("long").alias("bucket"),
+    )
+    # bucketize by lookback-sized time chunks (the interval-join trick):
+    # a qualifying touch lies in the conversion's bucket or the one
+    # before, so each conversion probes exactly 2 (user, bucket) keys —
+    # the join never pairs a conversion with touches far outside its
+    # window, keeping per-key fan-in bounded by event density × lookback
+    # instead of the user's whole history
+    conv_b = conv.select(
+        "*", (F.unix_micros("conv_ts") / lb_us).cast("long").alias("b0")
+    ).select(
+        by, "conv_ts", "conv_value",
+        F.explode(F.array(F.col("b0"), F.col("b0") - 1)).alias("bucket"),
+    )
+    joined = conv_b.join(touch, [by, "bucket"]).filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.unix_micros("touch_ts") >= F.unix_micros("conv_ts") - lb_us)
+    )
+    w = Window.partitionBy(by, "conv_ts")
+    ranked = joined.select(
+        "touch_type",
+        "conv_value",
+        F.row_number()
+        .over(
+            Window.partitionBy(by, "conv_ts").orderBy(
+                F.col("touch_ts").desc(), F.col("touch_type")
+            )
+        )
+        .alias("recency_rank"),
+        F.count("*").over(w).alias("n_window_touches"),
+    )
+    return ranked.groupBy("touch_type").agg(
+        F.sum(F.when(F.col("recency_rank") == 1, 1).otherwise(0)).alias(
+            "n_conversions_last"
+        ),
+        F.sum(
+            F.when(F.col("recency_rank") == 1, F.col("conv_value")).otherwise(0.0)
+        ).alias("credit_last"),
+        F.sum(F.col("conv_value") / F.col("n_window_touches")).alias("credit_linear"),
+        F.count("*").alias("n_touches"),
+    )
+
+
+def attribution_sql(
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_seconds: int = 86_400,
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`attribution` — same join, window rank,
+    and rollup."""
+    types = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH conv AS (
+  SELECT {by}, {ts_col} AS conv_ts, {value_col} AS conv_value
+  FROM {table} WHERE {type_col} = '{conversion_type}'
+), touch AS (
+  SELECT {by}, {type_col} AS touch_type, {ts_col} AS touch_ts
+  FROM {table} WHERE {type_col} IN ({types})
+), joined AS (
+  SELECT c.{by}, c.conv_ts, c.conv_value, t.touch_type, t.touch_ts
+  FROM conv c JOIN touch t ON t.{by} = c.{by}
+  WHERE t.touch_ts < c.conv_ts
+    AND epoch_us(t.touch_ts)
+        >= epoch_us(c.conv_ts) - CAST({lookback_seconds} AS BIGINT) * 1000000
+), ranked AS (
+  SELECT touch_type, conv_value,
+         row_number() OVER (
+           PARTITION BY {by}, conv_ts ORDER BY touch_ts DESC, touch_type
+         ) AS recency_rank,
+         count(*) OVER (PARTITION BY {by}, conv_ts) AS n_window_touches
+  FROM joined
+)
+SELECT touch_type,
+       CAST(sum(CASE WHEN recency_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conversions_last,
+       sum(CASE WHEN recency_rank = 1 THEN conv_value ELSE 0.0 END)
+         AS credit_last,
+       sum(conv_value / n_window_touches) AS credit_linear,
+       count(*) AS n_touches
+FROM ranked
+GROUP BY touch_type
+"""

@@ -104,3 +104,37 @@ def test_funnel_single_user_exchange(spark, log):
         .toString()
     )
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_attribution_last_touch_and_linear(spark):
+    rows = [
+        # u1: view(1h) click(2h) purchase(3h, value 10): click is last
+        # touch; linear splits 5/5
+        (1, _ts(1, 9), "view", 0.0),
+        (1, _ts(1, 10), "click", 0.0),
+        (1, _ts(1, 11), "purchase", 10.0),
+        # u2: touch outside 24h lookback gets nothing
+        (2, _ts(1, 9), "view", 0.0),
+        (2, _ts(3, 9), "purchase", 7.0),
+        # u3: two views only, no click: both linear-credited, last view wins
+        (3, _ts(2, 8), "view", 0.0),
+        (3, _ts(2, 9), "view", 0.0),
+        (3, _ts(2, 10), "purchase", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r["touch_type"]: r
+        for r in ev.attribution(
+            df, "purchase", ["view", "click"], lookback_seconds=86_400
+        ).collect()
+    }
+    assert out["click"]["n_conversions_last"] == 1
+    assert out["click"]["credit_last"] == pytest.approx(10.0)
+    assert out["click"]["credit_linear"] == pytest.approx(5.0)
+    assert out["view"]["n_conversions_last"] == 1  # u3's later view
+    assert out["view"]["credit_last"] == pytest.approx(4.0)
+    assert out["view"]["credit_linear"] == pytest.approx(5.0 + 4.0)
+    # u2's conversion is unattributed (touch outside lookback)
+    assert out["view"]["n_touches"] + out["click"]["n_touches"] == 4

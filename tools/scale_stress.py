@@ -137,6 +137,7 @@ QUERIES = [
     "bpe_encode",
     "bloom_skipping",
     "fuzzy_terms",
+    "events_attribution",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
