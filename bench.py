@@ -109,6 +109,7 @@ HEADLINE = [
     "bloom_skipping",  # per-shard bloom data-skipping audit
     "fuzzy_terms",  # SymSpell deletion-blocked Levenshtein lookup
     "events_attribution",  # last-touch + linear conversion attribution
+    "event_paths",  # top-k sessionized user paths
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -755,6 +755,14 @@ class EventStudy:
             value_col=value_col,
         )
 
+    def paths(self, depth: int = 3, k: int = 20, gap_seconds: int = 1800) -> DataFrame:
+        from dataframeutils_spark.operators import events as events_ops
+
+        return events_ops.event_paths(
+            self.events, depth=depth, k=k, gap_seconds=gap_seconds,
+            by=self.by, ts_col=self.ts_col, type_col=self.type_col,
+        )
+
     def windowed_stats(self, window: str = "1 hour") -> DataFrame:
         from dataframeutils_spark.streaming import windows as sw
 

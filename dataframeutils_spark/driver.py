@@ -1268,6 +1268,14 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k session paths (user-path / Sankey analysis): gap-based
+    sessions, ordered event-type 3-grams within session, deterministic
+    top-20 — one user exchange + a map-side-combined |types|^3 count."""
+    ev = _events_normalized(spark, sf_dir)
+    return events_ops.event_paths(ev, depth=3, k=20)
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution: purchases credited to prior view/click
     touches within a 24h lookback — last-touch and linear credit in one
@@ -1738,16 +1746,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers ALL queries at HEAD every round.
 
     Round 6 ordering: the never-driver-verified newcomers lead —
-    `events_attribution`, `fuzzy_terms`, `bloom_skipping`,
+    `event_paths`, `events_attribution`, `fuzzy_terms`, `bloom_skipping`,
     `scd2_history`, `semdedup`, `bloom_membership`, `events_funnel`,
     `events_retention` (this session, exact-oracled) and
-    `multimodal_gif_frames` (added r5) — followed by 41 of the 50-entry
+    `multimodal_gif_frames` (added r5) — followed by 40 of the 50-entry
     round-4-verified batch, keeping the flagship `weighted_bins` and
     `similarity_ivf` inside the gate; every entry is exact-oracled, so
-    the r6 window is 50/50 hash-checked. Positions 51+: the eight
+    the r6 window is 50/50 hash-checked. Positions 51+: the nine
     r4-green entries the newcomers displaced (`mad_outliers`,
     `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`,
-    `lsh_tuning`, `quantile_bin`, `salted_join`), last round's
+    `lsh_tuning`, `quantile_bin`, `salted_join`, `zorder_layout`),
+    last round's
     overflow `events_props`, and the r5-session media newcomers
     (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
@@ -1759,6 +1768,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
         # sweep + golden pytest green; exact oracle) ---
+        "event_paths": q_event_paths,
         "events_attribution": q_events_attribution,
         "fuzzy_terms": q_fuzzy_terms,
         "bloom_skipping": q_bloom_skipping,
@@ -1808,7 +1818,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_apply_changes": q_stream_apply_changes,
         "similarity_ivfadc": q_similarity_ivfadc,
         "similarity_recall": q_similarity_recall,
-        "zorder_layout": q_zorder_layout,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
         # --- position 51+: the rotation overflow — all r4-green and
@@ -1824,6 +1833,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning": q_lsh_tuning,
         "quantile_bin": q_quantile_bin,
         "salted_join": q_salted_join,
+        "zorder_layout": q_zorder_layout,
         "events_props": q_events_props,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
@@ -2041,6 +2051,7 @@ GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],
         ),
+        "event_paths": events_ops.event_paths_sql(depth=3, k=20),
         "events_attribution": (
             f"SELECT * REPLACE ({siground_sql('credit_last')} AS credit_last, "
             f"{siground_sql('credit_linear')} AS credit_linear) "

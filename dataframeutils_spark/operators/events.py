@@ -391,3 +391,92 @@ SELECT touch_type,
 FROM ranked
 GROUP BY touch_type
 """
+
+
+def event_paths(
+    events: DataFrame,
+    depth: int = 3,
+    k: int = 20,
+    gap_seconds: int = 1800,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k session paths: the most common ordered ``depth``-grams of
+    event types WITHIN a session (gap-based sessionization) — the
+    user-path / Sankey analysis every product-analytics engine ships.
+
+    Output: (path, n) — path as "a>b>c" — the k most frequent, count
+    desc then path asc (deterministic).
+
+    Scale: one exchange by user (ordered window assigns session ids by
+    the gap rule and the lead() chain reuses the same sort), then a
+    map-side-combined count whose key space is |event_types|^depth —
+    tiny — and a TakeOrdered top-k. Ties at same timestamp order by
+    event type so the path is engine-deterministic.
+    """
+    w = Window.partitionBy(by).orderBy(ts_col, type_col)
+    gap = (
+        F.unix_micros(F.col(ts_col))
+        - F.unix_micros(F.lag(ts_col).over(w))
+        > F.lit(gap_seconds).cast("long") * F.lit(1_000_000).cast("long")
+    )
+    sess = F.sum(F.when(gap, 1).otherwise(0)).over(w)
+    df = events.select(by, ts_col, type_col).withColumn("sess", sess)
+    ws = Window.partitionBy(by, "sess").orderBy(ts_col, type_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(ws) for i in range(1, depth)
+    ]
+    path = F.concat_ws(">", *steps)
+    grams = df.select(
+        path.alias("path"),
+        F.lead(type_col, depth - 1).over(ws).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return (
+        grams.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(k)
+    )
+
+
+def event_paths_sql(
+    depth: int = 3,
+    k: int = 20,
+    gap_seconds: int = 1800,
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`event_paths` — same gap sessionization,
+    lead chain, and deterministic top-k."""
+    leads = ", ".join(
+        f"lead({type_col}, {i}) OVER "
+        f"(PARTITION BY {by}, sess ORDER BY {ts_col}, {type_col}) AS s{i}"
+        for i in range(1, depth)
+    )
+    parts = " || '>' || ".join([type_col] + [f"s{i}" for i in range(1, depth)])
+    return f"""
+WITH g AS (
+  SELECT {by}, {ts_col}, {type_col},
+         CASE WHEN epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER w)
+                   > CAST({gap_seconds} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM {table}
+  WINDOW w AS (PARTITION BY {by} ORDER BY {ts_col}, {type_col})
+), s AS (
+  SELECT {by}, {ts_col}, {type_col},
+         sum(brk) OVER (PARTITION BY {by} ORDER BY {ts_col}, {type_col}
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), led AS (
+  SELECT {type_col}, {leads} FROM s
+)
+SELECT {parts} AS path, count(*) AS n
+FROM led
+WHERE s{depth - 1} IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {k}
+"""

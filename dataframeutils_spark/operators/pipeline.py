@@ -369,3 +369,19 @@ def scd2_history(
         "valid_to_seq",
         F.col("valid_to_seq").isNull().alias("is_current"),
     )
+
+
+def scd2_as_of(history: DataFrame, as_of_seq: int, id_col: str = "doc_id") -> DataFrame:
+    """Time-travel read over a :func:`scd2_history` table: the snapshot
+    AS OF ``as_of_seq`` — the version row whose validity interval
+    ``[valid_from_seq, valid_to_seq)`` contains the sequence. A pure
+    partition-prunable filter: with the history written partitioned or
+    z-ordered on the validity bounds this is a metadata-skip scan, no
+    shuffle, no window."""
+    return history.filter(
+        (F.col("valid_from_seq") <= F.lit(as_of_seq))
+        & (
+            F.col("valid_to_seq").isNull()
+            | (F.col("valid_to_seq") > F.lit(as_of_seq))
+        )
+    ).drop("version", "is_current")

@@ -138,3 +138,39 @@ def test_attribution_last_touch_and_linear(spark):
     assert out["view"]["credit_linear"] == pytest.approx(5.0 + 4.0)
     # u2's conversion is unattributed (touch outside lookback)
     assert out["view"]["n_touches"] + out["click"]["n_touches"] == 4
+
+
+def test_event_paths_sessionized_grams(spark):
+    rows = [
+        # one session: a b c d -> paths a>b>c, b>c>d
+        (1, _ts(1, 9, 0), "a"), (1, _ts(1, 9, 5), "b"),
+        (1, _ts(1, 9, 10), "c"), (1, _ts(1, 9, 15), "d"),
+        # session break (>30 min): new session a b only -> no 3-gram
+        (1, _ts(1, 11, 0), "a"), (1, _ts(1, 11, 5), "b"),
+        # u2 repeats a>b>c
+        (2, _ts(1, 9, 0), "a"), (2, _ts(1, 9, 1), "b"), (2, _ts(1, 9, 2), "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["path"]: r["n"] for r in ev.event_paths(df, depth=3, k=10).collect()}
+    assert out == {"a>b>c": 2, "b>c>d": 1}
+
+
+def test_scd2_as_of_reconstructs_snapshots(spark):
+    from dataframeutils_spark.operators import pipeline
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", "upsert", 1), (1, "b", "upsert", 3), (1, None, "delete", 5),
+            (2, "x", "upsert", 2),
+        ],
+        "doc_id long, text string, op string, seq int",
+    )
+    hist = pipeline.scd2_history(changes)
+
+    def snap(s):
+        return {r["doc_id"]: r["text"] for r in pipeline.scd2_as_of(hist, s).collect()}
+
+    assert snap(1) == {1: "a"}
+    assert snap(2) == {1: "a", 2: "x"}
+    assert snap(4) == {1: "b", 2: "x"}
+    assert snap(6) == {2: "x"}  # key 1 deleted at seq 5

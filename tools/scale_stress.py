@@ -138,6 +138,7 @@ QUERIES = [
     "bloom_skipping",
     "fuzzy_terms",
     "events_attribution",
+    "event_paths",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
