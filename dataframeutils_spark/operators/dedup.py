@@ -1154,6 +1154,13 @@ def semdedup_prune(
             siground(F.col("best.cs")).alias("cent_sim"),
         )
     )
+    # Measured dead end (recorded so it isn't retried): the three
+    # consumers below (pair sides a and b + the final projection) each
+    # recompute the N×C assignment because the column renames defeat
+    # ReuseExchange. localCheckpoint-ing `assigned` to share one
+    # computation measured 43.7 s vs 7.5 s at the 100× stress — the
+    # materialization+rescan beats codegen-pipelined recompute only at
+    # far larger C·dim, so the recompute stays.
     a = assigned.select(
         F.col("vid").alias("a_vid"), F.col("v").alias("a_v"), F.col("nv").alias("a_nv"),
         "centroid", F.col("cent_sim").alias("a_cent"),
