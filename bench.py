@@ -110,6 +110,7 @@ HEADLINE = [
     "fuzzy_terms",  # SymSpell deletion-blocked Levenshtein lookup
     "events_attribution",  # last-touch + linear conversion attribution
     "event_paths",  # top-k sessionized user paths
+    "active_users",  # DAU/WAU engagement curves
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

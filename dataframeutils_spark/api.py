@@ -763,6 +763,13 @@ class EventStudy:
             by=self.by, ts_col=self.ts_col, type_col=self.type_col,
         )
 
+    def active_users(self, window_days: int = 7) -> DataFrame:
+        from dataframeutils_spark.operators import events as events_ops
+
+        return events_ops.active_users(
+            self.events, window_days=window_days, by=self.by, ts_col=self.ts_col
+        )
+
     def windowed_stats(self, window: str = "1 hour") -> DataFrame:
         from dataframeutils_spark.streaming import windows as sw
 

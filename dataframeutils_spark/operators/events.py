@@ -480,3 +480,72 @@ GROUP BY 1
 ORDER BY n DESC, path
 LIMIT {k}
 """
+
+
+def active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    by: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily/rolling active-user curve: per observed UTC day, distinct
+    users active THAT day (dau) and within the trailing ``window_days``
+    window ending that day (wau) — the DAU/WAU engagement metrics.
+
+    Output: (date, dau, wau), one row per day with any activity.
+
+    Scale: the corpus collapses to distinct (user, day) cells first
+    (map-side partial distinct — the only pass over raw events), then
+    each cell fans out to the ≤ ``window_days`` window-end days it
+    contributes to; both counts are one more bounded aggregate. Shuffle
+    is active-cells × window_days, never events × anything.
+    """
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
+    cells = events.select(F.col(by), day.alias("day")).distinct()
+    observed = cells.select("day").distinct()
+    dau = cells.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = cells.select(
+        by,
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("wday"),
+    ).distinct()
+    wau = (
+        contrib.join(observed, contrib["wday"] == observed["day"], "left_semi")
+        .groupBy("wday")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            F.date_from_unix_date(F.col("day").cast("int")).alias("date"),
+            "dau",
+            "wau",
+        )
+    )
+
+
+def active_users_sql(
+    window_days: int = 7, table: str = "events", by: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB oracle for :func:`active_users` — same epoch-day cells,
+    window fan-out, and observed-day restriction."""
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT {by},
+         CAST(epoch_us({ts_col}) // {MICROS_PER_DAY} AS BIGINT) AS day
+  FROM {table}
+), observed AS (SELECT DISTINCT day FROM cells),
+dau AS (SELECT day, count(*) AS dau FROM cells GROUP BY day),
+contrib AS (
+  SELECT DISTINCT {by}, day + o AS wday
+  FROM cells, unnest(generate_series(0, {window_days} - 1)) t(o)
+),
+wau AS (
+  SELECT wday, count(*) AS wau FROM contrib
+  WHERE wday IN (SELECT day FROM observed)
+  GROUP BY wday
+)
+SELECT DATE '1970-01-01' + CAST(d.day AS INTEGER) AS date, d.dau, w.wau
+FROM dau d JOIN wau w ON w.wday = d.day
+"""

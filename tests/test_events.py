@@ -174,3 +174,19 @@ def test_scd2_as_of_reconstructs_snapshots(spark):
     assert snap(2) == {1: "a", 2: "x"}
     assert snap(4) == {1: "b", 2: "x"}
     assert snap(6) == {2: "x"}  # key 1 deleted at seq 5
+
+
+def test_active_users_dau_wau(spark):
+    rows = [
+        (1, _ts(1, 9)), (2, _ts(1, 10)), (1, _ts(1, 11)),  # day1: dau 2
+        (1, _ts(5, 9)),                                    # day5: dau 1
+        (3, _ts(20, 9)),                                   # day20: dau 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r["date"]): r for r in ev.active_users(df, window_days=7).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-05", "2024-01-20"}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["wau"] == 2
+    # day5 window [day-6, day5] covers day1: users 1,2 + day5's user 1
+    assert out["2024-01-05"]["dau"] == 1 and out["2024-01-05"]["wau"] == 2
+    # day20 is isolated
+    assert out["2024-01-20"]["dau"] == 1 and out["2024-01-20"]["wau"] == 1

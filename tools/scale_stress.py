@@ -139,6 +139,7 @@ QUERIES = [
     "fuzzy_terms",
     "events_attribution",
     "event_paths",
+    "active_users",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
