@@ -17,9 +17,11 @@ analytics engine at this surface is expected to ship:
   (cohort, offset) cell.
 
 Both are exactly ANSI-SQL-expressible (full DuckDB hash oracles) —
-calendar arithmetic is done on integer epoch days (``unix_micros DIV
-86_400_000_000``) rather than engine date_trunc so the two engines
-cannot disagree on week anchoring or time zones.
+calendar arithmetic is done on integer epoch days
+(``floor(unix_micros / 86_400_000_000)`` — FLOOR, not cast-truncate,
+so pre-1970 timestamps land on the correct day exactly like DuckDB's
+``//``) rather than engine date_trunc so the two engines cannot
+disagree on week anchoring or time zones.
 
 Scale notes (100 TB posture):
 
@@ -195,17 +197,17 @@ def retention_cohorts(
     (cohort_date, period_offset, n_active, cohort_size,
     retention_rate), one row per non-empty cell.
     """
-    day = (F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
     w = Window.partitionBy(by)
     base = events.select(F.col(by), day.alias("day"))
     # one exchange by user; min-day window reuses it
     with_first = base.withColumn("first_day", F.min("day").over(w))
-    cohort_day = (F.col("first_day") / period_days).cast("long") * period_days
+    cohort_day = F.floor(F.col("first_day") / period_days).cast("long") * period_days
     cells = (
         with_first.select(
             F.col(by),
             cohort_day.alias("cohort_day"),
-            ((F.col("day") - cohort_day) / period_days).cast("long").alias(
+            F.floor((F.col("day") - cohort_day) / period_days).cast("long").alias(
                 "period_offset"
             ),
         )
@@ -304,7 +306,7 @@ def attribution(
         F.col(by),
         F.col(type_col).alias("touch_type"),
         F.col(ts_col).alias("touch_ts"),
-        (F.unix_micros(ts_col) / lb_us).cast("long").alias("bucket"),
+        F.floor(F.unix_micros(ts_col) / lb_us).cast("long").alias("bucket"),
     )
     # bucketize by lookback-sized time chunks (the interval-join trick):
     # a qualifying touch lies in the conversion's bucket or the one
@@ -313,7 +315,7 @@ def attribution(
     # window, keeping per-key fan-in bounded by event density × lookback
     # instead of the user's whole history
     conv_b = conv.select(
-        "*", (F.unix_micros("conv_ts") / lb_us).cast("long").alias("b0")
+        "*", F.floor(F.unix_micros("conv_ts") / lb_us).cast("long").alias("b0")
     ).select(
         by, "conv_ts", "conv_value",
         F.explode(F.array(F.col("b0"), F.col("b0") - 1)).alias("bucket"),
@@ -500,7 +502,7 @@ def active_users(
     contributes to; both counts are one more bounded aggregate. Shuffle
     is active-cells × window_days, never events × anything.
     """
-    day = (F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
     cells = events.select(F.col(by), day.alias("day")).distinct()
     observed = cells.select("day").distinct()
     dau = cells.groupBy("day").agg(F.count("*").alias("dau"))

@@ -190,3 +190,20 @@ def test_active_users_dau_wau(spark):
     assert out["2024-01-05"]["dau"] == 1 and out["2024-01-05"]["wau"] == 2
     # day20 is isolated
     assert out["2024-01-20"]["dau"] == 1 and out["2024-01-20"]["wau"] == 1
+
+
+def test_retention_pre_epoch_days_floor_not_truncate(spark):
+    # 1969 timestamps have negative epoch days: floor division must
+    # place them on the correct UTC day (cast-truncate would shift +1)
+    rows = [
+        (1, dt.datetime(1969, 12, 30, 23)),  # day -2
+        (1, dt.datetime(1970, 1, 6, 1)),     # day 5
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (str(r["cohort_date"]), r["period_offset"]): r["n_active"]
+        for r in ev.retention_cohorts(df, period_days=7).collect()
+    }
+    # day -2 floors to cohort grid day -7 -> cohort date 1969-12-25;
+    # day 5 is offset (5 - (-7)) // 7 = 1
+    assert out == {("1969-12-25", 0): 1, ("1969-12-25", 1): 1}
