@@ -111,6 +111,7 @@ HEADLINE = [
     "events_attribution",  # last-touch + linear conversion attribution
     "event_paths",  # top-k sessionized user paths
     "active_users",  # DAU/WAU engagement curves
+    "semantic_decontaminate",  # embedding-level eval-leak gate
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -670,6 +670,14 @@ class CorpusStudy:
             self.docs, rules, id_col=self.id_col, text_col=self.text_col
         )
 
+    def semantic_decontaminate(
+        self, corpus_emb: DataFrame, eval_emb: DataFrame, **kwargs: Any
+    ) -> DataFrame:
+        """Embedding-level eval-leak gate over this corpus's embeddings."""
+        from dataframeutils_spark.operators import cleaning
+
+        return cleaning.semantic_decontaminate(corpus_emb, eval_emb, **kwargs)
+
     def semdedup(self, embeddings: DataFrame, **kwargs: Any) -> DataFrame:
         """Cluster-scoped semantic dedup over this corpus's embeddings."""
         from dataframeutils_spark.operators import dedup

@@ -1268,6 +1268,20 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus vectors vs a
+    held-out eval slice (vec_id % 17 == 0), max-cosine flag at 0.45
+    (the synthetic embeddings' near-dup threshold, so both branches
+    occur) —
+    eval set broadcast, scoring scan-side, per-vector map-side argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.pmod(F.col("vec_id"), F.lit(17)) != 0)
+    evals = emb.filter(F.pmod(F.col("vec_id"), F.lit(17)) == 0)
+    return cleaning.semantic_decontaminate(
+        corpus, evals, threshold=0.45, dim=EMB_DIM
+    )
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU engagement curve: distinct users per observed day and
     per trailing 7-day window — raw events collapse to (user, day)
@@ -1754,17 +1768,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers ALL queries at HEAD every round.
 
     Round 6 ordering: the never-driver-verified newcomers lead —
-    `active_users`, `event_paths`, `events_attribution`, `fuzzy_terms`,
-    `bloom_skipping`, `scd2_history`, `semdedup`, `bloom_membership`,
-    `events_funnel`, `events_retention` (this session, exact-oracled)
-    and `multimodal_gif_frames` (added r5) — followed by 39 of the 50-entry
+    `semantic_decontaminate`, `active_users`, `event_paths`,
+    `events_attribution`, `fuzzy_terms`, `bloom_skipping`,
+    `scd2_history`, `semdedup`, `bloom_membership`, `events_funnel`,
+    `events_retention` (this session, exact-oracled) and
+    `multimodal_gif_frames` (added r5) — followed by 38 of the 50-entry
     round-4-verified batch, keeping the flagship `weighted_bins` and
     `similarity_ivf` inside the gate; every entry is exact-oracled, so
-    the r6 window is 50/50 hash-checked. Positions 51+: the ten
+    the r6 window is 50/50 hash-checked. Positions 51+: the eleven
     r4-green entries the newcomers displaced (`mad_outliers`,
     `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`,
     `lsh_tuning`, `quantile_bin`, `salted_join`, `zorder_layout`,
-    `multimodal_meta`), last round's
+    `multimodal_meta`, `multimodal_frames`), last round's
     overflow `events_props`, and the r5-session media newcomers
     (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
@@ -1776,6 +1791,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
         # sweep + golden pytest green; exact oracle) ---
+        "semantic_decontaminate": q_semantic_decontaminate,
         "active_users": q_active_users,
         "event_paths": q_event_paths,
         "events_attribution": q_events_attribution,
@@ -1790,7 +1806,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- then the round-4-verified batch (50 green hash rows in
         # CORRECTNESS_r04.json), minus the one overflow entry ---
         "session_overlap": q_session_overlap,
-        "multimodal_frames": q_multimodal_frames,
         "stream_join": q_stream_join,
         "events_value_profile": q_events_value_profile,
         "multimodal_real_meta": q_multimodal_real_meta,
@@ -1843,6 +1858,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "zorder_layout": q_zorder_layout,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "events_props": q_events_props,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
@@ -2059,6 +2075,12 @@ FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) A
 GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],
+        ),
+        "semantic_decontaminate": cleaning.semantic_decontaminate_sql(
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0",
+            threshold=0.45,
+            dim=EMB_DIM,
         ),
         "active_users": events_ops.active_users_sql(window_days=7),
         "event_paths": events_ops.event_paths_sql(depth=3, k=20),

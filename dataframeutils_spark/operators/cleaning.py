@@ -384,3 +384,102 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
        AND n_distinct_stopwords >= {min_distinct_stopwords} AS passes
 FROM m
 """
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination — the
+    companion gate to :func:`decontaminate`'s n-gram overlap: paraphrased
+    or reformatted eval leakage that shares no 5-gram still lands close
+    in embedding space (the practice in recent LLM data pipelines, e.g.
+    the contamination audits of GPT-3/PaLM appendices).
+
+    Output per corpus vector: (vec_id, max_eval_sim, nearest_eval_id,
+    contaminated). ``max_eval_sim`` is the max cosine against the WHOLE
+    eval set, rounded (siground) BEFORE the threshold compare and the
+    argmax tiebreak (min eval id on equal rounded sims) so the flag is
+    engine-exact.
+
+    Scale: the eval set is small by nature (benchmarks are thousands of
+    rows) — it broadcasts, and the corpus×eval scoring runs inside the
+    corpus scan (one fold per pair per task, no shuffle of corpus
+    vectors); the per-vector argmax is a map-side-combined max(struct).
+    At 100 TB this is one pass over the embedding table.
+    """
+    from dataframeutils_spark.operators.similarity import _dot, _norm
+    from dataframeutils_spark.schema import siground
+
+    c = corpus_emb.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col), dim).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    e = eval_emb.select(
+        F.col(eval_id_col).alias("eid"),
+        F.col(vec_col).alias("ev"),
+        _norm(F.col(vec_col), dim).alias("en"),
+    ).filter(F.col("en") > 0)
+    sim = siground(
+        _dot(F.col("cv"), F.col("ev"), dim) / (F.col("cn") * F.col("en"))
+    )
+    scored = c.crossJoin(F.broadcast(e)).select(
+        "cid", sim.alias("s"), (-F.col("eid")).alias("nege")
+    )
+    best = F.max(F.struct(F.col("s"), F.col("nege")))
+    return (
+        scored.groupBy("cid")
+        .agg(best.alias("b"))
+        .select(
+            F.col("cid").alias("vec_id"),
+            F.col("b.s").alias("max_eval_sim"),
+            (-F.col("b.nege")).alias("nearest_eval_id"),
+            (F.col("b.s") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def semantic_decontaminate_sql(
+    corpus_sql: str,
+    eval_sql: str,
+    threshold: float = 0.8,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`semantic_decontaminate`; subqueries
+    yield (vec_id, embedding) each. Same sequential folds and
+    round-before-compare."""
+    from dataframeutils_spark.schema import siground_sql
+
+    fold = "list_reduce(list_prepend(0.0, {terms}), (a, b) -> a + b)"
+    dot = fold.format(
+        terms=f"list_transform(range(1, {dim} + 1), "
+        "i -> c.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)"
+    )
+    nrm = "sqrt(" + fold.format(terms="list_transform({v}, x -> x::DOUBLE * x::DOUBLE)") + ")"
+    sim = siground_sql(f"({dot} / (c.cn * e.en))")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {nrm.format(v='embedding')} AS cn
+  FROM ({corpus_sql})
+), evals AS (
+  SELECT vec_id, embedding, {nrm.format(v='embedding')} AS en
+  FROM ({eval_sql})
+), scored AS (
+  SELECT c.vec_id AS cid, e.vec_id AS eid, {sim} AS s
+  FROM (SELECT * FROM corpus WHERE cn > 0) c,
+       (SELECT * FROM evals WHERE en > 0) e
+), ranked AS (
+  SELECT cid, eid, s,
+         row_number() OVER (PARTITION BY cid ORDER BY s DESC, eid) AS r
+  FROM scored
+)
+SELECT cid AS vec_id, s AS max_eval_sim, eid AS nearest_eval_id,
+       s >= {threshold} AS contaminated
+FROM ranked WHERE r = 1
+"""

@@ -350,3 +350,41 @@ def test_scd2_same_seq_delete_superseded_by_upsert(spark):
     )
     rows = pipeline.scd2_history(changes).collect()
     assert len(rows) == 1 and rows[0]["is_current"] and rows[0]["version"] == 2
+
+
+def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
+    # corpus vec 1 is a scaled copy of eval vec 100 (cosine 1.0);
+    # corpus vec 2 is orthogonal to everything in the eval set
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [2.0, 4.0, 6.0, 8.0]), (101, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in cleaning.semantic_decontaminate(
+            corpus, evals, threshold=0.9, dim=4
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["nearest_eval_id"] == 100
+    assert out[1]["max_eval_sim"] == pytest.approx(1.0)
+    assert not out[2]["contaminated"]
+
+
+def test_semantic_decontaminate_broadcasts_eval_set(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    evals = corpus.limit(3)
+    plan = (
+        cleaning.semantic_decontaminate(corpus, evals, dim=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # eval side broadcast
+    assert "CartesianProduct" not in plan

@@ -140,6 +140,7 @@ QUERIES = [
     "events_attribution",
     "event_paths",
     "active_users",
+    "semantic_decontaminate",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
