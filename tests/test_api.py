@@ -246,6 +246,12 @@ def test_event_study_facade(spark):
     assert set(ret.columns) == {
         "cohort_date", "period_offset", "n_active", "cohort_size", "retention_rate"
     }
+    assert set(es.attribution("purchase", ["view", "click"]).columns) == {
+        "touch_type", "n_conversions_last", "credit_last", "credit_linear",
+        "n_touches",
+    }
+    assert set(es.paths(depth=2, k=5).columns) == {"path", "n"}
+    assert set(es.active_users().columns) == {"date", "dau", "wau"}
     assert es.windowed_stats().count() > 0
 
 

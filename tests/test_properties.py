@@ -454,3 +454,51 @@ def test_fuzzy_lookup_matches_bruteforce(spark, vocab, probes):
     }
     want = {(pr, t) for pr in probes for t in vocab if lev(pr, t) <= 1}
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),      # user
+            st.integers(0, 120),    # minutes offset
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda e: (e[0], e[1]),  # unique (user, minute): total order
+    ),
+)
+@settings(**SETTINGS)
+def test_event_paths_matches_reference(spark, events):
+    """Sessionized n-gram paths vs a per-user reference (30-minute gap,
+    strictly-greater break rule)."""
+    import datetime as dt
+    from collections import Counter
+
+    from dataframeutils_spark.operators import events as ev
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), t)
+        for (u, m, t) in events
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        if rows
+        else spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    )
+    got = {r["path"]: r["n"] for r in ev.event_paths(df, depth=2, k=100).collect()}
+    per_user: dict[int, list] = {}
+    for u, m, t in events:
+        per_user.setdefault(u, []).append((m, t))
+    want: Counter = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        sessions: list[list[str]] = []
+        for i, (m, t) in enumerate(evs):
+            if i == 0 or (m - evs[i - 1][0]) * 60 > 1800:
+                sessions.append([])
+            sessions[-1].append(t)
+        for sess in sessions:
+            for a, b in zip(sess, sess[1:]):
+                want[f"{a}>{b}"] += 1
+    assert got == dict(want)
