@@ -112,6 +112,8 @@ HEADLINE = [
     "event_paths",  # top-k sessionized user paths
     "active_users",  # DAU/WAU engagement curves
     "semantic_decontaminate",  # embedding-level eval-leak gate
+    "tpch_q3",  # selective 3-way join, broadcast + top-10
+    "tpch_q5",  # 6-way star join, all dims broadcast
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1268,6 +1268,105 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority): BUILDING-segment customers'
+    still-unshipped orders ranked by revenue — the canonical selective
+    3-way join. Customer is the small filtered side and broadcasts;
+    lineitem⋈orders is the one big-big shuffle. Revenue is siground-
+    rounded BEFORE the top-10 ranking (the cross-engine ordering
+    contract), tiebreak l_orderkey."""
+    cut = F.lit("1998-03-15").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    j = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    out = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            siground(F.col("revenue")).alias("revenue"),
+        )
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
+TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {{rev}} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""".format(rev=siground_sql("sum(l_extendedprice * (1.0 - l_discount))"))
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): ASIA-region revenue per nation
+    where the supplier and customer share the nation — the canonical
+    6-way star join. Region/nation/supplier/customer broadcast;
+    lineitem⋈orders is again the only big-big shuffle."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        j.groupBy("n_name")
+        .agg(rev.alias("revenue"))
+        .select("n_name", siground(F.col("revenue")).alias("revenue"))
+    )
+
+
+TPCH_Q5_SQL = f"""
+SELECT n_name, {{rev}} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""".format(rev=siground_sql("sum(l_extendedprice * (1.0 - l_discount))"))
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination: corpus vectors vs a
     held-out eval slice (vec_id % 17 == 0), max-cosine flag at 0.45
@@ -1768,18 +1867,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers ALL queries at HEAD every round.
 
     Round 6 ordering: the never-driver-verified newcomers lead —
-    `semantic_decontaminate`, `active_users`, `event_paths`,
-    `events_attribution`, `fuzzy_terms`, `bloom_skipping`,
-    `scd2_history`, `semdedup`, `bloom_membership`, `events_funnel`,
-    `events_retention` (this session, exact-oracled) and
-    `multimodal_gif_frames` (added r5) — followed by 38 of the 50-entry
+    `tpch_q3`, `tpch_q5`, `semantic_decontaminate`, `active_users`,
+    `event_paths`, `events_attribution`, `fuzzy_terms`,
+    `bloom_skipping`, `scd2_history`, `semdedup`, `bloom_membership`,
+    `events_funnel`, `events_retention` (this session, exact-oracled)
+    and `multimodal_gif_frames` (added r5) — followed by 36 of the 50-entry
     round-4-verified batch, keeping the flagship `weighted_bins` and
     `similarity_ivf` inside the gate; every entry is exact-oracled, so
-    the r6 window is 50/50 hash-checked. Positions 51+: the eleven
+    the r6 window is 50/50 hash-checked. Positions 51+: the thirteen
     r4-green entries the newcomers displaced (`mad_outliers`,
     `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`,
     `lsh_tuning`, `quantile_bin`, `salted_join`, `zorder_layout`,
-    `multimodal_meta`, `multimodal_frames`), last round's
+    `multimodal_meta`, `multimodal_frames`, `embedding_quantize`,
+    `embedding_dim_stats`), last round's
     overflow `events_props`, and the r5-session media newcomers
     (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
@@ -1791,6 +1891,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
         # sweep + golden pytest green; exact oracle) ---
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "semantic_decontaminate": q_semantic_decontaminate,
         "active_users": q_active_users,
         "event_paths": q_event_paths,
@@ -1822,10 +1924,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "bm25_search": q_bm25_search,
         "pack_sequences": q_pack_sequences,
-        "embedding_quantize": q_embedding_quantize,
         "dataset_card": q_dataset_card,
         "inverted_index": q_inverted_index,
-        "embedding_dim_stats": q_embedding_dim_stats,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep_best": q_dedup_keep_best,
         "shard_manifest": q_shard_manifest,
@@ -1859,6 +1959,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "events_props": q_events_props,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_wav_samples": q_multimodal_wav_samples,
@@ -2076,6 +2178,8 @@ GROUP BY event_type
 """,
             ["avg_k", "min_k", "max_k"],
         ),
+        "tpch_q3": TPCH_Q3_SQL,
+        "tpch_q5": TPCH_Q5_SQL,
         "semantic_decontaminate": cleaning.semantic_decontaminate_sql(
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0",
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0",

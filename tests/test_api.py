@@ -277,23 +277,23 @@ def test_registry_contract():
     assert len(names) == len(set(names))
     # r6 window composition: the never-driver-verified newcomers first,
     # then the r4-verified batch (flagship kept in-window)
-    assert names[:12] == [
-        "semantic_decontaminate", "active_users", "event_paths",
-        "events_attribution", "fuzzy_terms", "bloom_skipping",
-        "scd2_history", "semdedup", "bloom_membership", "events_funnel",
-        "events_retention", "multimodal_gif_frames",
+    assert names[:14] == [
+        "tpch_q3", "tpch_q5", "semantic_decontaminate", "active_users",
+        "event_paths", "events_attribution", "fuzzy_terms",
+        "bloom_skipping", "scd2_history", "semdedup", "bloom_membership",
+        "events_funnel", "events_retention", "multimodal_gif_frames",
     ]
     assert "weighted_bins" in names[:50] and "similarity_ivf" in names[:50]
     rows_only_in_cap = {n for n in names[:50] if n not in os_}
     assert rows_only_in_cap == set(), rows_only_in_cap  # 50/50 exact this round
     # the displaced r4-green entries + last round's overflow lead r7
-    assert names[50:62] == [
+    assert names[50:64] == [
         "mad_outliers", "psi_drift", "compaction_plan", "dsir_select",
         "feature_matrix", "lsh_tuning", "quantile_bin", "salted_join",
         "zorder_layout", "multimodal_meta", "multimodal_frames",
-        "events_props",
+        "embedding_quantize", "embedding_dim_stats", "events_props",
     ]
-    assert all(n in os_ for n in names[50:62])
+    assert all(n in os_ for n in names[50:64])
     # everything in the window besides the newcomer must be r4-green,
     # and everything demoted below the cap must be r5-green
     here = _os.path.dirname(__file__)
@@ -303,10 +303,10 @@ def test_registry_contract():
         with open(r04) as fh:
             r4 = json.load(fh)
         NEW_R6 = {
-            "semantic_decontaminate", "active_users", "event_paths",
-            "events_attribution", "fuzzy_terms", "bloom_skipping",
-            "scd2_history", "semdedup", "bloom_membership", "events_funnel",
-            "events_retention", "multimodal_gif_frames",
+            "tpch_q3", "tpch_q5", "semantic_decontaminate", "active_users",
+            "event_paths", "events_attribution", "fuzzy_terms",
+            "bloom_skipping", "scd2_history", "semdedup", "bloom_membership",
+            "events_funnel", "events_retention", "multimodal_gif_frames",
         }
         missing = [n for n in names[:50] if n not in r4 and n not in NEW_R6]
         assert missing == [], missing

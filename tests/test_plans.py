@@ -325,3 +325,24 @@ def test_retention_two_bounded_exchanges(spark):
     assert plan.count("hashpartitioning(user_id") == 1
     # final cohort window over the tiny cells frame may add one more
     assert plan.count("Exchange") <= 3
+
+
+def test_tpch_q3_broadcasts_customer_one_big_shuffle_join(spark):
+    """Q3's docstring claims: filtered customer broadcasts; the only
+    big-big join is lineitem⋈orders."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q3(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "PushedFilters" in plan or "Filter" in plan
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q5_star_join_broadcasts_all_dims(spark):
+    """Q5: region/nation/supplier/customer all broadcast; exactly the
+    lineitem⋈orders join may shuffle both sides."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q5(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("CartesianProduct") == 0
