@@ -1472,6 +1472,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table
 
 
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing manifest with REAL subword counts: the learned
+    BPE rules feed pack_from_counts — the pipeline's actual final step
+    (train tokenizer → count → pack). Rows-only (depends on training);
+    manifest invariants pytest-pinned."""
+    from dataframeutils_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, rules = bpe.bpe_train(docs, n_merges=30, vocab_top=2000)
+    return packing.pack_sequences_bpe(docs, rules, seq_len=256)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the 30 learned BPE rules to every document as chained
     scan-side folds (zero shuffle, zero Python): per-doc word/symbol/
@@ -1971,6 +1983,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead the r7 window with the block above ---
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "bpe_pack": q_bpe_pack,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---

@@ -52,7 +52,17 @@ def pack_sequences(
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_tokens(F.lower(F.col(text_col)))).alias("n"),
-    ).filter(F.col("n") > 0)
+    )
+    return pack_from_counts(d, seq_len=seq_len)
+
+
+def pack_from_counts(counts: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Pack manifest from a precomputed (doc_id, n) token-count frame —
+    the shared kernel behind :func:`pack_sequences` (whitespace counts)
+    and :func:`pack_sequences_bpe` (real subword counts). Same two-
+    phase prefix sum and bin fan-out; see pack_sequences for the
+    manifest column contract."""
+    d = counts.select("doc_id", "n").filter(F.col("n") > 0)
     d = d.withColumn("blk", F.expr(f"doc_id DIV {BLOCK}"))
     # phase 1: prefix sum WITHIN each block (hash-partitioned window)
     w_intra = (
@@ -92,6 +102,27 @@ def pack_sequences(
         (start - F.col("seq_id") * L).alias("seq_offset"),
         (end - start).alias("n_tokens"),
     )
+
+
+def pack_sequences_bpe(
+    docs: DataFrame,
+    rules: list[tuple[str, str, int]],
+    seq_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style packing with REAL subword counts: per-doc token counts
+    come from replaying learned BPE rules (operators.bpe) as scan-side
+    folds, then the manifest is the same two-phase prefix-sum plan as
+    :func:`pack_sequences`. Depends on trained rules → rows-only gate;
+    the manifest invariants (every non-final sequence exactly full) are
+    pytest-pinned."""
+    from dataframeutils_spark.operators import bpe as bpe_ops
+
+    counts = bpe_ops.bpe_encode_stats(
+        docs, rules, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col).alias("doc_id"), F.col("n_tokens").alias("n"))
+    return pack_from_counts(counts, seq_len=seq_len)
 
 
 def pack_summary(

@@ -323,7 +323,7 @@ def test_registry_contract():
             "multimodal_audio_windows", "multimodal_mp4_meta",
             # r6 rows-only newcomers: iterative BPE, golden-pinned in
             # tests/test_bpe.py, local-sweep rows evidence
-            "bpe_train", "bpe_encode",
+            "bpe_train", "bpe_encode", "bpe_pack",
         }
         r4d = {}
         if _os.path.exists(r04):

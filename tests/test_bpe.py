@@ -103,3 +103,26 @@ def test_bpe_train_stops_below_min_count(spark):
     )
     table, rules = bpe.bpe_train(docs, n_merges=10, vocab_top=100)
     assert rules == [] and table.count() == 0
+
+
+def test_bpe_pack_manifest_invariants(spark):
+    from dataframeutils_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS * 3)], "doc_id long, text string"
+    )
+    _, rules = bpe.bpe_train(docs, n_merges=10, vocab_top=500)
+    m = packing.pack_sequences_bpe(docs, rules, seq_len=32)
+    summary = (
+        m.groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("n"))
+        .orderBy("seq_id")
+        .collect()
+    )
+    # every sequence except the last is exactly full
+    assert all(r["n"] == 32 for r in summary[:-1])
+    assert 0 < summary[-1]["n"] <= 32
+    # token conservation: manifest spans sum to the corpus token total
+    total = sum(r["n"] for r in summary)
+    enc = bpe.bpe_encode_stats(docs, rules)
+    assert total == enc.agg(F.sum("n_tokens")).collect()[0][0]

@@ -23,6 +23,7 @@ FIT_OPS = [
     # from headline yet measured" contract): BPE's 30 merge rounds
     "bpe_train",
     "bpe_encode",
+    "bpe_pack",
     "stationarity",
     "stationarity_summary",
     "memory_dependence",

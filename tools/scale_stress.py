@@ -141,6 +141,7 @@ QUERIES = [
     "event_paths",
     "active_users",
     "semantic_decontaminate",
+    "bpe_pack",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
