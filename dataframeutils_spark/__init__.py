@@ -22,7 +22,16 @@ Design principles
 
 from dataframeutils_spark.session import get_spark
 from dataframeutils_spark.schema import PanelSchema, melt_panel, group_key_col
+from dataframeutils_spark.api import CorpusStudy, EventStudy, TimeSeriesStudy
 
-__all__ = ["get_spark", "PanelSchema", "melt_panel", "group_key_col"]
+__all__ = [
+    "get_spark",
+    "PanelSchema",
+    "melt_panel",
+    "group_key_col",
+    "TimeSeriesStudy",
+    "CorpusStudy",
+    "EventStudy",
+]
 
 __version__ = "0.1.0"

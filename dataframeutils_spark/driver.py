@@ -1869,7 +1869,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 109 queries are registered, so ordering
+    this dict (insertion order); 121 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
