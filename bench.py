@@ -114,6 +114,8 @@ HEADLINE = [
     "semantic_decontaminate",  # embedding-level eval-leak gate
     "tpch_q3",  # selective 3-way join, broadcast + top-10
     "tpch_q5",  # 6-way star join, all dims broadcast
+    "tpch_q1",  # full-scan pricing summary, map-side-combined agg
+    "hll_distinct",  # from-scratch HLL registers + exact-count audit
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

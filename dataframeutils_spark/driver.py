@@ -1367,6 +1367,70 @@ GROUP BY n_name
 """.format(rev=siground_sql("sum(l_extendedprice * (1.0 - l_discount))"))
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the canonical full-scan aggregate —
+    no join at all, a single groupBy over two low-cardinality flags, so
+    the exchange carries ≤ tasks × |flag combos| partial rows. The
+    plan to want at 100 TB: scan → partial hash agg → tiny shuffle →
+    final agg; any other shape is a regression (plan-audited)."""
+    cut = F.lit("1998-09-02").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= cut)
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty_raw"),
+            F.sum("l_extendedprice").alias("sum_base_raw"),
+            F.sum(disc).alias("sum_disc_raw"),
+            F.sum(disc * (F.lit(1.0) + F.col("l_tax"))).alias("sum_charge_raw"),
+            F.avg("l_quantity").alias("avg_qty_raw"),
+            F.avg("l_extendedprice").alias("avg_price_raw"),
+            F.avg("l_discount").alias("avg_disc_raw"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            siground(F.col("sum_qty_raw")).alias("sum_qty"),
+            siground(F.col("sum_base_raw")).alias("sum_base_price"),
+            siground(F.col("sum_disc_raw")).alias("sum_disc_price"),
+            siground(F.col("sum_charge_raw")).alias("sum_charge"),
+            siground(F.col("avg_qty_raw")).alias("avg_qty"),
+            siground(F.col("avg_price_raw")).alias("avg_price"),
+            siground(F.col("avg_disc_raw")).alias("avg_disc"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {siground_sql("sum(l_quantity)")} AS sum_qty,
+       {siground_sql("sum(l_extendedprice)")} AS sum_base_price,
+       {siground_sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+       {siground_sql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))")} AS sum_charge,
+       {siground_sql("avg(l_quantity)")} AS avg_qty,
+       {siground_sql("avg(l_extendedprice)")} AS avg_price,
+       {siground_sql("avg(l_discount)")} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via from-scratch
+    HyperLogLog registers (p=10), audited against the exact distinct
+    count — the register build is a mergeable bucketwise max, so the
+    exchange is bounded at langs × 1024 rows no matter the corpus
+    size; the exact side exists only for the audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.hll_distinct_words(docs, group_col="lang", p=10)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination: corpus vectors vs a
     held-out eval slice (vec_id % 17 == 0), max-cosine flag at 0.45
@@ -1869,7 +1933,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 121 queries are registered, so ordering
+    this dict (insertion order); 123 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -1984,6 +2048,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "bpe_pack": q_bpe_pack,
+        # --- round-6 session-3 newcomers (exact-oracled); lead the r7
+        # window with the blocks above ---
+        "tpch_q1": q_tpch_q1,
+        "hll_distinct": q_hll_distinct,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---
@@ -2193,6 +2261,10 @@ GROUP BY event_type
         ),
         "tpch_q3": TPCH_Q3_SQL,
         "tpch_q5": TPCH_Q5_SQL,
+        "tpch_q1": TPCH_Q1_SQL,
+        "hll_distinct": sketches.hll_distinct_words_sql(
+            table="documents", group_col="lang", p=10
+        ),
         "semantic_decontaminate": cleaning.semantic_decontaminate_sql(
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0",
             "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0",

@@ -1119,3 +1119,200 @@ FROM tested t
 LEFT JOIN truth u ON u.key = t.key AND u.shard = t.shard
 GROUP BY t.key
 """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def _hll_rho(h: Column, p: int) -> Column:
+    """Register value rho for a 60-bit portable hash: the low ``p`` bits
+    pick the bucket, the remaining ``60 - p`` bits w feed rho =
+    (position of the leftmost 1-bit in the (60-p)-bit field) =
+    leading-zero-count(w) + 1 = (61 - p) - length(bin(w)), with the
+    all-zero word mapping to the maximum 61 - p. ``length(bin(x))`` is
+    ``floor(log2 x) + 1`` exactly — integer arithmetic, no float log —
+    and ``bin`` renders identically in Spark and DuckDB."""
+    w = F.shiftright(h, p)
+    return F.when(w == 0, F.lit(61 - p)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(w))
+    )
+
+
+def _hll_rho_sql(h_expr: str, p: int) -> str:
+    return (
+        f"CASE WHEN ({h_expr} >> {p}) = 0 THEN {61 - p} "
+        f"ELSE {61 - p} - length(bin({h_expr} >> {p})) END"
+    )
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str = "item",
+    group_cols: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """Build HyperLogLog registers (Flajolet et al. 2007, public) over a
+    value stream, optionally per group.
+
+    Output: (*group_cols, bucket, rho) — at most ``2**p`` rows per
+    group. The build is a ``max`` aggregate over (group, bucket), so the
+    sketch is MERGEABLE (union of two streams = elementwise max of
+    their registers) and map-side partial aggregation bounds the
+    exchange at ``tasks × groups × 2**p`` rows regardless of stream
+    size — at 100 TB each executor ships ≤ 2**p register rows per
+    group, never the values. The reference has no sketch layer at all
+    (SURVEY §2.3); this complements Spark's builtin HLL++
+    (``approx_count_distinct``) with a register table that is exactly
+    reproducible in DuckDB, so the whole estimate gets a full exact
+    oracle — same rarity as :func:`countmin_sketch`.
+    """
+    m = 1 << p
+    h = portable_hash60(F.col(item_col))
+    gcols = [F.col(g) for g in group_cols]
+    return (
+        items.select(
+            *gcols,
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            _hll_rho(h, p).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+# rho cap for the 2^-rho sum: terms are then >= 2^-40 while the sum is
+# < 2^p + 1, so every partial sum fits a 53-bit mantissa exactly (p +
+# 40 <= 50 bits of span) -> the double sum is EXACT and order-
+# independent in both engines. A register only exceeds 40 with
+# probability ~2^-40 per bucket, where the cap's relative error is
+# ~2^-30 of one term — far below SIG_DIGITS rounding.
+_HLL_RHO_CAP = 40
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """Turn register tables into cardinality estimates per group.
+
+    Classic HLL estimator: E = alpha_m * m^2 / Z with Z = sum over all
+    m buckets of 2^-rho (absent buckets contribute 2^0 = 1), switching
+    to linear counting E = m * ln(m / zeros) when E <= 2.5 m and empty
+    buckets remain. 2^-rho is computed as 1.0 / (1L << rho) — an exact
+    IEEE division by a power of two — and rho is capped so the sum is
+    exact (see _HLL_RHO_CAP); the only libm calls are the final ln /
+    division, absorbed by siground.
+
+    Output: (*group_cols, nonzero, est).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # bias constant, m >= 128
+    term = 1.0 / F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(least(rho, {_HLL_RHO_CAP}) AS INT))"
+    ).cast("double")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("nonzero"),
+        F.sum(term).alias("zsum"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    z = zeros.cast("double") + F.col("zsum")
+    e_raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, "nonzero", est.alias("est"))
+
+
+def hll_distinct_words(
+    docs: DataFrame,
+    group_col: str = "lang",
+    p: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group distinct-token cardinality: HLL estimate audited
+    against the exact count.
+
+    Output: (group, n_exact, nonzero, est, rel_err), siground-rounded
+    floats. The exact side exists only for the audit; production use is
+    registers alone — one token scan, a ≤ groups × 2**p register
+    exchange, mergeable across shards/days by bucketwise max.
+    """
+    from dataframeutils_spark.schema import siground
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("item"),
+    )
+    regs = hll_registers(toks, "item", ("grp",), p)
+    est = hll_estimate(regs, ("grp",), p)
+    exact = toks.groupBy("grp").agg(F.count_distinct("item").alias("n_exact"))
+    return (
+        exact.join(est, "grp")
+        .select(
+            "grp",
+            "n_exact",
+            "nonzero",
+            siground(F.col("est")).alias("est"),
+            siground(
+                (F.col("est") - F.col("n_exact")) / F.col("n_exact")
+            ).alias("rel_err"),
+        )
+        .orderBy("grp")
+    )
+
+
+def hll_distinct_words_sql(
+    table: str = "documents", group_col: str = "lang", p: int = 10
+) -> str:
+    """DuckDB oracle for :func:`hll_distinct_words` — identical hash,
+    bucket/rho split, capped 2^-rho sum, bias constant, and linear-
+    counting switch."""
+    from dataframeutils_spark.schema import siground_sql
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # precompute alpha * m^2 in Python so both engines divide the SAME
+    # double constant (and DuckDB never parses it as DECIMAL, which
+    # overflows on the * m^2 rescale)
+    am2 = f"CAST({alpha * m * m!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    h = portable_hash60_sql("item")
+    toks = (
+        f"SELECT {group_col} AS grp, unnest(list_filter("
+        f"string_split(lower(text), ' '), t -> length(t) > 0)) AS item "
+        f"FROM {table}"
+    )
+    est_expr = (
+        f"CASE WHEN {am2} / z <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0 "
+        f"THEN {md} * ln({md} / zeros) "
+        f"ELSE {am2} / z END"
+    )
+    return f"""
+WITH toks AS ({toks}),
+regs AS (
+  SELECT grp, {h} % {m} AS bucket, max({_hll_rho_sql(h, p)}) AS rho
+  FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp, count(*) AS nonzero,
+         sum(1.0 / CAST(CAST(1 AS BIGINT) << CAST(least(rho, {_HLL_RHO_CAP}) AS INTEGER) AS DOUBLE)) AS zsum
+  FROM regs GROUP BY grp
+),
+sized AS (
+  SELECT grp, nonzero, CAST({m} - nonzero AS DOUBLE) AS zeros,
+         CAST({m} - nonzero AS DOUBLE) + zsum AS z
+  FROM agg
+),
+exact AS (
+  SELECT grp, count(DISTINCT item) AS n_exact FROM toks GROUP BY grp
+)
+SELECT e.grp, e.n_exact, s.nonzero,
+       {siground_sql(est_expr)} AS est,
+       {siground_sql(f"(({est_expr}) - e.n_exact) / e.n_exact")} AS rel_err
+FROM exact e JOIN sized s USING (grp)
+ORDER BY e.grp
+"""

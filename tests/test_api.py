@@ -324,6 +324,9 @@ def test_registry_contract():
             # r6 rows-only newcomers: iterative BPE, golden-pinned in
             # tests/test_bpe.py, local-sweep rows evidence
             "bpe_train", "bpe_encode", "bpe_pack",
+            # r6 session-3 exact-oracled newcomers (local sweep + pytest
+            # oracle parity this round; lead the r7 window)
+            "tpch_q1", "hll_distinct",
         }
         r4d = {}
         if _os.path.exists(r04):

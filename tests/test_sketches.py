@@ -300,3 +300,97 @@ def test_bloom_shard_index_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _hll_rho_py(h: int, p: int) -> int:
+    """Independent pure-Python reference for the register value."""
+    w = h >> p
+    width = 60 - p
+    if w == 0:
+        return width + 1
+    return width - w.bit_length() + 1
+
+
+def test_hll_rho_matches_python_reference(spark):
+    import hashlib
+
+    p = 10
+    vals = [f"item{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "item string")
+    regs = sketches.hll_registers(df, "item", (), p).collect()
+    # recompute expected registers from the same portable 60-bit hash
+    expected: dict[int, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b = h % (1 << p)
+        expected[b] = max(expected.get(b, 0), _hll_rho_py(h, p))
+    got = {r["bucket"]: r["rho"] for r in regs}
+    assert got == expected
+
+
+def test_hll_registers_are_mergeable(spark):
+    """Union-then-sketch == sketch-then-bucketwise-max — the property
+    that lets shards/days merge without re-reading values."""
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "item string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(150, 450)], "item string"
+    )
+    direct = {
+        r["bucket"]: r["rho"]
+        for r in sketches.hll_registers(a.union(b), "item", (), 8).collect()
+    }
+    ra = sketches.hll_registers(a, "item", (), 8)
+    rb = sketches.hll_registers(b, "item", (), 8)
+    merged = {
+        r["bucket"]: r["rho"]
+        for r in ra.union(rb).groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """Standard error is ~1.04/sqrt(m); at p=10 that is ~3.3%, so 15%
+    is a generous determinism-safe bound for one fixed stream."""
+    n = 20000
+    df = spark.createDataFrame([(f"v{i}",) for i in range(n)], "item string")
+    regs = sketches.hll_registers(df, "item", (), 10)
+    est = sketches.hll_estimate(regs, (), 10).collect()[0]["est"]
+    assert abs(est - n) / n < 0.15
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    """Tiny streams must take the linear-counting branch and land very
+    close to truth (the raw estimator is badly biased down there)."""
+    df = spark.createDataFrame([(f"x{i}",) for i in range(40)], "item string")
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df, "item", (), 10), (), 10
+    ).collect()[0]["est"]
+    assert abs(est - 40) <= 3
+
+
+def test_hll_distinct_words_matches_duckdb_oracle(spark, ddb):
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sketches.hll_distinct_words(docs, group_col="lang", p=10)
+    assert_matches_oracle(
+        out, ddb, sketches.hll_distinct_words_sql("documents", "lang", 10)
+    )
+
+
+def test_hll_estimate_high_rho_no_shift_wrap(spark):
+    """rho >= 32 must shift a BIGINT one, not a 32-bit int (which would
+    wrap the shift count mod 32): with all 1024 buckets at rho=40 the
+    raw estimator is alpha*m^2 / (m * 2^-40) — a wrap to 2^-8 would be
+    off by 2^32."""
+    regs = spark.createDataFrame(
+        [(b, 40) for b in range(1024)], "bucket int, rho int"
+    )
+    est = sketches.hll_estimate(regs, (), 10).collect()[0]["est"]
+    expected = (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 / (1024 * 2.0 ** -40)
+    assert abs(est - expected) / expected < 1e-12

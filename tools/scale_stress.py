@@ -142,6 +142,13 @@ QUERIES = [
     "active_users",
     "semantic_decontaminate",
     "bpe_pack",
+    # round-6 session-3: the HLL register build is a bucketwise max —
+    # the exchange is ≤ langs × 2^p rows at ANY corpus size, so the
+    # stress run proves the wall tracks the token scan, not the sketch;
+    # tpch_q1 is the canonical map-side-combined full-scan aggregate
+    # (lineitem is not replicated by the generator, but documents-based
+    # hll_distinct is the axis that matters here)
+    "hll_distinct",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
