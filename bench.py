@@ -116,6 +116,7 @@ HEADLINE = [
     "tpch_q5",  # 6-way star join, all dims broadcast
     "tpch_q1",  # full-scan pricing summary, map-side-combined agg
     "hll_distinct",  # from-scratch HLL registers + exact-count audit
+    "stream_distinct_users",  # windowed distinct-user HLL (lambda read side)
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1753,6 +1753,17 @@ def q_stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user HLL (lambda pattern) exercised in batch
+    mode: the register build is the streaming write side (bounded
+    state: open-windows × 2^8 rows), the estimate+audit the read side;
+    tests pin the streaming replay's registers to the batch build."""
+    from dataframeutils_spark.streaming import windows as sw
+
+    ev = _events_normalized(spark, sf_dir)
+    return sw.windowed_distinct_users(ev, window="1 hour", p=8)
+
+
 def q_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window counts exercised in batch mode; oracle is the
     gaps-and-islands SQL reformulation."""
@@ -1933,7 +1944,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 123 queries are registered, so ordering
+    this dict (insertion order); 124 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2052,6 +2063,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window with the blocks above ---
         "tpch_q1": q_tpch_q1,
         "hll_distinct": q_hll_distinct,
+        "stream_distinct_users": q_stream_distinct_users,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---
@@ -2328,6 +2340,7 @@ GROUP BY event_type
         "multimodal_mp4_meta": multimodal.mp4_meta_sql(),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),
+        "stream_distinct_users": _stream_distinct_sql(),
         "stream_sessionized": _stream_sessions_sql(),
         "stream_dedup": STREAM_DEDUP_SQL,
         "stream_join": _round_oracle_cols(
@@ -2359,3 +2372,9 @@ def _stream_sessions_sql() -> str:
     from dataframeutils_spark.streaming import windows as sw
 
     return sw.sessionized_sql()
+
+
+def _stream_distinct_sql() -> str:
+    from dataframeutils_spark.streaming import windows as sw
+
+    return sw.windowed_distinct_sql(p=8)

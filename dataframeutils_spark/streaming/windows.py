@@ -120,6 +120,146 @@ def windowed_event_stats(
     )
 
 
+def windowed_distinct_registers(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 8,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Distinct-user HyperLogLog registers per tumbling window —
+    identical batch and streaming (a single ``max`` aggregate, so the
+    streaming state is bounded at open-windows × 2**p register rows and
+    watermark eviction closes windows exactly as for counts).
+
+    Output: (window_start, window_end, bucket, rho). This is the WRITE
+    side of the lambda pattern: registers are what you store per
+    window/shard/day; they merge across any partitioning by bucketwise
+    max (``operators/sketches.py:hll_registers`` semantics), and the
+    estimate is computed at read time — see
+    :func:`windowed_distinct_users`. At 100 TB/day ingest this is the
+    only state-size-safe distinct-count design: exact per-window
+    distinct state grows with cardinality, register state does not.
+    """
+    from dataframeutils_spark.operators.dedup import portable_hash60
+    from dataframeutils_spark.operators.sketches import _hll_rho
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    m = 1 << p
+    h = portable_hash60(F.col(user_col).cast("string"))
+    return (
+        src.filter(F.col(user_col).isNotNull())
+        .select(
+            F.window("ts", window).alias("w"),
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            _hll_rho(h, p).alias("rho_in"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.max("rho_in").alias("rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "rho",
+        )
+    )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    p: int = 8,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """READ side of the windowed-HLL lambda: estimate distinct users
+    per window from the register table, audited against the exact
+    per-window distinct count (audit-only — production reads registers
+    alone). Output: (window_start, window_end, n_exact, nonzero, est,
+    rel_err), siground-rounded floats, ordered by window."""
+    from dataframeutils_spark.operators.sketches import hll_estimate
+    from dataframeutils_spark.schema import siground
+
+    regs = windowed_distinct_registers(events, window=window, p=p, user_col=user_col)
+    est = hll_estimate(regs, ("window_start", "window_end"), p)
+    exact = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count_distinct(user_col).alias("n_exact"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_exact",
+        )
+    )
+    return (
+        exact.join(est, ["window_start", "window_end"])
+        .select(
+            "window_start",
+            "window_end",
+            "n_exact",
+            "nonzero",
+            siground(F.col("est")).alias("est"),
+            siground(
+                (F.col("est") - F.col("n_exact")) / F.col("n_exact")
+            ).alias("rel_err"),
+        )
+        .orderBy("window_start")
+    )
+
+
+def windowed_distinct_sql(table: str = "events", p: int = 8) -> str:
+    """DuckDB oracle for :func:`windowed_distinct_users` in batch mode
+    (whole-hour tumbling windows = epoch-aligned date_trunc, as
+    :func:`windowed_stats_sql`); identical hash/bucket/rho register
+    arithmetic and estimator as ``sketches.hll_distinct_words_sql``."""
+    from dataframeutils_spark.operators.dedup import portable_hash60_sql
+    from dataframeutils_spark.operators.sketches import _HLL_RHO_CAP, _hll_rho_sql
+    from dataframeutils_spark.schema import siground_sql
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    am2 = f"CAST({alpha * m * m!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    h = portable_hash60_sql("item")
+    est_expr = (
+        f"CASE WHEN {am2} / z <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0 "
+        f"THEN {md} * ln({md} / zeros) "
+        f"ELSE {am2} / z END"
+    )
+    return f"""
+WITH pts AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(user_id AS VARCHAR) AS item
+  FROM {table} WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT window_start, {h} % {m} AS bucket, max({_hll_rho_sql(h, p)}) AS rho
+  FROM pts GROUP BY 1, 2
+),
+agg AS (
+  SELECT window_start, count(*) AS nonzero,
+         sum(1.0 / CAST(CAST(1 AS BIGINT) << CAST(least(rho, {_HLL_RHO_CAP}) AS INTEGER) AS DOUBLE)) AS zsum
+  FROM regs GROUP BY window_start
+),
+sized AS (
+  SELECT window_start, nonzero, CAST({m} - nonzero AS DOUBLE) AS zeros,
+         CAST({m} - nonzero AS DOUBLE) + zsum AS z
+  FROM agg
+),
+exact AS (
+  SELECT window_start, count(DISTINCT item) AS n_exact
+  FROM pts GROUP BY window_start
+)
+SELECT e.window_start,
+       e.window_start + INTERVAL 1 HOUR AS window_end,
+       e.n_exact, s.nonzero,
+       {siground_sql(est_expr)} AS est,
+       {siground_sql(f"(({est_expr}) - e.n_exact) / e.n_exact")} AS rel_err
+FROM exact e JOIN sized s USING (window_start)
+ORDER BY e.window_start
+"""
+
+
 def sessionized_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -326,7 +326,7 @@ def test_registry_contract():
             "bpe_train", "bpe_encode", "bpe_pack",
             # r6 session-3 exact-oracled newcomers (local sweep + pytest
             # oracle parity this round; lead the r7 window)
-            "tpch_q1", "hll_distinct",
+            "tpch_q1", "hll_distinct", "stream_distinct_users",
         }
         r4d = {}
         if _os.path.exists(r04):

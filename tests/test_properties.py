@@ -502,3 +502,59 @@ def test_event_paths_matches_reference(spark, events):
             for a, b in zip(sess, sess[1:]):
                 want[f"{a}>{b}"] += 1
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers_py(vals: list[str], p: int) -> dict[int, int]:
+    """Pure-Python reference: portable 60-bit md5 hash → (bucket, rho)."""
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b = h % (1 << p)
+        w = h >> p
+        rho = (60 - p) + 1 if w == 0 else (60 - p) - w.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+@given(
+    chunks=st.lists(
+        st.lists(st.text(min_size=1, max_size=8), min_size=0, max_size=40),
+        min_size=1,
+        max_size=4,
+    ),
+    p=st.sampled_from([6, 8, 10]),
+)
+@settings(**SETTINGS)
+def test_hll_registers_merge_invariant(spark, chunks, p):
+    """For ANY split of a stream into chunks: bucketwise max of per-chunk
+    registers == registers of the union == the pure-Python reference —
+    the property that makes per-shard/day sketches safely mergeable."""
+    from dataframeutils_spark.operators import sketches
+
+    all_vals = [v for c in chunks for v in c]
+    want = _hll_registers_py(all_vals, p)
+    dfs = [
+        sketches.hll_registers(
+            spark.createDataFrame([(v,) for v in c], "item string"), "item", (), p
+        )
+        for c in chunks
+        if c
+    ]
+    if not dfs:
+        assert want == {}
+        return
+    merged = dfs[0]
+    for d in dfs[1:]:
+        merged = merged.union(d)
+    got = {
+        r["bucket"]: r["rho"]
+        for r in merged.groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
+    }
+    assert got == want

@@ -313,3 +313,44 @@ def test_stream_apply_changes_equals_batch_apply(spark, tmp_path):
     a = {r["doc_id"]: r["text"] for r in got.collect()}
     b = {r["doc_id"]: r["text"] for r in want.collect()}
     assert a == b
+
+
+def test_windowed_distinct_registers_stream_matches_batch(spark):
+    """The lambda write side: streaming register build == batch build
+    (bucketwise-max state survives micro-batch boundaries)."""
+    stream = W.read_events_stream(spark, SF_DIR)
+    W.run_to_memory(
+        W.windowed_distinct_registers(stream, p=8),
+        "win_hll_regs",
+        output_mode="complete",
+    )
+    got = _norm(spark.table("win_hll_regs").toPandas())
+    want = _norm(W.windowed_distinct_registers(_batch_events(spark), p=8).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_windowed_distinct_users_estimate_accuracy(spark):
+    """Read side: every window's HLL estimate lands within the p=8
+    expected error envelope (1.04/sqrt(256) ≈ 6.5%; 20% is the
+    determinism-safe bound) of the exact distinct count."""
+    import datetime as dt
+
+    # synthetic stream: two 1-hour windows of 400 and 1500 known users
+    # (sf0.001 windows hold <10 users — too small for the envelope)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=u % 60), u) for u in range(400)]
+    rows += [
+        (base + dt.timedelta(hours=1, minutes=u % 60), 10_000 + u)
+        for u in range(1500)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = W.windowed_distinct_users(ev, p=8).toPandas()
+    assert sorted(out["n_exact"]) == [400, 1500]
+    err = (out["est"] - out["n_exact"]).abs() / out["n_exact"]
+    assert (err < 0.20).all(), out
+    # real events: audit columns consistent, estimate never absurd
+    real = W.windowed_distinct_users(_batch_events(spark), p=8).toPandas()
+    assert len(real) > 0
+    assert (real["nonzero"] <= 256).all()
+    assert ((real["est"] - real["n_exact"]).abs() <= 1.5).all()

@@ -149,6 +149,10 @@ QUERIES = [
     # (lineitem is not replicated by the generator, but documents-based
     # hll_distinct is the axis that matters here)
     "hll_distinct",
+    # windowed distinct-user HLL over the replicated event log: state
+    # bounded at open-windows x 2^p registers; the audit's exact side
+    # shuffles only (window, user) cells
+    "stream_distinct_users",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
