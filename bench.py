@@ -117,6 +117,8 @@ HEADLINE = [
     "tpch_q1",  # full-scan pricing summary, map-side-combined agg
     "hll_distinct",  # from-scratch HLL registers + exact-count audit
     "stream_distinct_users",  # windowed distinct-user HLL (lambda read side)
+    "hist_quantiles",  # mergeable histogram sketch + exact-percentile audit
+    "tpch_q18",  # semi-join-on-aggregate: one exchange, all-broadcast tail
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1421,6 +1421,67 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the semi-join-on-aggregate
+    shape — orders whose total lineitem quantity exceeds 300. The
+    qualifying-order set is tiny by construction (HAVING on a heavy
+    tail), so after ONE lineitem aggregate everything is broadcast:
+    qualifying keys → orders (broadcast), the filtered orders → the
+    second lineitem scan (broadcast, no shuffle), the ≤ |qualifying|
+    result → customer (broadcast). Total: one real exchange at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"))
+        .filter(F.col("oq") > 300)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    qual_orders = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).drop("l_orderkey")
+    j = li.join(
+        F.broadcast(qual_orders), li.l_orderkey == qual_orders.o_orderkey
+    )
+    per_order = j.groupBy(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum("l_quantity").alias("sum_qty_raw"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = per_order.join(
+        cust, per_order.o_custkey == cust.c_custkey
+    ).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        siground(F.col("o_totalprice")).alias("o_totalprice"),
+        siground(F.col("sum_qty_raw")).alias("sum_qty"),
+    )
+    return out.orderBy(
+        F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+    ).limit(100)
+
+
+TPCH_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       {siground_sql("o_totalprice")} AS o_totalprice,
+       {siground_sql("sum(l_quantity)")} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY {siground_sql("o_totalprice")} DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via from-scratch
     HyperLogLog registers (p=10), audited against the exact distinct
@@ -1429,6 +1490,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; the exact side exists only for the audit."""
     docs = load_table(spark, sf_dir, "documents")
     return sketches.hll_distinct_words(docs, group_col="lang", p=10)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch (64 bins) over event
+    values per event type, quantile estimates audited against the exact
+    interpolated percentile — the distribution member of the sketch
+    suite (count-min=frequency, bloom=membership, HLL=cardinality);
+    per-shard histograms merge by summing bin counts."""
+    ev = _events_normalized(spark, sf_dir).select("event_type", "value")
+    return sketches.hist_quantile_profile(ev, "value", "event_type")
 
 
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1944,7 +2015,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 124 queries are registered, so ordering
+    this dict (insertion order); 126 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2064,6 +2135,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "hll_distinct": q_hll_distinct,
         "stream_distinct_users": q_stream_distinct_users,
+        "hist_quantiles": q_hist_quantiles,
+        "tpch_q18": q_tpch_q18,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---
@@ -2274,6 +2347,7 @@ GROUP BY event_type
         "tpch_q3": TPCH_Q3_SQL,
         "tpch_q5": TPCH_Q5_SQL,
         "tpch_q1": TPCH_Q1_SQL,
+        "tpch_q18": TPCH_Q18_SQL,
         "hll_distinct": sketches.hll_distinct_words_sql(
             table="documents", group_col="lang", p=10
         ),
@@ -2341,6 +2415,9 @@ GROUP BY event_type
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),
         "stream_distinct_users": _stream_distinct_sql(),
+        "hist_quantiles": sketches.hist_quantile_profile_sql(
+            table="events", value_col="value", group_col="event_type"
+        ),
         "stream_sessionized": _stream_sessions_sql(),
         "stream_dedup": STREAM_DEDUP_SQL,
         "stream_join": _round_oracle_cols(

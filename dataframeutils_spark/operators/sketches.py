@@ -1316,3 +1316,210 @@ SELECT e.grp, e.n_exact, s.nonzero,
 FROM exact e JOIN sized s USING (grp)
 ORDER BY e.grp
 """
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram sketch (mergeable quantiles)
+# --------------------------------------------------------------------------
+
+
+def hist_sketch(
+    values: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Equi-width histogram sketch over a numeric stream, optionally per
+    group: (*group_cols, bin, cnt), at most ``n_bins`` rows per group.
+
+    The build is a count aggregate, so the sketch is MERGEABLE (union
+    two histograms = sum their bin counts) and map-side combine bounds
+    the exchange at ``tasks × groups × n_bins`` rows — the same
+    boundedness as the count-min/bloom/HLL builds. This is the
+    distribution member of the sketch suite: count-min answers
+    frequency, bloom membership, HLL cardinality, the histogram
+    quantiles/shape. Unlike t-digest/GK it is insertion-order
+    independent, which is what makes an exact cross-engine oracle
+    possible. Out-of-range values clamp into the edge bins.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        values.groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the
+    first bin whose cumulative count crosses ``t = q * total``, linearly
+    interpolated within the bin — ``est = lo + width * (bin + (t -
+    cum_before) / cnt)``. Max error is one bin width by construction.
+
+    Output: (*group_cols, q, n, est). The crossing-bin selection is a
+    join predicate (cum_before < t <= cum), exactly one row per
+    (group, q) because cumulative counts only move on occupied bins.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*[F.col(g) for g in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*[F.col(g) for g in group_cols])
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    t = F.col("q") * F.col("n").cast("double")
+    frac = (t - (F.col("cum") - F.col("cnt")).cast("double")) / F.col(
+        "cnt"
+    ).cast("double")
+    est = F.lit(lo) + F.lit(width) * (F.col("bin").cast("double") + frac)
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(
+            ((F.col("cum") - F.col("cnt")).cast("double") < t)
+            & (F.col("cum").cast("double") >= t)
+        )
+        .select(*group_cols, "q", "n", est.alias("est"))
+    )
+
+
+def hist_quantile_profile(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    n_bins: int = 64,
+) -> DataFrame:
+    """Histogram-sketch quantiles audited against the exact interpolated
+    percentile: (group, q, n, est, exact, abs_err), siground-rounded.
+
+    Bounds [lo, hi] come from one global min/max aggregate (broadcast —
+    at 100 TB the bounds pass and the sketch build pipeline into the
+    same scan via ReuseExchange or run on yesterday's bounds). The
+    exact side exists only for the audit; production merges per-shard
+    histograms and estimates at read time.
+    """
+    from dataframeutils_spark.schema import siground
+
+    bounds = events.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).collect()[0]
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    sk = hist_sketch(events, value_col, (group_col,), lo, hi, n_bins)
+    est = hist_quantiles(sk, qs, (group_col,), lo, hi, n_bins)
+    exact = events.groupBy(group_col).agg(
+        *[
+            F.expr(f"percentile({value_col}, {q!r})").alias(f"x{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    melted = exact.select(
+        group_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"x{i}").alias("exact")
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("e"),
+    ).select(group_col, "e.q", "e.exact")
+    return (
+        est.join(melted, [group_col, "q"])
+        .select(
+            group_col,
+            "q",
+            "n",
+            siground(F.col("est")).alias("est"),
+            siground(F.col("exact")).alias("exact"),
+            siground(F.abs(F.col("est") - F.col("exact"))).alias("abs_err"),
+        )
+        .orderBy(group_col, "q")
+    )
+
+
+def hist_quantile_profile_sql(
+    table: str = "events",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    n_bins: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`hist_quantile_profile` — identical bin
+    arithmetic, crossing-bin predicate, and interpolation; exact side is
+    ``quantile_cont`` (the same type-7 interpolated percentile as
+    Spark's ``percentile``)."""
+    from dataframeutils_spark.schema import siground_sql
+
+    q_rows = ", ".join(f"({float(q)!r})" for q in qs)
+    # DuckDB's quantile_cont requires a CONSTANT q — one aggregate per q
+    exact_rows = " UNION ALL ".join(
+        f"SELECT {group_col} AS grp, {float(q)!r} AS q, "
+        f"quantile_cont({value_col}, {float(q)!r}) AS exact "
+        f"FROM {table} GROUP BY 1"
+        for q in qs
+    )
+    return f"""
+WITH bounds AS (
+  SELECT CAST(min({value_col}) AS DOUBLE) AS lo,
+         CAST(max({value_col}) AS DOUBLE) AS hi
+  FROM {table}
+),
+params AS (
+  SELECT lo, hi, (hi - lo) / {n_bins} AS width FROM bounds
+),
+sk AS (
+  SELECT {group_col} AS grp,
+         CAST(least(greatest(floor(({value_col} - p.lo) / p.width), 0), {n_bins - 1}) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM {table}, params p
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM sk
+),
+quants(q) AS (VALUES {q_rows}),
+est AS (
+  SELECT c.grp, qq.q, c.n,
+         p.lo + p.width * (CAST(c.bin AS DOUBLE)
+           + (qq.q * CAST(c.n AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
+  FROM cum c CROSS JOIN quants qq CROSS JOIN params p
+  WHERE CAST(c.cum - c.cnt AS DOUBLE) < qq.q * CAST(c.n AS DOUBLE)
+    AND CAST(c.cum AS DOUBLE) >= qq.q * CAST(c.n AS DOUBLE)
+),
+exact AS (
+  {exact_rows}
+)
+SELECT e.grp AS {group_col}, e.q, CAST(e.n AS BIGINT) AS n,
+       {siground_sql("e.est")} AS est,
+       {siground_sql("x.exact")} AS exact,
+       {siground_sql("abs(e.est - x.exact)")} AS abs_err
+FROM est e JOIN exact x ON e.grp = x.grp AND e.q = x.q
+ORDER BY e.grp, e.q
+"""

@@ -326,7 +326,8 @@ def test_registry_contract():
             "bpe_train", "bpe_encode", "bpe_pack",
             # r6 session-3 exact-oracled newcomers (local sweep + pytest
             # oracle parity this round; lead the r7 window)
-            "tpch_q1", "hll_distinct", "stream_distinct_users",
+            "tpch_q1", "hll_distinct", "stream_distinct_users", "hist_quantiles",
+            "tpch_q18",
         }
         r4d = {}
         if _os.path.exists(r04):

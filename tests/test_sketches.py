@@ -394,3 +394,55 @@ def test_hll_estimate_high_rho_no_shift_wrap(spark):
     est = sketches.hll_estimate(regs, (), 10).collect()[0]["est"]
     expected = (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 / (1024 * 2.0 ** -40)
     assert abs(est - expected) / expected < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hist_sketch_is_mergeable(spark):
+    """Sum of per-chunk bin counts == bins of the union — per-shard
+    histograms merge without re-reading values."""
+    a = spark.createDataFrame([(float(i % 17),) for i in range(300)], "value double")
+    b = spark.createDataFrame([(float(i % 5),) for i in range(200)], "value double")
+    direct = {
+        r["bin"]: r["cnt"]
+        for r in sketches.hist_sketch(a.union(b), "value", (), 0.0, 17.0, 32).collect()
+    }
+    sa = sketches.hist_sketch(a, "value", (), 0.0, 17.0, 32)
+    sb = sketches.hist_sketch(b, "value", (), 0.0, 17.0, 32)
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in sa.union(sb).groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == direct
+
+
+def test_hist_quantiles_within_one_bin_width(spark):
+    """The estimator's guarantee: |est - exact| <= one bin width, and
+    out-of-range values clamp into edge bins instead of vanishing."""
+    import numpy as np
+
+    vals = [float(v) for v in np.linspace(-3.0, 50.0, 1777)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    lo, hi, bins = -3.0, 50.0, 64
+    width = (hi - lo) / bins
+    sk = sketches.hist_sketch(df, "value", (), lo, hi, bins)
+    assert sum(r["cnt"] for r in sk.collect()) == len(vals)
+    out = sketches.hist_quantiles(sk, (0.1, 0.5, 0.9), (), lo, hi, bins).collect()
+    assert len(out) == 3
+    for r in out:
+        exact = float(np.quantile(vals, r["q"]))
+        assert abs(r["est"] - exact) <= width + 1e-9, (r, exact)
+
+
+def test_hist_quantile_profile_matches_duckdb_oracle(spark, ddb):
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_type", "value")
+    out = sketches.hist_quantile_profile(ev, "value", "event_type")
+    assert_matches_oracle(
+        out, ddb, sketches.hist_quantile_profile_sql("events", "value", "event_type")
+    )

@@ -153,6 +153,11 @@ QUERIES = [
     # bounded at open-windows x 2^p registers; the audit's exact side
     # shuffles only (window, user) cells
     "stream_distinct_users",
+    # histogram sketch over the replicated event values: bin counts are
+    # map-side-combined, exchange <= groups x n_bins; the audit's exact
+    # percentile is the expensive side (full sort per group in DuckDB,
+    # Spark percentile agg) and exists only at test scale
+    "hist_quantiles",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
