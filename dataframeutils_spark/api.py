@@ -690,6 +690,16 @@ class CorpusStudy:
 
         return pipeline.scd2_history(changes, id_col=self.id_col, **kwargs)
 
+    def vocab_cardinality(self, group_col: str = "lang", p: int = 10) -> DataFrame:
+        """Per-group distinct-token HyperLogLog estimate + exact audit
+        (mergeable registers — per-shard sketches combine by bucketwise
+        max without re-reading text)."""
+        from dataframeutils_spark.operators import sketches
+
+        return sketches.hll_distinct_words(
+            self.docs, group_col=group_col, p=p, text_col=self.text_col
+        )
+
 
 class EventStudy:
     """Facade for the event-log analytics surface: one object over an
@@ -782,3 +792,32 @@ class EventStudy:
         from dataframeutils_spark.streaming import windows as sw
 
         return sw.windowed_event_stats(self.events, window=window)
+
+    def distinct_users(self, window: str = "1 hour", p: int = 8) -> DataFrame:
+        """Per-window distinct-user HLL estimate + exact audit (batch
+        read side of the mergeable-register lambda; pass the events as
+        a stream to :func:`streaming.windows.windowed_distinct_registers`
+        for the write side)."""
+        from dataframeutils_spark.streaming import windows as sw
+
+        return sw.windowed_distinct_users(
+            self.events, window=window, p=p, user_col=self.by
+        )
+
+    def value_quantiles(
+        self,
+        qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+        value_col: str = "value",
+        n_bins: int = 64,
+    ) -> DataFrame:
+        """Histogram-sketch quantiles of ``value_col`` per event type,
+        audited against the exact interpolated percentile."""
+        from dataframeutils_spark.operators import sketches
+
+        return sketches.hist_quantile_profile(
+            self.events.select(self.type_col, value_col),
+            value_col,
+            self.type_col,
+            qs=qs,
+            n_bins=n_bins,
+        )

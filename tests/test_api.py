@@ -228,6 +228,8 @@ def test_corpus_study_facade(spark):
     assert set(cs.bpe_stats(rules).columns) == {
         "doc_id", "n_words", "n_symbols", "n_tokens", "compression"
     }
+    vc = cs.vocab_cardinality(p=10)
+    assert set(vc.columns) == {"grp", "n_exact", "nonzero", "est", "rel_err"}
 
 
 def test_event_study_facade(spark):
@@ -253,6 +255,12 @@ def test_event_study_facade(spark):
     assert set(es.paths(depth=2, k=5).columns) == {"path", "n"}
     assert set(es.active_users().columns) == {"date", "dau", "wau"}
     assert es.windowed_stats().count() > 0
+    du = es.distinct_users(p=8)
+    assert set(du.columns) == {
+        "window_start", "window_end", "n_exact", "nonzero", "est", "rel_err"
+    }
+    vq = es.value_quantiles(qs=(0.5, 0.9)).collect()
+    assert len(vq) > 0 and all(r["q"] in (0.5, 0.9) for r in vq)
 
 
 def test_registry_contract():
