@@ -2041,10 +2041,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     overflow `events_props`, and the r5-session media newcomers
     (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
-    local-sweep green, JPEG ImageIO-cross-validated in pytest) — ALL
-    of these lead the r7 window, then the round-5-verified batch
-    (CORRECTNESS_r05.json: 34 exact + 16 rows-only-by-design, zero
-    failures), demoting this round's 50.
+    local-sweep green, JPEG ImageIO-cross-validated in pytest), the
+    rows-only BPE trio, and the round-6 session-3 newcomers
+    (`tpch_q1`, `tpch_q18`, `hll_distinct`, `stream_distinct_users`,
+    `hist_quantiles` — exact-oracled, local-sweep green) — ALL of
+    these lead the r7 window (26 leads), then ~24 of the
+    round-5-verified batch (CORRECTNESS_r05.json: 34 exact + 16
+    rows-only-by-design, zero failures), demoting this round's 50;
+    the r5-batch remainder overflows to the r8 window.
     """
     return {
         # --- r6 window: never-driver-verified newcomer leads (r5 local
