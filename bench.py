@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_distinct_users",  # windowed distinct-user HLL (lambda read side)
     "hist_quantiles",  # mergeable histogram sketch + exact-percentile audit
     "tpch_q18",  # semi-join-on-aggregate: one exchange, all-broadcast tail
+    "corpus_overlap",  # KMV cross-source overlap estimates + exact audit
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

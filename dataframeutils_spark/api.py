@@ -690,6 +690,17 @@ class CorpusStudy:
 
         return pipeline.scd2_history(changes, id_col=self.id_col, **kwargs)
 
+    def source_overlap(
+        self, group_col: str = "source", n: int = 3, k: int = 256
+    ) -> DataFrame:
+        """Pairwise cross-source shingle-overlap estimates from KMV
+        sketches, audited against the exact hash intersection."""
+        from dataframeutils_spark.operators import sketches
+
+        return sketches.corpus_overlap(
+            self.docs, group_col=group_col, n=n, k=k, text_col=self.text_col
+        )
+
     def vocab_cardinality(self, group_col: str = "lang", p: int = 10) -> DataFrame:
         """Per-group distinct-token HyperLogLog estimate + exact audit
         (mergeable registers — per-shard sketches combine by bucketwise

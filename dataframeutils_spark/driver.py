@@ -1502,6 +1502,16 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hist_quantile_profile(ev, "value", "event_type")
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap audit via K-Minimum-Values
+    sketches: per-source bottom-256 hash sketches (two-phase bounded
+    build), pairwise union/intersection/Jaccard estimates against the
+    exact 8-byte-hash intersection — the pre-flight contamination scan
+    that decides WHERE a cross-corpus dedup pass is worth running."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.corpus_overlap(docs, group_col="source", n=3, k=256)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination: corpus vectors vs a
     held-out eval slice (vec_id % 17 == 0), max-cosine flag at 0.45
@@ -2015,7 +2025,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 126 queries are registered, so ordering
+    this dict (insertion order); 127 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2044,9 +2054,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local-sweep green, JPEG ImageIO-cross-validated in pytest), the
     rows-only BPE trio, and the round-6 session-3 newcomers
     (`tpch_q1`, `tpch_q18`, `hll_distinct`, `stream_distinct_users`,
-    `hist_quantiles` — exact-oracled, local-sweep green) — ALL of
-    these lead the r7 window (26 leads), then ~24 of the
-    round-5-verified batch (CORRECTNESS_r05.json: 34 exact + 16
+    `hist_quantiles`, `corpus_overlap` — exact-oracled, local-sweep
+    green) — ALL of these lead the r7 window (27 leads), then ~23 of
+    the round-5-verified batch (CORRECTNESS_r05.json: 34 exact + 16
     rows-only-by-design, zero failures), demoting this round's 50;
     the r5-batch remainder overflows to the r8 window.
     """
@@ -2141,6 +2151,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_users": q_stream_distinct_users,
         "hist_quantiles": q_hist_quantiles,
         "tpch_q18": q_tpch_q18,
+        "corpus_overlap": q_corpus_overlap,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---
@@ -2352,6 +2363,9 @@ GROUP BY event_type
         "tpch_q5": TPCH_Q5_SQL,
         "tpch_q1": TPCH_Q1_SQL,
         "tpch_q18": TPCH_Q18_SQL,
+        "corpus_overlap": sketches.corpus_overlap_sql(
+            table="documents", group_col="source", n=3, k=256
+        ),
         "hll_distinct": sketches.hll_distinct_words_sql(
             table="documents", group_col="lang", p=10
         ),

@@ -1523,3 +1523,231 @@ SELECT e.grp AS {group_col}, e.q, CAST(e.n AS BIGINT) AS n,
 FROM est e JOIN exact x ON e.grp = x.grp AND e.q = x.q
 ORDER BY e.grp, e.q
 """
+
+
+# --------------------------------------------------------------------------
+# K-Minimum-Values sketch (set overlap / Jaccard estimation)
+# --------------------------------------------------------------------------
+
+
+TWO60 = float(1 << 60)
+
+
+def kmv_sketch(
+    items: DataFrame,
+    item_col: str = "item",
+    group_col: str = "grp",
+    k: int = 256,
+    n_salts: int = 16,
+) -> DataFrame:
+    """K-Minimum-Values sketch (Beyer et al. 2007, public) per group:
+    the ``k`` smallest distinct portable hashes of the item stream.
+
+    Output: (grp, n_items, sketch) — ``n_items`` the exact distinct
+    count (the salts partition the hash space, so per-salt set sizes
+    sum exactly), ``sketch`` an ascending array of ≤ k longs.
+
+    Unlike HLL, KMV supports set INTERSECTION estimation: because
+    every group's sketch keeps the same "k smallest by one global
+    hash" prefix of the universe, two sketches can be unioned and
+    compared element-for-element. Build is the repo's two-phase
+    bottom-k (``inverted_index`` pattern): per (group, hash-salt)
+    partial sort+slice, then a final merge over ≤ salts × k values —
+    a hot group never funnels its full distinct-hash set through one
+    task. Sketches MERGE by re-slicing the concatenation (same
+    bottom-k algebra), so per-shard sketches combine without
+    re-reading items. Deterministic (order-independent bottom-k of a
+    fixed hash) → exactly reproducible in DuckDB.
+    """
+    h = portable_hash60(F.col(item_col))
+    partial = (
+        items.select(
+            F.col(group_col).alias("grp"),
+            h.alias("h"),
+            F.pmod(h, F.lit(n_salts)).alias("salt"),
+        )
+        .groupBy("grp", "salt")
+        .agg(
+            F.sort_array(F.collect_set("h")).alias("cell")
+        )
+        .select(
+            "grp",
+            F.size("cell").alias("nd_part"),
+            F.slice("cell", 1, k).alias("sk_part"),
+        )
+    )
+    return partial.groupBy("grp").agg(
+        F.sum("nd_part").alias("n_items"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("sk_part"))), 1, k
+        ).alias("sketch"),
+    )
+
+
+def kmv_overlap(
+    sketches_df: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates from KMV sketches: for every
+    group pair (a < b), union/intersection/Jaccard via the classic
+    estimator — union sketch S = bottom-k of (sk_a ∪ sk_b); if S is
+    unsaturated it IS the exact distinct union; else est_union =
+    (k-1) / U(k-th min), with U the hash normalized to [0,1); ρ =
+    |{x ∈ S : x ∈ sk_a ∧ x ∈ sk_b}| / |S| and est_inter = ρ ·
+    est_union (exact again when unsaturated).
+
+    Output: (src_a, src_b, n_a, n_b, est_union, est_inter,
+    jaccard_est). The sketch table is ≤ groups × (k+2) values, so the
+    pairwise self-join broadcasts — estimating overlap across ANY
+    number of 100 TB corpora costs one sketch build per corpus plus
+    driver-side-sized arithmetic, never a cross-corpus join.
+    """
+    a = sketches_df.select(
+        F.col("grp").alias("src_a"),
+        F.col("n_items").alias("n_a"),
+        F.col("sketch").alias("sk_a"),
+    )
+    b = sketches_df.select(
+        F.col("grp").alias("src_b"),
+        F.col("n_items").alias("n_b"),
+        F.col("sketch").alias("sk_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    u = F.slice(F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, k)
+    pairs = pairs.select(
+        "src_a", "src_b", "n_a", "n_b", "sk_a", "sk_b", u.alias("u")
+    )
+    n_u = F.size("u")
+    kth = F.element_at("u", n_u)
+    inter = F.size(
+        F.filter(
+            F.col("u"),
+            lambda x: F.array_contains(F.col("sk_a"), x)
+            & F.array_contains(F.col("sk_b"), x),
+        )
+    )
+    est_union = F.when(n_u < k, n_u.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(TWO60))
+    )
+    rho = inter.cast("double") / n_u.cast("double")
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        est_union.alias("est_union"),
+        (rho * est_union).alias("est_inter"),
+        rho.alias("jaccard_est"),
+    )
+
+
+def corpus_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    n: int = 3,
+    k: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source n-gram overlap audit: KMV estimates of shared
+    shingle counts between every source pair, against the exact
+    intersection — the pre-flight contamination/redundancy scan run
+    BEFORE committing to a cross-corpus dedup pass (estimate first
+    from per-corpus sketches; join only where the estimate says
+    overlap exists).
+
+    Output: (src_a, src_b, n_a, n_b, est_union, est_inter,
+    jaccard_est, exact_inter), floats siground-rounded. The exact side
+    is audit-only: an 8-byte-hash self-join, never text.
+    """
+    from dataframeutils_spark.operators.dedup import shingles
+    from dataframeutils_spark.schema import siground
+
+    sh = shingles(docs, text_col=text_col, id_col=group_col, n=n)
+    grams = sh.select(F.col("doc_id").alias("grp"), F.col("shingle").alias("item"))
+    sk = kmv_sketch(grams, "item", "grp", k=k)
+    est = kmv_overlap(sk, k=k)
+    hashed = grams.select(
+        "grp", portable_hash60(F.col("item")).alias("h")
+    ).distinct()
+    ha = hashed.select(F.col("grp").alias("src_a"), "h")
+    hb = hashed.select(F.col("grp").alias("src_b"), "h")
+    exact = (
+        ha.join(hb, ["h"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            siground(F.col("est_union")).alias("est_union"),
+            siground(F.col("est_inter")).alias("est_inter"),
+            siground(F.col("jaccard_est")).alias("jaccard_est"),
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def corpus_overlap_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    n: int = 3,
+    k: int = 256,
+) -> str:
+    """DuckDB oracle for :func:`corpus_overlap` — identical shingle
+    construction (``dedup._shingle_cte``), bottom-k sketch, union
+    re-slice, and estimator arithmetic."""
+    from dataframeutils_spark.operators.dedup import _shingle_cte
+    from dataframeutils_spark.schema import siground_sql
+
+    src = f"(SELECT {group_col} AS doc_id, text FROM {table})"
+    h = portable_hash60_sql("shingle")
+    est_union = (
+        f"CASE WHEN len(u) < {k} THEN CAST(len(u) AS DOUBLE) "
+        f"ELSE CAST({float(k - 1)!r} AS DOUBLE) / (CAST(u[len(u)] AS DOUBLE) / CAST({TWO60!r} AS DOUBLE)) END"
+    )
+    inter = (
+        "len(list_filter(u, x -> list_contains(sk_a, x) AND list_contains(sk_b, x)))"
+    )
+    rho = f"CAST({inter} AS DOUBLE) / CAST(len(u) AS DOUBLE)"
+    return f"""
+WITH {_shingle_cte(src, n)},
+hashed AS (
+  SELECT DISTINCT doc_id AS grp, {h} AS h FROM sh
+),
+sk AS (
+  SELECT grp, count(*) AS n_items,
+         list_slice(list_sort(list(h)), 1, {k}) AS sketch
+  FROM hashed GROUP BY grp
+),
+pairs AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, a.n_items AS n_a, b.n_items AS n_b,
+         a.sketch AS sk_a, b.sketch AS sk_b,
+         list_slice(list_sort(list_distinct(list_concat(a.sketch, b.sketch))), 1, {k}) AS u
+  FROM sk a JOIN sk b ON a.grp < b.grp
+),
+est AS (
+  SELECT src_a, src_b, n_a, n_b,
+         {est_union} AS est_union,
+         {rho} * ({est_union}) AS est_inter,
+         {rho} AS jaccard_est
+  FROM pairs
+),
+exact AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS exact_inter
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.n_a, e.n_b,
+       {siground_sql("e.est_union")} AS est_union,
+       {siground_sql("e.est_inter")} AS est_inter,
+       {siground_sql("e.jaccard_est")} AS jaccard_est,
+       COALESCE(x.exact_inter, 0) AS exact_inter
+FROM est e LEFT JOIN exact x ON e.src_a = x.src_a AND e.src_b = x.src_b
+ORDER BY e.src_a, e.src_b
+"""

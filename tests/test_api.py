@@ -230,6 +230,11 @@ def test_corpus_study_facade(spark):
     }
     vc = cs.vocab_cardinality(p=10)
     assert set(vc.columns) == {"grp", "n_exact", "nonzero", "est", "rel_err"}
+    ov = cs.source_overlap(k=64)
+    assert set(ov.columns) == {
+        "src_a", "src_b", "n_a", "n_b", "est_union", "est_inter",
+        "jaccard_est", "exact_inter",
+    }
 
 
 def test_event_study_facade(spark):
@@ -335,7 +340,7 @@ def test_registry_contract():
             # r6 session-3 exact-oracled newcomers (local sweep + pytest
             # oracle parity this round; lead the r7 window)
             "tpch_q1", "hll_distinct", "stream_distinct_users", "hist_quantiles",
-            "tpch_q18",
+            "tpch_q18", "corpus_overlap",
         }
         r4d = {}
         if _os.path.exists(r04):

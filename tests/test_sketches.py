@@ -446,3 +446,57 @@ def test_hist_quantile_profile_matches_duckdb_oracle(spark, ddb):
     assert_matches_oracle(
         out, ddb, sketches.hist_quantile_profile_sql("events", "value", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-Minimum-Values sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Re-slicing the concatenation of two shard sketches == sketching
+    the union — the bottom-k algebra that lets per-shard sketches merge
+    without re-reading items."""
+    a = spark.createDataFrame([("g", f"x{i}") for i in range(400)], "grp string, item string")
+    b = spark.createDataFrame([("g", f"x{i}") for i in range(200, 600)], "grp string, item string")
+    k = 64
+    direct = sketches.kmv_sketch(a.union(b), "item", "grp", k=k).collect()[0]
+    sa = sketches.kmv_sketch(a, "item", "grp", k=k).collect()[0]
+    sb = sketches.kmv_sketch(b, "item", "grp", k=k).collect()[0]
+    merged = sorted(set(sa["sketch"]) | set(sb["sketch"]))[:k]
+    assert merged == sorted(direct["sketch"])
+
+
+def test_kmv_overlap_unsaturated_is_exact(spark):
+    """Below k the sketch IS the set: union/intersection come out
+    exactly, not approximately."""
+    rows = [("a", f"s{i}") for i in range(30)] + [("b", f"s{i}") for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = sketches.kmv_sketch(df, "item", "grp", k=256)
+    out = sketches.kmv_overlap(sk, k=256).collect()[0]
+    assert out["n_a"] == 30 and out["n_b"] == 30
+    assert out["est_union"] == 50.0
+    assert out["est_inter"] == 10.0
+
+
+def test_kmv_overlap_estimates_within_envelope(spark):
+    """Saturated case: 4000 vs 4000 items sharing 2000 — estimates at
+    k=256 should land within ~3 standard errors (~20%)."""
+    rows = [("a", f"v{i}") for i in range(4000)] + [
+        ("b", f"v{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = sketches.kmv_sketch(df, "item", "grp", k=256)
+    out = sketches.kmv_overlap(sk, k=256).collect()[0]
+    assert abs(out["est_union"] - 6000) / 6000 < 0.20
+    assert abs(out["est_inter"] - 2000) / 2000 < 0.35
+
+
+def test_corpus_overlap_matches_duckdb_oracle(spark, ddb):
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sketches.corpus_overlap(docs, group_col="source", n=3, k=64)
+    assert_matches_oracle(
+        out, ddb, sketches.corpus_overlap_sql("documents", "source", 3, 64)
+    )

@@ -158,6 +158,11 @@ QUERIES = [
     # percentile is the expensive side (full sort per group in DuckDB,
     # Spark percentile agg) and exists only at test scale
     "hist_quantiles",
+    # KMV overlap at 100x: replica families inflate every source's
+    # shingle set ~multx but the sketch stays k values per source —
+    # the estimate join is broadcast-tiny; the exact audit's 8-byte
+    # hash self-join is the only part that grows
+    "corpus_overlap",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
