@@ -1345,8 +1345,14 @@ def hist_sketch(
     possible. Out-of-range values clamp into the edge bins.
     """
     width = (hi - lo) / n_bins
-    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    if width <= 0:
+        # degenerate range (constant column): everything lands in bin 0
+        # instead of dividing by zero; hist_quantiles then interpolates
+        # to exactly lo for every q
+        b = F.lit(0)
+    else:
+        raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return (
         values.groupBy(*group_cols, b.alias("bin"))
         .agg(F.count("*").alias("cnt"))

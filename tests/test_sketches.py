@@ -500,3 +500,14 @@ def test_corpus_overlap_matches_duckdb_oracle(spark, ddb):
     assert_matches_oracle(
         out, ddb, sketches.corpus_overlap_sql("documents", "source", 3, 64)
     )
+
+
+def test_hist_sketch_constant_column_degenerate_range(spark):
+    """lo == hi (constant values) must not divide by zero: all rows in
+    bin 0, every quantile estimate exactly lo."""
+    df = spark.createDataFrame([(7.5,)] * 100, "value double")
+    sk = sketches.hist_sketch(df, "value", (), 7.5, 7.5, 64)
+    rows = sk.collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["cnt"] == 100
+    out = sketches.hist_quantiles(sk, (0.5,), (), 7.5, 7.5, 64).collect()[0]
+    assert out["est"] == 7.5
