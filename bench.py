@@ -120,6 +120,7 @@ HEADLINE = [
     "hist_quantiles",  # mergeable histogram sketch + exact-percentile audit
     "tpch_q18",  # semi-join-on-aggregate: one exchange, all-broadcast tail
     "corpus_overlap",  # KMV cross-source overlap estimates + exact audit
+    "tpch_q4",  # big-big left-semi shuffle join (EXISTS shape)
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1482,6 +1482,48 @@ LIMIT 100
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's plan shape (order-priority checking) adapted to the
+    testdata's columns (no commitdate/receiptdate; EXISTS on returned
+    items instead): a left-semi join whose build side is ~1/3 of
+    lineitem — NOT a curated tiny set like Q18's HAVING filter. The
+    join strategy is deliberately left to Catalyst: at test SF the
+    returned-keys side still fits broadcast; at 100 TB it crosses the
+    threshold and becomes a shuffled semi (both sides hash-partition
+    on orderkey, probe keeps at most one match per order) — the
+    size-adaptive flip, not a pinned strategy, is the correct plan."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via from-scratch
     HyperLogLog registers (p=10), audited against the exact distinct
@@ -2025,7 +2067,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 127 queries are registered, so ordering
+    this dict (insertion order); 128 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2054,8 +2096,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local-sweep green, JPEG ImageIO-cross-validated in pytest), the
     rows-only BPE trio, and the round-6 session-3 newcomers
     (`tpch_q1`, `tpch_q18`, `hll_distinct`, `stream_distinct_users`,
-    `hist_quantiles`, `corpus_overlap` — exact-oracled, local-sweep
-    green) — ALL of these lead the r7 window (27 leads), then ~23 of
+    `hist_quantiles`, `corpus_overlap`, `tpch_q4` — exact-oracled,
+    local-sweep green) — ALL of these lead the r7 window (28 leads),
+    then ~22 of
     the round-5-verified batch (CORRECTNESS_r05.json: 34 exact + 16
     rows-only-by-design, zero failures), demoting this round's 50;
     the r5-batch remainder overflows to the r8 window.
@@ -2152,6 +2195,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "tpch_q18": q_tpch_q18,
         "corpus_overlap": q_corpus_overlap,
+        "tpch_q4": q_tpch_q4,
         # --- below the cap: the round-5-verified batch (50 rows in
         # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
         # demoted for exactly one round ---
@@ -2363,6 +2407,7 @@ GROUP BY event_type
         "tpch_q5": TPCH_Q5_SQL,
         "tpch_q1": TPCH_Q1_SQL,
         "tpch_q18": TPCH_Q18_SQL,
+        "tpch_q4": TPCH_Q4_SQL,
         "corpus_overlap": sketches.corpus_overlap_sql(
             table="documents", group_col="source", n=3, k=256
         ),

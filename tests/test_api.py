@@ -340,7 +340,7 @@ def test_registry_contract():
             # r6 session-3 exact-oracled newcomers (local sweep + pytest
             # oracle parity this round; lead the r7 window)
             "tpch_q1", "hll_distinct", "stream_distinct_users", "hist_quantiles",
-            "tpch_q18", "corpus_overlap",
+            "tpch_q18", "corpus_overlap", "tpch_q4",
         }
         r4d = {}
         if _os.path.exists(r04):
