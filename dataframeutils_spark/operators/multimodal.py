@@ -1578,3 +1578,232 @@ SELECT media_id,
        CAST(list_max(list_transform(range(nfr * nch), i -> {s})) AS INT) AS s_max
 FROM dims
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec tier 6: MJPEG-in-AVI frame decode. The reference decodes
+# video into per-frame features (DataFrameUtils media handlers; cf.
+# reference time_series_study.py-style per-group fan-out); here the
+# container is a structurally valid RIFF/AVI (public spec: MSDN
+# 'AVI RIFF File Reference') whose '00dc' chunks are baseline JPEGs
+# from operators/jpeg.py — so the FRAME PIXELS are real decoder output
+# (Huffman + dequant + IDCT, ImageIO-cross-validated in tests/
+# test_jpeg.py) and the container walk reuses the same RIFF chunk
+# discipline as the WAV tier. Fan-out multiplies rows, never payload
+# bytes — the 100 TB shape of every pixel tier above.
+# ---------------------------------------------------------------------------
+
+# non-multiples of 8 exercise edge-block crop; shift step 29 is coprime
+# with 256 so consecutive frames never alias
+_AVI_W_MOD, _AVI_H_MOD, _AVI_F_MOD, _AVI_S_MOD = 40, 40, 5, 251
+_AVI_FRAME_STEP = 29
+
+
+def synthesize_avi(width: int, height: int, n_frames: int, shift: int) -> bytes:
+    """A minimal VALID MJPEG AVI: RIFF('AVI ') with a full 'hdrl'
+    (avih main header + one 'vids'/'MJPG' stream with strh/strf
+    BITMAPINFOHEADER), a 'movi' LIST of one '00dc' JPEG chunk per
+    frame (word-aligned per RIFF), and a standard 'idx1' keyframe
+    index. Frame f's pixels are block(x//8, y//8) =
+    (11*bx + 17*by + shift + 29*f) % 256 — exact through JPEG
+    quantization, so the whole chain is value-checkable."""
+    import struct as _struct
+
+    from dataframeutils_spark.operators.jpeg import synthesize_jpeg
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cid + _struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    frames = [
+        synthesize_jpeg(width, height, (shift + _AVI_FRAME_STEP * f) % 256)
+        for f in range(n_frames)
+    ]
+    max_len = max(len(fr) for fr in frames)
+    avih = _struct.pack(
+        "<10I4I",
+        100_000,  # dwMicroSecPerFrame (10 fps)
+        max_len * 10,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n_frames, 0, 1, max_len,  # totalFrames, initialFrames, streams, bufSize
+        width, height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, n_frames, max_len, 0xFFFFFFFF, 0)
+        + _struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = bytearray()
+    idx = bytearray()
+    for fr in frames:
+        # idx1 offsets count from the 'movi' fourcc (the common
+        # convention players expect)
+        idx += b"00dc" + _struct.pack("<III", 0x10, 4 + len(movi_payload), len(fr))
+        movi_payload += chunk(b"00dc", fr)
+    movi = lst(b"movi", bytes(movi_payload))
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(b: bytes):
+    """REAL frame decode for MJPEG AVI: RIFF walk to 'hdrl' (avih gives
+    the canvas dims and declared frame count) and the 'movi' LIST, then
+    every '00dc'/'00db' chunk through the from-scratch baseline-JPEG
+    decoder. Returns (width, height, [numpy (h, w) uint8 per frame]).
+    The avih frame count is cross-checked against the chunk walk so a
+    desynced container raises instead of silently truncating."""
+    import struct as _struct
+
+    from dataframeutils_spark.operators.jpeg import decode_jpeg_pixels
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    width = height = declared = None
+    frames = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, declared
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            ln = _struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif cid == b"avih":
+                (_, _, _, _, declared, _, _, _, width, height) = _struct.unpack(
+                    "<10I", b[body_start : body_start + 40]
+                )
+            elif cid in (b"00dc", b"00db"):
+                _, _, img = decode_jpeg_pixels(b[body_start : body_start + ln])
+                frames.append(img)
+            pos = body_start + ln + (ln & 1)  # RIFF chunks are word-aligned
+
+    walk(12, 8 + _struct.unpack("<I", b[4:8])[0])
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    if declared != len(frames):
+        raise ValueError(
+            f"AVI frame count desync: avih declares {declared}, movi has {len(frames)}"
+        )
+    return width, height, frames
+
+
+def avi_media_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture builder for the MJPEG-AVI pixel tier: one valid AVI per
+    document, dims / frame count / gradient shift hash-derived (same
+    md5 arithmetic as :func:`real_media_table`), synthesized scan-side
+    in ``mapInPandas`` so payload bytes never shuffle."""
+
+    def synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+                payloads.append(
+                    synthesize_avi(
+                        9 + h % _AVI_W_MOD,
+                        9 + (h // _AVI_W_MOD) % _AVI_H_MOD,
+                        2 + (h // 11) % _AVI_F_MOD,
+                        (h // 7) % _AVI_S_MOD,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video",
+                    "content": payloads,
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par, F.col("media_id")).mapInPandas(
+        synth_batches, schema="media_id long, media_type string, content binary"
+    )
+
+
+def avi_frame_stats(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL-pixel video frame sampling: decode every ``every_k``-th
+    MJPEG frame of each AVI payload and reduce it to per-frame
+    intensity stats — (media_id, frame_idx, src_w, src_h, px_sum,
+    px_min, px_max). Payloads stay inside their scan task
+    (``mapInPandas``, no shuffle); only narrow stat rows flow
+    downstream, so at 100 TB the decode is embarrassingly parallel and
+    the shuffle volume is rows, not bytes."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, frames = decode_avi_frames(bytes(c))
+                for fi in range(0, len(frames), every_k):
+                    flat = frames[fi].astype(np.int64).ravel()
+                    rows.append(
+                        (mid, fi, w, h, int(flat.sum()), int(flat.min()), int(flat.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "src_w", "src_h",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, frame_idx int, src_w int, src_h int, "
+            "px_sum long, px_min int, px_max int"
+        ),
+    )
+
+
+def avi_frame_stats_sql(table: str = "documents", every_k: int = 2) -> str:
+    """DuckDB oracle for avi_media_table → :func:`avi_frame_stats`:
+    recomputes every sampled frame's stats from the block gradient
+    pixel(x, y, f) = (11*(x//8) + 17*(y//8) + s + 29*f) % 256 — the
+    container walk AND the JPEG entropy/DC/IDCT chain must recover
+    exactly this raster for every checked frame."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    px = f"(11 * (x // 8) + 17 * (y // 8) + s + {_AVI_FRAME_STEP} * f) % 256"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(9 + {h} % {_AVI_W_MOD} AS BIGINT) AS w,
+         CAST(9 + ({h} // {_AVI_W_MOD}) % {_AVI_H_MOD} AS BIGINT) AS hgt,
+         CAST(2 + ({h} // 11) % {_AVI_F_MOD} AS BIGINT) AS nf,
+         CAST(({h} // 7) % {_AVI_S_MOD} AS BIGINT) AS s
+  FROM {table}
+), sampled AS (
+  SELECT media_id, w, hgt, s, unnest(range(0, nf, {every_k})) AS f FROM dims
+)
+SELECT media_id, CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS src_w, CAST(hgt AS INT) AS src_h,
+       CAST(list_sum(list_transform(range(hgt), y ->
+         list_sum(list_transform(range(w), x -> {px})))) AS BIGINT) AS px_sum,
+       CAST(list_min(list_transform(range(hgt), y ->
+         list_min(list_transform(range(w), x -> {px})))) AS INT) AS px_min,
+       CAST(list_max(list_transform(range(hgt), y ->
+         list_max(list_transform(range(w), x -> {px})))) AS INT) AS px_max
+FROM sampled
+"""

@@ -271,12 +271,12 @@ def test_event_study_facade(spark):
 def test_registry_contract():
     """Driver-contract invariants the external gate depends on: every
     oracle belongs to a registered query, every registry entry is
-    callable, and the round-6 rotation holds — the never-driver-verified
-    newcomer leads, the whole first-50 window is exact-oracled (no
-    rows-only entry can silently weaken the gate this round), and
-    everything demoted below the cap has a driver row in
-    CORRECTNESS_r05.json (nothing goes two rounds unverified except the
-    single documented overflow at position 51, which is r4-green)."""
+    callable, and the round-7 rotation holds — the 28 leads are exactly
+    the queries with no external driver hash row yet (13 displaced
+    r4-green + events_props + media tiers + BPE trio + r6-session-3
+    newcomers), the rest of the window is the longest-unverified part
+    of the r5 batch, only the BPE trio is rows-only inside the cap, and
+    everything below the cap carries a driver row from r5 or r6."""
     import json
     import os as _os
 
@@ -288,68 +288,47 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # r6 window composition: the never-driver-verified newcomers first,
-    # then the r4-verified batch (flagship kept in-window)
-    assert names[:14] == [
-        "tpch_q3", "tpch_q5", "semantic_decontaminate", "active_users",
-        "event_paths", "events_attribution", "fuzzy_terms",
-        "bloom_skipping", "scd2_history", "semdedup", "bloom_membership",
-        "events_funnel", "events_retention", "multimodal_gif_frames",
-    ]
-    assert "weighted_bins" in names[:50] and "similarity_ivf" in names[:50]
-    rows_only_in_cap = {n for n in names[:50] if n not in os_}
-    assert rows_only_in_cap == set(), rows_only_in_cap  # 50/50 exact this round
-    # the displaced r4-green entries + last round's overflow lead r7
-    assert names[50:64] == [
+    # r7 window leads: exactly the 28 promised in the r6 docstring
+    assert names[:28] == [
         "mad_outliers", "psi_drift", "compaction_plan", "dsir_select",
         "feature_matrix", "lsh_tuning", "quantile_bin", "salted_join",
         "zorder_layout", "multimodal_meta", "multimodal_frames",
         "embedding_quantize", "embedding_dim_stats", "events_props",
+        "multimodal_jpeg_pixels", "multimodal_wav_samples",
+        "multimodal_audio_windows", "multimodal_mp4_meta",
+        "bpe_train", "bpe_encode", "bpe_pack",
+        "tpch_q1", "tpch_q18", "hll_distinct", "stream_distinct_users",
+        "hist_quantiles", "corpus_overlap", "tpch_q4",
     ]
-    assert all(n in os_ for n in names[50:64])
-    # everything in the window besides the newcomer must be r4-green,
-    # and everything demoted below the cap must be r5-green
+    # inside the cap only the BPE trio is rows-only (iterative, not
+    # SQL-expressible — documented); everything else is exact-oracled
+    rows_only_in_cap = {n for n in names[:50] if n not in os_}
+    assert rows_only_in_cap == {"bpe_train", "bpe_encode", "bpe_pack"}, (
+        rows_only_in_cap
+    )
     here = _os.path.dirname(__file__)
-    r04 = _os.path.join(here, "..", "CORRECTNESS_r04.json")
     r05 = _os.path.join(here, "..", "CORRECTNESS_r05.json")
-    if _os.path.exists(r04):
-        with open(r04) as fh:
-            r4 = json.load(fh)
-        NEW_R6 = {
-            "tpch_q3", "tpch_q5", "semantic_decontaminate", "active_users",
-            "event_paths", "events_attribution", "fuzzy_terms",
-            "bloom_skipping", "scd2_history", "semdedup", "bloom_membership",
-            "events_funnel", "events_retention", "multimodal_gif_frames",
-        }
-        missing = [n for n in names[:50] if n not in r4 and n not in NEW_R6]
-        assert missing == [], missing
-        assert "events_props" in r4
-    if _os.path.exists(r05):
+    r06 = _os.path.join(here, "..", "CORRECTNESS_r06.json")
+    if _os.path.exists(r05) and _os.path.exists(r06):
         with open(r05) as fh:
             r5 = json.load(fh)
-        # everything below the cap must carry a driver row from r4 or
-        # r5 (the displaced overflow is r4-green) or be a documented
-        # media newcomer (local sweep + pytest evidence); all of it
-        # leads the r7 window
-        NEW_MEDIA = {
-            "multimodal_jpeg_pixels", "multimodal_wav_samples",
-            "multimodal_audio_windows", "multimodal_mp4_meta",
-            # r6 rows-only newcomers: iterative BPE, golden-pinned in
-            # tests/test_bpe.py, local-sweep rows evidence
-            "bpe_train", "bpe_encode", "bpe_pack",
-            # r6 session-3 exact-oracled newcomers (local sweep + pytest
-            # oracle parity this round; lead the r7 window)
-            "tpch_q1", "hll_distinct", "stream_distinct_users", "hist_quantiles",
-            "tpch_q18", "corpus_overlap", "tpch_q4",
-        }
-        r4d = {}
-        if _os.path.exists(r04):
-            with open(r04) as fh:
-                r4d = json.load(fh)
+        with open(r06) as fh:
+            r6 = json.load(fh)
+        # positions 29-50 fill from the r5-verified batch (longest since
+        # driver-verified)
+        missing = [n for n in names[28:50] if n not in r5]
+        assert missing == [], missing
+        # everything below the cap must carry a driver row from r5
+        # (those lead the r8 window) or r6 (demoted for one round),
+        # or be a documented r7 newcomer (exact-oracled, pytest
+        # spec-vector evidence; leads the r8 window)
+        NEW_R7 = {"multimodal_avi_frames"}
         missing = [
-            n for n in names[50:]
-            if n not in r5 and n not in r4d and n not in NEW_MEDIA
+            n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7
         ]
         assert missing == [], missing
-        bad = [n for n, v in r5.items() if v.get("err") not in (None, "no_oracle")]
+        # and the r6 window itself was fully green
+        bad = [n for n, v in r6.items() if v.get("err") is not None]
+        assert bad == [], bad
+        bad = [n for n, v in r6.items() if not v.get("hash_match")]
         assert bad == [], bad

@@ -415,3 +415,89 @@ def test_mp4_synthesize_parse_roundtrip_and_oracle(spark, ddb):
     got = sorted(tuple(r) for r in M.mp4_meta(media).collect())
     want = sorted(tuple(t) for t in ddb.execute(M.mp4_meta_sql()).fetchall())
     assert got == want and len(got) == 500
+
+
+def test_avi_parser_on_hand_built_spec_vector():
+    """Container-walk conformance on a RIFF/AVI assembled BYTE BY BYTE
+    here, independently of synthesize_avi — per the MSDN 'AVI RIFF File
+    Reference' layout. The single '00dc' payload is a real baseline
+    JPEG; a mutated avih frame count must raise (desync guard), and an
+    odd-length chunk must be word-aligned correctly."""
+    import struct
+
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+    from dataframeutils_spark.operators.jpeg import synthesize_jpeg
+
+    jpg = synthesize_jpeg(16, 8, 5)
+    # force the odd-length pad path with a junk chunk of length 3
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    avih = struct.pack(
+        "<10I4I", 40_000, 0, 0, 0x10, 1, 0, 1, len(jpg), 16, 8, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 1, len(jpg), 0, 0)
+        + struct.pack("<4h", 0, 0, 16, 8)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, 16, 8, 1, 24, b"MJPG", 384, 0, 0, 0, 0)
+
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", jpg))
+    idx1 = chunk(b"idx1", b"00dc" + struct.pack("<III", 0x10, 4, len(jpg)))
+    body = b"AVI " + hdrl + junk + movi + idx1
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w, h, frames = M.decode_avi_frames(b)
+    assert (w, h) == (16, 8) and len(frames) == 1
+    exp = np.fromfunction(
+        lambda y, x: (11 * (x // 8) + 17 * (y // 8) + 5) % 256, (8, 16)
+    ).astype(np.uint8)
+    assert (frames[0] == exp).all()
+
+    # desync guard: declare 2 frames while movi carries 1
+    bad = bytearray(b)
+    off = b.index(b"avih") + 8
+    bad[off + 16 : off + 20] = struct.pack("<I", 2)
+    with pytest.raises(ValueError, match="desync"):
+        M.decode_avi_frames(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        M.decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_avi_synthesize_decode_all_frames():
+    """Full roundtrip on awkward geometries (edge blocks, 1-block
+    canvas, shift wraparound): every frame of the synthesized MJPEG AVI
+    must decode to the exact block gradient."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    for (w, h, nf, s) in [(9, 9, 2, 0), (17, 25, 4, 250), (8, 8, 3, 255)]:
+        W, H, frames = M.decode_avi_frames(M.synthesize_avi(w, h, nf, s))
+        assert (W, H) == (w, h) and len(frames) == nf
+        for f, img in enumerate(frames):
+            exp = np.fromfunction(
+                lambda y, x: (11 * (x // 8) + 17 * (y // 8) + s + 29 * f) % 256,
+                (h, w),
+            ).astype(np.uint8)
+            assert (img == exp).all(), (w, h, f)
+
+
+def test_avi_frame_stats_matches_oracle(spark, ddb):
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.avi_media_table(docs)
+    got = sorted(tuple(r) for r in M.avi_frame_stats(media, every_k=2).collect())
+    want = sorted(
+        tuple(t) for t in ddb.execute(M.avi_frame_stats_sql(every_k=2)).fetchall()
+    )
+    assert got == want and len(got) > len(set(r[0] for r in got))  # multi-frame fan-out

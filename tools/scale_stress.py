@@ -102,6 +102,7 @@ QUERIES = [
     "multimodal_gif_frames",
     "multimodal_jpeg_pixels",
     "multimodal_wav_samples",
+    "multimodal_avi_frames",
     # late round-4 operators: layout planning and skew salting stress
     # the two-phase global-position machinery and the ×salt dim
     # explode on a 10M-row fact; the feature-prep trio is window/scan
