@@ -164,6 +164,22 @@ QUERIES = [
     # the estimate join is broadcast-tiny; the exact audit's 8-byte
     # hash self-join is the only part that grows
     "corpus_overlap",
+    # TPC-H shapes (r7: the generator now replicates orders+lineitem
+    # with referential integrity — orderkey*mult+m on BOTH sides, so
+    # every replica order keeps exactly its original lineitems and the
+    # per-order quantity distribution is unchanged). Q1 is the pure
+    # map-side-combined scan (exchange ≤ tasks × flag combos at any
+    # size); Q3/Q5 keep one big-big lineitem⋈orders shuffle with all
+    # dims broadcast (dims are NOT replicated — fixed dims vs growing
+    # facts is the real 100 TB shape); Q18's qualifying set grows
+    # ×mult but stays broadcast-tiny; Q4's returned-keys semi side is
+    # ~1/3 of lineitem, so at 100× it must flip from broadcast to a
+    # shuffled semi — the size-adaptive strategy under test.
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q18",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
@@ -263,6 +279,47 @@ def generate(spark, mult: int, out_dir: str) -> None:
     ).repartition(par).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
+def generate_tpch(spark, mult: int, out_dir: str) -> None:
+    """Replicate the TPC-H fact tables (orders, lineitem) mult× and copy
+    the dimension tables as-is.
+
+    Referential integrity is preserved by applying the SAME key
+    transform to both sides — replica m of order k gets key k·mult+m
+    and its lineitems get l_orderkey k·mult+m — so join cardinalities
+    and per-order group sizes are exactly those of the source data.
+    Dimensions stay fixed (each customer simply owns mult× more
+    orders): growing facts against stable dims is the shape a real
+    warehouse has, and it keeps the broadcast sides broadcast-sized at
+    any mult. Dates are NOT shifted, so every TPC-H filter keeps its
+    source selectivity and expected row counts scale exactly ×mult.
+    """
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    m = spark.range(mult).select(F.col("id").alias("m"))
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet").crossJoin(F.broadcast(m))
+    orders.select(
+        (F.col("o_orderkey") * mult + F.col("m")).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).repartition(par).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet").crossJoin(F.broadcast(m))
+    li.select(
+        (F.col("l_orderkey") * mult + F.col("m")).alias("l_orderkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "m")],
+    ).repartition(par).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    for dim in ("customer", "supplier", "nation", "region", "part"):
+        spark.read.parquet(f"{SRC}/{dim}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{dim}.parquet")
+
+
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_{mult}x"
@@ -287,6 +344,10 @@ def main() -> None:
         t0 = time.time()
         generate(spark, mult, out_dir)
         print(f"# generated {mult}x testdata in {out_dir} ({time.time() - t0:.1f}s)", flush=True)
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.time()
+        generate_tpch(spark, mult, out_dir)
+        print(f"# generated {mult}x tpch tables in {out_dir} ({time.time() - t0:.1f}s)", flush=True)
 
     from dataframeutils_spark import driver as d
 
