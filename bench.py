@@ -102,6 +102,8 @@ HEADLINE = [
     "multimodal_audio_windows",  # windowed PCM segmentation features
     "multimodal_mp4_meta",  # ISO BMFF box walk: tkhd size + stts frame count
     "multimodal_avi_frames",  # MJPEG-in-AVI: RIFF walk + real JPEG frame decode
+    "quota_sample",  # exact-quota stratified sample, two-phase skew-proof rank
+    "hard_negatives",  # contrastive hard-negative mining (exact baseline)
     "rolling_corr",  # full-window rolling correlation between feature pairs
     "events_props",  # JSON property extraction profile over raw events
     "events_funnel",  # ordered-step funnel: one user exchange, window min-chain
@@ -127,6 +129,9 @@ HEADLINE = [
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.
+# hard_negatives IS headline despite sharing that shape: mining is the
+# registered op itself (the guard caps the anchor side), and the 100 TB
+# tier (hard_negatives_ann) reuses the already-benched ANN pipeline.
 #
 # Timing note (decided in round 4, VERDICT r3 #7): dedup_simhash's
 # 60-conditional-sum aggregate compiles one large whole-stage-codegen

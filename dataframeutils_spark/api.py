@@ -662,6 +662,24 @@ class CorpusStudy:
             text_col=self.text_col,
         )
 
+    def unigram(self, vocab_size: int = 400, **kwargs: Any):
+        """Train a unigram-LM (SentencePiece-family) tokenizer on the
+        bounded word table; returns (vocab table, {piece: logprob})."""
+        from dataframeutils_spark.operators import unigram
+
+        return unigram.unigram_train(
+            self.docs, vocab_size=vocab_size, text_col=self.text_col, **kwargs
+        )
+
+    def unigram_stats(self, scores: dict[str, float], **kwargs: Any) -> DataFrame:
+        """Viterbi-encode the corpus with a trained unigram vocabulary
+        (per-doc token counts + compression)."""
+        from dataframeutils_spark.operators import unigram
+
+        return unigram.unigram_encode_stats(
+            self.docs, scores, id_col=self.id_col, text_col=self.text_col, **kwargs
+        )
+
     def bpe_stats(self, rules) -> DataFrame:
         """Per-doc token stats under previously learned BPE rules."""
         from dataframeutils_spark.operators import bpe as bpe_ops
@@ -710,6 +728,27 @@ class CorpusStudy:
         return sketches.hll_distinct_words(
             self.docs, group_col=group_col, p=p, text_col=self.text_col
         )
+
+    def quota_sample(
+        self, pct: int = 20, strat_col: str = "lang", **kwargs: Any
+    ) -> DataFrame:
+        """EXACT-quota stratified sample: exactly ⌊n_s·pct/100⌋ docs per
+        stratum (two-phase skew-proof rank — no task ever sorts a whole
+        stratum)."""
+        from dataframeutils_spark.operators import sampling
+
+        return sampling.quota_sample(
+            self.docs, pct=pct, strat_col=strat_col, id_col=self.id_col, **kwargs
+        )
+
+    def hard_negatives(
+        self, embeddings: DataFrame, k: int = 5, **kwargs: Any
+    ) -> DataFrame:
+        """Contrastive hard negatives over an embeddings table: per
+        anchor, the top-k most-similar different-label vectors."""
+        from dataframeutils_spark.operators import similarity
+
+        return similarity.hard_negatives(embeddings, k=k, **kwargs)
 
 
 class EventStudy:

@@ -17,7 +17,7 @@ in :mod:`dataframeutils_spark.operators.dedup`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataframeutils_spark.operators.dedup import (
@@ -219,6 +219,95 @@ SELECT {strat_col} AS stratum,
        CAST(sum(CASE WHEN {b} < {pct} THEN {size_col} ELSE 0 END) AS BIGINT) AS kept_chars
 FROM {table}
 GROUP BY 1
+"""
+
+
+def quota_sample(
+    df: DataFrame,
+    pct: int = 20,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+    portable: bool = True,
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """EXACT-quota stratified sample: exactly ⌊n_s·pct/100⌋ rows per
+    stratum, chosen as the stratum's lowest hash values — deterministic,
+    order/partitioning-independent, stable across engines.
+
+    :func:`stratified_hash_sample` is the rate sampler (Bernoulli by
+    hash bucket — kept counts are only *close* to the rate). Budgeted
+    jobs need exact counts ("exactly 20% of every language into the
+    eval pool"), and exactness needs a per-stratum rank. The naive
+    formulation — ``row_number() OVER (PARTITION BY stratum ORDER BY
+    hash)`` — is a scale trap: one giant stratum becomes one sort task.
+
+    Two-phase rank instead (same machinery as the packing/layout
+    prefix sums): rows land in 2^bucket_bits ordered sub-buckets (the
+    hash's TOP bits, so (bucket, hash, id) ordering ≡ (hash, id)
+    ordering); a bounded (strata × buckets) count table locates each
+    stratum's threshold bucket; every bucket strictly below passes
+    scan-side with no rank at all, and only the ONE straddling bucket
+    per stratum is ranked — its window partitions are 2^bucket_bits
+    finer than the stratum, so no task ever sorts a whole stratum.
+    The result is exactly the rows the naive global rank would pick
+    (the DuckDB oracle runs that naive form).
+    """
+    h = (
+        portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        if portable
+        else F.pmod(fast_hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(2**60))
+    )
+    hashed = df.withColumn("_h", h).withColumn(
+        "_b", F.shiftright(F.col("_h"), 60 - bucket_bits)
+    )
+    counts = hashed.groupBy(strat_col, "_b").agg(F.count("*").alias("_cnt"))
+    wcum = (
+        Window.partitionBy(strat_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(strat_col)
+    # bounded frame: ≤ strata × 2^bucket_bits rows — broadcast it
+    ledger = counts.select(
+        strat_col,
+        "_b",
+        (F.sum("_cnt").over(wcum) - F.col("_cnt")).alias("_before"),
+        ((F.sum("_cnt").over(wtot) * pct) / F.lit(100)).cast("long").alias("_quota"),
+        "_cnt",
+    )
+    joined = hashed.join(F.broadcast(ledger), [strat_col, "_b"])
+    below = joined.filter(F.col("_before") + F.col("_cnt") <= F.col("_quota"))
+    straddle = joined.filter(
+        (F.col("_before") < F.col("_quota"))
+        & (F.col("_before") + F.col("_cnt") > F.col("_quota"))
+    )
+    wrank = Window.partitionBy(strat_col, "_b").orderBy("_h", id_col)
+    straddle_kept = straddle.withColumn("_r", F.row_number().over(wrank)).filter(
+        F.col("_before") + F.col("_r") <= F.col("_quota")
+    )
+    drop = ["_h", "_b", "_before", "_quota", "_cnt"]
+    return below.drop(*drop).unionByName(straddle_kept.drop(*drop, "_r"))
+
+
+def quota_sample_sql(
+    pct: int = 20,
+    table: str = "documents",
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle: the NAIVE global per-stratum rank the two-phase
+    plan is provably equivalent to."""
+    h = portable_hash60_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    return f"""
+SELECT * EXCLUDE (_h, _r, _quota) FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY {strat_col} ORDER BY _h, {id_col}) AS _r,
+         (count(*) OVER (PARTITION BY {strat_col}) * {pct}) // 100 AS _quota
+  FROM (SELECT {cols}, {h} AS _h FROM {table})
+) WHERE _r <= _quota
 """
 
 

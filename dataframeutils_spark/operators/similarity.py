@@ -164,6 +164,141 @@ QUALIFY rank <= {k}
 """
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchor_rows: int | None = 100_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors with a DIFFERENT label —
+    (anchor_id, negative_id, rank, cos_sim).
+
+    The negatives that matter for embedding training are the ones the
+    model currently confuses (high cosine, wrong class); random
+    negatives are trivially separable. This is the exact baseline —
+    brute force with the label-inequality predicate pushed into the
+    join, so same-label pairs never reach scoring. At corpus scale,
+    use :func:`hard_negatives_ann` (LSH candidates, oversampled, then
+    label-filtered and re-ranked) or route through the IVF index and
+    filter inside the probed lists — both reuse this output contract;
+    ``tests/test_northstar.py`` pins the ANN tier's recall against
+    this baseline.
+
+    Same scale shape as :func:`brute_force_topk`: anchors broadcast,
+    corpus never shuffles, ``max_anchor_rows`` guards the O(n²) scan.
+    """
+    if max_anchor_rows is not None:
+        if corpus.limit(max_anchor_rows + 1).count() > max_anchor_rows:
+            raise ValueError(
+                f"hard_negatives anchor side exceeds max_anchor_rows="
+                f"{max_anchor_rows}; mine candidates with ann_topk/IVF "
+                "and re-rank, or pass max_anchor_rows=None to force."
+            )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    ).withColumn("nn", _norm(F.col("nv"), dim))
+    q = corpus.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    ).withColumn("qn", _norm(F.col("qv"), dim))
+    joined = c.join(F.broadcast(q), F.col("qlabel") != F.col("nlabel"))
+    cos = F.try_divide(_dot(F.col("qv"), F.col("nv"), dim), F.col("qn") * F.col("nn"))
+    scored = joined.select("qid", "nid", cos.alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("anchor_id"),
+            F.col("nid").alias("negative_id"),
+            "rank",
+            "cos_sim",
+        )
+    )
+
+
+def hard_negatives_ann(
+    corpus: DataFrame,
+    k: int = 5,
+    oversample: int = 4,
+    bits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """The 100 TB tier of :func:`hard_negatives`: LSH candidates
+    (``k·oversample`` per anchor — same-label neighbors crowd the top
+    of any bucket, so oversampling keeps enough cross-label survivors),
+    then label-filter and re-rank to k. Same output contract as the
+    exact baseline; recall against it is pinned in pytest.
+
+    Scale shape: everything upstream is :func:`ann_topk`'s linear
+    signature pipeline; the label attachment is two equi-joins that
+    shuffle only the candidate triples (≤ N·k·oversample rows of ids
+    and one double — never the vectors or payloads)."""
+    cand = ann_topk(
+        corpus, k=k * oversample, bits=bits, bands=bands,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    labels = corpus.select(F.col(id_col), F.col(label_col))
+    a_lab = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("_albl")
+    )
+    n_lab = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nlbl")
+    )
+    filtered = (
+        cand.join(a_lab, "query_id")
+        .join(n_lab, "neighbor_id")
+        .filter(F.col("_albl") != F.col("_nlbl"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        filtered.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("_r").alias("rank"),
+            "cos_sim",
+        )
+    )
+
+
+def hard_negatives_sql(k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB oracle: identical sequential-fold scoring, label
+    inequality in the join predicate."""
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
+        "i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x::DOUBLE * x::DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS anchor_id, n.vec_id AS negative_id,
+         {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
+  FROM {table} q JOIN {table} n ON q.label <> n.label
+)
+SELECT anchor_id, negative_id,
+       row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def hyperplane_component(plane: Column, dim: Column) -> Column:
     """Deterministic pseudo-uniform hyperplane entry in [-1, 1)."""
     h = portable_hash60(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string")))

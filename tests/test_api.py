@@ -322,7 +322,10 @@ def test_registry_contract():
         # (those lead the r8 window) or r6 (demoted for one round),
         # or be a documented r7 newcomer (exact-oracled, pytest
         # spec-vector evidence; leads the r8 window)
-        NEW_R7 = {"multimodal_avi_frames"}
+        NEW_R7 = {
+            "multimodal_avi_frames", "quota_sample", "hard_negatives",
+            "unigram_train", "unigram_encode",
+        }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7
         ]

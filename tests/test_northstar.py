@@ -799,3 +799,142 @@ def test_fuzzy_term_lookup_matches_and_plan(spark):
     assert got == {("qable", "table"), ("qable", "cable"), ("qable", "fable")}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_cross_label_only_and_ordered(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.05], 0),  # same label as 1: never its negative
+            (3, [1.0, 0.1], 1),  # the hard negative for 1
+            (4, [0.0, 1.0], 1),  # easy negative for 1
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = similarity.hard_negatives(df, k=2).collect()
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["negative_id"])
+        )
+    assert sorted(by_anchor[1]) == [(1, 3), (2, 4)]  # hard before easy
+    assert sorted(by_anchor[3]) == [(1, 2), (2, 1)]
+    # no same-label pair anywhere
+    labels = {1: 0, 2: 0, 3: 1, 4: 1}
+    for r in got:
+        assert labels[r["anchor_id"]] != labels[r["negative_id"]]
+
+
+def test_hard_negatives_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    labels = (np.arange(30) % 3).astype(int)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist(), int(labels[i])) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = similarity.hard_negatives(df, k=3).collect()
+    v = vecs.astype("float64")
+    cos = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    for i in range(30):
+        cands = sorted(
+            ((-cos[i, j], j) for j in range(30) if labels[j] != labels[i]),
+        )[:3]
+        want = [j for _, j in cands]
+        mine = [
+            r["negative_id"]
+            for r in sorted(
+                (r for r in got if r["anchor_id"] == i), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == want, f"anchor {i}"
+
+
+def test_hard_negatives_ann_tier_recall(spark):
+    """The LSH tier must recover most of the exact baseline's pairs on
+    the sf0.001 embeddings (hash-derived hyperplanes — no RNG luck),
+    and every anchor must keep a full result set."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = similarity.hard_negatives(emb, k=3, dim=64)
+    approx = similarity.hard_negatives_ann(
+        emb, k=3, oversample=8, bits=32, bands=8, dim=64
+    )
+    e = {(r["anchor_id"], r["negative_id"]) for r in exact.collect()}
+    a = {(r["anchor_id"], r["negative_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.6
+    assert approx.select("anchor_id").distinct().count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# exact-quota stratified sampling (r7)
+# ---------------------------------------------------------------------------
+
+
+def _naive_quota(pdf, pct, strat_col="lang", id_col="doc_id", salt="quota"):
+    """Reference selection: global per-stratum rank by portable hash."""
+    import hashlib
+
+    def h60(v):
+        return int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+
+    keep = set()
+    for _, grp in pdf.groupby(strat_col):
+        quota = len(grp) * pct // 100
+        ranked = sorted((h60(r[id_col]), r[id_col]) for _, r in grp.iterrows())
+        keep.update(i for _, i in ranked[:quota])
+    return keep
+
+
+def test_quota_sample_exact_counts_and_selection(spark):
+    from dataframeutils_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    pdf = docs.toPandas()
+    got = sampling.quota_sample(docs, pct=20, strat_col="lang").toPandas()
+    # exact quota per stratum
+    want_counts = {
+        lang: len(grp) * 20 // 100 for lang, grp in pdf.groupby("lang")
+    }
+    got_counts = got.groupby("lang")["doc_id"].count().to_dict()
+    assert got_counts == {k: v for k, v in want_counts.items() if v > 0}
+    # exact selection (lowest hashes), not just counts
+    assert set(got["doc_id"]) == _naive_quota(pdf, 20)
+
+
+def test_quota_sample_straddle_logic_with_tiny_buckets(spark):
+    """bucket_bits=2 (4 buckets) forces nearly every stratum through
+    the straddling-bucket rank path; the result must still equal the
+    naive global rank."""
+    from dataframeutils_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    pdf = docs.toPandas()
+    got = sampling.quota_sample(docs, pct=37, strat_col="lang", bucket_bits=2)
+    assert {r["doc_id"] for r in got.collect()} == _naive_quota(pdf, 37)
+
+
+def test_quota_sample_partitioning_invariant(spark):
+    from dataframeutils_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    a = {r["doc_id"] for r in sampling.quota_sample(docs, pct=20).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.quota_sample(docs.repartition(7), pct=20).collect()
+    }
+    assert a == b and len(a) > 0

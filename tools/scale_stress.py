@@ -136,6 +136,11 @@ QUERIES = [
     "scd2_history",
     "bpe_train",
     "bpe_encode",
+    # unigram-LM twin of the BPE pair: training cost is bounded by the
+    # top-V word table at any corpus size; encoding is a scan-side
+    # Arrow DP, linear with zero text shuffle
+    "unigram_train",
+    "unigram_encode",
     "bloom_skipping",
     "fuzzy_terms",
     "events_attribution",
@@ -175,6 +180,10 @@ QUERIES = [
     # ×mult but stays broadcast-tiny; Q4's returned-keys semi side is
     # ~1/3 of lineitem, so at 100× it must flip from broadcast to a
     # shuffled semi — the size-adaptive strategy under test.
+    # quota_sample's straddle-bucket rank is the skew mechanism under
+    # test: at 100x each (lang) stratum is ~170k docs but no task ever
+    # ranks more than a 1/1024 hash slice of one
+    "quota_sample",
     "tpch_q1",
     "tpch_q3",
     "tpch_q4",
