@@ -1709,6 +1709,21 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(unigram.unigram_encode_stats(docs, scores))
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility / chars-per-token report comparing the
+    trained unigram-LM and BPE vocabularies — the multilingual
+    tokenizer-quality dashboard. Depends on both trainings → rows-only
+    gate; the per-doc encoders are reference-pinned in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, scores = unigram.unigram_train(
+        docs, vocab_size=200, seed_size=800, vocab_top=2000, em_rounds=1, shrink=0.6
+    )
+    _, rules = bpe.bpe_train(docs, n_merges=30, vocab_top=2000)
+    return round_floats(
+        unigram.tokenizer_fertility(docs, scores, rules), all_dec=True
+    )
+
+
 def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style packing manifest with REAL subword counts: the learned
     BPE rules feed pack_from_counts — the pipeline's actual final step
@@ -2131,7 +2146,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 133 queries are registered, so ordering
+    this dict (insertion order); 134 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2317,6 +2332,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE precedent; pure-Python-reference-pinned in pytest)
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 

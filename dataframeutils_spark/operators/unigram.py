@@ -263,3 +263,44 @@ def unigram_encode_stats(
         "compression",
         F.try_divide(F.col("n_chars_tok").cast("double"), F.col("n_tokens")),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    unigram_scores: dict[str, float],
+    bpe_rules: list[tuple[str, str, int]],
+    group_col: str = "lang",
+    max_piece_len: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer evaluation: fertility (tokens per word) and
+    chars-per-token for the trained unigram AND BPE vocabularies side
+    by side — the standard multilingual tokenizer-quality report (a
+    tokenizer that fragments one language 3× more than another skews
+    that language's effective context length and training compute).
+
+    One scan per tokenizer (both linear, zero text shuffle), one
+    map-side-combined groupBy each, and a tiny (|groups|) join. Depends
+    on the trained vocabularies → rows-only gate; the per-doc encoders
+    it aggregates are reference-pinned in their own tests.
+    """
+    uni = unigram_encode_stats(
+        docs, unigram_scores, max_piece_len=max_piece_len,
+        id_col=id_col, text_col=text_col,
+    ).join(docs.select(id_col, group_col), id_col)
+    from dataframeutils_spark.operators.bpe import bpe_encode_stats
+
+    bpe_st = bpe_encode_stats(
+        docs, bpe_rules, id_col=id_col, text_col=text_col
+    ).join(docs.select(id_col, group_col), id_col)
+    u = uni.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_tokens") / F.sum("n_words")).alias("uni_fertility"),
+        (F.sum("n_chars_tok") / F.sum("n_tokens")).alias("uni_chars_per_tok"),
+    )
+    b = bpe_st.groupBy(group_col).agg(
+        (F.sum("n_tokens") / F.sum("n_words")).alias("bpe_fertility"),
+        (F.sum("n_symbols") / F.sum("n_tokens")).alias("bpe_syms_per_tok"),
+    )
+    return u.join(b, group_col)

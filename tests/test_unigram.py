@@ -170,3 +170,23 @@ def test_unigram_unknown_char_fallback(spark):
     assert unigram._viterbi("catψψ", scores, 6)[-2:] == ["ψ", "ψ"]
     pieces = unigram._viterbi("ψ", scores, 6)
     assert pieces == ["ψ"]
+
+
+def test_tokenizer_fertility_invariants(spark):
+    from dataframeutils_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, t, "en" if i % 2 else "de") for i, t in enumerate(TEXTS)],
+        "doc_id long, text string, lang string",
+    )
+    _, scores = unigram.unigram_train(docs, vocab_size=40, seed_size=200)
+    _, rules = bpe.bpe_train(docs, n_merges=10, vocab_top=1000)
+    rep = unigram.tokenizer_fertility(docs, scores, rules).collect()
+    assert {r["lang"] for r in rep} == {"en", "de"}
+    assert sum(r["n_docs"] for r in rep) == len(TEXTS)
+    for r in rep:
+        # every word is at least one token; a token is at least one char
+        assert r["uni_fertility"] >= 1.0
+        assert r["bpe_fertility"] >= 1.0
+        assert r["uni_chars_per_tok"] >= 1.0
+        assert r["bpe_syms_per_tok"] >= 1.0

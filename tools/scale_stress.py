@@ -141,6 +141,10 @@ QUERIES = [
     # Arrow DP, linear with zero text shuffle
     "unigram_train",
     "unigram_encode",
+    # trains BOTH tokenizers (bounded tables) then aggregates two
+    # linear encode scans — the whole query should track corpus scan
+    # cost, not corpus size
+    "tokenizer_fertility",
     "bloom_skipping",
     "fuzzy_terms",
     "events_attribution",
