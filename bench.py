@@ -103,7 +103,6 @@ HEADLINE = [
     "multimodal_mp4_meta",  # ISO BMFF box walk: tkhd size + stts frame count
     "multimodal_avi_frames",  # MJPEG-in-AVI: RIFF walk + real JPEG frame decode
     "quota_sample",  # exact-quota stratified sample, two-phase skew-proof rank
-    "hard_negatives",  # contrastive hard-negative mining (exact baseline)
     "rolling_corr",  # full-window rolling correlation between feature pairs
     "events_props",  # JSON property extraction profile over raw events
     "events_funnel",  # ordered-step funnel: one user exchange, window min-chain
@@ -129,9 +128,11 @@ HEADLINE = [
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.
-# hard_negatives IS headline despite sharing that shape: mining is the
-# registered op itself (the guard caps the anchor side), and the 100 TB
-# tier (hard_negatives_ann) reuses the already-benched ANN pipeline.
+# hard_negatives shares that shape (measured 36 s at sf0.1 — the
+# label-inequality join is a quadratic BroadcastNestedLoop by
+# definition) and is likewise excluded: the gate checks it exactly at
+# sf0.01, and the 100 TB tier (hard_negatives_ann) reuses the
+# already-benched ANN pipeline.
 #
 # Timing note (decided in round 4, VERDICT r3 #7): dedup_simhash's
 # 60-conditional-sum aggregate compiles one large whole-stage-codegen
@@ -238,6 +239,18 @@ def main() -> None:
         except Exception as exc:  # keep benching the rest
             per_query[name] = -1.0
             print(f"# {name}: FAILED {exc}", file=sys.stderr, flush=True)
+        # Session hygiene between queries (r7): iterative operators
+        # (connected components, textrank, BPE) localCheckpoint RDDs
+        # whose storage blocks are only reclaimed when the Python
+        # references die AND the JVM ContextCleaner runs. Over a
+        # 100+-query session those blocks pile up in storage memory and
+        # tax later queries (measured: dedup_keep_best 2.6 s solo vs
+        # 15.4 s late in a 104-query session). Drop the references and
+        # give the cleaner a GC edge to find them.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
