@@ -103,6 +103,8 @@ HEADLINE = [
     "multimodal_mp4_meta",  # ISO BMFF box walk: tkhd size + stts frame count
     "multimodal_avi_frames",  # MJPEG-in-AVI: RIFF walk + real JPEG frame decode
     "quota_sample",  # exact-quota stratified sample, two-phase skew-proof rank
+    "snapshot_diff",  # corpus release diff: scan-side hashes, one id join
+    "curriculum",  # staged training order: exact quantile stages + two-phase positions
     "rolling_corr",  # full-window rolling correlation between feature pairs
     "events_props",  # JSON property extraction profile over raw events
     "events_funnel",  # ordered-step funnel: one user exchange, window min-chain

@@ -729,6 +729,15 @@ class CorpusStudy:
             self.docs, group_col=group_col, p=p, text_col=self.text_col
         )
 
+    def snapshot_diff(self, new_docs: DataFrame, **kwargs: Any) -> DataFrame:
+        """Release diff vs a newer snapshot: per-doc added/removed/
+        changed/unchanged by content hash (text never shuffles)."""
+        from dataframeutils_spark.operators import pipeline
+
+        return pipeline.snapshot_diff(
+            self.docs, new_docs, id_col=self.id_col, text_col=self.text_col, **kwargs
+        )
+
     def quota_sample(
         self, pct: int = 20, strat_col: str = "lang", **kwargs: Any
     ) -> DataFrame:
@@ -739,6 +748,21 @@ class CorpusStudy:
 
         return sampling.quota_sample(
             self.docs, pct=pct, strat_col=strat_col, id_col=self.id_col, **kwargs
+        )
+
+    def curriculum(
+        self, score_col: str = "n_chars", n_stages: int = 4, **kwargs: Any
+    ) -> DataFrame:
+        """Curriculum training manifest: exact-quantile stages
+        (easy-to-hard), reproducible hash shuffle within each stage."""
+        from dataframeutils_spark.operators import sampling
+
+        return sampling.curriculum_manifest(
+            self.docs,
+            score_col=score_col,
+            n_stages=n_stages,
+            id_col=self.id_col,
+            **kwargs,
         )
 
     def hard_negatives(

@@ -420,6 +420,37 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training manifest: documents staged by exact n_chars
+    quartiles (easy-to-hard), hash-shuffled within stage with exact
+    two-phase positions — ordered stages, reproducible shuffle inside."""
+    return sampling.curriculum_manifest(
+        load_table(spark, sf_dir, "documents"), score_col="n_chars", n_stages=4
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff (added/removed/changed/unchanged by content
+    hash) between two deterministic snapshot views of documents — text
+    hashed scan-side, one id-keyed full outer join, statuses out."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pipeline.snapshot_diff(old, new)
+
+
+SNAPSHOT_OLD_SQL = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0) o_src"
+SNAPSHOT_NEW_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text"
+    " FROM documents WHERE doc_id % 7 <> 0) n_src"
+)
+
+
 def q_similarity_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC: IVF routing + ADC scoring over PQ codes composed in one
     plan (FAISS's billion-scale layout) — candidates bounded to the
@@ -2146,7 +2177,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 134 queries are registered, so ordering
+    this dict (insertion order); 136 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2174,10 +2205,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
     round-5-verified batch (CORRECTNESS_r05.json), longest since
     verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch (they lead the r8
-    window — their last driver rows are r5, the oldest in the registry),
-    then the 50 entries verified in CORRECTNESS_r06.json (50/50 green),
-    demoted for exactly one round.
+    Positions 51+: the remaining 28 of the r5 batch and the eight r7
+    in-round newcomers registered below the cap (multimodal_avi_frames,
+    quota_sample, hard_negatives, unigram_train, unigram_encode,
+    tokenizer_fertility, snapshot_diff, curriculum — all full-sweep
+    green at HEAD, never driver-gated). TOGETHER those 36 lead the r8
+    window (rotation priority: never-driver-verified newcomers first,
+    then the r5 batch — the oldest driver rows in the registry),
+    filled to 50 with the longest-unverified of the r6 batch; the 50
+    entries verified in CORRECTNESS_r06.json stay demoted until then.
     """
     return {
         # --- r7 window leads: the 13 r4-green entries displaced in r6
@@ -2333,6 +2369,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "snapshot_diff": q_snapshot_diff,
+        "curriculum": q_curriculum,
     }
 
 
@@ -2583,6 +2621,12 @@ FROM events GROUP BY user_id
         ),
         "hard_negatives": _round_oracle_cols(
             similarity.hard_negatives_sql(k=3), ["cos_sim"]
+        ),
+        "snapshot_diff": pipeline.snapshot_diff_sql(
+            SNAPSHOT_OLD_SQL, SNAPSHOT_NEW_SQL
+        ),
+        "curriculum": sampling.curriculum_manifest_sql(
+            score_col="n_chars", n_stages=4
         ),
     }
 

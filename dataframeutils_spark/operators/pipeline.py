@@ -385,3 +385,78 @@ def scd2_as_of(history: DataFrame, as_of_seq: int, id_col: str = "doc_id") -> Da
             | (F.col("valid_to_seq") > F.lit(as_of_seq))
         )
     ).drop("version", "is_current")
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus release diff: per document — added / removed / changed /
+    unchanged between two snapshots, by content hash.
+
+    The release-engineering primitive a dataset pipeline runs before
+    publishing (what moved since v1?) and the input to incremental
+    recompute decisions (only ``added``/``changed`` docs need re-
+    embedding, re-tokenizing, re-scoring). Scale shape: both sides are
+    reduced to (id, 32-hex md5) scan-side — the TEXT never shuffles —
+    then one full outer join on the id; output is ids + statuses only.
+    """
+    o = old_docs.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("_nid"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    j = o.join(n, o["_id"] == n["_nid"], "full_outer")
+    status = (
+        F.when(F.col("_id").isNull(), F.lit("added"))
+        .when(F.col("_nid").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("_id"), F.col("_nid")).alias(id_col),
+        status.alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
+def snapshot_diff_summary(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(status, n_docs, min/max doc id) — the release-note numbers; one
+    map-side-combined groupBy over the diff."""
+    d = snapshot_diff(old_docs, new_docs, id_col=id_col, text_col=text_col)
+    return d.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min(id_col).alias("min_doc_id"),
+        F.max(id_col).alias("max_doc_id"),
+    )
+
+
+def snapshot_diff_sql(
+    old_expr: str,
+    new_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle: same hash compare over a full outer join.
+    ``old_expr``/``new_expr`` are table subqueries producing
+    (id_col, text_col)."""
+    return f"""
+WITH o AS (SELECT {id_col} AS _id, md5({text_col}) AS old_hash FROM {old_expr}),
+     n AS (SELECT {id_col} AS _nid, md5({text_col}) AS new_hash FROM {new_expr})
+SELECT coalesce(_id, _nid) AS {id_col},
+       CASE WHEN _id IS NULL THEN 'added'
+            WHEN _nid IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_hash, new_hash
+FROM o FULL OUTER JOIN n ON _id = _nid
+"""

@@ -311,6 +311,99 @@ SELECT * EXCLUDE (_h, _r, _quota) FROM (
 """
 
 
+def curriculum_manifest(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Curriculum training order: (id, score, stage, pos_in_stage) —
+    documents staged by exact score quantiles (stage 0 = lowest
+    scores first, the easy-to-hard warmup schedule) and deterministically
+    hash-shuffled WITHIN each stage (ordered stages, random-but-
+    reproducible order inside — the standard curriculum data layout).
+
+    Stage boundaries reuse the exact-percentile round-then-compare
+    contract (``features.quantile_bin``), so stage membership is
+    engine-exact. Positions use the :func:`quota_sample` two-phase
+    machinery: a bounded (stage × 2^bucket_bits) count ledger turns the
+    per-stage global rank into per-(stage, hash-bucket) ranks plus a
+    broadcast prefix offset — no task ever sorts a whole stage, yet the
+    positions are exactly the naive ``row_number() OVER (PARTITION BY
+    stage ORDER BY hash, id)`` the DuckDB oracle runs.
+    """
+    from dataframeutils_spark.operators.features import _rounded_boundaries
+
+    bnds = _rounded_boundaries(df, score_col, n_stages)
+    stage = F.aggregate(
+        F.transform(F.col("bnds"), lambda b: (F.col(score_col) > b).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    h = portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    staged = (
+        df.select(id_col, score_col)
+        .filter(F.col(score_col).isNotNull())
+        .crossJoin(F.broadcast(bnds))
+        .select(
+            id_col,
+            score_col,
+            stage.alias("stage"),
+            h.alias("_h"),
+        )
+        .withColumn("_b", F.shiftright(F.col("_h"), 60 - bucket_bits))
+    )
+    counts = staged.groupBy("stage", "_b").agg(F.count("*").alias("_cnt"))
+    wcum = (
+        Window.partitionBy("stage")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ledger = counts.select(
+        "stage", "_b", (F.sum("_cnt").over(wcum) - F.col("_cnt")).alias("_before")
+    )
+    wrank = Window.partitionBy("stage", "_b").orderBy("_h", id_col)
+    return (
+        staged.join(F.broadcast(ledger), ["stage", "_b"])
+        .withColumn("pos_in_stage", F.col("_before") + F.row_number().over(wrank))
+        .select(id_col, score_col, "stage", "pos_in_stage")
+    )
+
+
+def curriculum_manifest_sql(
+    table: str = "documents",
+    score_col: str = "n_chars",
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+) -> str:
+    """DuckDB oracle: naive per-stage global rank, same exact-percentile
+    boundaries (round-then-compare)."""
+    from dataframeutils_spark.schema import siground_sql
+
+    qs = ", ".join(str(i / n_stages) for i in range(1, n_stages))
+    rb = siground_sql("b")
+    h = portable_hash60_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    return f"""
+WITH bnds AS (
+  SELECT list_transform(quantile_cont({score_col}, [{qs}]), b -> {rb}) AS bnds
+  FROM {table}
+), staged AS (
+  SELECT {id_col}, {score_col},
+         len(list_filter(bnds, b -> {score_col} > b)) AS stage,
+         {h} AS _h
+  FROM {table}, bnds
+  WHERE {score_col} IS NOT NULL
+)
+SELECT {id_col}, {score_col}, CAST(stage AS INT) AS stage,
+       CAST(row_number() OVER (PARTITION BY stage ORDER BY _h, {id_col}) AS BIGINT)
+         AS pos_in_stage
+FROM staged
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL builders (portable hash only)
 # ---------------------------------------------------------------------------

@@ -325,6 +325,7 @@ def test_registry_contract():
         NEW_R7 = {
             "multimodal_avi_frames", "quota_sample", "hard_negatives",
             "unigram_train", "unigram_encode", "tokenizer_fertility",
+            "snapshot_diff", "curriculum",
         }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7

@@ -938,3 +938,68 @@ def test_quota_sample_partitioning_invariant(spark):
         for r in sampling.quota_sample(docs.repartition(7), pct=20).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_quota_sample_nested_across_rates(spark):
+    """rank ≤ ⌊n·p1/100⌋ implies rank ≤ ⌊n·p2/100⌋ for p1 ≤ p2, so quota
+    samples are NESTED across rates (same property the hash_sample rate
+    family guarantees) — growing a budget never swaps documents out."""
+    from dataframeutils_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    s10 = {r["doc_id"] for r in sampling.quota_sample(docs, pct=10).collect()}
+    s20 = {r["doc_id"] for r in sampling.quota_sample(docs, pct=20).collect()}
+    s50 = {r["doc_id"] for r in sampling.quota_sample(docs, pct=50).collect()}
+    assert s10 <= s20 <= s50
+    assert len(s10) > 0
+
+
+def test_hard_negatives_partitioning_invariant(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {
+        (r["anchor_id"], r["rank"], r["negative_id"])
+        for r in similarity.hard_negatives(emb, k=2, dim=64).collect()
+    }
+    b = {
+        (r["anchor_id"], r["rank"], r["negative_id"])
+        for r in similarity.hard_negatives(emb.repartition(13), k=2, dim=64).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_snapshot_diff_statuses(spark):
+    from dataframeutils_spark.operators import pipeline
+
+    old = docs_df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = docs_df(spark, [(2, "b"), (3, "c2"), (4, "d")])
+    got = {r["doc_id"]: r["status"] for r in pipeline.snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    summ = {
+        r["status"]: r["n_docs"]
+        for r in pipeline.snapshot_diff_summary(old, new).collect()
+    }
+    assert summ == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+def test_curriculum_manifest_invariants(spark):
+    from dataframeutils_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sampling.curriculum_manifest(docs, score_col="n_chars", n_stages=4).toPandas()
+    assert len(got) == docs.count()
+    assert set(got["stage"]) == {0, 1, 2, 3}
+    # ordered stages: every stage-0 score <= every stage-3 score
+    assert got[got.stage == 0]["n_chars"].max() <= got[got.stage == 3]["n_chars"].min()
+    # positions are dense 1..n_s within each stage
+    for s, grp in got.groupby("stage"):
+        assert sorted(grp["pos_in_stage"]) == list(range(1, len(grp) + 1))
+    # reproducible under repartitioning
+    again = sampling.curriculum_manifest(
+        docs.repartition(9), score_col="n_chars", n_stages=4
+    ).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert (a["pos_in_stage"] == b["pos_in_stage"]).all()
+    assert (a["stage"] == b["stage"]).all()

@@ -145,6 +145,13 @@ QUERIES = [
     # linear encode scans — the whole query should track corpus scan
     # cost, not corpus size
     "tokenizer_fertility",
+    # release diff: both snapshots hash scan-side (text never shuffles),
+    # one 8-byte-key full outer join — linear
+    "snapshot_diff",
+    # staged order: the per-stage rank is the same straddle-free
+    # two-phase machinery as quota_sample, here ranking EVERY row —
+    # max task = one (stage, 1/1024-hash-slice) cell
+    "curriculum",
     "bloom_skipping",
     "fuzzy_terms",
     "events_attribution",
