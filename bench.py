@@ -127,6 +127,8 @@ HEADLINE = [
     "tpch_q18",  # semi-join-on-aggregate: one exchange, all-broadcast tail
     "corpus_overlap",  # KMV cross-source overlap estimates + exact audit
     "tpch_q4",  # big-big left-semi shuffle join (EXISTS shape)
+    "tpch_q6",  # filter-heavy single-agg scan: pure predicate pushdown
+    "tpch_q10",  # returned-item customer ranking: one shuffle + broadcasts
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

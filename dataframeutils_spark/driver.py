@@ -1580,6 +1580,95 @@ ORDER BY o_orderpriority
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    filter-heavy single-aggregate scan — three pushable predicates, no
+    join, no groupBy, ONE output row. The plan to want at 100 TB: every
+    predicate in PushedFilters, a two-column ReadSchema, partial sums,
+    a one-row exchange. The pure predicate-pushdown showcase next to
+    Q1's grouped variant."""
+    cut_lo = F.lit("1996-01-01").cast("timestamp")
+    cut_hi = F.lit("1997-01-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= cut_lo)
+        & (F.col("l_shipdate") < cut_hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        siground(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+TPCH_Q6_SQL = f"""
+SELECT {siground_sql("sum(l_extendedprice * l_discount)")} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a quarter — lineitem⋈orders is the one big-big
+    shuffle, customer and nation broadcast onto the ≤|customers|
+    aggregate. Revenue siground-rounded BEFORE the top-20 ranking
+    (cross-engine ordering contract), tiebreak c_custkey."""
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    out = (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("rev_raw"))
+        .select(
+            "c_custkey",
+            "c_name",
+            siground(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+            siground(F.col("rev_raw")).alias("revenue"),
+        )
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       {siground_sql("c_acctbal")} AS c_acctbal,
+       n_name,
+       {siground_sql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via from-scratch
     HyperLogLog registers (p=10), audited against the exact distinct
@@ -2177,7 +2266,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 136 queries are registered, so ordering
+    this dict (insertion order); 138 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. With a 50-entry window the
     rotation gives every query a driver row at least every second round
@@ -2205,11 +2294,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
     round-5-verified batch (CORRECTNESS_r05.json), longest since
     verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch and the eight r7
+    Positions 51+: the remaining 28 of the r5 batch and the ten r7
     in-round newcomers registered below the cap (multimodal_avi_frames,
     quota_sample, hard_negatives, unigram_train, unigram_encode,
-    tokenizer_fertility, snapshot_diff, curriculum — all full-sweep
-    green at HEAD, never driver-gated). TOGETHER those 36 lead the r8
+    tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10 —
+    all full-sweep green at HEAD, never driver-gated). TOGETHER those
+    38 lead the r8
     window (rotation priority: never-driver-verified newcomers first,
     then the r5 batch — the oldest driver rows in the registry),
     filled to 50 with the longest-unverified of the r6 batch; the 50
@@ -2371,6 +2461,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "snapshot_diff": q_snapshot_diff,
         "curriculum": q_curriculum,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
     }
 
 
@@ -2628,6 +2720,8 @@ FROM events GROUP BY user_id
         "curriculum": sampling.curriculum_manifest_sql(
             score_col="n_chars", n_stages=4
         ),
+        "tpch_q6": TPCH_Q6_SQL,
+        "tpch_q10": TPCH_Q10_SQL,
     }
 
 

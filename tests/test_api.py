@@ -325,7 +325,7 @@ def test_registry_contract():
         NEW_R7 = {
             "multimodal_avi_frames", "quota_sample", "hard_negatives",
             "unigram_train", "unigram_encode", "tokenizer_fertility",
-            "snapshot_diff", "curriculum",
+            "snapshot_diff", "curriculum", "tpch_q6", "tpch_q10",
         }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7

@@ -346,3 +346,29 @@ def test_tpch_q5_star_join_broadcasts_all_dims(spark):
     plan = _plan(driver.q_tpch_q5(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q6_all_predicates_pushed_pruned_scan(spark):
+    """Q6's docstring claims: every predicate reaches the parquet scan
+    and only the four referenced columns are read."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q6(spark, SF_DIR))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    pushed = scan.split("PushedFilters: [")[1]
+    for name in ("l_shipdate", "l_discount", "l_quantity"):
+        assert name in pushed, name
+    schema = scan.split("ReadSchema: ")[1]
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+    # no join, no groupBy key exchange — a one-row aggregate
+    assert plan.count("Join") == 0
+
+
+def test_tpch_q10_broadcasts_customer_and_nation(spark):
+    """Q10: customer and nation broadcast; lineitem⋈orders is the one
+    potentially big-big join; no cartesian products."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q10(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("CartesianProduct") == 0

@@ -558,3 +558,96 @@ def test_hll_registers_merge_invariant(spark, chunks, p):
         for r in merged.groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    pct=st.sampled_from([0, 1, 20, 37, 50, 99, 100]),
+)
+@settings(**SETTINGS)
+def test_quota_sample_matches_reference(spark, rows, pct):
+    """Exact-quota sampling == the naive per-stratum hash rank, on
+    adversarial shapes (singleton strata, pct 0/100, tiny buckets so
+    nearly everything straddles)."""
+    import hashlib
+
+    from dataframeutils_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["doc_id"]
+        for r in sampling.quota_sample(df, pct=pct, bucket_bits=2).collect()
+    }
+
+    def h60(v):
+        return int(hashlib.md5(f"quota:{v}".encode()).hexdigest()[:15], 16)
+
+    want = set()
+    by_lang: dict[str, list[int]] = {}
+    for i, lang in rows:
+        by_lang.setdefault(lang, []).append(i)
+    for ids in by_lang.values():
+        quota = len(ids) * pct // 100
+        ranked = sorted(ids, key=lambda i: (h60(i), i))
+        want.update(ranked[:quota])
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_stages=st.sampled_from([2, 4]),
+)
+@settings(**SETTINGS)
+def test_curriculum_matches_reference(spark, rows, n_stages):
+    """Curriculum staging + per-stage positions == the naive reference
+    (exact type-7 percentile boundaries, per-stage global hash rank) —
+    including heavy score ties, which must land in one stage."""
+    import hashlib
+
+    import numpy as np
+
+    from dataframeutils_spark.operators import sampling
+    from dataframeutils_spark.schema import SIG_DIGITS
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["doc_id"]: (r["stage"], r["pos_in_stage"])
+        for r in sampling.curriculum_manifest(
+            df, score_col="n_chars", n_stages=n_stages, bucket_bits=2
+        ).collect()
+    }
+
+    def sig(x):
+        if x == 0:
+            return 0.0
+        from math import floor, log10
+
+        return round(x, -int(floor(log10(abs(x)))) + (SIG_DIGITS - 1))
+
+    scores = np.array([c for _, c in rows], dtype=float)
+    bnds = [sig(b) for b in np.quantile(scores, [i / n_stages for i in range(1, n_stages)])]
+
+    def h60(v):
+        return int(hashlib.md5(f"curriculum:{v}".encode()).hexdigest()[:15], 16)
+
+    by_stage: dict[int, list[int]] = {}
+    want_stage = {}
+    for i, c in rows:
+        stage = sum(c > b for b in bnds)
+        want_stage[i] = stage
+        by_stage.setdefault(stage, []).append(i)
+    want = {}
+    for stage, ids in by_stage.items():
+        for pos, i in enumerate(sorted(ids, key=lambda i: (h60(i), i)), start=1):
+            want[i] = (stage, pos)
+    assert got == want

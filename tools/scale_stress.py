@@ -200,6 +200,10 @@ QUERIES = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q18",
+    # Q6 = pure pushed-predicate scan (one-row exchange); Q10 repeats
+    # Q3's one big-big shuffle shape with a customer-grained aggregate
+    "tpch_q6",
+    "tpch_q10",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
