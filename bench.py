@@ -129,6 +129,21 @@ HEADLINE = [
     "tpch_q4",  # big-big left-semi shuffle join (EXISTS shape)
     "tpch_q6",  # filter-heavy single-agg scan: pure predicate pushdown
     "tpch_q10",  # returned-item customer ranking: one shuffle + broadcasts
+    "tpch_q2",  # groupwise-min cost + equality join-back
+    "tpch_q7",  # nation-pair volume: one dim joined through two roles
+    "tpch_q8",  # market-share conditional ratio over a 5-dim star
+    "tpch_q9",  # product-type profit: contains-filtered part broadcast
+    "tpch_q11",  # scalar-subquery threshold over a per-part aggregate
+    "tpch_q12",  # cross-side date-arithmetic predicate + CASE pivot
+    "tpch_q13",  # left-outer + double aggregation (order-count histogram)
+    "tpch_q14",  # promo revenue share: one-pass conditional ratio
+    "tpch_q15",  # argmax-by-equality top supplier (sigrounded contract)
+    "tpch_q16",  # distinct-agg + broadcast anti-join exclusion
+    "tpch_q17",  # correlated per-part avg threshold (post-filter agg)
+    "tpch_q19",  # OR-of-conjuncts with pushed quantity envelope
+    "tpch_q20",  # semi-join on HAVING-filtered two-key aggregate
+    "tpch_q21",  # double self-join folded into one per-order aggregate
+    "tpch_q22",  # scalar broadcast + anti-join dormant-customer scan
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -1669,6 +1669,752 @@ LIMIT 20
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between a nation PAIR by
+    ship year — the two-aliases-of-one-dimension shape (nation joins
+    twice, once through supplier, once through customer). Both nation
+    maps broadcast; supplier/customer broadcast; lineitem⋈orders stays
+    the single big-big shuffle. The pair predicate is applied on the
+    broadcast-joined codes, so at 100 TB the fact rows that survive are
+    pruned before the group-by exchange."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(rev.alias("rev_raw"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            siground(F.col("rev_raw")).alias("revenue"),
+        )
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {{rev}} AS revenue
+FROM (
+ SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        year(l_shipdate) AS l_year, l_extendedprice*(1.0-l_discount) AS vol
+ FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+  JOIN supplier ON l_suppkey=s_suppkey
+  JOIN customer ON o_custkey=c_custkey
+  JOIN nation n1 ON s_nationkey=n1.n_nationkey
+  JOIN nation n2 ON c_nationkey=n2.n_nationkey
+ WHERE ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+     OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+   AND l_shipdate >= TIMESTAMP '1996-01-01'
+   AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping GROUP BY supp_nation, cust_nation, l_year
+""".format(rev=siground_sql("sum(vol)"))
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    ASIA-region PROMO-part revenue per order year — the conditional-
+    ratio-over-a-star shape. All five dimensions broadcast; the CASE
+    lives inside the aggregate so both numerator and denominator come
+    out of ONE pass over the joined fact (never two scans). Share is a
+    bounded statistic → decround, not siground."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asia_cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("s_nation"))
+    )
+    promo = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    num = F.sum(F.when(F.col("s_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+    den = F.sum(vol)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((num / den).alias("share_raw"))
+        .select("o_year", decround(F.col("share_raw")).alias("mkt_share"))
+    )
+
+
+TPCH_Q8_SQL = f"""
+SELECT o_year, {{share}} AS mkt_share
+FROM (
+ SELECT year(o_orderdate) AS o_year, l_extendedprice*(1.0-l_discount) AS vol,
+        n2.n_name AS s_nation
+ FROM lineitem
+  JOIN orders ON l_orderkey=o_orderkey
+  JOIN customer ON o_custkey=c_custkey
+  JOIN nation n1 ON c_nationkey=n1.n_nationkey
+  JOIN region ON n1.n_regionkey=r_regionkey
+  JOIN supplier ON l_suppkey=s_suppkey
+  JOIN nation n2 ON s_nationkey=n2.n_nationkey
+  JOIN part ON l_partkey=p_partkey
+ WHERE r_name='ASIA' AND p_type='PROMO'
+) all_nations GROUP BY o_year
+""".format(
+    share=decround_sql(
+        "sum(CASE WHEN s_nation='NATION_5' THEN vol ELSE 0.0 END)/sum(vol)"
+    )
+)
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): per supplier-nation, per order
+    year, profit on parts whose name matches a substring — the contains-
+    predicate star. The testdata has no partsupp/supplycost, so cost is
+    proxied as half the part's retail price × quantity (the SHAPE —
+    profit = revenue − cost over a 5-way join — is what's pinned). The
+    part filter cannot be pushed as a parquet predicate (substring), but
+    it broadcasts at any scale (parts ≪ facts) and prunes lineitem
+    before the big join."""
+    widget = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - (
+        F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(widget, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(amount).alias("profit_raw"))
+        .select("nation", "o_year", siground(F.col("profit_raw")).alias("sum_profit"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT nation, o_year, {{profit}} AS sum_profit
+FROM (
+ SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        l_extendedprice*(1.0-l_discount) - 0.5*p_retailprice*l_quantity AS amount
+ FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+  JOIN supplier ON l_suppkey=s_suppkey
+  JOIN nation ON s_nationkey=n_nationkey
+  JOIN part ON l_partkey=p_partkey
+ WHERE p_name LIKE '%widget%'
+) profit GROUP BY nation, o_year
+""".format(profit=siground_sql("sum(amount)"))
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important parts): parts whose revenue from two
+    nations' suppliers exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    scalar-subquery-threshold shape. One per-part aggregate, then the
+    1-row total is broadcast back as a cross join: the threshold
+    comparison costs zero exchanges beyond the aggregate itself.
+    Both sides of the comparison are sigrounded (cross-engine
+    contract), matching the oracle's rounding exactly."""
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "v"
+            )
+        )
+    )
+    total = val.agg(siground(F.sum("v") * F.lit(0.001)).alias("cut"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(siground(F.col("v")) > F.col("cut"))
+        .select(
+            F.col("l_partkey").alias("p_key"), siground(F.col("v")).alias("value")
+        )
+    )
+
+
+TPCH_Q11_SQL = f"""
+WITH val AS (
+ SELECT l_partkey, sum(l_extendedprice*(1.0-l_discount)) AS v
+ FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+  JOIN nation ON s_nationkey=n_nationkey
+ WHERE n_name IN ('NATION_3','NATION_7') GROUP BY l_partkey)
+SELECT l_partkey AS p_key, {siground_sql("v")} AS value FROM val
+WHERE {siground_sql("v")} > (SELECT {siground_sql("sum(v)*0.001")} FROM val)
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's plan shape (shipping modes / late lines) adapted to
+    the testdata's columns (no commitdate/receiptdate/shipmode: "late"
+    = shipped ≥60 days after the order date, grouped by linestatus):
+    a single fact-fact join whose predicate COMPARES COLUMNS OF THE TWO
+    SIDES (not pushable to either scan) followed by a CASE pivot — the
+    high/low counts come out of one pass. lineitem⋈orders shuffles on
+    orderkey; the date-arithmetic filter runs post-join."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_linestatus,
+ CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+ CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    so zero-order customers survive with count 0, then a second
+    aggregate over the counts — the outer-join + double-aggregation
+    shape. The join predicate carries an extra non-key condition
+    (priority filter) that must stay IN the join, not before it (it
+    would turn the outer join inner). Orders shuffle on custkey once;
+    the second aggregate's input is ≤ |customers| rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    j = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+ SELECT c_custkey, count(o_orderkey) AS c_count
+ FROM customer LEFT OUTER JOIN orders
+   ON c_custkey=o_custkey AND o_orderpriority <> '1-URGENT'
+ GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO-type share of one month's
+    revenue — the conditional-ratio scan. The date filter pushes to the
+    parquet scan; part broadcasts; numerator and denominator come from
+    ONE aggregate. Bounded percentage → decround."""
+    lo = F.lit("1996-09-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    num = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+    return j.agg(
+        decround(F.lit(100.0) * num / F.sum(vol)).alias("promo_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+TPCH_Q14_SQL = f"""
+SELECT {{share}} AS promo_revenue, count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey=p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""".format(
+    share=decround_sql(
+        "100.0*sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1.0-l_discount)"
+        " ELSE 0.0 END)/sum(l_extendedprice*(1.0-l_discount))"
+    )
+)
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarterly
+    revenue EQUALS the maximum — the view + argmax-by-equality shape.
+    Per-supplier revenue is sigrounded BEFORE the max and the equality
+    (cross-engine contract: comparing raw doubles across engines would
+    be a coin flip); the 1-row max broadcasts back over the ≤|suppliers|
+    aggregate, so the argmax costs no extra shuffle."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            siground(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH revenue AS (
+ SELECT l_suppkey AS supplier_no,
+        {siground_sql("sum(l_extendedprice*(1.0-l_discount))")} AS total_revenue
+ FROM lineitem
+ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+   AND l_shipdate < TIMESTAMP '1996-04-01'
+ GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey=supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier diversity per part bucket): COUNT DISTINCT
+    suppliers per (brand, type, size) with a NOT-IN supplier exclusion
+    — the distinct-agg + anti-join shape (the testdata has no partsupp;
+    lineitem IS the part↔supplier relation, and the excluded set is
+    the negative-balance suppliers standing in for the complaint
+    filter). The exclusion list is tiny → broadcast LEFT ANTI before
+    the distinct aggregate, so excluded rows never enter the exchange."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+    )
+    bad_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    j = (
+        li.join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey=p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+ AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity orders): revenue from lines whose
+    quantity is below 20% of their part's average — the correlated-
+    scalar-per-group shape. The filtered part set broadcasts FIRST, so
+    the per-part average aggregates only the qualifying parts' lines
+    (the correlated subquery over all of lineitem has the same
+    per-partkey value — computing it post-filter is the 100 TB plan).
+    The 0.2·avg threshold is decrounded on both sides (cross-engine
+    comparison contract)."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    fli = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    qty_cut = F.broadcast(
+        fli.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(decround(F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        fli.join(qty_cut, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            siground(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+TPCH_Q17_SQL = f"""
+SELECT {siground_sql("sum(l_extendedprice)/7.0")} AS avg_yearly, count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey=l_partkey
+JOIN (SELECT l_partkey AS a_partkey, {decround_sql("0.2*avg(l_quantity)")} AS qty_cut
+      FROM lineitem GROUP BY l_partkey) pa ON a_partkey=p_partkey
+WHERE p_brand='Brand#3' AND p_size < 10 AND l_quantity < qty_cut
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an OR of three (brand, size
+    range, quantity range) conjunct triplets — the disjunctive-
+    predicate join. The quantity bounds (the common envelope 1..30)
+    push to the lineitem scan; the per-brand conjuncts evaluate on the
+    broadcast-joined part columns. One scan, one broadcast, one 1-row
+    aggregate — no shuffle at all beyond the final row."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    t1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    t2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    t3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(t1 | t2 | t3).agg(
+        siground(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT {siground_sql("sum(l_extendedprice*(1.0-l_discount))")} AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey=l_partkey
+WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand='Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (part promotion candidates): suppliers in a nation set
+    who shipped >100 units of some green/red part — the semi-join-on-
+    aggregate-HAVING shape (no partsupp: shipped quantity stands in for
+    availqty). The per-(supplier, part) aggregate shuffles the two-key
+    projection once; its HAVING survivors collapse to distinct suppkeys
+    and semi-join the 100-row supplier dim — at 100 TB the survivors
+    stay ≪ facts, so the semi side always broadcasts."""
+    names = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("green") | F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    qualified = (
+        li.join(names, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin(
+                        "NATION_2", "NATION_4", "NATION_6", "NATION_8"
+                    )
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "s_suppkey")
+    )
+    return supp.join(
+        F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    )
+
+
+TPCH_Q20_SQL = """
+SELECT s_name, s_suppkey FROM supplier JOIN nation ON s_nationkey=n_nationkey
+WHERE n_name IN ('NATION_2','NATION_4','NATION_6','NATION_8') AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey=p_partkey
+  WHERE p_name LIKE 'green%' OR p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 100)
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's plan shape (suppliers who kept orders waiting)
+    adapted to the testdata (no receipt/commit dates: "at fault" =
+    the ONLY supplier with returned lines on a multi-supplier finished
+    order). The reference formulation is EXISTS + NOT EXISTS self-joins
+    on lineitem; the Spark-first plan replaces both self-joins with ONE
+    per-order aggregate — count distinct suppliers, count distinct
+    returning suppliers, min returning suppkey — which is strictly less
+    shuffle (one orderkey exchange instead of three). The oracle keeps
+    the aggregate formulation's algebra in SQL."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(ret_supp).alias("n_ret_supp"),
+            F.min(ret_supp).alias("rsupp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        per_order.join(supp, F.col("rsupp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+TPCH_Q21_SQL = """
+SELECT s_name, count(*) AS numwait FROM (
+  SELECT min(CASE WHEN l_returnflag='R' THEN l_suppkey END) AS rsupp
+  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+  WHERE o_orderstatus='F'
+  GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) > 1
+     AND count(DISTINCT CASE WHEN l_returnflag='R' THEN l_suppkey END) = 1
+) waiting JOIN supplier ON rsupp=s_suppkey
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): rich-but-dormant customers
+    — above-average balance AND no recent orders — per country code
+    (the testdata has no phone column; nationkey is the code, and
+    "dormant" = no orders since 2000 because every customer has SOME
+    order). The shape: scalar-subquery threshold (1-row broadcast) +
+    LEFT ANTI join against the recent-order keys. The anti build side
+    is |custkeys with recent orders| ≤ |customers| → broadcastable at
+    any fact scale."""
+    codes = (1, 5, 9, 13, 17, 21)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*codes)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        siground(F.avg("c_acctbal")).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            siground(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+TPCH_Q22_SQL = f"""
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       {siground_sql("sum(c_acctbal)")} AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1,5,9,13,17,21)
+ AND c_acctbal > (SELECT {siground_sql("avg(c_acctbal)")} FROM customer
+                  WHERE c_acctbal > 0.0 AND c_nationkey IN (1,5,9,13,17,21))
+ AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+                 AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's plan shape (minimum-cost supplier) adapted to the
+    testdata (no partsupp: unit cost = each supplier's average
+    extendedprice/quantity for the part, from lineitem). The groupwise-
+    min + equality-join-back shape: per-(part, supplier) cost, restrict
+    to EUROPE suppliers, per-part min, join the min back on
+    (partkey, cost). Costs are decrounded BEFORE the min and the
+    equality (cross-engine contract). Supplier/nation/region and the
+    filtered part list broadcast; the only exchanges are the two-key
+    cost aggregate and the per-part min."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(decround(F.avg(F.col("l_extendedprice") / F.col("l_quantity"))).alias("ucost"))
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    mincost = cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("ucost").alias("m_cost")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    out = (
+        cost.join(
+            mincost,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("ucost") == F.col("m_cost")),
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            siground(F.col("s_acctbal")).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "ucost",
+        )
+    )
+    return out.orderBy(
+        F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+    ).limit(100)
+
+
+TPCH_Q2_SQL = f"""
+WITH cost AS (
+ SELECT l_partkey, l_suppkey, {decround_sql("avg(l_extendedprice/l_quantity)")} AS ucost
+ FROM lineitem GROUP BY l_partkey, l_suppkey),
+ ecost AS (
+ SELECT l_partkey, l_suppkey, ucost, s_acctbal, s_name, n_name
+ FROM cost JOIN supplier ON l_suppkey=s_suppkey
+  JOIN nation ON s_nationkey=n_nationkey
+  JOIN region ON n_regionkey=r_regionkey
+ WHERE r_name='EUROPE'),
+ mincost AS (SELECT l_partkey AS m_partkey, min(ucost) AS m_cost
+             FROM ecost GROUP BY l_partkey)
+SELECT {siground_sql("s_acctbal")} AS s_acctbal, s_name, n_name, p_partkey, p_name, ucost
+FROM ecost JOIN part ON p_partkey=l_partkey
+ JOIN mincost ON m_partkey=l_partkey AND ucost=m_cost
+WHERE p_size <= 15 AND p_type='STANDARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via from-scratch
     HyperLogLog registers (p=10), audited against the exact distinct
@@ -2294,16 +3040,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
     round-5-verified batch (CORRECTNESS_r05.json), longest since
     verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch and the ten r7
+    Positions 51+: the remaining 28 of the r5 batch and the 25 r7
     in-round newcomers registered below the cap (multimodal_avi_frames,
     quota_sample, hard_negatives, unigram_train, unigram_encode,
-    tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10 —
-    all full-sweep green at HEAD, never driver-gated). TOGETHER those
-    38 lead the r8
-    window (rotation priority: never-driver-verified newcomers first,
-    then the r5 batch — the oldest driver rows in the registry),
-    filled to 50 with the longest-unverified of the r6 batch; the 50
-    entries verified in CORRECTNESS_r06.json stay demoted until then.
+    tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10,
+    plus the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
+    q14/q15/q16/q17/q19/q20/q21/q22 — all full-sweep green at HEAD,
+    never driver-gated). The r8 window is therefore newcomers-only:
+    the first 50 of those 53 (rotation priority: never-driver-verified
+    first), the 3 overflow newcomers plus the r5 batch — the oldest
+    driver rows in the registry — lead r9; the 50 entries verified in
+    CORRECTNESS_r06.json stay demoted until then.
     """
     return {
         # --- r7 window leads: the 13 r4-green entries displaced in r6
@@ -2463,6 +3210,26 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        # r7 session-2 newcomers: the remaining 15 canonical TPC-H
+        # query shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q14/Q15/Q16/Q17/Q19/
+        # Q20/Q21/Q22 adapted to the testdata schema — all 22 shapes
+        # now covered), exact-oracled, below the cap with the other
+        # r7 newcomers; they lead the r8 window
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -2722,6 +3489,21 @@ FROM events GROUP BY user_id
         ),
         "tpch_q6": TPCH_Q6_SQL,
         "tpch_q10": TPCH_Q10_SQL,
+        "tpch_q2": TPCH_Q2_SQL,
+        "tpch_q7": TPCH_Q7_SQL,
+        "tpch_q8": TPCH_Q8_SQL,
+        "tpch_q9": TPCH_Q9_SQL,
+        "tpch_q11": TPCH_Q11_SQL,
+        "tpch_q12": TPCH_Q12_SQL,
+        "tpch_q13": TPCH_Q13_SQL,
+        "tpch_q14": TPCH_Q14_SQL,
+        "tpch_q15": TPCH_Q15_SQL,
+        "tpch_q16": TPCH_Q16_SQL,
+        "tpch_q17": TPCH_Q17_SQL,
+        "tpch_q19": TPCH_Q19_SQL,
+        "tpch_q20": TPCH_Q20_SQL,
+        "tpch_q21": TPCH_Q21_SQL,
+        "tpch_q22": TPCH_Q22_SQL,
     }
 
 

@@ -372,3 +372,113 @@ def test_tpch_q10_broadcasts_customer_and_nation(spark):
     plan = _plan(driver.q_tpch_q10(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q7_both_nation_roles_broadcast(spark):
+    """Q7: the supplier-side and customer-side nation maps both
+    broadcast; lineitem⋈orders is the only big-big join; the ship-date
+    range pushes to the lineitem scan."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q7(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("CartesianProduct") == 0
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln][0]
+    assert "l_shipdate" in scan.split("PushedFilters: [")[1]
+
+
+def test_tpch_q13_outer_join_survives_priority_filter(spark):
+    """Q13: the priority predicate must live INSIDE the left-outer join
+    condition — if a refactor pushes it below the join as a filter on
+    orders that's fine, but a filter ABOVE the join would drop
+    zero-order customers. Pin: the join stays LeftOuter and the plan
+    has exactly two aggregates (per-customer, then distribution)."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q13(spark, SF_DIR))
+    assert "LeftOuter" in plan
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q15_argmax_is_broadcast_not_second_scan(spark):
+    """Q15: the max-revenue scalar joins back as a broadcast over the
+    per-supplier aggregate — lineitem is scanned ONCE (Spark reuses or
+    re-derives the quarter scan; the pin is that no sort-merge join
+    materializes and supplier broadcasts)."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q15(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q16_anti_join_is_broadcast(spark):
+    """Q16: the negative-balance exclusion is a broadcast LEFT ANTI
+    BEFORE the distinct aggregate — excluded rows never shuffle."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q16(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q17_avg_computed_post_part_filter(spark):
+    """Q17: the per-part average aggregates only the FILTERED parts'
+    lines (part broadcast applies before the agg) — the lineitem scans
+    feeding both the agg and the probe read just the 3 needed cols."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q17(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    for ln in plan.splitlines():
+        if "FileScan" in ln and "lineitem" in ln:
+            schema = ln.split("ReadSchema: ")[1]
+            assert "l_shipdate" not in schema and "l_orderkey" not in schema
+
+
+def test_tpch_q19_quantity_envelope_pushed(spark):
+    """Q19: the disjunction's common quantity envelope (1..30) pushes
+    to the lineitem scan; part broadcasts; no shuffle beyond the 1-row
+    aggregate."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q19(spark, SF_DIR))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln][0]
+    assert "l_quantity" in scan.split("PushedFilters: [")[1]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q21_single_orderkey_exchange_replaces_self_joins(spark):
+    """Q21's docstring claim: the EXISTS + NOT EXISTS double self-join
+    of the reference formulation is ONE per-order aggregate here — no
+    lineitem self-join anywhere in the plan."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q21(spark, SF_DIR))
+    # lineitem appears in exactly one scan
+    li_scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1, len(li_scans)
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22: the avg-balance scalar is a 1-row broadcast (nested-loop on
+    a single row, not a cartesian blowup) and the dormancy check is an
+    anti join."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q22(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_tpch_q2_min_cost_join_back_no_cartesian(spark):
+    """Q2: groupwise-min joins back on (partkey, rounded cost) as a
+    proper equi-join; EUROPE suppliers and the filtered part list
+    broadcast."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_tpch_q2(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("CartesianProduct") == 0
