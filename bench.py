@@ -144,6 +144,7 @@ HEADLINE = [
     "tpch_q20",  # semi-join on HAVING-filtered two-key aggregate
     "tpch_q21",  # double self-join folded into one per-order aggregate
     "tpch_q22",  # scalar broadcast + anti-join dormant-customer scan
+    "boilerplate_scrub",  # cross-corpus segment dedup, text never shuffles
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -290,6 +290,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus segment dedup: exact 10-word segments
+    repeated in ≥2 documents are scrubbed and every document rebuilt —
+    the cleaning tier between exact_dedup (whole-document) and
+    dedup_shared_spans (reporting only). Text never shuffles: the
+    count exchange carries 16-byte (hash, doc) pairs and the rebuild
+    is a scan-side higher-order filter against the broadcast
+    boilerplate-hash set."""
+    return dedup.boilerplate_scrub(
+        load_table(spark, sf_dir, "documents"), seg_words=10, min_docs=2
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(sh, num_perm=16)
@@ -3040,17 +3053,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
     round-5-verified batch (CORRECTNESS_r05.json), longest since
     verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch and the 25 r7
+    Positions 51+: the remaining 28 of the r5 batch and the 26 r7
     in-round newcomers registered below the cap (multimodal_avi_frames,
     quota_sample, hard_negatives, unigram_train, unigram_encode,
     tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10,
-    plus the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
-    q14/q15/q16/q17/q19/q20/q21/q22 — all full-sweep green at HEAD,
-    never driver-gated). The r8 window is therefore newcomers-only:
-    the first 50 of those 53 (rotation priority: never-driver-verified
-    first), the 3 overflow newcomers plus the r5 batch — the oldest
-    driver rows in the registry — lead r9; the 50 entries verified in
-    CORRECTNESS_r06.json stay demoted until then.
+    the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
+    q14/q15/q16/q17/q19/q20/q21/q22, and boilerplate_scrub — all
+    full-sweep green at HEAD, never driver-gated). The r8 window is
+    therefore newcomers-only: the first 50 of those 54 (rotation
+    priority: never-driver-verified first), the 4 overflow newcomers
+    plus the r5 batch — the oldest driver rows in the registry — lead
+    r9; the 50 entries verified in CORRECTNESS_r06.json stay demoted
+    until then.
     """
     return {
         # --- r7 window leads: the 13 r4-green entries displaced in r6
@@ -3230,6 +3244,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        # r7 session-2: segment-level boilerplate scrub (CCNet-style
+        # cross-corpus line dedup with document rebuild), exact-oracled
+        "boilerplate_scrub": q_boilerplate_scrub,
     }
 
 
@@ -3504,6 +3521,9 @@ FROM events GROUP BY user_id
         "tpch_q20": TPCH_Q20_SQL,
         "tpch_q21": TPCH_Q21_SQL,
         "tpch_q22": TPCH_Q22_SQL,
+        "boilerplate_scrub": dedup.boilerplate_scrub_sql(
+            seg_words=10, min_docs=2
+        ),
     }
 
 

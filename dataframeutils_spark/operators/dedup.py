@@ -1412,3 +1412,100 @@ SELECT probe, term, levenshtein(probe, term) AS dist
 FROM cand
 WHERE levenshtein(probe, term) <= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# segment-level boilerplate scrub (CCNet-style line dedup, segmented)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    seg_words: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove exact text segments that repeat across ``min_docs``+
+    documents and rebuild each document — the CCNet/RefinedWeb
+    paragraph-dedup pass, segmented on fixed ``seg_words``-word windows
+    because this corpus has no newline structure. (No counterpart in
+    the reference — north-star cleaning tier next to ``exact_dedup``,
+    which drops whole duplicate documents; this drops duplicated
+    REGIONS inside otherwise-unique documents: headers, footers,
+    licence blocks.)
+
+    100 TB shape: segmentation is a scan-side higher-order projection
+    (no explode of text into the plan until the count). The duplicate
+    count shuffles ONLY (xxhash64(seg), doc_id) pairs — 16 bytes per
+    segment, text never shuffles. The surviving duplicate-hash set is
+    by definition the corpus' repeated boilerplate (≪ corpus; same
+    bounded-broadcast class as decontaminate's eval-gram set) and comes
+    back as a one-row broadcast array; the rebuild is then scan-side
+    again — zero exchanges carry document text end-to-end. 64-bit hash
+    collisions merge counts (measure-zero, documented; the oracle
+    compares segment text directly).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), segs.alias("segs"))
+    dup = (
+        base.select("doc_id", F.explode("segs").alias("seg"))
+        .select("doc_id", F.xxhash64("seg").alias("seg_hash"))
+        .groupBy("seg_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .agg(F.collect_list("seg_hash").alias("dup_hashes"))
+    )
+    kept = base.crossJoin(F.broadcast(dup)).select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segs"),
+        F.filter(
+            "segs",
+            lambda s: ~F.array_contains(F.col("dup_hashes"), F.xxhash64(s)),
+        ).alias("keep"),
+    )
+    clean = F.array_join("keep", " ")
+    return kept.select(
+        "doc_id",
+        "n_segs",
+        (F.col("n_segs") - F.size("keep")).cast("long").alias("n_dropped"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+def boilerplate_scrub_sql(
+    table: str = "documents", seg_words: int = 10, min_docs: int = 2
+) -> str:
+    """DuckDB oracle for :func:`boilerplate_scrub` — joins on segment
+    TEXT (the hash-free ground truth) and rebuilds with an ordered
+    string_agg."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM {table}
+), exploded AS (
+  SELECT doc_id, ws[i] AS w, i AS ord
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t
+), segs AS (
+  SELECT doc_id, CAST((ord - 1) // {seg_words} AS BIGINT) AS seg_id,
+         string_agg(w, ' ' ORDER BY ord) AS seg
+  FROM exploded GROUP BY doc_id, CAST((ord - 1) // {seg_words} AS BIGINT)
+), dup AS (
+  SELECT seg FROM segs GROUP BY seg
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+), flagged AS (
+  SELECT s.doc_id, s.seg_id, s.seg, (d.seg IS NOT NULL) AS is_dup
+  FROM segs s LEFT JOIN dup d ON s.seg = d.seg
+)
+SELECT doc_id,
+  count(*) AS n_segs,
+  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END, ' ' ORDER BY seg_id), '')) AS clean_md5,
+  length(coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END, ' ' ORDER BY seg_id), '')) AS clean_len
+FROM flagged GROUP BY doc_id
+"""

@@ -1003,3 +1003,46 @@ def test_curriculum_manifest_invariants(spark):
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert (a["pos_in_stage"] == b["pos_in_stage"]).all()
     assert (a["stage"] == b["stage"]).all()
+
+
+def test_boilerplate_scrub_drops_shared_segments_rebuilds_rest(spark):
+    """Segments (3-word windows here) shared by ≥2 docs are scrubbed
+    from EVERY document; unique segments survive in original order,
+    including the short tail segment."""
+    import hashlib
+
+    boiler = "copyright big corp"  # one exact 3-word segment
+    df = docs_df(
+        spark,
+        [
+            (1, f"{boiler} alpha beta gamma tail"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, "totally unique words here nothing shared"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.boilerplate_scrub(df, seg_words=3, min_docs=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1: segs = [boiler, "alpha beta gamma", "tail"] → boiler dropped
+    assert out[1]["n_segs"] == 3 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_md5"] == md5("alpha beta gamma tail")
+    # doc 2: segs = [boiler, "delta epsilon zeta"]
+    assert out[2]["n_segs"] == 2 and out[2]["n_dropped"] == 1
+    assert out[2]["clean_md5"] == md5("delta epsilon zeta")
+    # doc 3: untouched, rebuild is byte-identical
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["clean_md5"] == md5("totally unique words here nothing shared")
+    assert out[3]["clean_len"] == len("totally unique words here nothing shared")
+
+
+def test_boilerplate_scrub_all_dropped_yields_empty_doc(spark):
+    """A document that is 100% boilerplate rebuilds to the empty
+    string (md5 of '' — the oracle's coalesce contract)."""
+    import hashlib
+
+    df = docs_df(spark, [(1, "same old text"), (2, "same old text")])
+    got = {r["doc_id"]: r for r in dedup.boilerplate_scrub(df, seg_words=3).collect()}
+    assert got[1]["n_dropped"] == 1 and got[1]["clean_len"] == 0
+    assert got[1]["clean_md5"] == hashlib.md5(b"").hexdigest()

@@ -482,3 +482,18 @@ def test_tpch_q2_min_cost_join_back_no_cartesian(spark):
     plan = _plan(driver.q_tpch_q2(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("CartesianProduct") == 0
+
+
+def test_boilerplate_scrub_text_never_shuffles(spark):
+    """boilerplate_scrub's docstring claim: the only hash exchanges
+    carry (seg_hash, doc_id); the rebuild consumes a broadcast, and no
+    exchange partitions on text or segment columns."""
+    from dataframeutils_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.boilerplate_scrub(docs))
+    assert "hashpartitioning(seg_hash" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln and "seg#" not in ln and "segs" not in ln, ln
