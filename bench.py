@@ -145,6 +145,8 @@ HEADLINE = [
     "tpch_q21",  # double self-join folded into one per-order aggregate
     "tpch_q22",  # scalar broadcast + anti-join dormant-customer scan
     "boilerplate_scrub",  # cross-corpus segment dedup, text never shuffles
+    "decayed_value",  # recency-decay engagement score, one combinable agg
+    "winsorize",  # per-type percentile clipping audit, two bounded aggs
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

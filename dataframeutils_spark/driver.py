@@ -2989,6 +2989,22 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay engagement score
+    (operators/features.py): anchor = 1-row broadcast, then ONE
+    map-side-combinable groupBy — the recency-weighted feature next to
+    feature_matrix's point-in-time lags. Integer-microsecond deltas
+    keep pow() inputs bit-identical across engines."""
+    return features.decayed_value(_events_normalized(spark, sf_dir))
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile clipping audit (operators/features.py):
+    exact [p01, p99] bounds sigrounded before comparison, two bounded
+    aggregates — the outlier-robust scaling pass and its QA table."""
+    return features.winsorize_stats(_events_normalized(spark, sf_dir))
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -3053,18 +3069,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
     round-5-verified batch (CORRECTNESS_r05.json), longest since
     verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch and the 26 r7
+    Positions 51+: the remaining 28 of the r5 batch and the 28 r7
     in-round newcomers registered below the cap (multimodal_avi_frames,
     quota_sample, hard_negatives, unigram_train, unigram_encode,
     tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10,
     the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
-    q14/q15/q16/q17/q19/q20/q21/q22, and boilerplate_scrub — all
-    full-sweep green at HEAD, never driver-gated). The r8 window is
-    therefore newcomers-only: the first 50 of those 54 (rotation
-    priority: never-driver-verified first), the 4 overflow newcomers
-    plus the r5 batch — the oldest driver rows in the registry — lead
-    r9; the 50 entries verified in CORRECTNESS_r06.json stay demoted
-    until then.
+    q14/q15/q16/q17/q19/q20/q21/q22, boilerplate_scrub, decayed_value,
+    and winsorize — all full-sweep green at HEAD, never driver-gated).
+    The r8 window is therefore newcomers-only: the first 50 of those
+    56 (rotation priority: never-driver-verified first), the 6
+    overflow newcomers plus the r5 batch — the oldest driver rows in
+    the registry — lead r9; the 50 entries verified in
+    CORRECTNESS_r06.json stay demoted until then.
     """
     return {
         # --- r7 window leads: the 13 r4-green entries displaced in r6
@@ -3247,6 +3263,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 session-2: segment-level boilerplate scrub (CCNet-style
         # cross-corpus line dedup with document rebuild), exact-oracled
         "boilerplate_scrub": q_boilerplate_scrub,
+        # r7 session-2: recency-decay + winsorization feature tier,
+        # exact-oracled
+        "decayed_value": q_decayed_value,
+        "winsorize": q_winsorize,
     }
 
 
@@ -3524,6 +3544,8 @@ FROM events GROUP BY user_id
         "boilerplate_scrub": dedup.boilerplate_scrub_sql(
             seg_words=10, min_docs=2
         ),
+        "decayed_value": features.decayed_value_sql(),
+        "winsorize": features.winsorize_stats_sql(),
     }
 
 

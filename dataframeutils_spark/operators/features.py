@@ -261,3 +261,138 @@ SELECT event_type,
 FROM counts JOIN tot USING (event_type)
 GROUP BY event_type
 """
+
+
+def decayed_value(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Per-entity exponential time-decay aggregate — the recency-
+    weighted engagement/feature score every training pipeline wants
+    next to its raw counts: ``Σ value·2^(−Δ/half_life)`` with Δ in days
+    back from the corpus' newest event. (No counterpart in the
+    reference; north-star feature tier next to :func:`feature_matrix`.)
+
+    100 TB shape: the anchor (global max ts) is a 1-row broadcast; the
+    score is then ONE map-side-combinable groupBy — the exchange
+    carries ≤ entities × 4 partial aggregates, never events. No window,
+    no sort: decay-from-a-fixed-anchor is algebraically a plain sum,
+    unlike running-decay formulations that force an ordered scan.
+
+    Cross-engine determinism: Δ is computed from INTEGER microsecond
+    epochs (`unix_micros` here, `epoch_us` in the oracle), so both
+    engines feed pow() bit-identical inputs; the 1-ulp pow/sum residue
+    is absorbed by the siground output contract.
+    """
+    anchor = events.agg(F.unix_micros(F.max(ts_col)).alias("anchor_us"))
+    delta_days = (F.col("anchor_us") - F.unix_micros(F.col(ts_col))) / F.lit(
+        86400.0e6
+    )
+    w = F.pow(F.lit(0.5), delta_days / F.lit(half_life_days))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n"),
+            siground(F.sum(F.col(value_col) * w)).alias("decayed_sum"),
+            siground(F.sum(w)).alias("decayed_n"),
+            siground(F.min(delta_days)).alias("recency_days"),
+        )
+    )
+
+
+def decayed_value_sql(
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+) -> str:
+    d = f"(a.anchor_us - epoch_us({ts_col})) / 86400.0e6"
+    w = f"pow(0.5, {d} / {half_life_days})"
+    return f"""
+WITH a AS (SELECT epoch_us(max({ts_col})) AS anchor_us FROM {table})
+SELECT {by}, count(*) AS n,
+       {siground_sql(f"sum({value_col} * {w})")} AS decayed_sum,
+       {siground_sql(f"sum({w})")} AS decayed_n,
+       {siground_sql(f"min({d})")} AS recency_days
+FROM {table}, a GROUP BY {by}
+"""
+
+
+def winsorize_stats(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization audit: clip ``value`` at the group's
+    exact [lo, hi] percentiles and report how much mass moved — the
+    outlier-robust feature-scaling pass (and its QA table) done as two
+    bounded aggregates. Percentile boundaries are sigrounded BEFORE
+    clipping (round-then-compare, the same contract as quantile_bin),
+    so clip membership is engine-exact.
+
+    100 TB shape: pass 1 shuffles ≤ |groups| percentile states (Spark's
+    exact percentile aggregate is mergeable); the boundary table
+    broadcasts back; pass 2 is one map-side-combinable groupBy. Values
+    cross an exchange only as partial aggregates — never row-by-row.
+    """
+    v = F.col(value_col).isNotNull()
+    bounds = (
+        events.filter(v)
+        .groupBy(F.col(type_col).alias("b_type"))
+        .agg(
+            siground(F.percentile(value_col, F.lit(lo))).alias("p_lo"),
+            siground(F.percentile(value_col, F.lit(hi))).alias("p_hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi"))
+    return (
+        events.filter(v)
+        .join(F.broadcast(bounds), F.col(type_col) == F.col("b_type"))
+        .groupBy(F.col(type_col).alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col(value_col) < F.col("p_lo")).cast("long")).alias(
+                "n_clipped_lo"
+            ),
+            F.sum((F.col(value_col) > F.col("p_hi")).cast("long")).alias(
+                "n_clipped_hi"
+            ),
+            F.first("p_lo").alias("p_lo"),
+            F.first("p_hi").alias("p_hi"),
+            siground(F.avg(value_col)).alias("mean_raw"),
+            siground(F.avg(clipped)).alias("mean_winsorized"),
+        )
+    )
+
+
+def winsorize_stats_sql(
+    table: str = "events",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> str:
+    plo = siground_sql(f"quantile_cont({value_col}, {lo})")
+    phi = siground_sql(f"quantile_cont({value_col}, {hi})")
+    return f"""
+WITH bounds AS (
+  SELECT {type_col} AS b_type, {plo} AS p_lo, {phi} AS p_hi
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY {type_col}
+)
+SELECT {type_col} AS event_type, count(*) AS n,
+  CAST(sum(CASE WHEN {value_col} < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+  CAST(sum(CASE WHEN {value_col} > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+  any_value(p_lo) AS p_lo, any_value(p_hi) AS p_hi,
+  {siground_sql(f"avg({value_col})")} AS mean_raw,
+  {siground_sql(f"avg(least(greatest({value_col}, p_lo), p_hi))")} AS mean_winsorized
+FROM {table} JOIN bounds ON {type_col} = b_type
+WHERE {value_col} IS NOT NULL
+GROUP BY {type_col}
+"""

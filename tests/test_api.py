@@ -330,8 +330,9 @@ def test_registry_contract():
             "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
             "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
             "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-            # session-2: cross-corpus segment boilerplate scrub
-            "boilerplate_scrub",
+            # session-2: cross-corpus segment boilerplate scrub +
+            # recency-decay / winsorization feature tier
+            "boilerplate_scrub", "decayed_value", "winsorize",
         }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7

@@ -137,3 +137,58 @@ def test_null_values_excluded_symmetrically(spark, ev):
     got = {(r["event_type"], r["bin"]): r["n"] for r in out}
     for _, w in want.iterrows():
         assert got[(w["event_type"], int(w["bin"]))] == int(w["n"])
+
+
+def test_decayed_value_matches_closed_form(ev):
+    """Hand-check one user against the closed-form sum; recency is the
+    gap from the newest event anywhere in the corpus."""
+    out = {r["user_id"]: r for r in features.decayed_value(ev, half_life_days=7.0).collect()}
+    # corpus anchor = event 1999 at base + 1999 minutes
+    rows = [(i, float(i % 97)) for i in range(2000) if i % 10 == 3]
+    expect = sum(
+        v * 0.5 ** (((1999 - i) * 60.0 / 86400.0) / 7.0) for i, v in rows
+    )
+    got = out[3]
+    assert got["n"] == len(rows)
+    assert math.isclose(got["decayed_sum"], expect, rel_tol=1e-5)
+    # newest user-3 event is i=1993 → 6 minutes before the anchor
+    assert math.isclose(got["recency_days"], 6 * 60.0 / 86400.0, rel_tol=1e-5)
+    # weights ≤ 1 ⇒ decayed_n < n, and recency orders with activity
+    assert 0 < got["decayed_n"] < got["n"]
+
+
+def test_decayed_value_half_life_monotonic(ev):
+    """A longer half-life decays less: every user's decayed_sum is
+    non-decreasing in half_life (strict for any user with history)."""
+    short = {r["user_id"]: r["decayed_sum"] for r in features.decayed_value(ev, half_life_days=1.0).collect()}
+    long_ = {r["user_id"]: r["decayed_sum"] for r in features.decayed_value(ev, half_life_days=30.0).collect()}
+    assert all(long_[u] >= short[u] for u in short)
+    assert any(long_[u] > short[u] for u in short)
+
+
+def test_winsorize_clips_tails_only(spark):
+    """With 100 uniform values and [0.1, 0.9] bounds, ~10 clip on each
+    side, the winsorized mean moves toward the center, and a group
+    with no outliers is untouched."""
+    rows = [(i, "u", float(i)) for i in range(101)] + [
+        (200 + i, "flat", 5.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_type"]: r for r in features.winsorize_stats(df, lo=0.1, hi=0.9).collect()}
+    u = out["u"]
+    assert u["p_lo"] == 10.0 and u["p_hi"] == 90.0
+    assert u["n_clipped_lo"] == 10 and u["n_clipped_hi"] == 10
+    assert u["mean_raw"] == 50.0 and u["mean_winsorized"] == 50.0  # symmetric
+    flat = out["flat"]
+    assert flat["n_clipped_lo"] == 0 and flat["n_clipped_hi"] == 0
+    assert flat["mean_winsorized"] == 5.0
+
+
+def test_winsorize_asymmetric_outliers_shift_mean(spark):
+    """A single huge outlier: the raw mean is inflated, the winsorized
+    mean is not."""
+    rows = [(i, "t", 1.0) for i in range(99)] + [(99, "t", 1e9)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = features.winsorize_stats(df, lo=0.01, hi=0.95).collect()[0]
+    assert r["n_clipped_hi"] == 1
+    assert r["mean_raw"] > 1e6 and r["mean_winsorized"] < 2.0

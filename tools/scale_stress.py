@@ -204,6 +204,45 @@ QUERIES = [
     # Q3's one big-big shuffle shape with a customer-grained aggregate
     "tpch_q6",
     "tpch_q10",
+    # r7 session-2: the TPC-H completion. Q7/Q8/Q9 repeat the one
+    # big-big shuffle + broadcast-dims star (fixed dims, growing
+    # facts); Q2/Q15's groupwise-min/argmax aggregates grow with
+    # (part,supplier) resp. supplier cardinality — bounded by the
+    # FIXED dims at any mult, so the equality-join-back stays
+    # broadcast-sized; Q11's per-part aggregate is ≤ |part| rows;
+    # Q12's cross-side date filter runs post-join on the one shuffle;
+    # Q13's outer join shuffles orders on custkey ×mult; Q16/Q20's
+    # distinct/HAVING aggregates shuffle two-key projections; Q21's
+    # per-order aggregate is THE self-join-avoidance claim — its
+    # exchange grows ×mult but carries 3 small columns; Q22's anti
+    # build side (recent custkeys) is dim-bounded.
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # boilerplate scrub on the replicated corpus is ADVERSARIAL by
+    # construction: every replica family shares all non-tail segments,
+    # so the "boilerplate" hash set is ~every distinct segment of the
+    # source corpus (~150k hashes at 100×, ~1.2 MB broadcast) — the
+    # documented worst case for the bounded-broadcast contract; the
+    # count exchange still carries only 16-byte pairs
+    "boilerplate_scrub",
+    # decay/winsorize over the replicated event log: both are bounded
+    # aggregates (entities × 4 partials resp. groups × percentile
+    # states) — the walls must track the event scan, never group count
+    "decayed_value",
+    "winsorize",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
