@@ -147,6 +147,7 @@ HEADLINE = [
     "boilerplate_scrub",  # cross-corpus segment dedup, text never shuffles
     "decayed_value",  # recency-decay engagement score, one combinable agg
     "winsorize",  # per-type percentile clipping audit, two bounded aggs
+    "sales_cube",  # 4-set CUBE in one Expand pass, bounded exchange
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

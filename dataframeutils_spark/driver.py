@@ -1117,6 +1117,44 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE companion to sales_rollup: revenue by
+    (order priority × return flag) at ALL four grouping levels in one
+    pass — cube's extra grouping set (flag alone, which rollup's
+    hierarchy skips) is the cross-dimensional slice a pivot dashboard
+    needs. Catalyst expands to one Expand + hash aggregate: the fact
+    join is scanned and shuffled ONCE for all 4 sets, and the exchange
+    carries ≤ 4 × |priority × flag| partial rows at any fact scale.
+    ``lvl`` = grouping_id bitmask, matching DuckDB GROUPING()."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .cube("o_orderpriority", "l_returnflag")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.sum("rev").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+    return round_floats(out)
+
+
+SALES_CUBE_SQL = """
+SELECT o_orderpriority, l_returnflag,
+       GROUPING(o_orderpriority, l_returnflag) AS lvl,
+       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE(o_orderpriority, l_returnflag)
+"""
+
+
 def q_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution over a bucketized interval join: purchase sessions
     per user (>=30 min gap), a [start−2h, start) lookback window per
@@ -3069,17 +3107,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
     round-5-verified batch (CORRECTNESS_r05.json), longest since
     verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch and the 28 r7
+    Positions 51+: the remaining 28 of the r5 batch and the 29 r7
     in-round newcomers registered below the cap (multimodal_avi_frames,
     quota_sample, hard_negatives, unigram_train, unigram_encode,
     tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10,
     the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
     q14/q15/q16/q17/q19/q20/q21/q22, boilerplate_scrub, decayed_value,
-    and winsorize — all full-sweep green at HEAD, never driver-gated).
-    The r8 window is therefore newcomers-only: the first 50 of those
-    56 (rotation priority: never-driver-verified first), the 6
-    overflow newcomers plus the r5 batch — the oldest driver rows in
-    the registry — lead r9; the 50 entries verified in
+    winsorize, and sales_cube — all full-sweep green at HEAD, never
+    driver-gated). The r8 window is therefore newcomers-only: the
+    first 50 of those 57 (rotation priority: never-driver-verified
+    first), the 7 overflow newcomers plus the r5 batch — the oldest
+    driver rows in the registry — lead r9; the 50 entries verified in
     CORRECTNESS_r06.json stay demoted until then.
     """
     return {
@@ -3267,6 +3305,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-oracled
         "decayed_value": q_decayed_value,
         "winsorize": q_winsorize,
+        # r7 session-2: full-CUBE grouping-sets companion to
+        # sales_rollup, exact-oracled
+        "sales_cube": q_sales_cube,
     }
 
 
@@ -3546,6 +3587,10 @@ FROM events GROUP BY user_id
         ),
         "decayed_value": features.decayed_value_sql(),
         "winsorize": features.winsorize_stats_sql(),
+        "sales_cube": (
+            f"SELECT * REPLACE ({siground_sql('revenue')} AS revenue) "
+            f"FROM (\n{SALES_CUBE_SQL}\n)"
+        ),
     }
 
 

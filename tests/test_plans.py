@@ -497,3 +497,16 @@ def test_boilerplate_scrub_text_never_shuffles(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text" not in ln and "seg#" not in ln and "segs" not in ln, ln
+
+
+def test_sales_cube_single_expand_single_fact_shuffle(spark):
+    """sales_cube's docstring claim: Catalyst expands all 4 grouping
+    sets into ONE Expand + hash aggregate — the fact join is scanned
+    once and no per-set union appears."""
+    from dataframeutils_spark import driver
+
+    plan = _plan(driver.q_sales_cube(spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+    li_scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1

@@ -243,6 +243,9 @@ QUERIES = [
     # states) — the walls must track the event scan, never group count
     "decayed_value",
     "winsorize",
+    # CUBE over the replicated fact join: one Expand + hash agg, the
+    # exchange stays ≤ 4 × |priority × flag| partials at any mult
+    "sales_cube",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
