@@ -1910,12 +1910,16 @@ FROM (
 
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important parts): parts whose revenue from two
-    nations' suppliers exceeds a FRACTION OF THE GLOBAL TOTAL — the
-    scalar-subquery-threshold shape. One per-part aggregate, then the
-    1-row total is broadcast back as a cross join: the threshold
-    comparison costs zero exchanges beyond the aggregate itself.
-    Both sides of the comparison are sigrounded (cross-engine
-    contract), matching the oracle's rounding exactly."""
+    nations' suppliers exceeds a GLOBAL SCALAR THRESHOLD — the
+    scalar-subquery shape. One per-part aggregate, then the 1-row
+    threshold is broadcast back as a cross join: the comparison costs
+    zero exchanges beyond the aggregate itself. The threshold is a
+    multiple of the AVERAGE part value rather than TPC-H's
+    fraction-of-total: the canonical spec scales its fraction by 1/SF
+    for exactly this reason (per-part shares shrink as the corpus
+    grows — a fixed fraction returns 0 rows at 10×), and an
+    average-relative cut is the scale-invariant equivalent. Both sides
+    of the comparison are sigrounded (cross-engine contract)."""
     supp = F.broadcast(
         load_table(spark, sf_dir, "supplier")
         .join(
@@ -1935,7 +1939,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = val.agg(siground(F.sum("v") * F.lit(0.001)).alias("cut"))
+    total = val.agg(siground(F.avg("v") * F.lit(1.5)).alias("cut"))
     return (
         val.crossJoin(F.broadcast(total))
         .filter(siground(F.col("v")) > F.col("cut"))
@@ -1952,7 +1956,7 @@ WITH val AS (
   JOIN nation ON s_nationkey=n_nationkey
  WHERE n_name IN ('NATION_3','NATION_7') GROUP BY l_partkey)
 SELECT l_partkey AS p_key, {siground_sql("v")} AS value FROM val
-WHERE {siground_sql("v")} > (SELECT {siground_sql("sum(v)*0.001")} FROM val)
+WHERE {siground_sql("v")} > (SELECT {siground_sql("avg(v)*1.5")} FROM val)
 """
 
 
