@@ -510,3 +510,32 @@ def test_sales_cube_single_expand_single_fact_shuffle(spark):
     assert "Union" not in plan
     li_scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
     assert len(li_scans) == 1
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The 100 TB co-located-join recipe: two tables bucketed AND
+    sorted on the join key join as a SortMergeJoin with ZERO Exchange
+    and zero per-join Sort — bucketing pre-pays the shuffle once at
+    write time, every subsequent join on that key is exchange-free.
+    (Registry queries read the driver's plain parquet so they cannot
+    use this; the test pins that the technique works on this engine's
+    session for pipeline-owned intermediate tables.)"""
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id % 13 AS b")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df in (("bkt_l", left), ("bkt_r", right)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (df.write.bucketBy(8, "k").sortBy("k")
+               .option("path", str(tmp_path / name))
+               .mode("overwrite").saveAsTable(name))
+        j = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for name in ("bkt_l", "bkt_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
