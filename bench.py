@@ -148,6 +148,7 @@ HEADLINE = [
     "decayed_value",  # recency-decay engagement score, one combinable agg
     "winsorize",  # per-type percentile clipping audit, two bounded aggs
     "sales_cube",  # 4-set CUBE in one Expand pass, bounded exchange
+    "skew_report",  # join-key skew profiler, one combinable agg
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.
@@ -187,6 +188,16 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The in-session slow-creep mechanism (r7, supersedes the
+        # storage-block theory): whole-stage-codegen classes fill the
+        # JVM's 240 MB default JIT code cache over a 100+-query
+        # session; once full the JVM stops compiling and newly
+        # generated code runs INTERPRETED (dedup_clusters measured
+        # 20 s poisoned vs 4.0 s with this flag, 3.6 s solo).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -274,6 +285,15 @@ def main() -> None:
 
         gc.collect()
         spark.catalog.clearCache()
+        # Python gc only releases the py4j proxies; the checkpoint
+        # blocks themselves are owned by JVM RDD objects that the
+        # ContextCleaner reclaims via WEAK references — which a JVM
+        # that never feels heap pressure may not process for hundreds
+        # of queries. One explicit JVM System.gc() per query closes
+        # the chain (r7: dedup_clusters measured 18.0 s late in a
+        # 126-query session vs 3.6 s solo before this; the cost is
+        # ~0.1 s per query, outside the timed section).
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(

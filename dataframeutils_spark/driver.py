@@ -3057,6 +3057,14 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.winsorize_stats(_events_normalized(spark, sf_dir))
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler over events.user_id (operators/skew.py):
+    the pre-flight that decides whether a key needs salting (N59)
+    before paying for a skewed shuffle — one map-side-combined
+    groupBy, then medians/shares on the tiny key-count table."""
+    return skew.skew_report(_events_normalized(spark, sf_dir))
+
+
 def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: chronological weighted-bin scan over events (O6).
 
@@ -3121,18 +3129,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
     round-5-verified batch (CORRECTNESS_r05.json), longest since
     verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch and the 29 r7
+    Positions 51+: the remaining 28 of the r5 batch and the 30 r7
     in-round newcomers registered below the cap (multimodal_avi_frames,
     quota_sample, hard_negatives, unigram_train, unigram_encode,
     tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10,
     the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
     q14/q15/q16/q17/q19/q20/q21/q22, boilerplate_scrub, decayed_value,
-    winsorize, and sales_cube — all full-sweep green at HEAD, never
-    driver-gated). The r8 window is therefore newcomers-only: the
-    first 50 of those 57 (rotation priority: never-driver-verified
-    first), the 7 overflow newcomers plus the r5 batch — the oldest
-    driver rows in the registry — lead r9; the 50 entries verified in
-    CORRECTNESS_r06.json stay demoted until then.
+    winsorize, sales_cube, and skew_report — all full-sweep green at
+    HEAD, never driver-gated). The r8 window is therefore
+    newcomers-only: the first 50 of those 58 (rotation priority:
+    never-driver-verified first), the 8 overflow newcomers plus the r5
+    batch — the oldest driver rows in the registry — lead r9; the 50
+    entries verified in CORRECTNESS_r06.json stay demoted until then.
     """
     return {
         # --- r7 window leads: the 13 r4-green entries displaced in r6
@@ -3322,6 +3330,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 session-2: full-CUBE grouping-sets companion to
         # sales_rollup, exact-oracled
         "sales_cube": q_sales_cube,
+        # r7 session-2: join-key skew profiler (salting pre-flight),
+        # exact-oracled
+        "skew_report": q_skew_report,
     }
 
 
@@ -3605,6 +3616,7 @@ FROM events GROUP BY user_id
             f"SELECT * REPLACE ({siground_sql('revenue')} AS revenue) "
             f"FROM (\n{SALES_CUBE_SQL}\n)"
         ),
+        "skew_report": skew.skew_report_sql(),
     }
 
 

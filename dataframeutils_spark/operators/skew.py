@@ -87,3 +87,77 @@ FROM {table} e
 JOIN (SELECT user_id, avg(value) AS user_avg FROM {table} GROUP BY user_id) p
   USING (user_id)
 """
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Join-key skew profiler: the pre-flight that decides WHETHER a
+    key needs salting (N59) before paying for a skewed shuffle. Top-k
+    heaviest keys with each key's share of all rows, the running
+    cumulative share, and the ratio to the median key's count — the
+    "one user owns 20% of the table" diagnosis as a table.
+
+    100 TB shape: ONE map-side-combinable groupBy(key) (the same
+    exchange any join on this key would pay, minus the payload);
+    everything after runs on the ≤|keys| count table — the median is a
+    1-row broadcast, the top-k a TakeOrdered. Rows never carry
+    payload columns: the scan is pruned to the key.
+    """
+    from dataframeutils_spark.schema import decround, siground
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.percentile("n", F.lit(0.5)).alias("median_n"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("key")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    top = (
+        counts.crossJoin(F.broadcast(stats))
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(top_k)
+        .select(
+            "key",
+            "n",
+            "n_keys",
+            decround(F.col("n") / F.col("total_rows")).alias("share"),
+            decround(F.sum(F.col("n") / F.col("total_rows")).over(w)).alias(
+                "cum_share"
+            ),
+            siground(F.col("n") / F.col("median_n")).alias("ratio_to_median"),
+        )
+    )
+    return top
+
+
+def skew_report_sql(
+    table: str = "events", key_col: str = "user_id", top_k: int = 20
+) -> str:
+    from dataframeutils_spark.schema import decround_sql, siground_sql
+
+    share = decround_sql("n / total_rows")
+    cum = decround_sql(
+        "sum(n / total_rows) OVER (ORDER BY n DESC, key "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    ratio = siground_sql("n / median_n")
+    return f"""
+WITH counts AS (
+  SELECT {key_col} AS key, count(*) AS n FROM {table} GROUP BY {key_col}
+), stats AS (
+  SELECT sum(n) AS total_rows, count(*) AS n_keys,
+         quantile_cont(n, 0.5) AS median_n
+  FROM counts
+)
+SELECT key, n, n_keys, {share} AS share, {cum} AS cum_share,
+       {ratio} AS ratio_to_median
+FROM counts, stats
+ORDER BY n DESC, key LIMIT {top_k}
+"""

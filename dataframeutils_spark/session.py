@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-lived sessions churn the JIT code cache with generated
+        # (whole-stage-codegen) classes; at the 240 MB default the JVM
+        # eventually stops compiling and NEW generated code runs
+        # interpreted — measured 5× on expression-heavy stages after
+        # ~20 mixed queries (r7). Same flag a long-lived executor
+        # needs on a real cluster (spark.executor.extraJavaOptions).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -333,7 +333,7 @@ def test_registry_contract():
             # session-2: cross-corpus segment boilerplate scrub +
             # recency-decay / winsorization feature tier
             "boilerplate_scrub", "decayed_value", "winsorize",
-            "sales_cube",
+            "sales_cube", "skew_report",
         }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7

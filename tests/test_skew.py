@@ -124,3 +124,39 @@ def test_inverted_index_hot_term_stays_bounded(spark, hot_corpus):
     hot = out["quick"]
     assert hot["df"] == N_HOT
     assert hot["postings"] == "0,1,2,3,4"
+
+
+def test_skew_report_flags_hot_key(spark):
+    """A key owning ~half the rows tops the report with the right
+    share / cumulative share / ratio-to-median."""
+    from dataframeutils_spark.operators import skew
+
+    rows = [(0, 99) for _ in range(100)] + [(i, i) for i in range(1, 101)]
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)], "event_id long, user_id long"
+    )
+    out = skew.skew_report(df, key_col="user_id", top_k=5).collect()
+    assert len(out) == 5
+    top = out[0]
+    assert top["key"] == 0 and top["n"] == 100
+    assert top["n_keys"] == 101
+    assert abs(top["share"] - 100 / 200) < 1e-6
+    assert abs(top["cum_share"] - 100 / 200) < 1e-6
+    # median key count = 1 → the hot key is 100x the median
+    assert abs(top["ratio_to_median"] - 100.0) < 1e-6
+    # remaining rows are singleton keys in deterministic (n desc, key) order
+    assert [r["key"] for r in out[1:]] == [1, 2, 3, 4]
+    assert abs(out[2]["cum_share"] - 102 / 200) < 1e-6
+
+
+def test_skew_report_uniform_keys_ratio_one(spark):
+    """Uniform keys: every ratio_to_median is 1 and shares are equal."""
+    from dataframeutils_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(i, i % 10) for i in range(1000)], "event_id long, user_id long"
+    )
+    out = skew.skew_report(df, key_col="user_id", top_k=10).collect()
+    assert len(out) == 10
+    assert all(r["n"] == 100 and abs(r["ratio_to_median"] - 1.0) < 1e-9 for r in out)
+    assert abs(out[-1]["cum_share"] - 1.0) < 1e-6

@@ -246,13 +246,17 @@ QUERIES = [
     # CUBE over the replicated fact join: one Expand + hash agg, the
     # exchange stays ≤ 4 × |priority × flag| partials at any mult
     "sales_cube",
+    # skew profiler over the replicated events (run against the
+    # HOT-KEY variant too): one combinable key count, stats on the
+    # ≤|keys| table
+    "skew_report",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
 # of all rows): the interval-join time-bucket path and the as-of window
 # must survive a heavily skewed by-key distribution (AQE skew handling +
 # bucketized explode), not just uniform keys
-HOT_QUERIES = ["range_attribution", "asof_profile"]
+HOT_QUERIES = ["range_attribution", "asof_profile", "skew_report"]
 
 
 def _jvm_peak_rss_gb() -> float:
@@ -400,6 +404,12 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # match bench.py: keep whole-stage-codegen compiled across a
+        # long multi-query session (JIT code-cache exhaustion)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
