@@ -2314,12 +2314,14 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     # Two multi-column count_distincts in one groupBy would make
-    # Catalyst Expand every fact row ×3 before the exchange (measured
-    # 48 s at the 100× stress). Collapsing to distinct
-    # (orderkey, suppkey, any-returned) triples first is the same
-    # algebra with NO Expand: the first aggregate dedups map-side (its
-    # exchange carries ≤ distinct pairs), the second counts plain
-    # flags. 48 s → ~8 s at 100×.
+    # Catalyst Expand every fact row ×3 before the exchange. Collapsing
+    # to distinct (orderkey, suppkey, any-returned) triples first is
+    # the same algebra with NO Expand: the first aggregate dedups
+    # map-side (its exchange carries ≤ distinct pairs), the second
+    # counts plain flags. Measured at the 100× stress: 48.4 s → 42.4 s
+    # — the win is real but bounded, because the wall is the
+    # irreducible fact⋈orders shuffle + the ~distinct-pair exchange,
+    # not the Expand (same class as Q18's 15M-group exchange).
     pairs = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
