@@ -149,6 +149,8 @@ HEADLINE = [
     "winsorize",  # per-type percentile clipping audit, two bounded aggs
     "sales_cube",  # 4-set CUBE in one Expand pass, bounded exchange
     "skew_report",  # join-key skew profiler, one combinable agg
+    "embedding_covariance",  # D x D covariance from Arrow batch partials
+    "embedding_pca_spectrum",  # top-8 eigenvalues of the bounded covariance
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

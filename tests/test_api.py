@@ -334,6 +334,9 @@ def test_registry_contract():
             # recency-decay / winsorization feature tier
             "boilerplate_scrub", "decayed_value", "winsorize",
             "sales_cube", "skew_report",
+            # session-2: embedding covariance (exact) + PCA spectrum
+            # (rows-only by design — eigendecomposition)
+            "embedding_covariance", "embedding_pca_spectrum",
         }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7

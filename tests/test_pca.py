@@ -1,0 +1,59 @@
+"""Embedding covariance / PCA spectrum (operators/pca.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataframeutils_spark.operators import pca
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    # anisotropic: dim 0 dominates, dims correlated in pairs
+    base = rng.randn(300, 2)
+    m = np.zeros((300, 6))
+    m[:, 0] = base[:, 0] * 5.0
+    m[:, 1] = base[:, 0] * 5.0 + rng.randn(300) * 0.1
+    m[:, 2] = base[:, 1]
+    m[:, 3:] = rng.randn(300, 3) * 0.01
+    rows = [(i, [float(x) for x in m[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, m.astype("float32").astype("float64")
+
+
+def test_covariance_matches_numpy(emb):
+    df, m = emb
+    got = {(r["i"], r["j"]): r["cov"] for r in pca.embedding_covariance(df).collect()}
+    want = np.cov(m, rowvar=False)
+    assert len(got) == 6 * 7 // 2
+    for (i, j), v in got.items():
+        assert i <= j
+        assert v == pytest.approx(want[i, j], rel=1e-5), (i, j)
+
+
+def test_pca_spectrum_matches_numpy_eigh(emb):
+    df, m = emb
+    out = pca.embedding_pca(df, k=6).collect()
+    want = np.linalg.eigvalsh(np.cov(m, rowvar=False))[::-1]
+    got = [r["eigenvalue"] for r in sorted(out, key=lambda r: r["component"])]
+    assert got == sorted(got, reverse=True)
+    for g, w in zip(got, want):
+        assert g == pytest.approx(float(w), rel=1e-5)
+    # explained ratios sum to ~1 over all D components
+    ratios = [r["explained_ratio"] for r in out]
+    assert abs(sum(ratios) - 1.0) < 1e-4
+    # the engineered dominant pair of dims carries ~all the variance
+    assert out[0]["cum_ratio"] > 0.9
+
+
+def test_pca_partials_are_batch_bounded(emb, spark):
+    """The moments relation has one row per Arrow batch (not per
+    vector) — the scale contract."""
+    df, _ = emb
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    parts = pca._partial_moments(df.coalesce(1), "embedding").collect()
+    assert 1 <= len(parts) <= 300 // 1 and sum(r["n"] for r in parts) == 300
+    d = 6
+    assert all(len(r["moments"]) == d + d * d for r in parts)

@@ -250,6 +250,11 @@ QUERIES = [
     # HOT-KEY variant too): one combinable key count, stats on the
     # ≤|keys| table
     "skew_report",
+    # embedding covariance/PCA over the replicated vectors: the only
+    # data pass is the batch-partial moments scan — the exchange stays
+    # n_batches × (D + D²) doubles at any corpus size
+    "embedding_covariance",
+    "embedding_pca_spectrum",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
