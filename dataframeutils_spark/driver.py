@@ -3076,6 +3076,21 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.winsorize_stats(_events_normalized(spark, sf_dir))
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min join-size estimation (operators/sketches.py): how big
+    is lineitem ⋈ returned-lineitem on partkey, WITHOUT running the
+    join — the CBO broadcast-vs-shuffle-vs-abort decision as a query.
+    Two bounded sketch builds + a depth×width inner product; the exact
+    per-key-count audit is the oracle side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.join_size_estimate(
+        li,
+        li.filter(F.col("l_returnflag") == "R"),
+        "l_partkey",
+        "l_partkey",
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler over events.user_id (operators/skew.py):
     the pre-flight that decides whether a key needs salting (N59)
@@ -3154,14 +3169,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10,
     the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
     q14/q15/q16/q17/q19/q20/q21/q22, boilerplate_scrub, decayed_value,
-    winsorize, sales_cube, skew_report, embedding_covariance, and
-    embedding_pca_spectrum (rows-only by design: eigendecomposition) —
-    all full-sweep green at HEAD, never driver-gated). The r8 window
-    is therefore newcomers-only: the first 50 of those 60 (rotation
-    priority: never-driver-verified first), the 10 overflow newcomers
-    plus the r5 batch — the oldest driver rows in the registry — lead
-    r9; the 50 entries verified in CORRECTNESS_r06.json stay demoted
-    until then.
+    winsorize, sales_cube, skew_report, embedding_covariance,
+    embedding_pca_spectrum (rows-only by design: eigendecomposition),
+    and join_size_estimate — all full-sweep green at HEAD, never
+    driver-gated). The r8 window is therefore newcomers-only: the
+    first 50 of those 61 (rotation priority: never-driver-verified
+    first), the 11 overflow newcomers plus the r5 batch — the oldest
+    driver rows in the registry — lead r9; the 50 entries verified in
+    CORRECTNESS_r06.json stay demoted until then.
     """
     return {
         # --- r7 window leads: the 13 r4-green entries displaced in r6
@@ -3358,6 +3373,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (rows-only — eigendecomposition is not SQL-expressible)
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca_spectrum": q_embedding_pca,
+        # r7 session-2: count-min join-size estimation (CBO
+        # primitive), exact-oracled
+        "join_size_estimate": q_join_size_estimate,
     }
 
 
@@ -3643,6 +3661,12 @@ FROM events GROUP BY user_id
         ),
         "skew_report": skew.skew_report_sql(),
         "embedding_covariance": pca.embedding_covariance_sql(),
+        "join_size_estimate": sketches.join_size_estimate_sql(
+            "SELECT * FROM lineitem",
+            "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+            "l_partkey",
+            "l_partkey",
+        ),
     }
 
 

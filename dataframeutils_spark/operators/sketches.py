@@ -1757,3 +1757,117 @@ SELECT e.src_a, e.src_b, e.n_a, e.n_b,
 FROM est e LEFT JOIN exact x ON e.src_a = x.src_a AND e.src_b = x.src_b
 ORDER BY e.src_a, e.src_b
 """
+
+
+# --------------------------------------------------------------------------
+# count-min join-size estimation (the CBO primitive)
+# --------------------------------------------------------------------------
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Estimate |left ⋈ right| on a key WITHOUT running the join — the
+    cost-based-optimizer primitive that decides broadcast vs shuffle vs
+    "don't run this at all". Classic count-min inner product
+    (Cormen/Muthukrishnan): per sketch row, Σ_buckets cntL·cntR is an
+    upper bound on Σ_key cntL(k)·cntR(k); min over the depth rows is
+    the estimate. Hash collisions only ever ADD mass, so est ≥ exact
+    (≥1 over_ratio asserted in tests and visible in the output).
+
+    100 TB shape: each side pays one map-side-combined sketch build
+    (exchange ≤ tasks × depth × width cells); the inner product runs on
+    two ≤ depth×width cell tables. The exact audit side (per-key count
+    join) exists for the oracle at test scale — at production scale the
+    estimate is the point and the exact side is exactly what you are
+    avoiding.
+    """
+    from dataframeutils_spark.schema import siground
+
+    skl = countmin_sketch(
+        left.select(F.col(left_key).cast("string").alias("term")),
+        depth=depth,
+        width=width,
+    ).select("cm_row", "bucket", F.col("cnt").alias("cnt_l"))
+    skr = countmin_sketch(
+        right.select(F.col(right_key).cast("string").alias("term")),
+        depth=depth,
+        width=width,
+    ).select("cm_row", "bucket", F.col("cnt").alias("cnt_r"))
+    est = (
+        skl.join(skr, ["cm_row", "bucket"])
+        .groupBy("cm_row")
+        .agg(F.sum(F.col("cnt_l") * F.col("cnt_r")).alias("ip"))
+        .agg(F.min("ip").alias("est_size"))
+    )
+    cl = left.groupBy(F.col(left_key).cast("string").alias("k")).agg(
+        F.count("*").alias("c_l")
+    )
+    cr = right.groupBy(F.col(right_key).cast("string").alias("k")).agg(
+        F.count("*").alias("c_r")
+    )
+    exact = (
+        cl.join(cr, "k")
+        .agg(F.sum(F.col("c_l") * F.col("c_r")).alias("exact_size"))
+    )
+    nl = left.agg(F.count("*").alias("n_left"))
+    nr = right.agg(F.count("*").alias("n_right"))
+    return (
+        nl.crossJoin(nr)
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_left",
+            "n_right",
+            "exact_size",
+            "est_size",
+            siground(F.col("est_size") / F.col("exact_size")).alias("over_ratio"),
+        )
+    )
+
+
+def join_size_estimate_sql(
+    left_sql: str,
+    right_sql: str,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> str:
+    """DuckDB oracle: same seeded buckets, same inner product, exact
+    per-key count join. ``left_sql``/``right_sql`` are subqueries."""
+    from dataframeutils_spark.schema import siground_sql
+
+    cells_l = " UNION ALL ".join(
+        f"SELECT {i} AS cm_row, {_cm_bucket_sql(f'CAST({left_key} AS VARCHAR)', i, width)} AS bucket FROM l"
+        for i in range(depth)
+    )
+    cells_r = " UNION ALL ".join(
+        f"SELECT {i} AS cm_row, {_cm_bucket_sql(f'CAST({right_key} AS VARCHAR)', i, width)} AS bucket FROM r"
+        for i in range(depth)
+    )
+    return f"""
+WITH l AS ({left_sql}), r AS ({right_sql}),
+skl AS (SELECT cm_row, bucket, count(*) AS cnt_l
+        FROM ({cells_l}) GROUP BY cm_row, bucket),
+skr AS (SELECT cm_row, bucket, count(*) AS cnt_r
+        FROM ({cells_r}) GROUP BY cm_row, bucket),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS est_size FROM (
+  SELECT skl.cm_row, sum(cnt_l * cnt_r) AS ip
+  FROM skl JOIN skr USING (cm_row, bucket) GROUP BY skl.cm_row)),
+exact AS (SELECT CAST(sum(c_l * c_r) AS BIGINT) AS exact_size FROM
+  (SELECT CAST({left_key} AS VARCHAR) AS k, count(*) AS c_l FROM l GROUP BY 1) a
+  JOIN
+  (SELECT CAST({right_key} AS VARCHAR) AS k, count(*) AS c_r FROM r GROUP BY 1) b
+  USING (k)),
+nl AS (SELECT count(*) AS n_left FROM l),
+nr AS (SELECT count(*) AS n_right FROM r)
+SELECT n_left, n_right, exact_size, est_size,
+       {siground_sql("est_size * 1.0 / exact_size")} AS over_ratio
+FROM nl, nr, exact, est
+"""

@@ -511,3 +511,39 @@ def test_hist_sketch_constant_column_degenerate_range(spark):
     assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["cnt"] == 100
     out = sketches.hist_quantiles(sk, (0.5,), (), 7.5, 7.5, 64).collect()[0]
     assert out["est"] == 7.5
+
+
+def test_join_size_estimate_upper_bounds_exact(spark):
+    """est >= exact always (collisions only add); with width >> keys
+    the estimate is exact; the exact side equals the true join size."""
+    from dataframeutils_spark.operators import sketches
+
+    left = spark.createDataFrame(
+        [(i, i % 10) for i in range(200)], "row_id long, k long"
+    )
+    right = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "row_id long, k long"
+    )
+    r = sketches.join_size_estimate(left, right, "k", "k", depth=4, width=4096).collect()[0]
+    assert r["n_left"] == 200 and r["n_right"] == 50
+    # true join size: left has 20 rows per key 0..9; right 10 rows per key 0..4
+    assert r["exact_size"] == 5 * 20 * 10
+    assert r["est_size"] >= r["exact_size"]
+    assert r["est_size"] == r["exact_size"]  # 15 keys, 4096 buckets: no collision
+    assert r["over_ratio"] == 1.0
+
+
+def test_join_size_estimate_collisions_only_overestimate(spark):
+    """Tiny width forces collisions: the estimate may inflate but can
+    never undershoot."""
+    from dataframeutils_spark.operators import sketches
+
+    left = spark.createDataFrame(
+        [(i, i % 97) for i in range(500)], "row_id long, k long"
+    )
+    right = spark.createDataFrame(
+        [(i, i % 89) for i in range(300)], "row_id long, k long"
+    )
+    r = sketches.join_size_estimate(left, right, "k", "k", depth=4, width=16).collect()[0]
+    assert r["est_size"] >= r["exact_size"] > 0
+    assert r["over_ratio"] >= 1.0

@@ -255,6 +255,11 @@ QUERIES = [
     # n_batches × (D + D²) doubles at any corpus size
     "embedding_covariance",
     "embedding_pca_spectrum",
+    # join-size estimation over the replicated facts: two bounded
+    # sketch builds (exchange ≤ tasks × depth × width) + a cell-table
+    # inner product; the exact audit's per-key count join is the only
+    # part that grows with keys
+    "join_size_estimate",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
