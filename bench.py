@@ -152,6 +152,7 @@ HEADLINE = [
     "embedding_covariance",  # D x D covariance from Arrow batch partials
     "embedding_pca_spectrum",  # top-8 eigenvalues of the bounded covariance
     "join_size_estimate",  # count-min inner-product CBO primitive
+    "join_size_estimate_fast",  # xxhash production twin of the same
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -3091,6 +3091,21 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of join_size_estimate (xxhash64 buckets —
+    the dedup_minhash_lsh_xxhash trade: 4× cheaper per row, loses the
+    DuckDB-exact oracle, so rows-only; the estimate-over-exact ≥ 1
+    invariant is pinned in tests for both hashes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.join_size_estimate(
+        li,
+        li.filter(F.col("l_returnflag") == "R"),
+        "l_partkey",
+        "l_partkey",
+        portable=False,
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler over events.user_id (operators/skew.py):
     the pre-flight that decides whether a key needs salting (N59)
@@ -3171,10 +3186,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q14/q15/q16/q17/q19/q20/q21/q22, boilerplate_scrub, decayed_value,
     winsorize, sales_cube, skew_report, embedding_covariance,
     embedding_pca_spectrum (rows-only by design: eigendecomposition),
-    and join_size_estimate — all full-sweep green at HEAD, never
-    driver-gated). The r8 window is therefore newcomers-only: the
-    first 50 of those 61 (rotation priority: never-driver-verified
-    first), the 11 overflow newcomers plus the r5 batch — the oldest
+    join_size_estimate, and join_size_estimate_fast (rows-only by
+    design: xxhash production hash) — all full-sweep green at HEAD,
+    never driver-gated). The r8 window is therefore newcomers-only:
+    the first 50 of those 62 (rotation priority: never-driver-verified
+    first), the 12 overflow newcomers plus the r5 batch — the oldest
     driver rows in the registry — lead r9; the 50 entries verified in
     CORRECTNESS_r06.json stay demoted until then.
     """
@@ -3374,8 +3390,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca_spectrum": q_embedding_pca,
         # r7 session-2: count-min join-size estimation (CBO
-        # primitive), exact-oracled
+        # primitive), exact-oracled; the xxhash production twin is
+        # rows-only (same invariants pinned in pytest)
         "join_size_estimate": q_join_size_estimate,
+        "join_size_estimate_fast": q_join_size_estimate_fast,
     }
 
 

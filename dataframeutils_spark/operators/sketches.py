@@ -1771,6 +1771,7 @@ def join_size_estimate(
     right_key: str,
     depth: int = 4,
     width: int = 2048,
+    portable: bool = True,
 ) -> DataFrame:
     """Estimate |left ⋈ right| on a key WITHOUT running the join — the
     cost-based-optimizer primitive that decides broadcast vs shuffle vs
@@ -1789,16 +1790,36 @@ def join_size_estimate(
     """
     from dataframeutils_spark.schema import siground
 
-    skl = countmin_sketch(
-        left.select(F.col(left_key).cast("string").alias("term")),
-        depth=depth,
-        width=width,
-    ).select("cm_row", "bucket", F.col("cnt").alias("cnt_l"))
-    skr = countmin_sketch(
-        right.select(F.col(right_key).cast("string").alias("term")),
-        depth=depth,
-        width=width,
-    ).select("cm_row", "bucket", F.col("cnt").alias("cnt_r"))
+    def sketch(df: DataFrame, key: str, out: str) -> DataFrame:
+        term = F.col(key).cast("string")
+        if portable:
+            bucket = lambda i: _cm_bucket(term, i, width)  # noqa: E731
+        else:
+            # production hash: one xxhash64 JVM intrinsic per row per
+            # sketch row instead of md5+conv — measured 4x cheaper on
+            # the 100x stress; loses only the DuckDB-exact oracle
+            bucket = lambda i: F.pmod(  # noqa: E731
+                F.abs(F.xxhash64(F.lit(f"cm{i}:"), term)), F.lit(width)
+            )
+        cells = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("cm_row"),
+                            bucket(i).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("cell")
+        )
+        return cells.groupBy("cell.cm_row", "cell.bucket").agg(
+            F.count("*").alias(out)
+        )
+
+    skl = sketch(left, left_key, "cnt_l")
+    skr = sketch(right, right_key, "cnt_r")
     est = (
         skl.join(skr, ["cm_row", "bucket"])
         .groupBy("cm_row")

@@ -337,8 +337,9 @@ def test_registry_contract():
             # session-2: embedding covariance (exact) + PCA spectrum
             # (rows-only by design — eigendecomposition)
             "embedding_covariance", "embedding_pca_spectrum",
-            # session-2: count-min join-size estimation
-            "join_size_estimate",
+            # session-2: count-min join-size estimation (+ xxhash
+            # production twin, rows-only by design)
+            "join_size_estimate", "join_size_estimate_fast",
         }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7

@@ -547,3 +547,22 @@ def test_join_size_estimate_collisions_only_overestimate(spark):
     r = sketches.join_size_estimate(left, right, "k", "k", depth=4, width=16).collect()[0]
     assert r["est_size"] >= r["exact_size"] > 0
     assert r["over_ratio"] >= 1.0
+
+
+def test_join_size_estimate_fast_same_invariants(spark):
+    """The xxhash production path keeps the exact side and the ≥1
+    over-ratio; with a wide sketch it is collision-free here too."""
+    from dataframeutils_spark.operators import sketches
+
+    left = spark.createDataFrame(
+        [(i, i % 10) for i in range(200)], "row_id long, k long"
+    )
+    right = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "row_id long, k long"
+    )
+    r = sketches.join_size_estimate(
+        left, right, "k", "k", depth=4, width=4096, portable=False
+    ).collect()[0]
+    assert r["exact_size"] == 1000
+    assert r["est_size"] >= r["exact_size"]
+    assert r["over_ratio"] >= 1.0

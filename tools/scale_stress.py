@@ -260,6 +260,7 @@ QUERIES = [
     # inner product; the exact audit's per-key count join is the only
     # part that grows with keys
     "join_size_estimate",
+    "join_size_estimate_fast",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
