@@ -153,6 +153,8 @@ HEADLINE = [
     "embedding_pca_spectrum",  # top-8 eigenvalues of the bounded covariance
     "join_size_estimate",  # count-min inner-product CBO primitive
     "join_size_estimate_fast",  # xxhash production twin of the same
+    "domain_cap",  # per-source cap, straddle-free two-phase rank
+    "late_data_audit",  # watermark pre-flight, bucketed running max
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -3076,6 +3076,40 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.winsorize_stats(_events_normalized(spark, sf_dir))
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py cap_per_group):
+    at most 60 docs per source, lowest-hash-first — the web-corpus
+    "no domain may dominate" rule on the same straddle-free two-phase
+    rank as quota_sample (no task ever sorts a whole domain)."""
+    return sampling.cap_per_group(
+        load_table(spark, sf_dir, "documents"), cap=60, strat_col="source"
+    )
+
+
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark pre-flight (operators/events.py): how much would a
+    stream drop at a 600 s watermark, against a deterministic ±1 h
+    hash-jittered arrival order (the raw feed is perfectly ordered —
+    the jitter recreates the out-of-orderness a real collector sees).
+    Running max via bounded 10-minute arrival buckets, never a global
+    sort."""
+    from dataframeutils_spark.operators.dedup import portable_hash60
+
+    ev = _events_normalized(spark, sf_dir)
+    jit = F.pmod(
+        portable_hash60(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))),
+        F.lit(7_200_000_000),
+    ) - F.lit(3_600_000_000)
+    ev = ev.withColumn("arrival_us", F.unix_micros(F.col("ts")) + jit)
+    return events_ops.late_data_audit(
+        ev,
+        ts_col="ts",
+        seq_col="arrival_us",
+        watermark_secs=600.0,
+        bucket=600_000_000,
+    )
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min join-size estimation (operators/sketches.py): how big
     is lineitem ⋈ returned-lineitem on partkey, WITHOUT running the
@@ -3186,13 +3220,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q14/q15/q16/q17/q19/q20/q21/q22, boilerplate_scrub, decayed_value,
     winsorize, sales_cube, skew_report, embedding_covariance,
     embedding_pca_spectrum (rows-only by design: eigendecomposition),
-    join_size_estimate, and join_size_estimate_fast (rows-only by
-    design: xxhash production hash) — all full-sweep green at HEAD,
-    never driver-gated). The r8 window is therefore newcomers-only:
-    the first 50 of those 62 (rotation priority: never-driver-verified
-    first), the 12 overflow newcomers plus the r5 batch — the oldest
-    driver rows in the registry — lead r9; the 50 entries verified in
-    CORRECTNESS_r06.json stay demoted until then.
+    join_size_estimate, join_size_estimate_fast (rows-only by design:
+    xxhash production hash), domain_cap, and late_data_audit — all
+    full-sweep green at HEAD, never driver-gated). The r8 window is
+    therefore newcomers-only: the first 50 of those 64 (rotation
+    priority: never-driver-verified first), the 14 overflow newcomers
+    plus the r5 batch — the oldest driver rows in the registry — lead
+    r9; the 50 entries verified in CORRECTNESS_r06.json stay demoted
+    until then.
     """
     return {
         # --- r7 window leads: the 13 r4-green entries displaced in r6
@@ -3394,6 +3429,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (same invariants pinned in pytest)
         "join_size_estimate": q_join_size_estimate,
         "join_size_estimate_fast": q_join_size_estimate_fast,
+        # r7 session-2: domain capping + watermark pre-flight,
+        # exact-oracled
+        "domain_cap": q_domain_cap,
+        "late_data_audit": q_late_data_audit,
     }
 
 
@@ -3684,6 +3723,19 @@ FROM events GROUP BY user_id
             "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
             "l_partkey",
             "l_partkey",
+        ),
+        "domain_cap": sampling.cap_per_group_sql(
+            cap=60, strat_col="source"
+        ),
+        "late_data_audit": events_ops.late_data_audit_sql(
+            table=(
+                "(SELECT event_type, ts, epoch_us(ts) + ("
+                + dedup.portable_hash60_sql("('arr:' || event_id::VARCHAR)")
+                + " % 7200000000) - 3600000000 AS arrival_us FROM events) src"
+            ),
+            seq_col="arrival_us",
+            watermark_secs=600.0,
+            bucket=600_000_000,
         ),
     }
 

@@ -551,3 +551,94 @@ wau AS (
 SELECT DATE '1970-01-01' + CAST(d.day AS INTEGER) AS date, d.dau, w.wau
 FROM dau d JOIN wau w ON w.wday = d.day
 """
+
+
+def late_data_audit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    type_col: str = "event_type",
+    watermark_secs: float = 3600.0,
+    bucket: int = 1000,
+) -> DataFrame:
+    """Watermark design audit: how much data WOULD a streaming job drop
+    at a given watermark — per event type, the count/fraction of events
+    arriving more than ``watermark_secs`` behind the stream's running
+    max event time, plus the lateness tail (max, p99). This is the
+    batch pre-flight that picks the withWatermark() value before the
+    streaming job ships.
+
+    Arrival order is ``seq_col`` (the ingest sequence). A naive running
+    max over arrival order is one global sort task — instead arrivals
+    land in ``seq/bucket`` buckets: the per-bucket max table is tiny
+    (≤ n/bucket rows), the running max over STRICTLY EARLIER buckets is
+    a window on that bounded table, broadcast back. Within-bucket
+    disorder is invisible (the watermark a real stream holds also trails
+    by an update interval — same semantics); the first bucket has no
+    watermark yet and counts as on-time, matching a stream's warmup.
+    """
+    from pyspark.sql import Window
+
+    ev = events.select(
+        type_col,
+        (F.col(seq_col) / F.lit(bucket)).cast("long").alias("_b"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    )
+    bmax = ev.groupBy("_b").agg(F.max("_us").alias("_bmax"))
+    wprev = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    ledger = bmax.select("_b", F.max("_bmax").over(wprev).alias("_wm_us"))
+    late_secs = F.greatest(
+        F.lit(0.0), (F.col("_wm_us") - F.col("_us")) / F.lit(1e6)
+    )
+    j = ev.join(F.broadcast(ledger), "_b").select(
+        type_col, F.coalesce(late_secs, F.lit(0.0)).alias("late_secs")
+    )
+    from dataframeutils_spark.schema import decround, siground
+
+    return j.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("late_secs") > watermark_secs).cast("long")).alias("n_dropped"),
+        decround(
+            F.sum((F.col("late_secs") > watermark_secs).cast("int"))
+            / F.count("*")
+        ).alias("frac_dropped"),
+        siground(F.max("late_secs")).alias("max_late_secs"),
+        siground(F.percentile("late_secs", F.lit(0.99))).alias("p99_late_secs"),
+    )
+
+
+def late_data_audit_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    type_col: str = "event_type",
+    watermark_secs: float = 3600.0,
+    bucket: int = 1000,
+) -> str:
+    """DuckDB oracle: same bucketed watermark, naive window form."""
+    from dataframeutils_spark.schema import decround_sql, siground_sql
+
+    return f"""
+WITH ev AS (
+  SELECT {type_col} AS event_type,
+         CAST({seq_col} // {bucket} AS BIGINT) AS b,
+         epoch_us({ts_col}) AS us
+  FROM {table}
+), bmax AS (
+  SELECT b, max(us) AS bmax FROM ev GROUP BY b
+), ledger AS (
+  SELECT b, max(bmax) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+  FROM bmax
+), lat AS (
+  SELECT event_type,
+         coalesce(greatest(0.0, (wm_us - us) / 1e6), 0.0) AS late_secs
+  FROM ev JOIN ledger USING (b)
+)
+SELECT event_type, count(*) AS n,
+  CAST(sum(CASE WHEN late_secs > {watermark_secs} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  {decround_sql(f"sum(CASE WHEN late_secs > {watermark_secs} THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS frac_dropped,
+  {siground_sql("max(late_secs)")} AS max_late_secs,
+  {siground_sql("quantile_cont(late_secs, 0.99)")} AS p99_late_secs
+FROM lat GROUP BY event_type
+"""

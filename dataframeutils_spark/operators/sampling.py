@@ -253,6 +253,29 @@ def quota_sample(
     The result is exactly the rows the naive global rank would pick
     (the DuckDB oracle runs that naive form).
     """
+    return _lowest_hash_select(
+        df,
+        strat_col,
+        lambda total: ((total * pct) / F.lit(100)).cast("long"),
+        id_col,
+        salt,
+        portable,
+        bucket_bits,
+    )
+
+
+def _lowest_hash_select(
+    df: DataFrame,
+    strat_col: str,
+    quota_of_total,
+    id_col: str,
+    salt: str,
+    portable: bool,
+    bucket_bits: int,
+) -> DataFrame:
+    """Shared straddle-free selection core: keep each stratum's
+    ``quota_of_total(stratum_count)`` lowest-hash rows (two-phase rank;
+    see :func:`quota_sample` for the scale rationale)."""
     h = (
         portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
         if portable
@@ -273,7 +296,7 @@ def quota_sample(
         strat_col,
         "_b",
         (F.sum("_cnt").over(wcum) - F.col("_cnt")).alias("_before"),
-        ((F.sum("_cnt").over(wtot) * pct) / F.lit(100)).cast("long").alias("_quota"),
+        quota_of_total(F.sum("_cnt").over(wtot)).alias("_quota"),
         "_cnt",
     )
     joined = hashed.join(F.broadcast(ledger), [strat_col, "_b"])
@@ -288,6 +311,59 @@ def quota_sample(
     )
     drop = ["_h", "_b", "_before", "_quota", "_cnt"]
     return below.drop(*drop).unionByName(straddle_kept.drop(*drop, "_r"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    portable: bool = True,
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Domain capping: keep AT MOST ``cap`` rows per group (the web-
+    corpus "no domain may dominate" rule), chosen as the group's
+    lowest-hash rows — deterministic, partitioning-independent, and a
+    strict subset of a larger cap's selection (cap=50 ⊆ cap=100, same
+    nesting property as hash_sample). Groups under the cap pass through
+    untouched.
+
+    Same straddle-free two-phase machinery as :func:`quota_sample`
+    (quota = min(n_group, cap) instead of a percentage): no task ever
+    ranks a whole group, so one mega-domain cannot become one sort
+    task — the exact trap a naive row_number() cap falls into at
+    100 TB.
+    """
+    return _lowest_hash_select(
+        df,
+        strat_col,
+        lambda total: F.least(total, F.lit(cap).cast("long")),
+        id_col,
+        salt,
+        portable,
+        bucket_bits,
+    )
+
+
+def cap_per_group_sql(
+    cap: int,
+    table: str = "documents",
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle: the naive per-group rank the two-phase plan is
+    provably equivalent to."""
+    h = portable_hash60_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    return f"""
+SELECT * EXCLUDE (_h, _r) FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY {strat_col} ORDER BY _h, {id_col}) AS _r
+  FROM (SELECT {cols}, {h} AS _h FROM {table})
+) WHERE _r <= {cap}
+"""
 
 
 def quota_sample_sql(

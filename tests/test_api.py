@@ -340,6 +340,8 @@ def test_registry_contract():
             # session-2: count-min join-size estimation (+ xxhash
             # production twin, rows-only by design)
             "join_size_estimate", "join_size_estimate_fast",
+            # session-2: domain capping + watermark pre-flight
+            "domain_cap", "late_data_audit",
         }
         missing = [
             n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7

@@ -207,3 +207,60 @@ def test_retention_pre_epoch_days_floor_not_truncate(spark):
     # day -2 floors to cohort grid day -7 -> cohort date 1969-12-25;
     # day 5 is offset (5 - (-7)) // 7 = 1
     assert out == {("1969-12-25", 0): 1, ("1969-12-25", 1): 1}
+
+
+def test_cap_per_group_caps_and_nests(spark):
+    """≤ cap rows per group; small groups untouched; cap-k selection is
+    a subset of cap-(k+m) selection (same hash order)."""
+    from dataframeutils_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(100)] + [(200 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k10 = sampling.cap_per_group(df, cap=10, strat_col="source").collect()
+    by = {}
+    for r in k10:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 10 and len(by["small"]) == 5
+    k30 = sampling.cap_per_group(df, cap=30, strat_col="source").collect()
+    big30 = {r["doc_id"] for r in k30 if r["source"] == "big"}
+    assert len(big30) == 30 and by["big"] <= big30
+
+
+def test_late_data_audit_counts_jittered_stragglers(spark):
+    """A hand-built arrival sequence: events 0..99 in time order except
+    one straggler arriving 2000 s late — exactly it is dropped at a
+    600 s watermark and lateness stats reflect it."""
+    import datetime as dt
+
+    from dataframeutils_spark.operators import events as ev_ops
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        rows.append((i, base + dt.timedelta(seconds=10 * i), "a"))
+    # straggler: arrives at seq 99.5*10 but carries an OLD timestamp
+    rows.append((1000, base + dt.timedelta(seconds=990 - 2000), "a"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = ev_ops.late_data_audit(
+        df, seq_col="event_id", watermark_secs=600.0, bucket=10
+    ).collect()[0]
+    assert out["n"] == 101
+    assert out["n_dropped"] == 1
+    # the straggler is ~2900 s behind the watermark of its bucket's
+    # predecessor (990 s running max vs its -1010 s event time)
+    assert out["max_late_secs"] > 1900
+    assert 0 < out["frac_dropped"] < 0.02
+
+
+def test_late_data_audit_ordered_stream_drops_nothing(spark):
+    import datetime as dt
+
+    from dataframeutils_spark.operators import events as ev_ops
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=i), "t") for i in range(500)],
+        "event_id long, ts timestamp, event_type string",
+    )
+    out = ev_ops.late_data_audit(df, seq_col="event_id", watermark_secs=1.0, bucket=50).collect()[0]
+    assert out["n_dropped"] == 0 and out["max_late_secs"] == 0.0

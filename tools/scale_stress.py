@@ -261,6 +261,12 @@ QUERIES = [
     # part that grows with keys
     "join_size_estimate",
     "join_size_estimate_fast",
+    # domain cap over the replicated corpus (every source ~mult×
+    # bigger, cap fixed — the straddle bucket is the only ranked
+    # slice); watermark audit over the replicated event log (running
+    # max stays a bounded bucket-table window)
+    "domain_cap",
+    "late_data_audit",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
