@@ -3184,126 +3184,73 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 138 queries are registered, so ordering
+    this dict (insertion order); 164 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
-    (2) longest since last driver-verified. With a 50-entry window the
-    rotation gives every query a driver row at least every second round
-    (one overflow entry per newcomer stretches to a 2-round gap); the
-    committed CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py,
-    the same vanilla-session + DuckDB-oracle compare the driver runs)
-    covers ALL queries at HEAD every round.
+    (2) longest since last driver-verified. The committed
+    CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py, the same
+    vanilla-session + DuckDB-oracle compare the driver runs) covers ALL
+    queries at HEAD every round.
 
-    Round 7 ordering (executes the rotation promised in the round-6
-    docstring): the 28 leads are every query that has never carried an
-    external driver hash row or was displaced before its turn — the
-    thirteen r4-green entries displaced in r6 (`mad_outliers`,
-    `psi_drift`, `compaction_plan`, `dsir_select`, `feature_matrix`,
-    `lsh_tuning`, `quantile_bin`, `salted_join`, `zorder_layout`,
-    `multimodal_meta`, `multimodal_frames`, `embedding_quantize`,
-    `embedding_dim_stats`), the r5 overflow `events_props`, the four
-    media newcomers (`multimodal_jpeg_pixels`, `multimodal_wav_samples`,
-    `multimodal_audio_windows`, `multimodal_mp4_meta` — exact-oracled,
-    JPEG ImageIO-cross-validated in pytest), the rows-only BPE trio
-    (`bpe_train`, `bpe_encode`, `bpe_pack` — iterative, not
-    SQL-expressible; golden-pinned in tests/test_bpe.py; the driver
-    records the weaker rows-only check by design), and the round-6
-    session-3 newcomers (`tpch_q1`, `tpch_q18`, `hll_distinct`,
-    `stream_distinct_users`, `hist_quantiles`, `corpus_overlap`,
-    `tpch_q4` — exact-oracled). Positions 29–50 are the first 22 of the
-    round-5-verified batch (CORRECTNESS_r05.json), longest since
-    verified. So the r7 window is 47 exact-hash + 3 rows-only-by-design.
-    Positions 51+: the remaining 28 of the r5 batch and the 32 r7
-    in-round newcomers registered below the cap (multimodal_avi_frames,
-    quota_sample, hard_negatives, unigram_train, unigram_encode,
-    tokenizer_fertility, snapshot_diff, curriculum, tpch_q6, tpch_q10,
-    the 15-query TPC-H completion tpch_q2/q7/q8/q9/q11/q12/q13/
-    q14/q15/q16/q17/q19/q20/q21/q22, boilerplate_scrub, decayed_value,
-    winsorize, sales_cube, skew_report, embedding_covariance,
-    embedding_pca_spectrum (rows-only by design: eigendecomposition),
-    join_size_estimate, join_size_estimate_fast (rows-only by design:
-    xxhash production hash), domain_cap, and late_data_audit — all
-    full-sweep green at HEAD, never driver-gated). The r8 window is
-    therefore newcomers-only: the first 50 of those 64 (rotation
-    priority: never-driver-verified first), the 14 overflow newcomers
-    plus the r5 batch — the oldest driver rows in the registry — lead
-    r9; the 50 entries verified in CORRECTNESS_r06.json stay demoted
-    until then.
+    Round 8 ordering (executes the rotation promised in the round-7
+    docstring, amended per the r7 verdict's gate-hygiene ask — zero
+    ``err: no_oracle`` rows inside the window): positions 1-31 are every
+    EXACT-ORACLED query that has never carried an external driver hash
+    row — the 17 never-gated TPC-H shapes (q2, q6-q17, q19-q22; q1, q4
+    and q18 were gated in r7) and the 14 exact r7 session newcomers
+    (multimodal_avi_frames, quota_sample, hard_negatives, snapshot_diff,
+    curriculum, boilerplate_scrub, decayed_value, winsorize, sales_cube,
+    skew_report, embedding_covariance, join_size_estimate, domain_cap,
+    late_data_audit). Positions 32-43 are the 12 exact-oracled
+    stragglers of the r5-verified batch (the oldest driver rows in the
+    registry); positions 44-50 the first 7 of the r6-verified batch. The
+    window is therefore 50/50 exact-hash — rows-only-by-design queries
+    (iterative fits, FFT, eigendecomposition, xxhash twins, tokenizer
+    training: the BPE/unigram trios, embedding_pca_spectrum,
+    join_size_estimate_fast, and the 16 r5 statistical fits) now sit at
+    the BOTTOM of the registry so no ``err: no_oracle`` row ever lands
+    in the hard gate signal; their evidence is the committed local
+    sweep (rows-gated) plus golden-file pytest parity. Positions 51+:
+    the remaining 43 of the r6-verified batch (they lead the r9
+    window), then the 47 exact entries verified in CORRECTNESS_r07.json
+    (demoted for one round), then the rows-only group.
     """
     return {
-        # --- r7 window leads: the 13 r4-green entries displaced in r6
-        # plus the r5 overflow events_props ---
-        "mad_outliers": q_mad_outliers,
-        "psi_drift": q_psi_drift,
-        "compaction_plan": q_compaction_plan,
-        "dsir_select": q_dsir_select,
-        "feature_matrix": q_feature_matrix,
-        "lsh_tuning": q_lsh_tuning,
-        "quantile_bin": q_quantile_bin,
-        "salted_join": q_salted_join,
-        "zorder_layout": q_zorder_layout,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "events_props": q_events_props,
-        # --- never driver-verified: the media pixel/sample tiers
-        # (exact-oracled; JPEG decoder ImageIO-cross-validated) ---
-        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
-        "multimodal_wav_samples": q_multimodal_wav_samples,
-        "multimodal_audio_windows": q_multimodal_audio_windows,
-        "multimodal_mp4_meta": q_multimodal_mp4_meta,
-        # --- never driver-verified: rows-only BPE trio (iterative —
-        # not SQL-expressible; golden-pinned in tests/test_bpe.py) ---
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "bpe_pack": q_bpe_pack,
-        # --- never driver-verified: round-6 session-3 newcomers
-        # (exact-oracled, local-sweep green) ---
-        "tpch_q1": q_tpch_q1,
-        "tpch_q18": q_tpch_q18,
-        "hll_distinct": q_hll_distinct,
-        "stream_distinct_users": q_stream_distinct_users,
-        "hist_quantiles": q_hist_quantiles,
-        "corpus_overlap": q_corpus_overlap,
-        "tpch_q4": q_tpch_q4,
-        # --- positions 29-50: first 22 of the round-5-verified batch
-        # (longest since driver-verified; all exact-oracled) ---
-        "asof_profile": q_asof_profile,
-        "asof_profile_forward": q_asof_profile_forward,
-        "sales_by_nation": q_sales_by_nation,
-        "sales_rollup": q_sales_rollup,
-        "range_attribution": q_range_attribution,
-        "dataset_split": q_dataset_split,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "panel_distribution": q_panel_distribution,
-        "panel_dispersion": q_panel_dispersion,
-        "panel_ar1": q_panel_ar1,
-        "lagged_corr": q_lagged_corr,
-        "mutual_info": q_mutual_info,
-        "zscore_outliers": q_zscore_outliers,
-        "rolling_corr": q_rolling_corr,
-        "topk_terms": q_topk_terms,
-        "tfidf_topterms": q_tfidf_topterms,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "similarity_topk": q_similarity_topk,
-        # --- position 51+: the remaining 28 of the r5-verified batch;
-        # they are the oldest driver rows left and lead the r8 window ---
-        "stationarity": q_stationarity,
-        "stationarity_summary": q_stationarity_summary,
-        "memory_dependence": q_memory_dependence,
-        "frequency_domain": q_frequency_domain,
-        "cointegration": q_cointegration,
-        "granger": q_granger,
-        "regime_detection": q_regime_detection,
-        "volatility_garch": q_volatility_garch,
-        "volatility_egarch": q_volatility_egarch,
-        "volatility_gjr": q_volatility_gjr,
-        "outliers_iforest": q_outliers_iforest,
-        "outliers_lof": q_outliers_lof,
+        # --- r8 window leads (positions 1-31): every exact-oracled query
+        # that has never carried an external driver hash row — the r7
+        # TPC-H shape-suite completion plus the r7 session-2 newcomers ---
+        "tpch_q2": q_tpch_q2,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "multimodal_avi_frames": q_multimodal_avi_frames,
+        "quota_sample": q_quota_sample,
+        "hard_negatives": q_hard_negatives,
+        "snapshot_diff": q_snapshot_diff,
+        "curriculum": q_curriculum,
+        "boilerplate_scrub": q_boilerplate_scrub,
+        "decayed_value": q_decayed_value,
+        "winsorize": q_winsorize,
+        "sales_cube": q_sales_cube,
+        "skew_report": q_skew_report,
+        "embedding_covariance": q_embedding_covariance,
+        "join_size_estimate": q_join_size_estimate,
+        "domain_cap": q_domain_cap,
+        "late_data_audit": q_late_data_audit,
+        # --- positions 32-43: the 12 exact-oracled stragglers of the
+        # r5-verified batch (oldest driver rows in the registry) ---
         "similarity_ann": q_similarity_ann,
         "hash_sample": q_hash_sample,
         "data_mixture": q_data_mixture,
@@ -3311,17 +3258,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "lm_quality": q_lm_quality,
         "dedup_shared_spans": q_dedup_shared_spans,
-        "similarity_ivf_hier": q_similarity_ivf_hier,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "memory_acf_hurst": q_memory_acf_hurst,
-        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
-        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "events_value_profile_approx": q_events_value_profile_approx,
         "fingerprint": q_fingerprint,
-        # --- the 50 entries verified this past round (50/50 green hash
-        # rows in CORRECTNESS_r06.json), demoted for exactly one round ---
+        # --- positions 44-50: first 7 of the r6-verified batch (verified
+        # two rounds ago — next-longest since driver-verified) ---
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "semantic_decontaminate": q_semantic_decontaminate,
@@ -3329,6 +3272,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "events_attribution": q_events_attribution,
         "fuzzy_terms": q_fuzzy_terms,
+        # --- positions 51+: the remaining 43 of the r6-verified batch;
+        # they are the oldest driver rows left and lead the r9 window ---
         "bloom_skipping": q_bloom_skipping,
         "scd2_history": q_scd2_history,
         "semdedup": q_semdedup,
@@ -3372,67 +3317,85 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall": q_similarity_recall,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
-        # --- round-7 newcomers (exact-oracled): kept below the cap so
-        # this round's promised window stays intact — they lead the r8
-        # window with the r5 batch ---
-        "multimodal_avi_frames": q_multimodal_avi_frames,
-        "quota_sample": q_quota_sample,
-        "hard_negatives": q_hard_negatives,
-        # rows-only r7 newcomers (iterative tokenizer training — the
-        # BPE precedent; pure-Python-reference-pinned in pytest)
+        # --- the 47 exact entries verified this past round (47/47 green
+        # hash rows in CORRECTNESS_r07.json), demoted for one round ---
+        "mad_outliers": q_mad_outliers,
+        "psi_drift": q_psi_drift,
+        "compaction_plan": q_compaction_plan,
+        "dsir_select": q_dsir_select,
+        "feature_matrix": q_feature_matrix,
+        "lsh_tuning": q_lsh_tuning,
+        "quantile_bin": q_quantile_bin,
+        "salted_join": q_salted_join,
+        "zorder_layout": q_zorder_layout,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "events_props": q_events_props,
+        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+        "multimodal_wav_samples": q_multimodal_wav_samples,
+        "multimodal_audio_windows": q_multimodal_audio_windows,
+        "multimodal_mp4_meta": q_multimodal_mp4_meta,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q18": q_tpch_q18,
+        "hll_distinct": q_hll_distinct,
+        "stream_distinct_users": q_stream_distinct_users,
+        "hist_quantiles": q_hist_quantiles,
+        "corpus_overlap": q_corpus_overlap,
+        "tpch_q4": q_tpch_q4,
+        "asof_profile": q_asof_profile,
+        "asof_profile_forward": q_asof_profile_forward,
+        "sales_by_nation": q_sales_by_nation,
+        "sales_rollup": q_sales_rollup,
+        "range_attribution": q_range_attribution,
+        "dataset_split": q_dataset_split,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "panel_distribution": q_panel_distribution,
+        "panel_dispersion": q_panel_dispersion,
+        "panel_ar1": q_panel_ar1,
+        "lagged_corr": q_lagged_corr,
+        "mutual_info": q_mutual_info,
+        "zscore_outliers": q_zscore_outliers,
+        "rolling_corr": q_rolling_corr,
+        "topk_terms": q_topk_terms,
+        "tfidf_topterms": q_tfidf_topterms,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        # --- rows-only by design (iterative fits, FFT, eigendecomposition,
+        # xxhash production twins, tokenizer training): not ANSI-SQL
+        # expressible, so a window slot records only err=no_oracle.
+        # Kept below the cap per the r7 verdict (gate hygiene); each is
+        # golden-pinned in pytest and rows-gated in the committed
+        # CORRECTNESS_LOCAL.json full sweep at HEAD ---
+        "stationarity": q_stationarity,
+        "stationarity_summary": q_stationarity_summary,
+        "memory_dependence": q_memory_dependence,
+        "frequency_domain": q_frequency_domain,
+        "cointegration": q_cointegration,
+        "granger": q_granger,
+        "regime_detection": q_regime_detection,
+        "volatility_garch": q_volatility_garch,
+        "volatility_egarch": q_volatility_egarch,
+        "volatility_gjr": q_volatility_gjr,
+        "outliers_iforest": q_outliers_iforest,
+        "outliers_lof": q_outliers_lof,
+        "similarity_ivf_hier": q_similarity_ivf_hier,
+        "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
+        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "events_value_profile_approx": q_events_value_profile_approx,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "bpe_pack": q_bpe_pack,
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
-        "snapshot_diff": q_snapshot_diff,
-        "curriculum": q_curriculum,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        # r7 session-2 newcomers: the remaining 15 canonical TPC-H
-        # query shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q14/Q15/Q16/Q17/Q19/
-        # Q20/Q21/Q22 adapted to the testdata schema — all 22 shapes
-        # now covered), exact-oracled, below the cap with the other
-        # r7 newcomers; they lead the r8 window
-        "tpch_q2": q_tpch_q2,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        # r7 session-2: segment-level boilerplate scrub (CCNet-style
-        # cross-corpus line dedup with document rebuild), exact-oracled
-        "boilerplate_scrub": q_boilerplate_scrub,
-        # r7 session-2: recency-decay + winsorization feature tier,
-        # exact-oracled
-        "decayed_value": q_decayed_value,
-        "winsorize": q_winsorize,
-        # r7 session-2: full-CUBE grouping-sets companion to
-        # sales_rollup, exact-oracled
-        "sales_cube": q_sales_cube,
-        # r7 session-2: join-key skew profiler (salting pre-flight),
-        # exact-oracled
-        "skew_report": q_skew_report,
-        # r7 session-2: embedding covariance (exact) + PCA spectrum
-        # (rows-only — eigendecomposition is not SQL-expressible)
-        "embedding_covariance": q_embedding_covariance,
         "embedding_pca_spectrum": q_embedding_pca,
-        # r7 session-2: count-min join-size estimation (CBO
-        # primitive), exact-oracled; the xxhash production twin is
-        # rows-only (same invariants pinned in pytest)
-        "join_size_estimate": q_join_size_estimate,
         "join_size_estimate_fast": q_join_size_estimate_fast,
-        # r7 session-2: domain capping + watermark pre-flight,
-        # exact-oracled
-        "domain_cap": q_domain_cap,
-        "late_data_audit": q_late_data_audit,
     }
 
 

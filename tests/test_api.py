@@ -271,12 +271,14 @@ def test_event_study_facade(spark):
 def test_registry_contract():
     """Driver-contract invariants the external gate depends on: every
     oracle belongs to a registered query, every registry entry is
-    callable, and the round-7 rotation holds — the 28 leads are exactly
-    the queries with no external driver hash row yet (13 displaced
-    r4-green + events_props + media tiers + BPE trio + r6-session-3
-    newcomers), the rest of the window is the longest-unverified part
-    of the r5 batch, only the BPE trio is rows-only inside the cap, and
-    everything below the cap carries a driver row from r5 or r6."""
+    callable, and the round-8 rotation holds — the 31 leads are exactly
+    the never-externally-gated exact-oracled queries (TPC-H completion
+    + r7 session newcomers), positions 32-43 the exact r5-batch
+    stragglers, 44-50 the head of the r6 batch, the whole 50-entry
+    window is exact-oracled (zero rows-only inside the cap, per the r7
+    verdict's gate-hygiene ask), and everything below the cap either
+    carries a driver row from r5/r6/r7 or is documented
+    rows-only-by-design at the bottom of the registry."""
     import json
     import os as _os
 
@@ -288,67 +290,77 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # r7 window leads: exactly the 28 promised in the r6 docstring
-    assert names[:28] == [
-        "mad_outliers", "psi_drift", "compaction_plan", "dsir_select",
-        "feature_matrix", "lsh_tuning", "quantile_bin", "salted_join",
-        "zorder_layout", "multimodal_meta", "multimodal_frames",
-        "embedding_quantize", "embedding_dim_stats", "events_props",
-        "multimodal_jpeg_pixels", "multimodal_wav_samples",
-        "multimodal_audio_windows", "multimodal_mp4_meta",
-        "bpe_train", "bpe_encode", "bpe_pack",
-        "tpch_q1", "tpch_q18", "hll_distinct", "stream_distinct_users",
-        "hist_quantiles", "corpus_overlap", "tpch_q4",
+    # r8 window leads: exactly the 31 never-externally-gated
+    # exact-oracled queries promised in the r7 docstring + verdict
+    assert names[:31] == [
+        "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+        "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+        "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20",
+        "tpch_q21", "tpch_q22", "multimodal_avi_frames", "quota_sample",
+        "hard_negatives", "snapshot_diff", "curriculum",
+        "boilerplate_scrub", "decayed_value", "winsorize", "sales_cube",
+        "skew_report", "embedding_covariance", "join_size_estimate",
+        "domain_cap", "late_data_audit",
     ]
-    # inside the cap only the BPE trio is rows-only (iterative, not
-    # SQL-expressible — documented); everything else is exact-oracled
-    rows_only_in_cap = {n for n in names[:50] if n not in os_}
-    assert rows_only_in_cap == {"bpe_train", "bpe_encode", "bpe_pack"}, (
-        rows_only_in_cap
-    )
+    # positions 32-43: exact r5-batch stragglers (oldest driver rows)
+    assert names[31:43] == [
+        "similarity_ann", "hash_sample", "data_mixture",
+        "pipeline_prepare", "text_repetition", "lm_quality",
+        "dedup_shared_spans", "dedup_embedding_clusters",
+        "memory_acf_hurst", "dedup_embedding", "dedup_ngram_jaccard",
+        "fingerprint",
+    ]
+    # positions 44-50: head of the r6-verified batch
+    assert names[43:50] == [
+        "tpch_q3", "tpch_q5", "semantic_decontaminate", "active_users",
+        "event_paths", "events_attribution", "fuzzy_terms",
+    ]
+    # gate hygiene (r7 verdict): the whole window is exact-oracled —
+    # no rows-only entry may produce an err=no_oracle row in the gate
+    rows_only_in_cap = [n for n in names[:50] if n not in os_]
+    assert rows_only_in_cap == [], rows_only_in_cap
+    # rows-only-by-design queries sit at the bottom of the registry
+    ROWS_ONLY = {
+        "stationarity", "stationarity_summary", "memory_dependence",
+        "frequency_domain", "cointegration", "granger",
+        "regime_detection", "volatility_garch", "volatility_egarch",
+        "volatility_gjr", "outliers_iforest", "outliers_lof",
+        "similarity_ivf_hier", "dedup_minhash_lsh_xxhash",
+        "similarity_ivf_kmeans", "events_value_profile_approx",
+        "bpe_train", "bpe_encode", "bpe_pack", "unigram_train",
+        "unigram_encode", "tokenizer_fertility",
+        "embedding_pca_spectrum", "join_size_estimate_fast",
+    }
+    assert set(names[-len(ROWS_ONLY):]) == ROWS_ONLY
     here = _os.path.dirname(__file__)
     r05 = _os.path.join(here, "..", "CORRECTNESS_r05.json")
     r06 = _os.path.join(here, "..", "CORRECTNESS_r06.json")
-    if _os.path.exists(r05) and _os.path.exists(r06):
+    r07 = _os.path.join(here, "..", "CORRECTNESS_r07.json")
+    if _os.path.exists(r05) and _os.path.exists(r06) and _os.path.exists(r07):
         with open(r05) as fh:
             r5 = json.load(fh)
         with open(r06) as fh:
             r6 = json.load(fh)
-        # positions 29-50 fill from the r5-verified batch (longest since
-        # driver-verified)
-        missing = [n for n in names[28:50] if n not in r5]
-        assert missing == [], missing
-        # everything below the cap must carry a driver row from r5
-        # (those lead the r8 window) or r6 (demoted for one round),
-        # or be a documented r7 newcomer (exact-oracled, pytest
-        # spec-vector evidence; leads the r8 window)
-        NEW_R7 = {
-            "multimodal_avi_frames", "quota_sample", "hard_negatives",
-            "unigram_train", "unigram_encode", "tokenizer_fertility",
-            "snapshot_diff", "curriculum", "tpch_q6", "tpch_q10",
-            # session-2: the TPC-H shape-suite completion (all 22)
-            "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-            "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-            "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-            # session-2: cross-corpus segment boilerplate scrub +
-            # recency-decay / winsorization feature tier
-            "boilerplate_scrub", "decayed_value", "winsorize",
-            "sales_cube", "skew_report",
-            # session-2: embedding covariance (exact) + PCA spectrum
-            # (rows-only by design — eigendecomposition)
-            "embedding_covariance", "embedding_pca_spectrum",
-            # session-2: count-min join-size estimation (+ xxhash
-            # production twin, rows-only by design)
-            "join_size_estimate", "join_size_estimate_fast",
-            # session-2: domain capping + watermark pre-flight
-            "domain_cap", "late_data_audit",
-        }
+        with open(r07) as fh:
+            r7 = json.load(fh)
+        # everything below the cap must carry a driver row from r5/r6/r7
+        # or be documented rows-only-by-design
         missing = [
-            n for n in names[50:] if n not in r5 and n not in r6 and n not in NEW_R7
+            n for n in names[50:]
+            if n not in r5 and n not in r6 and n not in r7
+            and n not in ROWS_ONLY
         ]
         assert missing == [], missing
-        # and the r6 window itself was fully green
-        bad = [n for n, v in r6.items() if v.get("err") is not None]
+        # and the r7 window itself was fully green: every exact-oracled
+        # entry hash-matched; only the BPE trio is rows-only (no_oracle)
+        bad = [
+            n for n, v in r7.items()
+            if v.get("err") not in (None, "no_oracle")
+        ]
         assert bad == [], bad
-        bad = [n for n, v in r6.items() if not v.get("hash_match")]
+        bad = [
+            n for n, v in r7.items()
+            if v.get("err") is None and not v.get("hash_match")
+        ]
         assert bad == [], bad
+
