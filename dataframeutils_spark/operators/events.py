@@ -579,9 +579,13 @@ def late_data_audit(
     """
     from pyspark.sql import Window
 
+    # pure integer bucket assignment: Spark's DIV and DuckDB's // both
+    # truncate toward zero, and integer arithmetic stays exact at any
+    # magnitude (the old double-divide-then-cast path lost exactness
+    # above 2^53)
     ev = events.select(
         type_col,
-        (F.col(seq_col) / F.lit(bucket)).cast("long").alias("_b"),
+        F.expr(f"CAST({seq_col} AS BIGINT) DIV {bucket}").alias("_b"),
         F.unix_micros(F.col(ts_col)).alias("_us"),
     )
     bmax = ev.groupBy("_b").agg(F.max("_us").alias("_bmax"))

@@ -56,6 +56,14 @@ def embedding_covariance(
     count (|cells| = D + D²), so the operator is dimension-agnostic
     with zero driver round-trips.
     """
+    # n < 2 makes every covariance cell NULL (division by n-1 = 0);
+    # fail loudly instead. limit(2) keeps the probe a single-partition
+    # peek, not a count of the table.
+    if emb.limit(2).count() < 2:
+        raise ValueError(
+            "embedding_covariance needs at least 2 vectors to form a "
+            "sample covariance"
+        )
     parts = _partial_moments(emb, vec_col)
     # bounded reduce: the exchange carries ≤ n_batches × (D + D²) cells
     cells = (
@@ -143,12 +151,22 @@ def embedding_pca(
     parts = _partial_moments(emb, vec_col)
     rows = parts.collect()  # bounded: one row per Arrow batch
     n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError(
+            f"embedding_pca needs at least 2 vectors to form a sample "
+            f"covariance (got n={n})"
+        )
     acc = np.sum([np.asarray(r["moments"]) for r in rows], axis=0)
     d = int(round((-1 + (1 + 4 * len(acc)) ** 0.5) / 2))
     s, o = acc[:d], acc[d:].reshape(d, d)
     cov = (o - np.outer(s, s) / n) / (n - 1)
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(evals.sum())
+    if total <= 0.0:
+        raise ValueError(
+            "embedding_pca: covariance trace is 0 — the embedding column "
+            "is constant (no variance to decompose)"
+        )
     data, cum = [], 0.0
     for c in range(min(k, d)):
         ev = float(evals[c])

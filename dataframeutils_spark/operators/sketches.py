@@ -1820,11 +1820,20 @@ def join_size_estimate(
 
     skl = sketch(left, left_key, "cnt_l")
     skr = sketch(right, right_key, "cnt_r")
-    est = (
+    # A depth row whose buckets never overlap has true inner product 0 —
+    # which PROVES the join is empty. Materialize all depth rows (left
+    # join from 0..depth-1, inner product coalesced to 0) so that row
+    # wins the min instead of being silently dropped by the inner join.
+    ip_rows = (
         skl.join(skr, ["cm_row", "bucket"])
         .groupBy("cm_row")
         .agg(F.sum(F.col("cnt_l") * F.col("cnt_r")).alias("ip"))
-        .agg(F.min("ip").alias("est_size"))
+    )
+    est = (
+        left.sparkSession.range(depth)
+        .select(F.col("id").cast("int").alias("cm_row"))
+        .join(ip_rows, "cm_row", "left")
+        .agg(F.min(F.coalesce("ip", F.lit(0).cast("long"))).alias("est_size"))
     )
     cl = left.groupBy(F.col(left_key).cast("string").alias("k")).agg(
         F.count("*").alias("c_l")
@@ -1832,9 +1841,10 @@ def join_size_estimate(
     cr = right.groupBy(F.col(right_key).cast("string").alias("k")).agg(
         F.count("*").alias("c_r")
     )
-    exact = (
-        cl.join(cr, "k")
-        .agg(F.sum(F.col("c_l") * F.col("c_r")).alias("exact_size"))
+    exact = cl.join(cr, "k").agg(
+        F.coalesce(
+            F.sum(F.col("c_l") * F.col("c_r")), F.lit(0).cast("long")
+        ).alias("exact_size")
     )
     nl = left.agg(F.count("*").alias("n_left"))
     nr = right.agg(F.count("*").alias("n_right"))
@@ -1847,7 +1857,9 @@ def join_size_estimate(
             "n_right",
             "exact_size",
             "est_size",
-            siground(F.col("est_size") / F.col("exact_size")).alias("over_ratio"),
+            F.when(F.col("exact_size") == 0, F.lit(None).cast("double"))
+            .otherwise(siground(F.col("est_size") / F.col("exact_size")))
+            .alias("over_ratio"),
         )
     )
 
@@ -1878,10 +1890,12 @@ skl AS (SELECT cm_row, bucket, count(*) AS cnt_l
         FROM ({cells_l}) GROUP BY cm_row, bucket),
 skr AS (SELECT cm_row, bucket, count(*) AS cnt_r
         FROM ({cells_r}) GROUP BY cm_row, bucket),
-est AS (SELECT CAST(min(ip) AS BIGINT) AS est_size FROM (
-  SELECT skl.cm_row, sum(cnt_l * cnt_r) AS ip
-  FROM skl JOIN skr USING (cm_row, bucket) GROUP BY skl.cm_row)),
-exact AS (SELECT CAST(sum(c_l * c_r) AS BIGINT) AS exact_size FROM
+ip AS (SELECT skl.cm_row, sum(cnt_l * cnt_r) AS ip
+       FROM skl JOIN skr USING (cm_row, bucket) GROUP BY skl.cm_row),
+est AS (SELECT CAST(min(COALESCE(ip, 0)) AS BIGINT) AS est_size
+        FROM (SELECT range AS cm_row FROM range({depth})) rows
+        LEFT JOIN ip USING (cm_row)),
+exact AS (SELECT CAST(COALESCE(sum(c_l * c_r), 0) AS BIGINT) AS exact_size FROM
   (SELECT CAST({left_key} AS VARCHAR) AS k, count(*) AS c_l FROM l GROUP BY 1) a
   JOIN
   (SELECT CAST({right_key} AS VARCHAR) AS k, count(*) AS c_r FROM r GROUP BY 1) b
@@ -1889,6 +1903,7 @@ exact AS (SELECT CAST(sum(c_l * c_r) AS BIGINT) AS exact_size FROM
 nl AS (SELECT count(*) AS n_left FROM l),
 nr AS (SELECT count(*) AS n_right FROM r)
 SELECT n_left, n_right, exact_size, est_size,
-       {siground_sql("est_size * 1.0 / exact_size")} AS over_ratio
+       CASE WHEN exact_size = 0 THEN NULL
+            ELSE {siground_sql("est_size * 1.0 / exact_size")} END AS over_ratio
 FROM nl, nr, exact, est
 """

@@ -116,12 +116,15 @@ def skew_report(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n").desc(), F.col("key")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # pin NULL-key ordering: Spark sorts asc nulls-first by default but
+    # DuckDB defaults to NULLS LAST — a NULL key near the top-k boundary
+    # would otherwise select different rows in the two engines
+    w = Window.orderBy(
+        F.col("n").desc(), F.col("key").asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     top = (
         counts.crossJoin(F.broadcast(stats))
-        .orderBy(F.col("n").desc(), F.col("key"))
+        .orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
         .limit(top_k)
         .select(
             "key",
@@ -144,7 +147,7 @@ def skew_report_sql(
 
     share = decround_sql("n / total_rows")
     cum = decround_sql(
-        "sum(n / total_rows) OVER (ORDER BY n DESC, key "
+        "sum(n / total_rows) OVER (ORDER BY n DESC, key NULLS LAST "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     ratio = siground_sql("n / median_n")
@@ -159,5 +162,5 @@ WITH counts AS (
 SELECT key, n, n_keys, {share} AS share, {cum} AS cum_share,
        {ratio} AS ratio_to_median
 FROM counts, stats
-ORDER BY n DESC, key LIMIT {top_k}
+ORDER BY n DESC, key NULLS LAST LIMIT {top_k}
 """

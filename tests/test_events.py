@@ -264,3 +264,44 @@ def test_late_data_audit_ordered_stream_drops_nothing(spark):
     )
     out = ev_ops.late_data_audit(df, seq_col="event_id", watermark_secs=1.0, bucket=50).collect()[0]
     assert out["n_dropped"] == 0 and out["max_late_secs"] == 0.0
+
+
+def test_late_data_audit_negative_seq_matches_oracle_truncation(spark):
+    """Pre-epoch-style negative arrival sequences: Spark's integral DIV
+    and DuckDB's // both truncate toward zero, so bucket assignment (and
+    therefore the watermark ledger) matches across engines. The old
+    double-divide-then-cast path agreed on truncation but lost exactness
+    above 2^53; this pins the pure-integer form against the oracle."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from dataframeutils_spark.operators import events as ev_ops
+
+    base = dt.datetime(2024, 1, 1)
+    # arrival seqs straddle zero: -15..-1 then 0..24, in time order
+    # except one straggler carrying an old timestamp
+    seqs = list(range(-15, 25))
+    rows = [
+        (s, base + dt.timedelta(seconds=10 * (s + 15)), "a") for s in seqs
+    ]
+    rows.append((25, base + dt.timedelta(seconds=-5000), "a"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = ev_ops.late_data_audit(
+        df, seq_col="event_id", watermark_secs=600.0, bucket=10
+    ).collect()[0]
+    pdf = pd.DataFrame(
+        {"event_id": [r[0] for r in rows],
+         "ts": [r[1] for r in rows],
+         "event_type": [r[2] for r in rows]}
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(
+        ev_ops.late_data_audit_sql(watermark_secs=600.0, bucket=10)
+    ).fetchdf().iloc[0]
+    assert got["n"] == want["n"] == len(rows)
+    assert got["n_dropped"] == want["n_dropped"] == 1
+    assert got["frac_dropped"] == want["frac_dropped"]
+    assert got["max_late_secs"] == want["max_late_secs"]

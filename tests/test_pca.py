@@ -57,3 +57,26 @@ def test_pca_partials_are_batch_bounded(emb, spark):
     assert 1 <= len(parts) <= 300 // 1 and sum(r["n"] for r in parts) == 300
     d = 6
     assert all(len(r["moments"]) == d + d * d for r in parts)
+
+
+def test_covariance_degenerate_inputs_fail_loudly(spark):
+    """n < 2 would make every covariance cell NULL (divide by n-1=0);
+    the operator raises instead of emitting nulls mid-plan."""
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="at least 2 vectors"):
+        pca.embedding_covariance(one)
+    with pytest.raises(ValueError, match="at least 2 vectors"):
+        pca.embedding_pca(one)
+
+
+def test_pca_constant_embeddings_fail_loudly(spark):
+    """An all-constant embedding column has zero covariance trace —
+    explained_ratio would divide by zero; raise a clear error."""
+    const = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="trace is 0"):
+        pca.embedding_pca(const)

@@ -566,3 +566,53 @@ def test_join_size_estimate_fast_same_invariants(spark):
     assert r["exact_size"] == 1000
     assert r["est_size"] >= r["exact_size"]
     assert r["over_ratio"] >= 1.0
+
+
+def test_join_size_estimate_empty_join_is_zero(spark):
+    """Disjoint key sets: a depth row with zero overlapping buckets
+    proves the join is empty — est_size must be 0 (not an inflated
+    collision sum), exact_size 0 (not NULL), over_ratio NULL (no
+    defined ratio). This is exactly the CBO 'don't run this join at
+    all' case the operator exists for."""
+    from dataframeutils_spark.operators import sketches
+
+    left = spark.createDataFrame([(i, i) for i in range(10)], "row_id long, k long")
+    right = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(10)], "row_id long, k long"
+    )
+    r = sketches.join_size_estimate(left, right, "k", "k", depth=4, width=4096).collect()[0]
+    assert r["exact_size"] == 0
+    assert r["est_size"] == 0
+    assert r["over_ratio"] is None
+    # the xxhash production path handles the same case
+    r = sketches.join_size_estimate(
+        left, right, "k", "k", depth=4, width=4096, portable=False
+    ).collect()[0]
+    assert r["exact_size"] == 0 and r["est_size"] == 0 and r["over_ratio"] is None
+
+
+def test_join_size_estimate_empty_join_oracle_parity(spark):
+    """The DuckDB oracle mirrors the all-depth-rows / coalesce-to-0
+    shape, so both engines report the empty join identically."""
+    import duckdb
+
+    from dataframeutils_spark.operators import sketches
+
+    left = spark.createDataFrame([(i, i) for i in range(10)], "row_id long, k long")
+    right = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(10)], "row_id long, k long"
+    )
+    got = sketches.join_size_estimate(left, right, "k", "k", depth=4, width=64).collect()[0]
+    lvals = ", ".join(f"({i})" for i in range(10))
+    rvals = ", ".join(f"({1000 + i})" for i in range(10))
+    sql = sketches.join_size_estimate_sql(
+        f"SELECT k FROM (VALUES {lvals}) t(k)",
+        f"SELECT k FROM (VALUES {rvals}) t(k)",
+        "k", "k", depth=4, width=64,
+    )
+    want = duckdb.connect().execute(sql).fetchdf().iloc[0]
+    assert got["exact_size"] == want["exact_size"] == 0
+    assert got["est_size"] == want["est_size"]
+    assert got["over_ratio"] is None
+    # pandas renders the SQL NULL as NaN
+    assert want["over_ratio"] is None or want["over_ratio"] != want["over_ratio"]

@@ -160,3 +160,32 @@ def test_skew_report_uniform_keys_ratio_one(spark):
     assert len(out) == 10
     assert all(r["n"] == 100 and abs(r["ratio_to_median"] - 1.0) < 1e-9 for r in out)
     assert abs(out[-1]["cum_share"] - 1.0) < 1e-6
+
+
+def test_skew_report_null_key_orders_like_oracle(spark):
+    """A NULL key group sitting exactly on the top-k boundary: Spark
+    (asc_nulls_last pinned) and DuckDB (NULLS LAST pinned) must select
+    the same rows in the same order — the gate compares hashes."""
+    import duckdb
+    import pandas as pd
+
+    from dataframeutils_spark.operators import skew
+
+    # NULL key owns 50 rows (2nd heaviest); keys 0..9 own 10 each
+    # except key 0 with 100; top_k=2 puts NULL exactly at the boundary
+    rows = [(i, 0) for i in range(100)]
+    rows += [(100 + i, None) for i in range(50)]
+    for k in range(1, 10):
+        rows += [(1000 + 10 * k + j, k) for j in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    got = skew.skew_report(df, key_col="user_id", top_k=2).collect()
+    assert [r["key"] for r in got] == [0, None]
+    pdf = pd.DataFrame(
+        {"event_id": [r[0] for r in rows], "user_id": [r[1] for r in rows]}
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(skew.skew_report_sql(top_k=2)).fetchdf()
+    assert list(want["key"].astype("object").where(want["key"].notna(), None)) \
+        == [0, None]
+    assert [r["cum_share"] for r in got] == list(want["cum_share"])
