@@ -898,6 +898,19 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (operators/similarity.py): each query also
+    probes the r Hamming-distance-1 band buckets — query-time recall on
+    a FIXED index, the standard production dial when re-indexing is too
+    expensive. Hash-derived and deterministic → exact oracle."""
+    return round_floats(
+        similarity.ann_topk_multiprobe(
+            load_table(spark, sf_dir, "embeddings"), k=5, bits=32, bands=4, dim=EMB_DIM
+        ),
+        all_dec=True,
+    )
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN with hash-derived centroids — the second scale
     path next to LSH, exactly oracle-checkable like similarity_ann.
@@ -928,6 +941,19 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_audit(
         load_table(spark, sf_dir, "embeddings"),
         k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM,
+    )
+
+
+def q_similarity_recall_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall audit INCLUDING the production arm: the MLlib k-means
+    quantizer with Arrow assignment + re-rank (``ivf_kmeans`` row) next
+    to the two hash-derived oracle arms. k-means is not SQL-expressible
+    → rows-only; the production arm's recall floor on clustered data is
+    pinned in tests/test_northstar.py
+    (test_production_ivf_kmeans_recall_floor)."""
+    return similarity.recall_audit(
+        load_table(spark, sf_dir, "embeddings"),
+        k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM, production=True,
     )
 
 
@@ -3154,9 +3180,18 @@ def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Internals run in exact milli-unit fixed point; outputs are divided
     back to value units (single correctly-rounded division — identical
     in both engines).
+
+    ``num_buckets`` is derived from the RAW parquet row count —
+    events_bins_input is a row-preserving 1:1 select, so the counts are
+    equal, but counting the bare scan is a parquet-metadata job (~0.3 s
+    at sf0.1) while counting the transformed frame decodes pages
+    (~2 s cold). Same bucket count, cheaper first-query path.
     """
+    n_rows = load_table(spark, sf_dir, "events").count()
+    par = spark.sparkContext.defaultParallelism
     res = weighted_bins.calculate_weighted_bins(
         events_bins_input(spark, sf_dir),
+        num_buckets=weighted_bins.derive_num_buckets(n_rows, par),
         id1_col="id1",
         id2_col="id2",
         timestamp_col="timestamp",
@@ -3184,7 +3219,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 164 queries are registered, so ordering
+    this dict (insertion order); 166 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. The committed
     CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py, the same
@@ -3212,7 +3247,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sweep (rows-gated) plus golden-file pytest parity. Positions 51+:
     the remaining 43 of the r6-verified batch (they lead the r9
     window), then the 47 exact entries verified in CORRECTNESS_r07.json
-    (demoted for one round), then the rows-only group.
+    (demoted for one round), then the r8 in-round newcomers registered
+    below the cap (similarity_ann_multiprobe, exact-oracled — leads the
+    r9 window), then the rows-only group (which gains the r8 newcomer
+    similarity_recall_production — the recall audit's MLlib-k-means +
+    multi-probe production arms).
     """
     return {
         # --- r8 window leads (positions 1-31): every exact-oracled query
@@ -3366,6 +3405,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
+        # --- r8 newcomer (exact-oracled): multi-probe LSH ANN —
+        # registered below the cap per the rotation protocol; leads the
+        # r9 window with the r6 batch ---
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
         # --- rows-only by design (iterative fits, FFT, eigendecomposition,
         # xxhash production twins, tokenizer training): not ANSI-SQL
         # expressible, so a window slot records only err=no_oracle.
@@ -3396,6 +3439,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "embedding_pca_spectrum": q_embedding_pca,
         "join_size_estimate_fast": q_join_size_estimate_fast,
+        # r8 newcomer: the recall audit's production arms (MLlib k-means
+        # quantizer + Arrow paths, multi-probe LSH) — rows-only by
+        # design (no DuckDB k-means); clustered-data recall floor
+        # pinned in pytest
+        "similarity_recall_production": q_similarity_recall_production,
     }
 
 
@@ -3513,6 +3561,12 @@ def all_oracles() -> dict[str, str]:
         "similarity_topk": _round_oracle_cols(similarity.brute_force_topk_sql(k=5), ["cos_sim"]),
         "similarity_ann": _round_oracle_cols(
             similarity.ann_topk_sql(k=5, bits=32, bands=4, dim=EMB_DIM), ["cos_sim"]
+        ),
+        "similarity_ann_multiprobe": _round_oracle_cols(
+            similarity.ann_topk_sql(
+                k=5, bits=32, bands=4, dim=EMB_DIM, multiprobe=True
+            ),
+            ["cos_sim"],
         ),
         "similarity_ivf": _round_oracle_cols(
             similarity.ivf_topk_sql(k=5, n_centroids=None, n_probe=2, dim=EMB_DIM),

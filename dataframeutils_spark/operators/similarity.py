@@ -383,6 +383,33 @@ def ann_topk(
     )
 
 
+def ann_topk_multiprobe(
+    corpus: DataFrame,
+    k: int = 5,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    arrow_rerank: bool = False,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07 idea on sign LSH):
+    each query probes its own band bucket PLUS the r = bits/bands
+    buckets at Hamming distance 1 (one bit flipped), so a near neighbor
+    that lands one sign flip away is still found. Recall rises roughly
+    like adding r extra bands WITHOUT recomputing signatures or storing
+    a larger index — the standard way to buy recall at query time on a
+    fixed index. Candidates stay bucket-occupancy-bounded: the index
+    side of the equi-join is unchanged; only the probe side carries
+    (1+r) rows per (vec, band). Fully hash-derived and deterministic →
+    exact DuckDB oracle (:func:`ann_topk_multiprobe_sql`)."""
+    sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
+    return _bucketed_topk_from_sigs(
+        sigs, corpus, k, bits, bands, id_col, vec_col, dim, arrow_rerank,
+        multiprobe=True,
+    )
+
+
 def _bucketed_topk_from_sigs(
     sigs: DataFrame,
     corpus: DataFrame,
@@ -393,6 +420,7 @@ def _bucketed_topk_from_sigs(
     vec_col: str,
     dim: int | None = None,
     arrow_rerank: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     rows_per_band = bits // bands
     band_hash = (
@@ -408,8 +436,27 @@ def _bucketed_topk_from_sigs(
     # self-join on the small signature table (see dedup: collect-and-
     # explode copies O(|bucket|²) array bytes on hot buckets; the hash
     # join streams and ReuseExchange dedupes the upstream pipeline)
-    a = band_hash.select(F.col("vec_id").alias("qid"), "band", "bh")
     b = band_hash.select(F.col("vec_id").alias("nid"), "band", "bh")
+    if multiprobe:
+        # query side also probes every bucket at Hamming distance 1 from
+        # its own signature (flip each of the r bits): 1 + r probe rows
+        # per (vec, band). The index side stays unchanged, so the join
+        # is the same 8-byte-key equi-join with a (1+r)x probe side —
+        # candidates remain bucket-occupancy-bounded.
+        probe_bh = F.explode(
+            F.array(
+                F.col("bh"),
+                *[
+                    F.col("bh").bitwiseXOR(F.lit(1 << j))
+                    for j in range(rows_per_band)
+                ],
+            )
+        )
+        a = band_hash.select(
+            F.col("vec_id").alias("qid"), "band", probe_bh.alias("bh")
+        )
+    else:
+        a = band_hash.select(F.col("vec_id").alias("qid"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("qid") != F.col("nid"))
@@ -510,6 +557,7 @@ def ann_topk_sql(
     bands: int = 4,
     table: str = "embeddings",
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`ann_topk` — same hash-derived
     hyperplanes, bands and re-rank, in plain SQL.
@@ -517,8 +565,21 @@ def ann_topk_sql(
     ``dim`` bounds the projection's dimension range and must be the
     SAME value the Spark call site uses (share one constant), else the
     two engines project onto different subspaces and silently diverge.
+    ``multiprobe`` mirrors :func:`ann_topk_multiprobe`: the probe side
+    adds the r Hamming-distance-1 buckets per (vec, band).
     """
     rows_per_band = bits // bands
+    if multiprobe:
+        probe_cte = f""", probe AS (
+  SELECT vec_id, band, bh FROM bh
+  UNION ALL
+  SELECT vec_id, band, xor(bh, CAST(pow(2.0, f.f) AS BIGINT)) AS bh
+  FROM bh, range(0, {rows_per_band}) f(f)
+)"""
+        probe_src = "probe"
+    else:
+        probe_cte = ""
+        probe_src = "bh"
     u = portable_hash60_sql("(plane::VARCHAR || ':' || (d - 1)::VARCHAR)")
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
@@ -544,9 +605,9 @@ WITH proj AS (
   SELECT vec_id, plane // {rows_per_band} AS band,
          sum(bit * CAST(pow(2.0, plane % {rows_per_band}) AS BIGINT)) AS bh
   FROM sig GROUP BY vec_id, band
-), cand AS (
+){probe_cte}, cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-  FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
+  FROM {probe_src} a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
 ), scored AS (
   SELECT c.qid AS query_id, c.nid AS neighbor_id,
          {dot} / NULLIF({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}, 0) AS cos_sim
@@ -1186,6 +1247,7 @@ def recall_audit(
     dim: int | None = None,
     max_rows: int | None = 100_000,
     sample_mod: int | None = 16,
+    production: bool = False,
 ) -> DataFrame:
     """Recall@k of the approximate search paths measured against the
     exact brute-force top-k, as a first-class query: one row per method
@@ -1205,6 +1267,13 @@ def recall_audit(
     while the sampled audit is a few seconds, and the ratio GROWS with
     N. ``None`` audits every vector (tiny corpora only; the
     ``max_rows`` guard still applies to the brute-force side).
+
+    ``production=True`` adds a third method row ``ivf_kmeans``: the
+    MLlib k-means quantizer with the Arrow assignment + re-rank paths —
+    the configuration a real deployment runs on clustered corpora. No
+    DuckDB k-means → queries built with it are rows-only; its recall
+    floor on clustered data is pinned in pytest
+    (tests/test_northstar.py) instead of the hash gate.
     """
     from dataframeutils_spark.schema import decround
 
@@ -1231,6 +1300,20 @@ def recall_audit(
             "query_id", "neighbor_id"
         ),
     }
+    if production:
+        cents = train_centroids_kmeans(emb)
+        methods["ivf_kmeans"] = ivf_topk(
+            emb,
+            k=k,
+            n_probe=n_probe,
+            dim=dim,
+            centroids=cents,
+            arrow_assign=True,
+            arrow_rerank=True,
+        ).select("query_id", "neighbor_id")
+        methods["ann_multiprobe"] = ann_topk_multiprobe(
+            emb, k=k, bits=bits, bands=bands, dim=dim
+        ).select("query_id", "neighbor_id")
     out = None
     for name, approx in methods.items():
         # one LEFT join per method (approx top-k pairs are unique, so

@@ -330,6 +330,7 @@ def test_registry_contract():
         "bpe_train", "bpe_encode", "bpe_pack", "unigram_train",
         "unigram_encode", "tokenizer_fertility",
         "embedding_pca_spectrum", "join_size_estimate_fast",
+        "similarity_recall_production",
     }
     assert set(names[-len(ROWS_ONLY):]) == ROWS_ONLY
     here = _os.path.dirname(__file__)
@@ -343,12 +344,14 @@ def test_registry_contract():
             r6 = json.load(fh)
         with open(r07) as fh:
             r7 = json.load(fh)
-        # everything below the cap must carry a driver row from r5/r6/r7
-        # or be documented rows-only-by-design
+        # everything below the cap must carry a driver row from r5/r6/r7,
+        # be a documented exact-oracled r8 newcomer (below the cap per
+        # the rotation protocol), or be documented rows-only-by-design
+        NEW_R8 = {"similarity_ann_multiprobe"}
         missing = [
             n for n in names[50:]
             if n not in r5 and n not in r6 and n not in r7
-            and n not in ROWS_ONLY
+            and n not in ROWS_ONLY and n not in NEW_R8
         ]
         assert missing == [], missing
         # and the r7 window itself was fully green: every exact-oracled

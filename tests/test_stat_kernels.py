@@ -122,3 +122,98 @@ def test_rows_only_queries_run(spark, qname):
     """Driver rows-only contract: the query runs and returns rows."""
     got = driver.all_queries()[qname](spark, SF_DIR)
     assert got.count() > 0
+
+def test_distribution_matches_golden(ref_long):
+    """A1 vs out_distribution.csv: pandas G1/G2 bias corrections exact."""
+    from dataframeutils_spark.operators import panel_stats
+
+    got = (
+        panel_stats.distribution_diagnostics(ref_long)
+        .toPandas()
+        .set_index(["grp", "feature"])
+    )
+    want = golden("out_distribution.csv")
+    assert len(got) == len(want) == 15
+    for _, row in want.iterrows():
+        g = got.loc[(row["group"], row["feature"])]
+        np.testing.assert_allclose(
+            [g["mean"], g["std"], g["skew"], g["kurtosis"]],
+            [row["mean"], row["std"], row["skew"], row["kurtosis"]],
+            rtol=1e-9,
+        )
+
+
+def test_ar1_matches_golden(ref_long):
+    """A7 vs out_ar1.csv: corr² closed form equals the reference's
+    lstsq R² on every series."""
+    from dataframeutils_spark.operators import panel_stats
+
+    got = (
+        panel_stats.predictability_ar1(ref_long)
+        .toPandas()
+        .set_index(["grp", "feature"])
+    )
+    want = golden("out_ar1.csv")
+    assert len(got) == len(want) == 15
+    for _, row in want.iterrows():
+        np.testing.assert_allclose(
+            got.loc[(row["group"], row["feature"]), "ar1_r2"],
+            row["ar1_r2"],
+            rtol=1e-9,
+        )
+
+
+def test_dispersion_matches_golden(ref_long):
+    """A6 vs out_cross_section_dispersion_feature1.csv: groupBy(date)
+    over the long frame equals the reference's pivot + std(axis=1)."""
+    from dataframeutils_spark.operators import panel_stats
+
+    got = (
+        panel_stats.cross_sectional_dispersion(ref_long, "feature_1")
+        .toPandas()
+        .set_index("date")
+    )
+    want = golden("out_cross_section_dispersion_feature1.csv")
+    assert len(got) == len(want) == 60
+    for _, row in want.iterrows():
+        key = pd.Timestamp(row["date"])
+        np.testing.assert_allclose(
+            got.loc[key, "dispersion"], row["dispersion_feature_1"], rtol=1e-9
+        )
+
+
+def test_lagged_corr_matches_golden(ref_wide):
+    """A8 vs out_lagged_corr.csv: the wide (lag × pair) presentation
+    shape, cross-group nanmean of per-group correlations."""
+    from dataframeutils_spark.operators import cross_feature
+
+    got = (
+        cross_feature.lagged_cross_corr_wide(ref_wide, GOLDEN_PAIRS, max_lag=6)
+        .toPandas()
+        .set_index("lag")
+    )
+    want = golden("out_lagged_corr.csv").set_index("lag")
+    assert len(got) == len(want) == 7
+    for lag in want.index:
+        for col in ("feature_1|feature_2", "feature_1|feature_3"):
+            np.testing.assert_allclose(
+                got.loc[lag, col], want.loc[lag, col], rtol=1e-9
+            )
+
+
+def test_mutual_info_matches_golden(ref_wide):
+    """A12 vs out_mutual_info.csv: native width-bucket 2-D histogram MI
+    equals the reference's numpy histogram2d plug-in estimate."""
+    from dataframeutils_spark.operators import cross_feature
+
+    got = (
+        cross_feature.mutual_information(ref_wide, GOLDEN_PAIRS)
+        .toPandas()
+        .set_index(["grp", "pair"])
+    )
+    want = golden("out_mutual_info.csv")
+    assert len(got) == len(want) == 10
+    for _, row in want.iterrows():
+        np.testing.assert_allclose(
+            got.loc[(row["group"], row["pair"]), "mi"], row["mi"], rtol=1e-9
+        )
