@@ -6,12 +6,15 @@ No counterpart in the reference (SURVEY §2.3) — north-star embedding
 tier next to the per-dimension moment stats (N36).
 
 Scale design (100 TB): the only pass over the vectors is an Arrow
-``mapInPandas`` that emits ONE partial row per batch — (n, Σx, ΣxxT
-flattened) — so the exchange carries ``n_batches × (D + D²)`` doubles,
-never vectors. The D×D covariance itself is a bounded object (D=64 →
-4,096 cells ≈ 32 KB): reducing it on the driver and eigendecomposing
-with numpy is the same bounded-small-side pattern as the k-means
-centroid table, NOT a driver-side loop over data.
+``mapInPandas`` that emits ONE partial row per batch — (n, Σx,
+upper-triangle of ΣxxT) — so the exchange carries
+``n_batches × (D + D(D+1)/2)`` doubles, never vectors. The Gram matrix
+is symmetric, so shipping the full D² (the r7 layout) moved every
+off-diagonal cell twice; the triangle layout halves the dominant term
+(measured at D=512: 1.00 MB/batch-row vs 2.10 MB). The D×D covariance
+itself is a bounded object: reducing it on the driver and
+eigendecomposing with numpy is the same bounded-small-side pattern as
+the k-means centroid table, NOT a driver-side loop over data.
 """
 
 from __future__ import annotations
@@ -22,9 +25,24 @@ from pyspark.sql import functions as F
 from dataframeutils_spark.schema import siground, siground_sql
 
 
+def _probe_dim(emb: DataFrame, vec_col: str) -> int:
+    """One tiny job: the embedding width, and the n >= 2 guard (n < 2
+    makes every sample-covariance cell NULL — divide by n-1 = 0 — so
+    fail loudly instead). limit(2) keeps it a single-partition peek,
+    not a count of the table."""
+    rows = emb.select(F.size(F.col(vec_col)).alias("d")).limit(2).collect()
+    if len(rows) < 2:
+        raise ValueError(
+            "embedding covariance/PCA needs at least 2 vectors to form "
+            "a sample covariance"
+        )
+    return int(rows[0]["d"])
+
+
 def _partial_moments(emb: DataFrame, vec_col: str) -> DataFrame:
-    """One row per Arrow batch: (n, concat(Σx, flatten(ΣxxT))),
-    accumulated in float64."""
+    """One row per Arrow batch: (n, concat(Σx, triu(ΣxxT))),
+    accumulated in float64. The upper triangle is row-major:
+    cell (i, j≥i) sits at ``i·D − i(i−1)/2 + (j−i)``."""
 
     def part(it):
         import numpy as np
@@ -35,12 +53,21 @@ def _partial_moments(emb: DataFrame, vec_col: str) -> DataFrame:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             s = m.sum(axis=0)
-            o = (m.T @ m).ravel()
+            o = m.T @ m
+            iu = np.triu_indices(m.shape[1])
             yield pd.DataFrame(
-                {"n": [len(m)], "moments": [np.concatenate([s, o])]}
+                {"n": [len(m)], "moments": [np.concatenate([s, o[iu]])]}
             )
 
     return emb.select(vec_col).mapInPandas(part, "n long, moments array<double>")
+
+
+def _triu_dim(n_cells: int) -> int:
+    """Invert |cells| = D + D(D+1)/2 = D(D+3)/2 exactly."""
+    d = int(round((-3 + (9 + 8 * n_cells) ** 0.5) / 2))
+    if d * (d + 3) // 2 != n_cells:
+        raise ValueError(f"moment vector length {n_cells} is not D(D+3)/2")
+    return d
 
 
 def embedding_covariance(
@@ -52,39 +79,42 @@ def embedding_covariance(
 
     cov(i,j) = (Σ x_i·x_j − Σx_i·Σx_j / n) / (n−1), accumulated in
     float64 on both engines; the batch-partial summation-order residue
-    is absorbed by the siground contract. D is recovered from the cell
-    count (|cells| = D + D²), so the operator is dimension-agnostic
-    with zero driver round-trips.
+    is absorbed by the siground contract. The (pos → i, j) triangle
+    unravel is a generated integer mapping table joined on pos — exact
+    at any D, no float inverse formula.
     """
-    # n < 2 makes every covariance cell NULL (division by n-1 = 0);
-    # fail loudly instead. limit(2) keeps the probe a single-partition
-    # peek, not a count of the table.
-    if emb.limit(2).count() < 2:
-        raise ValueError(
-            "embedding_covariance needs at least 2 vectors to form a "
-            "sample covariance"
-        )
+    d = _probe_dim(emb, vec_col)
     parts = _partial_moments(emb, vec_col)
-    # bounded reduce: the exchange carries ≤ n_batches × (D + D²) cells
+    # bounded reduce: the exchange carries ≤ n_batches × (D + D(D+1)/2)
     cells = (
         parts.select(F.posexplode("moments").alias("pos", "val"))
         .groupBy("pos")
         .agg(F.sum("val").alias("s"))
     )
     n_row = parts.agg(F.sum("n").alias("n_total"))
-    dim = cells.agg(
-        ((F.sqrt(F.lit(1.0) + F.lit(4.0) * F.count("*")) - F.lit(1.0)) / F.lit(2.0))
-        .cast("int")
-        .alias("d")
-    )
-    with_d = cells.crossJoin(F.broadcast(dim))
-    means = with_d.filter(F.col("pos") < F.col("d")).select(
+    spark = emb.sparkSession
+    means = cells.filter(F.col("pos") < d).select(
         F.col("pos").cast("int").alias("i"), F.col("s").alias("s_i")
     )
-    outer = with_d.filter(F.col("pos") >= F.col("d")).select(
-        ((F.col("pos") - F.col("d")) / F.col("d")).cast("int").alias("i"),
-        ((F.col("pos") - F.col("d")) % F.col("d")).cast("int").alias("j"),
-        F.col("s").alias("xx"),
+    # exact integer (pos -> i, j) mapping for the row-major upper
+    # triangle: D(D+1)/2 rows, built once, joined on pos
+    ij = (
+        spark.range(d)
+        .select(F.col("id").cast("int").alias("i"))
+        .select("i", F.explode(F.sequence(F.col("i"), F.lit(d - 1))).alias("j"))
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(d) * F.col("i")
+                - (F.col("i") * (F.col("i") - 1)) / 2
+                + (F.col("j") - F.col("i"))
+                + F.lit(d)
+            ).cast("long").alias("pos"),
+        )
+    )
+    outer = cells.filter(F.col("pos") >= d).join(ij, "pos").select(
+        "i", "j", F.col("s").alias("xx")
     )
     j_means = means.select(F.col("i").alias("j"), F.col("s_i").alias("s_j"))
     out = (
@@ -100,8 +130,12 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
-    if upper_only:
-        out = out.filter(F.col("i") <= F.col("j"))
+    if not upper_only:
+        out = out.unionByName(
+            out.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
+        )
     return out
 
 
@@ -143,8 +177,8 @@ def embedding_pca(
     dimensions the embeddings use (whitening depth for SemDeDup /
     IVF), and whether the space has collapsed (one dominant ratio).
     The collect is the bounded batch-partial table (n_batches ×
-    (D + D²) doubles), the same class as the k-means centroid pull —
-    data never reaches the driver.
+    (D + D(D+1)/2) doubles), the same class as the k-means centroid
+    pull — data never reaches the driver.
     """
     import numpy as np
 
@@ -157,8 +191,12 @@ def embedding_pca(
             f"covariance (got n={n})"
         )
     acc = np.sum([np.asarray(r["moments"]) for r in rows], axis=0)
-    d = int(round((-1 + (1 + 4 * len(acc)) ** 0.5) / 2))
-    s, o = acc[:d], acc[d:].reshape(d, d)
+    d = _triu_dim(len(acc))
+    s, tri = acc[:d], acc[d:]
+    o = np.zeros((d, d))
+    iu = np.triu_indices(d)
+    o[iu] = tri
+    o = o + o.T - np.diag(np.diag(o))
     cov = (o - np.outer(s, s) / n) / (n - 1)
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(evals.sum())

@@ -56,7 +56,7 @@ def test_pca_partials_are_batch_bounded(emb, spark):
     parts = pca._partial_moments(df.coalesce(1), "embedding").collect()
     assert 1 <= len(parts) <= 300 // 1 and sum(r["n"] for r in parts) == 300
     d = 6
-    assert all(len(r["moments"]) == d + d * d for r in parts)
+    assert all(len(r["moments"]) == d + d * (d + 1) // 2 for r in parts)
 
 
 def test_covariance_degenerate_inputs_fail_loudly(spark):

@@ -267,6 +267,12 @@ QUERIES = [
     # max stays a bounded bucket-table window)
     "domain_cap",
     "late_data_audit",
+    # r8 additions (VERDICT r7 #6): the recall audit at scale — the
+    # sampled ground truth is the documented O(N²/mod) arm, everything
+    # else is the bucket-bounded probe paths; multi-probe LSH is the
+    # (1+r)x probe-side variant of the same band join
+    "similarity_recall",
+    "similarity_ann_multiprobe",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
