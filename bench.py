@@ -155,6 +155,10 @@ HEADLINE = [
     "join_size_estimate_fast",  # xxhash production twin of the same
     "domain_cap",  # per-source cap, straddle-free two-phase rank
     "late_data_audit",  # watermark pre-flight, bucketed running max
+    "similarity_ann_multiprobe",  # Hamming-1 probe fan on a fixed LSH index
+    "vocab_growth",  # Heaps-law vocabulary curve, one explode pass
+    "length_buckets",  # padded-batch waste planner, bounded groupBy
+    "similarity_recall_production",  # recall audit incl. k-means + multiprobe arms
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -570,6 +570,27 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (operators/text.py): per
+    250-doc block, tokens and first-seen terms, cumulative — the
+    corpus-health dial that exposes tail duplication (flattening) or
+    noise inflation (super-linear growth). One explode pass; min(bucket)
+    per term is map-side combinable; windows run on the bounded block
+    table."""
+    return text.vocab_growth(load_table(spark, sf_dir, "documents"), bucket=250)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch shape planner (operators/packing.py): power-of-two
+    length buckets with per-bucket padding waste and truncation cost —
+    the batch-shape audit for boundary-preserving training, next to the
+    concat-and-chunk pack_sequences manifest. One scan, one bounded
+    groupBy (≤ log2(max/min)+1 buckets)."""
+    return packing.length_buckets(
+        load_table(spark, sf_dir, "documents"), min_len=16, max_len=4096
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing manifest (the LLM pipeline's
     final step): global token prefix-sum via a TWO-PHASE cumsum
@@ -3219,7 +3240,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 166 queries are registered, so ordering
+    this dict (insertion order); 168 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. The committed
     CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py, the same
@@ -3248,8 +3269,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the remaining 43 of the r6-verified batch (they lead the r9
     window), then the 47 exact entries verified in CORRECTNESS_r07.json
     (demoted for one round), then the r8 in-round newcomers registered
-    below the cap (similarity_ann_multiprobe, exact-oracled — leads the
-    r9 window), then the rows-only group (which gains the r8 newcomer
+    below the cap (similarity_ann_multiprobe, vocab_growth,
+    length_buckets — exact-oracled, they lead the r9 window), then the
+    rows-only group (which gains the r8 newcomer
     similarity_recall_production — the recall audit's MLlib-k-means +
     multi-probe production arms).
     """
@@ -3405,10 +3427,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
-        # --- r8 newcomer (exact-oracled): multi-probe LSH ANN —
-        # registered below the cap per the rotation protocol; leads the
-        # r9 window with the r6 batch ---
+        # --- r8 newcomers (exact-oracled): multi-probe LSH ANN,
+        # vocabulary-growth curve, length-bucket planner — registered
+        # below the cap per the rotation protocol; lead the r9 window
+        # with the r6 batch ---
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "vocab_growth": q_vocab_growth,
+        "length_buckets": q_length_buckets,
         # --- rows-only by design (iterative fits, FFT, eigendecomposition,
         # xxhash production twins, tokenizer training): not ANSI-SQL
         # expressible, so a window slot records only err=no_oracle.
@@ -3536,6 +3561,8 @@ def all_oracles() -> dict[str, str]:
         "textrank": graph.textrank_keywords_sql(k=20, iters=5),
         "bm25_search": text.bm25_search_sql(("join", "scan", "slow"), k=25),
         "pack_sequences": packing.pack_sequences_sql(seq_len=256),
+        "vocab_growth": text.vocab_growth_sql(bucket=250),
+        "length_buckets": packing.length_buckets_sql(min_len=16, max_len=4096),
         "embedding_quantize": sketches.embedding_quantize_sql(),
         "dataset_card": pipeline.dataset_card_sql(),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),

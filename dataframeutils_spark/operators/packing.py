@@ -165,3 +165,104 @@ SELECT seq_id, doc_id,
          AS n_tokens
 FROM bins
 """
+
+
+def length_buckets(
+    docs: DataFrame,
+    min_len: int = 16,
+    max_len: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Padded-batch shape planner: assign every document to the
+    smallest power-of-two sequence length >= its token count (floored
+    at ``min_len``, capped at ``max_len``) and report, per bucket, the
+    padding waste that bucketing config would cost a padded-batch
+    trainer — the standard length-bucketing efficiency audit run
+    before choosing batch shapes (the alternative to concat-and-chunk
+    packing when document boundaries must survive).
+
+    Columns: bucket_len, n_docs, total_tokens (raw), padded_tokens
+    (n_docs x bucket_len), pad_waste_pct (1 - kept/padded), and
+    truncated_tokens (tokens beyond max_len that the cap would drop).
+
+    Scale shape: one scan computing a per-doc token count, a chained
+    constant CASE for the bucket (exact integer compares in both
+    engines — no float log2 at power boundaries), ONE map-side
+    combinable groupBy over <= log2(max/min)+1 buckets. The exchange is
+    bounded by the bucket count, never the corpus.
+    """
+    from dataframeutils_spark.schema import decround
+
+    pows = []
+    p = min_len
+    while p < max_len:
+        pows.append(p)
+        p *= 2
+    pows.append(max_len)
+    c = F.size(_tokens(F.lower(F.col(text_col))))
+    d = docs.select(c.alias("c")).filter(F.col("c") > 0)
+    bucket = F.when(F.col("c") <= pows[0], F.lit(pows[0]))
+    for pw in pows[1:]:
+        bucket = bucket.when(F.col("c") <= pw, F.lit(pw))
+    bucket = bucket.otherwise(F.lit(max_len))
+    kept = F.least(F.col("c"), F.col("bucket_len"))
+    return (
+        d.select(bucket.cast("long").alias("bucket_len"), "c")
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.sum(F.least(F.col("c"), F.col("bucket_len"))).cast("long").alias("_kept"),
+            F.sum(F.greatest(F.col("c") - F.col("bucket_len"), F.lit(0)))
+            .cast("long")
+            .alias("truncated_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket_len")).cast("long").alias("padded_tokens"),
+            decround(
+                F.lit(1.0)
+                - F.col("_kept") / (F.col("n_docs") * F.col("bucket_len"))
+            ).alias("pad_waste_pct"),
+            "truncated_tokens",
+        )
+    )
+
+
+def length_buckets_sql(
+    table: str = "documents", min_len: int = 16, max_len: int = 4096
+) -> str:
+    from dataframeutils_spark.schema import decround_sql
+
+    pows = []
+    p = min_len
+    while p < max_len:
+        pows.append(p)
+        p *= 2
+    pows.append(max_len)
+    case = " ".join(f"WHEN c <= {pw} THEN {pw}" for pw in pows)
+    waste = decround_sql("1.0 - kept * 1.0 / pad")
+    return f"""
+WITH counts AS (
+  SELECT len(list_filter(string_split(lower(text), ' '),
+             t -> length(t) > 0)) AS c
+  FROM {table}
+), bucketed AS (
+  SELECT CAST(CASE {case} ELSE {max_len} END AS BIGINT) AS bucket_len, c
+  FROM counts WHERE c > 0
+), agg AS (
+  SELECT bucket_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(c) AS BIGINT) AS total_tokens,
+         CAST(count(*) * bucket_len AS BIGINT) AS pad,
+         CAST(sum(least(c, bucket_len)) AS BIGINT) AS kept,
+         CAST(sum(greatest(c - bucket_len, 0)) AS BIGINT) AS truncated_tokens
+  FROM bucketed GROUP BY bucket_len
+)
+SELECT bucket_len, n_docs, total_tokens, pad AS padded_tokens,
+       {waste} AS pad_waste_pct, truncated_tokens
+FROM agg
+"""

@@ -811,3 +811,78 @@ SELECT doc_id,
        {h} AS chunk_hash
 FROM ex
 """
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket: int = 250,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: per ``bucket``-sized block
+    of documents in doc-id order — tokens seen in the block, cumulative
+    tokens, terms first seen in the block, cumulative vocabulary.
+
+    The curve is the corpus-health dial a pretraining run reads before
+    committing: sub-Heaps growth (vocab_cum flattening against
+    tokens_cum) means the tail of the corpus is re-treading the head
+    (duplication / template collapse); super-linear growth means noise
+    (OCR garbage, random IDs) is inflating the vocabulary.
+
+    Scale shape: ONE explode pass; ``min(bucket)`` per term is a
+    map-side-combinable aggregate (the shuffle carries ~|vocab| rows per
+    task, not |tokens|); everything after runs on the tiny bucket table
+    (n_docs / bucket rows — pick ``bucket`` so this is thousands, which
+    keeps the two running-sum windows single-partition-safe because the
+    table is bounded, the same contract as the panel stats).
+    No counterpart in the reference (north-star text tier).
+    """
+    b = F.expr(f"CAST({id_col} AS BIGINT) DIV {bucket}").alias("bucket")
+    toks = docs.select(
+        b, F.explode(_tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    per_bucket = toks.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    first_seen = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    new_terms = first_seen.groupBy("bucket").agg(F.count("*").alias("new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("tokens_cum"),
+            "new_terms",
+            F.sum("new_terms").over(w).alias("vocab_cum"),
+        )
+    )
+
+
+def vocab_growth_sql(table: str = "documents", bucket: int = 250) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id // {bucket} AS bucket, unnest({toks}) AS term FROM {table}
+), per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY bucket
+), first_seen AS (
+  SELECT term, min(bucket) AS bucket FROM tok GROUP BY term
+), new_terms AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms
+  FROM first_seen GROUP BY bucket
+)
+SELECT p.bucket,
+       n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY p.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS tokens_cum,
+       CAST(COALESCE(new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(sum(COALESCE(new_terms, 0)) OVER (ORDER BY p.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum
+FROM per_bucket p LEFT JOIN new_terms USING (bucket)
+"""

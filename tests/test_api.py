@@ -347,7 +347,8 @@ def test_registry_contract():
         # everything below the cap must carry a driver row from r5/r6/r7,
         # be a documented exact-oracled r8 newcomer (below the cap per
         # the rotation protocol), or be documented rows-only-by-design
-        NEW_R8 = {"similarity_ann_multiprobe"}
+        NEW_R8 = {"similarity_ann_multiprobe", "vocab_growth",
+                  "length_buckets"}
         missing = [
             n for n in names[50:]
             if n not in r5 and n not in r6 and n not in r7

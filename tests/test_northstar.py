@@ -1130,3 +1130,25 @@ def test_multiprobe_candidates_superset_and_recall(spark):
     # colliding on some band with overwhelming probability)
     found = {q for q, _ in m_pairs}
     assert len(found) == len(rows)
+
+
+def test_vocab_growth_heaps_curve(spark):
+    """Hand-built corpus over 3 buckets: first-seen accounting and the
+    cumulative curves check exactly; an all-duplicate tail adds tokens
+    but zero vocabulary."""
+    rows = [
+        (0, "a b c"),        # bucket 0: new a,b,c
+        (1, "a b d"),        # bucket 0: new d
+        (2, "c e"),          # bucket 1: new e
+        (3, "a a a"),        # bucket 1: nothing new
+        (4, "a b c d e"),    # bucket 2: nothing new (pure re-tread)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        text.vocab_growth(docs, bucket=2).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"] for r in out] == [0, 1, 2]
+    assert [r["n_tokens"] for r in out] == [6, 5, 5]
+    assert [r["tokens_cum"] for r in out] == [6, 11, 16]
+    assert [r["new_terms"] for r in out] == [4, 1, 0]
+    assert [r["vocab_cum"] for r in out] == [4, 5, 5]

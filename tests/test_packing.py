@@ -85,3 +85,37 @@ def test_pack_plan_has_no_global_single_partition_window(spark):
     # and an aggregate (block totals) sits in the plan before the
     # single-partition block window
     assert "HashAggregate" in plan
+
+
+def test_length_buckets_waste_accounting(spark):
+    """Hand-built corpus: counts 1, 16, 17, 100, 5000 (cap 4096) —
+    bucket assignment, padding and truncation all verifiable by hand."""
+    from dataframeutils_spark.operators import packing
+
+    rows = [
+        (0, "a"),                       # 1 token  -> bucket 16
+        (1, " ".join(["t"] * 16)),      # 16       -> bucket 16
+        (2, " ".join(["t"] * 17)),      # 17       -> bucket 32
+        (3, " ".join(["t"] * 100)),     # 100      -> bucket 128
+        (4, " ".join(["t"] * 5000)),    # 5000     -> capped at 4096
+        (5, ""),                        # empty    -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["bucket_len"]: r
+        for r in packing.length_buckets(
+            docs, min_len=16, max_len=4096
+        ).collect()
+    }
+    assert set(out) == {16, 32, 128, 4096}
+    b16 = out[16]
+    assert b16["n_docs"] == 2 and b16["total_tokens"] == 17
+    assert b16["padded_tokens"] == 32
+    assert abs(b16["pad_waste_pct"] - (1 - 17 / 32)) < 1e-9
+    assert b16["truncated_tokens"] == 0
+    cap = out[4096]
+    assert cap["n_docs"] == 1 and cap["total_tokens"] == 5000
+    assert cap["padded_tokens"] == 4096
+    assert cap["truncated_tokens"] == 5000 - 4096
+    # over-long docs report NEGATIVE waste via kept=bucket: kept==pad
+    assert abs(cap["pad_waste_pct"] - 0.0) < 1e-9
