@@ -159,6 +159,7 @@ HEADLINE = [
     "vocab_growth",  # Heaps-law vocabulary curve, one explode pass
     "length_buckets",  # padded-batch waste planner, bounded groupBy
     "similarity_recall_production",  # recall audit incl. k-means + multiprobe arms
+    "leakage_safe_split",  # split keyed on near-dup cluster representative
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

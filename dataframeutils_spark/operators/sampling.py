@@ -919,3 +919,98 @@ FROM scored
 ORDER BY logw DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents NEVER
+    straddle a split boundary: (doc_id, rep_id, split).
+
+    A plain hash split (:func:`split_assign`) puts two near-identical
+    documents in train and test ~2·p·(1−p) of the time — silent eval
+    contamination. Here the hash key is the near-dup CLUSTER
+    representative (MinHash-LSH pairs → connected components, min-id
+    label; singletons represent themselves), so a whole duplicate family
+    moves as one unit, and growing the corpus still never reassigns an
+    existing family (the cluster id is the min doc id, stable under
+    append-only growth as long as ids grow monotonically).
+
+    Scale shape: the cluster resolution is the already-documented LSH +
+    pointer-doubling path over the (few-%) duplicate subset; the split
+    itself adds one LEFT join of the corpus against that small label
+    table and a hash — no new heavy machinery.
+    """
+    from dataframeutils_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        docs, text_col=text_col, id_col=id_col, n=n,
+        num_perm=num_perm, bands=bands, portable=portable,
+    )
+    # no broadcast hint: the label table is the duplicate SUBSET (small
+    # at test scale, but a few % of a 100 TB corpus is still TBs) — let
+    # AQE pick broadcast vs shuffle from the measured size
+    rep = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
+        )
+    )
+    b = _bucket(F.col("rep_id"), salt, portable)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return rep.select("doc_id", "rep_id", split.alias("split"))
+
+
+def leakage_safe_split_sql(
+    table: str = "documents",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> str:
+    """DuckDB oracle: the dedup_clusters recursive-closure CTE chain,
+    then the same rep-keyed hash split."""
+    from dataframeutils_spark.operators.dedup import minhash_lsh_sql
+
+    b = _bucket_sql("rep_id", salt)
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_sql(table, n, num_perm, bands)}),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+),
+lab AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+),
+rep AS (
+  SELECT t.doc_id, COALESCE(l.cluster_id, t.doc_id) AS rep_id
+  FROM {table} t LEFT JOIN lab l USING (doc_id)
+)
+SELECT doc_id, rep_id,
+       CASE WHEN {b} < {train_pct} THEN 'train'
+            WHEN {b} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""

@@ -1152,3 +1152,35 @@ def test_vocab_growth_heaps_curve(spark):
     assert [r["tokens_cum"] for r in out] == [6, 11, 16]
     assert [r["new_terms"] for r in out] == [4, 1, 0]
     assert [r["vocab_cum"] for r in out] == [4, 5, 5]
+
+
+def test_leakage_safe_split_keeps_families_together(spark):
+    """Near-duplicate documents must land in the SAME split: every
+    member of a duplicate family carries the family's rep_id, so the
+    split function cannot separate them; singletons hash on their own
+    id and reproduce split_assign exactly."""
+    from dataframeutils_spark.operators import sampling
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    fam = [(i, base.replace("today", f"today{'!' * (i % 2)}")) for i in range(6)]
+    singles = [(100 + i, f"unique document number {i} with distinct words {i*7}")
+               for i in range(20)]
+    docs = docs_df(spark, fam + singles)
+    out = sampling.leakage_safe_split(docs, train_pct=50, val_pct=25).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert len(by_doc) == 26
+    fam_rows = [by_doc[i] for i in range(6)]
+    # the whole family shares one rep and therefore one split
+    assert len({r["rep_id"] for r in fam_rows}) == 1
+    assert len({r["split"] for r in fam_rows}) == 1
+    assert fam_rows[0]["rep_id"] == 0  # min doc id is the representative
+    # singletons represent themselves and match the plain hash split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(
+            docs, train_pct=50, val_pct=25
+        ).select("doc_id", "split").collect()
+    }
+    for i in range(100, 120):
+        assert by_doc[i]["rep_id"] == i
+        assert by_doc[i]["split"] == plain[i]
