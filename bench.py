@@ -160,6 +160,7 @@ HEADLINE = [
     "length_buckets",  # padded-batch waste planner, bounded groupBy
     "similarity_recall_production",  # recall audit incl. k-means + multiprobe arms
     "leakage_safe_split",  # split keyed on near-dup cluster representative
+    "stream_heavy_hitters",  # windowed count-min top-k + exact audit
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -2973,6 +2973,19 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.windowed_distinct_users(ev, window="1 hour", p=8)
 
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy hitters via count-min registers (streaming/
+    windows.py), exercised in batch mode: the register build is the
+    streaming write side (state bounded at open-windows × depth × width
+    regardless of key cardinality), the probe + top-k + exact audit the
+    read side; tests pin the streaming replay's registers to the batch
+    build."""
+    from dataframeutils_spark.streaming import windows as sw
+
+    ev = _events_normalized(spark, sf_dir)
+    return sw.windowed_heavy_hitters(ev, window="1 hour", k=5)
+
+
 def q_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window counts exercised in batch mode; oracle is the
     gaps-and-islands SQL reformulation."""
@@ -3250,7 +3263,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 169 queries are registered, so ordering
+    this dict (insertion order); 170 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. The committed
     CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py, the same
@@ -3280,7 +3293,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window), then the 47 exact entries verified in CORRECTNESS_r07.json
     (demoted for one round), then the r8 in-round newcomers registered
     below the cap (similarity_ann_multiprobe, vocab_growth,
-    length_buckets, leakage_safe_split — exact-oracled, they lead the
+    length_buckets, leakage_safe_split, stream_heavy_hitters —
+    exact-oracled, they lead the
     r9 window), then the
     rows-only group (which gains the r8 newcomer
     similarity_recall_production — the recall audit's MLlib-k-means +
@@ -3446,6 +3460,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "length_buckets": q_length_buckets,
         "leakage_safe_split": q_leakage_safe_split,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
         # --- rows-only by design (iterative fits, FFT, eigendecomposition,
         # xxhash production twins, tokenizer training): not ANSI-SQL
         # expressible, so a window slot records only err=no_oracle.
@@ -3576,6 +3591,7 @@ def all_oracles() -> dict[str, str]:
         "vocab_growth": text.vocab_growth_sql(bucket=250),
         "length_buckets": packing.length_buckets_sql(min_len=16, max_len=4096),
         "leakage_safe_split": sampling.leakage_safe_split_sql(),
+        "stream_heavy_hitters": _stream_heavy_hitters_sql(),
         "embedding_quantize": sketches.embedding_quantize_sql(),
         "dataset_card": pipeline.dataset_card_sql(),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),
@@ -3801,6 +3817,12 @@ def _stream_windows_sql() -> str:
     from dataframeutils_spark.streaming import windows as sw
 
     return sw.windowed_stats_sql()
+
+
+def _stream_heavy_hitters_sql() -> str:
+    from dataframeutils_spark.streaming import windows as sw
+
+    return sw.windowed_heavy_hitters_sql(k=5)
 
 
 def _stream_sliding_sql() -> str:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -453,3 +453,175 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return q
+
+
+def windowed_countmin_registers(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 1024,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Count-min registers per tumbling window — the WRITE side of the
+    heavy-hitter lambda, identical batch and streaming: a stateless
+    projection (depth seeded buckets per event) into a single windowed
+    ``count`` aggregate, so streaming state is bounded at open-windows ×
+    depth × width cells regardless of key cardinality, and watermark
+    eviction closes windows exactly as for plain counts. Registers from
+    any partitioning (shards, days, replays) merge by cellwise SUM —
+    the same mergeability contract as the windowed HLL registers.
+
+    Output: (window_start, window_end, cm_row, bucket, cnt).
+    """
+    from dataframeutils_spark.operators.sketches import _cm_bucket
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    key = F.col(key_col).cast("string")
+    cells = src.filter(F.col(key_col).isNotNull()).select(
+        F.window("ts", window).alias("w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cm_row"),
+                        _cm_bucket(key, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        cells.groupBy("w", "cell.cm_row", "cell.bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cm_row",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
+def windowed_heavy_hitters(
+    events: DataFrame,
+    window: str = "1 hour",
+    k: int = 5,
+    depth: int = 4,
+    width: int = 1024,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """READ side of the heavy-hitter lambda: per window, the top-k keys
+    by count-min ESTIMATE, audited against the exact per-key count
+    (audit-only — production probes the registers alone). A key's own
+    events populate every (row, bucket(key,row)) cell it probes, so the
+    inner register join never drops a row and est ≥ exact always
+    (collisions only add). Ties pin on (est desc, key asc) in both
+    engines. Output: (window_start, window_end, key, est, exact, rank).
+    """
+    from dataframeutils_spark.operators.sketches import _cm_bucket
+
+    regs = windowed_countmin_registers(
+        events, window=window, depth=depth, width=width, key_col=key_col
+    )
+    key = F.col(key_col).cast("string")
+    probes = (
+        events.filter(F.col(key_col).isNotNull())
+        .select(
+            F.window("ts", window).alias("w"),
+            key.alias("key"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "key",
+        )
+        .groupBy("window_start", "window_end", "key")
+        .agg(F.count("*").alias("exact"))
+    )
+    probe_cells = probes.select(
+        "window_start",
+        "window_end",
+        "key",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cm_row"),
+                        _cm_bucket(F.col("key"), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(
+        "window_start", "window_end", "key", "exact",
+        F.col("cell.cm_row").alias("cm_row"), F.col("cell.bucket").alias("bucket"),
+    )
+    est = (
+        probe_cells.join(regs, ["window_start", "window_end", "cm_row", "bucket"])
+        .groupBy("window_start", "window_end", "key", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        F.col("est").desc(), F.col("key")
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "window_end", "key", "est", "exact", "rank")
+    )
+
+
+def windowed_heavy_hitters_sql(
+    table: str = "events",
+    k: int = 5,
+    depth: int = 4,
+    width: int = 1024,
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB oracle for :func:`windowed_heavy_hitters` in batch mode
+    (whole-hour tumbling windows = epoch-aligned date_trunc, as
+    :func:`windowed_distinct_sql`); identical seeded buckets, register
+    counts, min-estimate and tie-break."""
+    from dataframeutils_spark.operators.sketches import _cm_bucket_sql
+
+    cells = " UNION ALL ".join(
+        f"SELECT window_start, key, {i} AS cm_row,"
+        f" {_cm_bucket_sql('key', i, width)} AS bucket FROM pts"
+        for i in range(depth)
+    )
+    return f"""
+WITH pts AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST({key_col} AS VARCHAR) AS key
+  FROM {table} WHERE {key_col} IS NOT NULL
+),
+cells AS ({cells}),
+regs AS (
+  SELECT window_start, cm_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT window_start, key, CAST(count(*) AS BIGINT) AS exact,
+         cm_row, bucket
+  FROM cells GROUP BY window_start, key, cm_row, bucket
+),
+est AS (
+  SELECT p.window_start, p.key, p.exact, min(r.cnt) AS est
+  FROM probes p JOIN regs r USING (window_start, cm_row, bucket)
+  GROUP BY 1, 2, 3
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       key,
+       CAST(est AS BIGINT) AS est,
+       exact,
+       row_number() OVER (PARTITION BY window_start
+                          ORDER BY est DESC, key) AS rank
+FROM est
+QUALIFY rank <= {k}
+"""

@@ -354,3 +354,44 @@ def test_windowed_distinct_users_estimate_accuracy(spark):
     assert len(real) > 0
     assert (real["nonzero"] <= 256).all()
     assert ((real["est"] - real["n_exact"]).abs() <= 1.5).all()
+
+
+def test_windowed_countmin_registers_stream_matches_batch(spark):
+    """Heavy-hitter lambda write side: streaming count-min register
+    build == batch build (cellwise-sum state survives micro-batch
+    boundaries, bounded at windows x depth x width)."""
+    stream = W.read_events_stream(spark, SF_DIR)
+    W.run_to_memory(
+        W.windowed_countmin_registers(stream, depth=4, width=256),
+        "win_cm_regs",
+        output_mode="complete",
+    )
+    got = _norm(spark.table("win_cm_regs").toPandas())
+    want = _norm(
+        W.windowed_countmin_registers(_batch_events(spark), depth=4, width=256).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_windowed_heavy_hitters_est_upper_bounds_exact(spark):
+    """Read side: est >= exact for every reported hitter (collisions
+    only add), the true top key is ranked first, and rank is dense
+    1..k per window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # window 0: user 7 dominates (50 events), users 0..9 get 5 each
+    for i in range(50):
+        rows.append((base + dt.timedelta(minutes=i % 60), 7))
+    for u in range(10):
+        for i in range(5):
+            rows.append((base + dt.timedelta(minutes=(u * 5 + i) % 60), 100 + u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = W.windowed_heavy_hitters(df, window="1 hour", k=3, width=512).collect()
+    assert len(out) == 3
+    assert all(r["est"] >= r["exact"] for r in out)
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["key"] == "7" and top["exact"] == 50
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
