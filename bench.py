@@ -161,6 +161,7 @@ HEADLINE = [
     "similarity_recall_production",  # recall audit incl. k-means + multiprobe arms
     "leakage_safe_split",  # split keyed on near-dup cluster representative
     "stream_heavy_hitters",  # windowed count-min top-k + exact audit
+    "dup_matrix",  # cross-source duplication provenance matrix
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

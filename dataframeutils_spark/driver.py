@@ -366,6 +366,14 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.leakage_safe_split(load_table(spark, sf_dir, "documents"))
 
 
+def q_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate matrix (operators/dedup.py): which
+    source pairs the LSH duplication lives between — the provenance
+    report behind drop/cap decisions. Banded-LSH pairs + two pruned
+    source joins + bounded counts."""
+    return dedup.dup_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ongoing-ingest dedup: classify each new-batch doc against the
     existing corpus snapshot's content-hash store (dup_of_corpus /
@@ -3263,7 +3271,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 170 queries are registered, so ordering
+    this dict (insertion order); 171 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. The committed
     CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py, the same
@@ -3293,7 +3301,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window), then the 47 exact entries verified in CORRECTNESS_r07.json
     (demoted for one round), then the r8 in-round newcomers registered
     below the cap (similarity_ann_multiprobe, vocab_growth,
-    length_buckets, leakage_safe_split, stream_heavy_hitters —
+    length_buckets, leakage_safe_split, stream_heavy_hitters,
+    dup_matrix —
     exact-oracled, they lead the
     r9 window), then the
     rows-only group (which gains the r8 newcomer
@@ -3461,6 +3470,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "leakage_safe_split": q_leakage_safe_split,
         "stream_heavy_hitters": q_stream_heavy_hitters,
+        "dup_matrix": q_dup_matrix,
         # --- rows-only by design (iterative fits, FFT, eigendecomposition,
         # xxhash production twins, tokenizer training): not ANSI-SQL
         # expressible, so a window slot records only err=no_oracle.
@@ -3592,6 +3602,7 @@ def all_oracles() -> dict[str, str]:
         "length_buckets": packing.length_buckets_sql(min_len=16, max_len=4096),
         "leakage_safe_split": sampling.leakage_safe_split_sql(),
         "stream_heavy_hitters": _stream_heavy_hitters_sql(),
+        "dup_matrix": dedup.dup_matrix_sql(),
         "embedding_quantize": sketches.embedding_quantize_sql(),
         "dataset_card": pipeline.dataset_card_sql(),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),

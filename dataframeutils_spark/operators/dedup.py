@@ -1509,3 +1509,87 @@ SELECT doc_id,
   length(coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END, ' ' ORDER BY seg_id), '')) AS clean_len
 FROM flagged GROUP BY doc_id
 """
+
+
+def dup_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Cross-source near-duplicate matrix: per unordered source pair,
+    how many LSH candidate pairs connect them and how many distinct
+    documents are involved — the provenance report that tells a corpus
+    owner WHERE the duplication lives (two mirrors of the same crawl,
+    one source re-hosting another, intra-source template spam) before
+    deciding which source to drop or cap.
+
+    Output: (src_a, src_b, n_pairs, n_docs), src_a ≤ src_b.
+
+    Scale shape: the pair generation is the standard banded-LSH path
+    (never all-pairs); attaching sources is two joins of the pair table
+    against the pruned (doc_id, source) projection — the pair table is
+    the small side (a few % of docs pair up), and the aggregates are
+    map-side-combinable counts over ≤ |sources|² rows.
+    """
+    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    sigs = minhash_signatures(sh, num_perm=num_perm, portable=portable)
+    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("src")
+    )
+    src_a = src.select(F.col("doc_id").alias("did_a"), F.col("src").alias("sa"))
+    src_b = src.select(F.col("doc_id").alias("did_b"), F.col("src").alias("sb"))
+    lab = (
+        pairs.join(src_a, F.col("doc_a") == F.col("did_a"))
+        .join(src_b, F.col("doc_b") == F.col("did_b"))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    n_pairs = lab.groupBy("src_a", "src_b").agg(F.count("*").alias("n_pairs"))
+    docs_involved = (
+        lab.select("src_a", "src_b", F.col("doc_a").alias("doc"))
+        .unionByName(lab.select("src_a", "src_b", F.col("doc_b").alias("doc")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+    )
+    return n_pairs.join(docs_involved, ["src_a", "src_b"])
+
+
+def dup_matrix_sql(
+    table: str = "documents", n: int = 3, num_perm: int = 16, bands: int = 4
+) -> str:
+    """DuckDB oracle for :func:`dup_matrix`: same LSH pairs, same
+    unordered source normalization, same counts."""
+    return f"""
+WITH pairs AS ({minhash_lsh_sql(table, n, num_perm, bands)}),
+lab AS (
+  SELECT least(sa.source, sb.source) AS src_a,
+         greatest(sa.source, sb.source) AS src_b,
+         p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN {table} sa ON sa.doc_id = p.doc_a
+  JOIN {table} sb ON sb.doc_id = p.doc_b
+),
+np AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lab GROUP BY 1, 2
+),
+nd AS (
+  SELECT src_a, src_b, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+  FROM (
+    SELECT src_a, src_b, doc_a AS doc FROM lab
+    UNION ALL
+    SELECT src_a, src_b, doc_b AS doc FROM lab
+  ) GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_pairs, n_docs FROM np JOIN nd USING (src_a, src_b)
+"""

@@ -348,7 +348,8 @@ def test_registry_contract():
         # be a documented exact-oracled r8 newcomer (below the cap per
         # the rotation protocol), or be documented rows-only-by-design
         NEW_R8 = {"similarity_ann_multiprobe", "vocab_growth",
-                  "length_buckets", "leakage_safe_split", "stream_heavy_hitters"}
+                  "length_buckets", "leakage_safe_split", "stream_heavy_hitters",
+                  "dup_matrix"}
         missing = [
             n for n in names[50:]
             if n not in r5 and n not in r6 and n not in r7

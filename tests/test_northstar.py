@@ -1184,3 +1184,29 @@ def test_leakage_safe_split_keeps_families_together(spark):
     for i in range(100, 120):
         assert by_doc[i]["rep_id"] == i
         assert by_doc[i]["split"] == plain[i]
+
+
+def test_dup_matrix_localizes_duplication_by_source(spark):
+    """Two sources sharing a near-dup family produce a cross-source
+    cell; intra-source template spam produces a diagonal cell; clean
+    sources never appear."""
+    from dataframeutils_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "mirror_a"),
+        (2, base.replace("today", "tomorrow"), "mirror_b"),  # cross-source dup
+        (3, base.replace("today", "yesterday"), "mirror_b"),  # and intra mirror_b
+        (4, "completely unrelated words about spark engines and parquet files", "clean"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["src_a"], r["src_b"]): (r["n_pairs"], r["n_docs"])
+        for r in dedup.dup_matrix(docs).collect()
+    }
+    assert ("mirror_a", "mirror_b") in out
+    assert out[("mirror_a", "mirror_b")][0] >= 1
+    assert ("mirror_b", "mirror_b") in out  # the intra-source cell
+    assert not any("clean" in k for k in out)
+    # n_docs counts distinct docs, never double-counts a doc in two pairs
+    assert out[("mirror_a", "mirror_b")][1] <= 3

@@ -544,3 +544,68 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         for name in ("bkt_l", "bkt_r"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_vocab_growth_partial_aggregates_and_pruned_scan(spark):
+    """vocab_growth's min(bucket)-per-term must ride map-side partial
+    aggregation (the shuffle carries ~|vocab| rows per task, not
+    |tokens|), and the scan reads only (doc_id, text)."""
+    from dataframeutils_spark.operators import text
+
+    plan = _plan(text.vocab_growth(load_table(spark, SF_DIR, "documents")))
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_length_buckets_single_exchange_no_joins(spark):
+    """length_buckets is one scan + one bounded groupBy: exactly one
+    Exchange, zero joins (the pow2 CASE is a constant projection)."""
+    from dataframeutils_spark.operators import packing
+
+    plan = _plan(packing.length_buckets(load_table(spark, SF_DIR, "documents")))
+    assert plan.count("Exchange") == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_multiprobe_index_side_unchanged(spark):
+    """Multi-probe fans out the PROBE side only: the plan must contain
+    the probe-side explode (generate over the 1+r flipped hashes) and
+    exactly as many signature pipelines as single-probe (ReuseExchange
+    dedupes the shared upstream) — no extra index build."""
+    from dataframeutils_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    multi = _plan(similarity.ann_topk_multiprobe(emb, k=3, bits=16, bands=4, dim=64))
+    single = _plan(similarity.ann_topk(emb, k=3, bits=16, bands=4, dim=64))
+    # the probe fan-out exists…
+    assert "Generate explode" in multi
+    # …and costs no additional shuffle over the single-probe plan
+    assert multi.count("Exchange") <= single.count("Exchange") + 1
+
+
+def test_heavy_hitter_registers_bounded_groupby(spark):
+    """The write side is one windowed groupBy over (window, row,
+    bucket) — partial aggregation present (bounded merge state), no
+    joins anywhere in the register build."""
+    from dataframeutils_spark import driver
+    from dataframeutils_spark.streaming import windows as sw
+
+    ev = driver._events_normalized(spark, SF_DIR)
+    plan = _plan(sw.windowed_countmin_registers(ev, width=256))
+    assert "partial_count" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
+
+
+def test_leakage_split_corpus_join_not_forced_broadcast(spark):
+    """The corpus-vs-cluster-labels join must not carry a broadcast
+    HINT (a few % of 100 TB is not broadcastable); at test scale AQE
+    may still pick broadcast from measured size — we assert on the
+    LOGICAL plan, where a hint would appear."""
+    from dataframeutils_spark.operators import sampling
+
+    df = sampling.leakage_safe_split(load_table(spark, SF_DIR, "documents"))
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
