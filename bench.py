@@ -162,6 +162,8 @@ HEADLINE = [
     "leakage_safe_split",  # split keyed on near-dup cluster representative
     "stream_heavy_hitters",  # windowed count-min top-k + exact audit
     "dup_matrix",  # cross-source duplication provenance matrix
+    "label_agreement",  # 1-NN precision@1 per class over the LSH path
+    "embedding_class_stats",  # class-collapse detector: intra vs inter dispersion
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

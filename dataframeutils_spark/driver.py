@@ -996,6 +996,25 @@ def q_similarity_recall_production(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label agreement per class (operators/similarity.py): does
+    each vector's LSH nearest neighbor share its label — precision@1 as
+    the embedding-space health dial, with per-class coverage. Exact
+    oracle via the deterministic ann path."""
+    return similarity.label_agreement(
+        load_table(spark, sf_dir, "embeddings"), bits=32, bands=4, dim=EMB_DIM
+    )
+
+
+def q_embedding_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding geometry (operators/similarity.py): intra-
+    class dispersion vs nearest-other-centroid distance — the class-
+    collapse detector. Centroids from one Arrow batch-partial pass
+    (exchange = batches x labels x (1+D)); distances fold JVM-side
+    against broadcast centroids."""
+    return similarity.embedding_class_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with MLlib k-means-trained centroids, Arrow-vectorized
     ASSIGNMENT (one numpy matmul per batch — no N×C crossJoin, no
@@ -3271,7 +3290,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
     The external correctness gate checks at most the FIRST 50 entries of
-    this dict (insertion order); 171 queries are registered, so ordering
+    this dict (insertion order); 173 queries are registered, so ordering
     is a rotation policy with priority: (1) never driver-verified,
     (2) longest since last driver-verified. The committed
     CORRECTNESS_LOCAL.json full sweep (tools/driver_sim.py, the same
@@ -3302,7 +3321,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (demoted for one round), then the r8 in-round newcomers registered
     below the cap (similarity_ann_multiprobe, vocab_growth,
     length_buckets, leakage_safe_split, stream_heavy_hitters,
-    dup_matrix —
+    dup_matrix, label_agreement, embedding_class_stats —
     exact-oracled, they lead the
     r9 window), then the
     rows-only group (which gains the r8 newcomer
@@ -3471,6 +3490,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "dup_matrix": q_dup_matrix,
+        "label_agreement": q_label_agreement,
+        "embedding_class_stats": q_embedding_class_stats,
         # --- rows-only by design (iterative fits, FFT, eigendecomposition,
         # xxhash production twins, tokenizer training): not ANSI-SQL
         # expressible, so a window slot records only err=no_oracle.
@@ -3603,6 +3624,10 @@ def all_oracles() -> dict[str, str]:
         "leakage_safe_split": sampling.leakage_safe_split_sql(),
         "stream_heavy_hitters": _stream_heavy_hitters_sql(),
         "dup_matrix": dedup.dup_matrix_sql(),
+        "embedding_class_stats": similarity.embedding_class_stats_sql(),
+        "label_agreement": similarity.label_agreement_sql(
+            bits=32, bands=4, dim=EMB_DIM
+        ),
         "embedding_quantize": sketches.embedding_quantize_sql(),
         "dataset_card": pipeline.dataset_card_sql(),
         "inverted_index": sketches.inverted_index_sql(max_postings=20, min_df=2),

@@ -1381,3 +1381,258 @@ FROM (
         + "\nUNION ALL\n"
         + one("ivf", ivf_topk_sql(k=k, n_centroids=None, n_probe=n_probe, table=table, dim=dim))
     )
+
+
+def label_agreement(
+    emb: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    multiprobe: bool = False,
+) -> DataFrame:
+    """1-NN label agreement per class: for each vector whose LSH search
+    returns a nearest neighbor, does that neighbor carry the same
+    label? The standard embedding-space health metric (precision@1)
+    before trusting the space for classification-adjacent work —
+    near-random agreement means the embedding does not separate the
+    labels, however good the loss curve looked.
+
+    Uses the deterministic LSH path (single- or multi-probe), so the
+    whole audit — including which queries HAVE a neighbor — is exactly
+    oracle-checkable and runs at corpus scale (bucket-bounded; the
+    guarded O(N²) brute force is unnecessary because agreement is a
+    statistical rate, not a per-query guarantee).
+
+    Output per label: (label, n_queries, n_agree, agree_rate) +
+    coverage (queries with any candidate / class size).
+    """
+    from dataframeutils_spark.schema import decround
+
+    fn = ann_topk_multiprobe if multiprobe else ann_topk
+    nn = fn(emb, k=1, bits=bits, bands=bands, id_col=id_col,
+            vec_col=vec_col, dim=dim).filter(F.col("rank") == 1)
+    lab = emb.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_lab"))
+    q_lab = lab.select(F.col("_id").alias("query_id"), F.col("_lab").alias("q_label"))
+    n_lab = lab.select(F.col("_id").alias("neighbor_id"), F.col("_lab").alias("n_label"))
+    scored = nn.join(q_lab, "query_id").join(n_lab, "neighbor_id")
+    per_label = scored.groupBy(F.col("q_label").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("q_label") == F.col("n_label")).cast("long")).alias("n_agree"),
+    )
+    class_sizes = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("class_size")
+    )
+    return (
+        per_label.join(class_sizes, "label")
+        .select(
+            "label",
+            "class_size",
+            "n_queries",
+            "n_agree",
+            decround(F.col("n_agree") / F.col("n_queries")).alias("agree_rate"),
+            decround(F.col("n_queries") / F.col("class_size")).alias("coverage"),
+        )
+    )
+
+
+def label_agreement_sql(
+    bits: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    table: str = "embeddings",
+    multiprobe: bool = False,
+) -> str:
+    """DuckDB oracle for :func:`label_agreement` — the ann_topk oracle
+    at k=1 joined with labels, same aggregates."""
+    from dataframeutils_spark.schema import decround_sql
+
+    ann = ann_topk_sql(
+        k=1, bits=bits, bands=bands, table=table, dim=dim, multiprobe=multiprobe
+    )
+    rate = decround_sql("n_agree * 1.0 / n_queries")
+    cov = decround_sql("n_queries * 1.0 / class_size")
+    return f"""
+WITH nn AS ({ann}),
+scored AS (
+  SELECT q.label AS label, (q.label = n.label) AS agree
+  FROM nn JOIN {table} q ON q.vec_id = nn.query_id
+          JOIN {table} n ON n.vec_id = nn.neighbor_id
+  WHERE nn.rank = 1
+),
+per_label AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM scored GROUP BY label
+),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS class_size
+  FROM {table} GROUP BY label
+)
+SELECT label, class_size, n_queries, n_agree,
+       {rate} AS agree_rate, {cov} AS coverage
+FROM per_label JOIN sizes USING (label)
+"""
+
+
+def embedding_class_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class embedding geometry: class size, mean distance to the
+    class centroid (intra-class dispersion), nearest OTHER centroid and
+    its distance, and the separation ratio inter/intra — the
+    class-collapse detector (separation ≲ 1 means classes overlap and
+    SemDeDup/IVF/classification over this space will blur them).
+
+    Scale shape: centroids come from ONE Arrow batch-partial pass
+    (exchange = batches × labels × (1 + D) cells, never vectors — the
+    covariance-partials pattern); distances are a second scan with the
+    ≤|labels| centroid table broadcast and the fold JVM-side; the
+    pairwise-centroid step runs on the tiny centroid table. Float sums
+    are batch-order-dependent → siground absorbs the residue (the
+    standard cross-engine contract).
+
+    Output: (label, n, intra_dist, nearest_label, inter_dist,
+    separation), separation = inter / intra (NULL when intra is 0).
+    """
+    from dataframeutils_spark.schema import siground
+
+    spark = emb.sparkSession
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for lab, grp in pdf.groupby(label_col):
+                m = np.stack(grp[vec_col].to_numpy()).astype("float64")
+                out.append((int(lab), len(m), m.sum(axis=0).tolist()))
+            yield pd.DataFrame(out, columns=["label", "n", "s"])
+
+    parts = emb.select(label_col, vec_col).mapInPandas(
+        part, "label int, n long, s array<double>"
+    )
+    sums = (
+        parts.select("label", F.posexplode("s").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("sv"))
+    )
+    sizes = emb.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("n"))
+    # eager-materialize the tiny (labels × D) centroid table: it feeds
+    # three consumers (intra distances + both sides of the pairwise
+    # step) and would otherwise re-run the Arrow partial pass per use
+    cent = (
+        sums.join(F.broadcast(sizes), "label")
+        .select("label", "pos", (F.col("sv") / F.col("n")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform(F.col("pc"), lambda x: x["c"]).alias("centroid")
+        )
+        .localCheckpoint()
+    )
+    with_c = emb.select(
+        F.col(label_col).alias("label"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(cent), "label")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("centroid"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    intra = with_c.groupBy("label").agg(F.avg(dist).alias("intra_raw"))
+    a = cent.select(F.col("label").alias("la"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), F.col("centroid").alias("cb"))
+    cd = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    pairs = (
+        a.join(b, F.col("la") != F.col("lb"))
+        .select("la", "lb", siground(cd).alias("d"))
+    )
+    w = Window.partitionBy("la").orderBy(F.col("d").asc(), F.col("lb").asc())
+    nearest = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("nearest_label"),
+            F.col("d").alias("inter_dist"),
+        )
+    )
+    return (
+        sizes.join(intra, "label")
+        .join(nearest, "label")
+        .select(
+            "label",
+            "n",
+            siground(F.col("intra_raw")).alias("intra_dist"),
+            "nearest_label",
+            "inter_dist",
+            F.when(F.col("intra_raw") == 0, F.lit(None).cast("double"))
+            .otherwise(siground(F.col("inter_dist") / F.col("intra_raw")))
+            .alias("separation"),
+        )
+    )
+
+
+def embedding_class_stats_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`embedding_class_stats`: explode
+    positions (N·D rows — oracle scale only), per-(label, dim) average
+    centroid, per-vector distance, same nearest-other-centroid ranking
+    (distance sigrounded BEFORE ranking, as on the Spark side)."""
+    from dataframeutils_spark.schema import siground_sql
+
+    cd = siground_sql("sqrt(sum((a.c - b.c) * (a.c - b.c)))")
+    return f"""
+WITH pos AS (
+  SELECT vec_id, label, i, CAST(v[i] AS DOUBLE) AS val
+  FROM (SELECT vec_id, label, embedding AS v FROM {table}),
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t
+),
+cent AS (
+  SELECT label, i, avg(val) AS c FROM pos GROUP BY label, i
+),
+dist AS (
+  SELECT p.vec_id, p.label,
+         sqrt(sum((p.val - c.c) * (p.val - c.c))) AS d
+  FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
+  GROUP BY p.vec_id, p.label
+),
+intra AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n, avg(d) AS intra_raw
+  FROM dist GROUP BY label
+),
+cpairs AS (
+  SELECT a.label AS la, b.label AS lb, {cd} AS d
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+  GROUP BY a.label, b.label
+),
+nearest AS (
+  SELECT la AS label, lb AS nearest_label, d AS inter_dist,
+         row_number() OVER (PARTITION BY la ORDER BY d, lb) AS r
+  FROM cpairs
+)
+SELECT i.label, i.n,
+       {siground_sql('intra_raw')} AS intra_dist,
+       nearest_label, inter_dist,
+       CASE WHEN intra_raw = 0 THEN NULL
+            ELSE {siground_sql('inter_dist / intra_raw')} END AS separation
+FROM intra i JOIN nearest nr ON nr.label = i.label AND nr.r = 1
+"""

@@ -349,7 +349,8 @@ def test_registry_contract():
         # the rotation protocol), or be documented rows-only-by-design
         NEW_R8 = {"similarity_ann_multiprobe", "vocab_growth",
                   "length_buckets", "leakage_safe_split", "stream_heavy_hitters",
-                  "dup_matrix"}
+                  "dup_matrix", "label_agreement",
+                  "embedding_class_stats"}
         missing = [
             n for n in names[50:]
             if n not in r5 and n not in r6 and n not in r7

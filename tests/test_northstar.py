@@ -1210,3 +1210,51 @@ def test_dup_matrix_localizes_duplication_by_source(spark):
     assert not any("clean" in k for k in out)
     # n_docs counts distinct docs, never double-counts a doc in two pairs
     assert out[("mirror_a", "mirror_b")][1] <= 3
+
+
+def test_embedding_class_stats_separates_planted_classes(spark):
+    """Two tight, well-separated Gaussian classes: separation >> 1,
+    nearest_label is the other class, intra dispersion ~ the noise
+    scale."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for lab, center in ((0, 10.0), (1, -10.0)):
+        for i in range(40):
+            v = np.full(8, center) + rng.randn(8) * 0.1
+            rows.append((lab * 100 + i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.embedding_class_stats(df).collect()}
+    assert set(out) == {0, 1}
+    for lab in (0, 1):
+        r = out[lab]
+        assert r["n"] == 40
+        assert r["nearest_label"] == 1 - lab
+        # centers are 20*sqrt(8) ~ 56.6 apart; intra ~ 0.1*sqrt(8)
+        assert r["inter_dist"] > 50
+        assert r["intra_dist"] < 1.0
+        assert r["separation"] > 50
+
+
+def test_label_agreement_high_on_separated_classes(spark):
+    """On the same separated corpus every LSH nearest neighbor stays in
+    the query's own cluster → agreement ~1.0 for covered queries."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import similarity
+
+    rng = np.random.RandomState(6)
+    rows = []
+    for lab, center in ((0, 10.0), (1, -10.0)):
+        for i in range(40):
+            v = np.full(8, center) + rng.randn(8) * 0.1
+            rows.append((lab * 100 + i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.label_agreement(df, bits=16, bands=4, dim=8).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["agree_rate"] == 1.0
+        assert 0 < r["coverage"] <= 1.0
