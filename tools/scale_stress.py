@@ -273,6 +273,21 @@ QUERIES = [
     # (1+r)x probe-side variant of the same band join
     "similarity_recall",
     "similarity_ann_multiprobe",
+    # r8 session-2: the corpus/embedding audits. The replicated corpus
+    # is adversarial for vocab_growth (every replica re-treads the
+    # source vocabulary — the curve must flatten, and the term table
+    # stays |vocab|, not |tokens|), for dup_matrix and
+    # leakage_safe_split (every source doc becomes a ~mult replica
+    # family: maximal pair count resp. maximal cluster count), and
+    # realistic for the windowed heavy hitters (10M events, bounded
+    # registers)
+    "vocab_growth",
+    "length_buckets",
+    "dup_matrix",
+    "leakage_safe_split",
+    "stream_heavy_hitters",
+    "label_agreement",
+    "embedding_class_stats",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
