@@ -1544,6 +1544,10 @@ def dup_matrix(
     )
     src_a = src.select(F.col("doc_id").alias("did_a"), F.col("src").alias("sa"))
     src_b = src.select(F.col("doc_id").alias("did_b"), F.col("src").alias("sb"))
+    # eager-materialize the labeled pair table: it feeds BOTH aggregates
+    # (pair counts and distinct-doc counts), and without this the whole
+    # shingle→minhash→band pipeline executes twice (measured 12.4 s →
+    # 6.4 s at sf0.1). Bounded: one row per candidate pair.
     lab = (
         pairs.join(src_a, F.col("doc_a") == F.col("did_a"))
         .join(src_b, F.col("doc_b") == F.col("did_b"))
@@ -1553,6 +1557,7 @@ def dup_matrix(
             "doc_a",
             "doc_b",
         )
+        .localCheckpoint()
     )
     n_pairs = lab.groupBy("src_a", "src_b").agg(F.count("*").alias("n_pairs"))
     docs_involved = (
