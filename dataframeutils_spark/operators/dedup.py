@@ -1544,10 +1544,6 @@ def dup_matrix(
     )
     src_a = src.select(F.col("doc_id").alias("did_a"), F.col("src").alias("sa"))
     src_b = src.select(F.col("doc_id").alias("did_b"), F.col("src").alias("sb"))
-    # eager-materialize the labeled pair table: it feeds BOTH aggregates
-    # (pair counts and distinct-doc counts), and without this the whole
-    # shingle→minhash→band pipeline executes twice (measured 12.4 s →
-    # 6.4 s at sf0.1). Bounded: one row per candidate pair.
     lab = (
         pairs.join(src_a, F.col("doc_a") == F.col("did_a"))
         .join(src_b, F.col("doc_b") == F.col("did_b"))
@@ -1557,16 +1553,18 @@ def dup_matrix(
             "doc_a",
             "doc_b",
         )
-        .localCheckpoint()
     )
-    n_pairs = lab.groupBy("src_a", "src_b").agg(F.count("*").alias("n_pairs"))
-    docs_involved = (
-        lab.select("src_a", "src_b", F.col("doc_a").alias("doc"))
-        .unionByName(lab.select("src_a", "src_b", F.col("doc_b").alias("doc")))
-        .groupBy("src_a", "src_b")
-        .agg(F.count_distinct("doc").alias("n_docs"))
+    # ONE aggregation over the pair table exploded into its two doc
+    # endpoints: count(*)/2 is exactly the pair count (each pair emits
+    # two rows) and count_distinct(doc) the docs involved — the whole
+    # LSH pipeline executes once, no checkpoint, no second pass.
+    sides = lab.select(
+        "src_a", "src_b", F.explode(F.array("doc_a", "doc_b")).alias("doc")
     )
-    return n_pairs.join(docs_involved, ["src_a", "src_b"])
+    return sides.groupBy("src_a", "src_b").agg(
+        (F.count("*") / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("doc").alias("n_docs"),
+    )
 
 
 def dup_matrix_sql(
@@ -1584,17 +1582,13 @@ lab AS (
   JOIN {table} sa ON sa.doc_id = p.doc_a
   JOIN {table} sb ON sb.doc_id = p.doc_b
 ),
-np AS (
-  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
-  FROM lab GROUP BY 1, 2
-),
-nd AS (
-  SELECT src_a, src_b, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
-  FROM (
-    SELECT src_a, src_b, doc_a AS doc FROM lab
-    UNION ALL
-    SELECT src_a, src_b, doc_b AS doc FROM lab
-  ) GROUP BY 1, 2
+sides AS (
+  SELECT src_a, src_b, doc_a AS doc FROM lab
+  UNION ALL
+  SELECT src_a, src_b, doc_b AS doc FROM lab
 )
-SELECT src_a, src_b, n_pairs, n_docs FROM np JOIN nd USING (src_a, src_b)
+SELECT src_a, src_b,
+       CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+FROM sides GROUP BY 1, 2
 """
