@@ -3297,97 +3297,53 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vanilla-session + DuckDB-oracle compare the driver runs) covers ALL
     queries at HEAD every round.
 
-    Round 8 ordering (executes the rotation promised in the round-7
-    docstring, amended per the r7 verdict's gate-hygiene ask — zero
-    ``err: no_oracle`` rows inside the window): positions 1-31 are every
-    EXACT-ORACLED query that has never carried an external driver hash
-    row — the 17 never-gated TPC-H shapes (q2, q6-q17, q19-q22; q1, q4
-    and q18 were gated in r7) and the 14 exact r7 session newcomers
-    (multimodal_avi_frames, quota_sample, hard_negatives, snapshot_diff,
-    curriculum, boilerplate_scrub, decayed_value, winsorize, sales_cube,
-    skew_report, embedding_covariance, join_size_estimate, domain_cap,
-    late_data_audit). Positions 32-43 are the 12 exact-oracled
-    stragglers of the r5-verified batch (the oldest driver rows in the
-    registry); positions 44-50 the first 7 of the r6-verified batch. The
-    window is therefore 50/50 exact-hash — rows-only-by-design queries
-    (iterative fits, FFT, eigendecomposition, xxhash twins, tokenizer
-    training: the BPE/unigram trios, embedding_pca_spectrum,
-    join_size_estimate_fast, and the 16 r5 statistical fits) now sit at
-    the BOTTOM of the registry so no ``err: no_oracle`` row ever lands
-    in the hard gate signal; their evidence is the committed local
-    sweep (rows-gated) plus golden-file pytest parity. Positions 51+:
-    the remaining 43 of the r6-verified batch (they lead the r9
-    window), then the 47 exact entries verified in CORRECTNESS_r07.json
-    (demoted for one round), then the r8 in-round newcomers registered
-    below the cap (similarity_ann_multiprobe, vocab_growth,
-    length_buckets, leakage_safe_split, stream_heavy_hitters,
-    dup_matrix, label_agreement, embedding_class_stats —
-    exact-oracled, they lead the
-    r9 window), then the
-    rows-only group (which gains the r8 newcomer
-    similarity_recall_production — the recall audit's MLlib-k-means +
-    multi-probe production arms).
+    Round 9 ordering (executes the rotation promised in the round-8
+    docstring and the r8 verdict's item 1): positions 1-14 are the 14
+    queries that have NEVER carried an external driver row — first the
+    8 exact-oracled r8 newcomers (similarity_ann_multiprobe,
+    vocab_growth, length_buckets, leakage_safe_split,
+    stream_heavy_hitters, dup_matrix, label_agreement,
+    embedding_class_stats), then the 6 never-gated rows-only iteratives
+    (unigram_train, unigram_encode, tokenizer_fertility,
+    embedding_pca_spectrum, join_size_estimate_fast,
+    similarity_recall_production). The r8 verdict explicitly asked for
+    a CORRECTNESS_r09 row for every one of these — including the
+    rows-only ones — so this window intentionally relaxes the r7
+    zero-rows-only hygiene rule for one round to reach 173/173
+    cumulative external coverage. Positions 15-50 are the first 36 of
+    the remaining r6-verified batch (the oldest driver rows in the
+    registry). Below the cap: the leftover 7 of the r6 batch (they
+    lead the r10 window), then the 47 r7-verified entries, then the 50
+    entries gated green in CORRECTNESS_r08.json (newest rows), then the
+    rows-only-by-design group at the bottom. In-round r9 newcomers are
+    registered below the cap per the rotation protocol and lead the
+    r10 window alongside the r6 leftovers.
     """
     return {
-        # --- r8 window leads (positions 1-31): every exact-oracled query
-        # that has never carried an external driver hash row — the r7
-        # TPC-H shape-suite completion plus the r7 session-2 newcomers ---
-        "tpch_q2": q_tpch_q2,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "multimodal_avi_frames": q_multimodal_avi_frames,
-        "quota_sample": q_quota_sample,
-        "hard_negatives": q_hard_negatives,
-        "snapshot_diff": q_snapshot_diff,
-        "curriculum": q_curriculum,
-        "boilerplate_scrub": q_boilerplate_scrub,
-        "decayed_value": q_decayed_value,
-        "winsorize": q_winsorize,
-        "sales_cube": q_sales_cube,
-        "skew_report": q_skew_report,
-        "embedding_covariance": q_embedding_covariance,
-        "join_size_estimate": q_join_size_estimate,
-        "domain_cap": q_domain_cap,
-        "late_data_audit": q_late_data_audit,
-        # --- positions 32-43: the 12 exact-oracled stragglers of the
-        # r5-verified batch (oldest driver rows in the registry) ---
-        "similarity_ann": q_similarity_ann,
-        "hash_sample": q_hash_sample,
-        "data_mixture": q_data_mixture,
-        "pipeline_prepare": q_pipeline_prepare,
-        "text_repetition": q_text_repetition,
-        "lm_quality": q_lm_quality,
-        "dedup_shared_spans": q_dedup_shared_spans,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "memory_acf_hurst": q_memory_acf_hurst,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "fingerprint": q_fingerprint,
-        # --- positions 44-50: first 7 of the r6-verified batch (verified
-        # two rounds ago — next-longest since driver-verified) ---
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "active_users": q_active_users,
-        "event_paths": q_event_paths,
-        "events_attribution": q_events_attribution,
-        "fuzzy_terms": q_fuzzy_terms,
-        # --- positions 51+: the remaining 43 of the r6-verified batch;
-        # they are the oldest driver rows left and lead the r9 window ---
+        # --- r9 window leads (positions 1-8): the 8 exact-oracled r8
+        # newcomers that have never carried an external driver row ---
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "vocab_growth": q_vocab_growth,
+        "length_buckets": q_length_buckets,
+        "leakage_safe_split": q_leakage_safe_split,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "dup_matrix": q_dup_matrix,
+        "label_agreement": q_label_agreement,
+        "embedding_class_stats": q_embedding_class_stats,
+        # --- positions 9-14: the never-gated rows-only iteratives
+        # (tokenizer training/encoding, eigendecomposition, xxhash twin,
+        # production recall audit) — gated this round per the r8 verdict
+        # (item 1: a CORRECTNESS_r09 row for every query, even if the
+        # check mode is rows-only) so cumulative external coverage
+        # reaches 173/173 ---
+        "unigram_train": q_unigram_train,
+        "unigram_encode": q_unigram_encode,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "embedding_pca_spectrum": q_embedding_pca,
+        "join_size_estimate_fast": q_join_size_estimate_fast,
+        "similarity_recall_production": q_similarity_recall_production,
+        # --- positions 15-50: first 36 of the remaining r6-verified
+        # batch (oldest driver rows in the registry) ---
         "bloom_skipping": q_bloom_skipping,
         "scd2_history": q_scd2_history,
         "semdedup": q_semdedup,
@@ -3424,6 +3380,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_ffill": q_panel_ffill,
         "panel_resample": q_panel_resample,
         "multimodal_features": q_multimodal_features,
+        # --- below the cap: leftover 7 of the r6 batch (oldest rows
+        # left after this round; they lead the r10 window) ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
         "stream_apply_changes": q_stream_apply_changes,
@@ -3431,8 +3389,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall": q_similarity_recall,
         "similarity_ivf": q_similarity_ivf,
         "weighted_bins": q_weighted_bins,
-        # --- the 47 exact entries verified this past round (47/47 green
-        # hash rows in CORRECTNESS_r07.json), demoted for one round ---
+        # --- the 47 exact entries verified in CORRECTNESS_r07.json ---
         "mad_outliers": q_mad_outliers,
         "psi_drift": q_psi_drift,
         "compaction_plan": q_compaction_plan,
@@ -3480,24 +3437,63 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
-        # --- r8 newcomers (exact-oracled): multi-probe LSH ANN,
-        # vocabulary-growth curve, length-bucket planner — registered
-        # below the cap per the rotation protocol; lead the r9 window
-        # with the r6 batch ---
-        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-        "vocab_growth": q_vocab_growth,
-        "length_buckets": q_length_buckets,
-        "leakage_safe_split": q_leakage_safe_split,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "dup_matrix": q_dup_matrix,
-        "label_agreement": q_label_agreement,
-        "embedding_class_stats": q_embedding_class_stats,
-        # --- rows-only by design (iterative fits, FFT, eigendecomposition,
-        # xxhash production twins, tokenizer training): not ANSI-SQL
-        # expressible, so a window slot records only err=no_oracle.
-        # Kept below the cap per the r7 verdict (gate hygiene); each is
-        # golden-pinned in pytest and rows-gated in the committed
-        # CORRECTNESS_LOCAL.json full sweep at HEAD ---
+        # --- the 50 entries gated green in CORRECTNESS_r08.json
+        # (newest driver rows — TPC-H completion, r7 session newcomers,
+        # r5 stragglers, r6 head) ---
+        "tpch_q2": q_tpch_q2,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "multimodal_avi_frames": q_multimodal_avi_frames,
+        "quota_sample": q_quota_sample,
+        "hard_negatives": q_hard_negatives,
+        "snapshot_diff": q_snapshot_diff,
+        "curriculum": q_curriculum,
+        "boilerplate_scrub": q_boilerplate_scrub,
+        "decayed_value": q_decayed_value,
+        "winsorize": q_winsorize,
+        "sales_cube": q_sales_cube,
+        "skew_report": q_skew_report,
+        "embedding_covariance": q_embedding_covariance,
+        "join_size_estimate": q_join_size_estimate,
+        "domain_cap": q_domain_cap,
+        "late_data_audit": q_late_data_audit,
+        "similarity_ann": q_similarity_ann,
+        "hash_sample": q_hash_sample,
+        "data_mixture": q_data_mixture,
+        "pipeline_prepare": q_pipeline_prepare,
+        "text_repetition": q_text_repetition,
+        "lm_quality": q_lm_quality,
+        "dedup_shared_spans": q_dedup_shared_spans,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "memory_acf_hurst": q_memory_acf_hurst,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "fingerprint": q_fingerprint,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "active_users": q_active_users,
+        "event_paths": q_event_paths,
+        "events_attribution": q_events_attribution,
+        "fuzzy_terms": q_fuzzy_terms,
+        # --- rows-only by design (iterative fits, FFT, xxhash
+        # production twins, BPE tokenizer training): not ANSI-SQL
+        # expressible; golden-pinned in pytest and rows-gated in the
+        # committed CORRECTNESS_LOCAL.json full sweep at HEAD ---
         "stationarity": q_stationarity,
         "stationarity_summary": q_stationarity_summary,
         "memory_dependence": q_memory_dependence,
@@ -3517,16 +3513,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "bpe_pack": q_bpe_pack,
-        "unigram_train": q_unigram_train,
-        "unigram_encode": q_unigram_encode,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "embedding_pca_spectrum": q_embedding_pca,
-        "join_size_estimate_fast": q_join_size_estimate_fast,
-        # r8 newcomer: the recall audit's production arms (MLlib k-means
-        # quantizer + Arrow paths, multi-probe LSH) — rows-only by
-        # design (no DuckDB k-means); clustered-data recall floor
-        # pinned in pytest
-        "similarity_recall_production": q_similarity_recall_production,
     }
 
 
