@@ -206,7 +206,6 @@ def length_buckets(
     for pw in pows[1:]:
         bucket = bucket.when(F.col("c") <= pw, F.lit(pw))
     bucket = bucket.otherwise(F.lit(max_len))
-    kept = F.least(F.col("c"), F.col("bucket_len"))
     return (
         d.select(bucket.cast("long").alias("bucket_len"), "c")
         .groupBy("bucket_len")

@@ -941,9 +941,15 @@ def leakage_safe_split(
     contamination. Here the hash key is the near-dup CLUSTER
     representative (MinHash-LSH pairs → connected components, min-id
     label; singletons represent themselves), so a whole duplicate family
-    moves as one unit, and growing the corpus still never reassigns an
-    existing family (the cluster id is the min doc id, stable under
-    append-only growth as long as ids grow monotonically).
+    moves as one unit. Stability under append-only growth is partial:
+    as long as new documents only join ONE existing family (or form a
+    new one), existing assignments never move (the cluster id is the
+    min doc id, stable when ids grow monotonically). But a new document
+    whose LSH pairs BRIDGE two previously separate families (or absorb
+    a singleton) merges their clusters, the merged rep_id becomes the
+    smaller min-id, and the other family's documents ARE reassigned —
+    wholesale, to the surviving rep's split. Re-freeze eval sets after
+    large appends if that matters downstream.
 
     Scale shape: the cluster resolution is the already-documented LSH +
     pointer-doubling path over the (few-%) duplicate subset; the split

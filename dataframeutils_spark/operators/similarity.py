@@ -1268,12 +1268,14 @@ def recall_audit(
     N. ``None`` audits every vector (tiny corpora only; the
     ``max_rows`` guard still applies to the brute-force side).
 
-    ``production=True`` adds a third method row ``ivf_kmeans``: the
+    ``production=True`` adds two more method rows: ``ivf_kmeans`` (the
     MLlib k-means quantizer with the Arrow assignment + re-rank paths —
-    the configuration a real deployment runs on clustered corpora. No
-    DuckDB k-means → queries built with it are rows-only; its recall
-    floor on clustered data is pinned in pytest
-    (tests/test_northstar.py) instead of the hash gate.
+    the configuration a real deployment runs on clustered corpora) and
+    ``ann_multiprobe`` (hyperplane LSH probing the neighboring buckets),
+    four methods total. No DuckDB k-means → queries built with
+    production=True are rows-only; the recall floor on clustered data
+    is pinned in pytest (tests/test_northstar.py) instead of the hash
+    gate.
     """
     from dataframeutils_spark.schema import decround
 
@@ -1407,7 +1409,10 @@ def label_agreement(
     statistical rate, not a per-query guarantee).
 
     Output per label: (label, n_queries, n_agree, agree_rate) +
-    coverage (queries with any candidate / class size).
+    coverage (queries with any candidate / class size). Classes where
+    NO query has an LSH candidate still appear, with n_queries = 0,
+    coverage = 0 and agree_rate NULL — the degenerate case a health
+    metric must surface rather than drop.
     """
     from dataframeutils_spark.schema import decround
 
@@ -1425,15 +1430,17 @@ def label_agreement(
     class_sizes = emb.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("class_size")
     )
+    n_q = F.coalesce(F.col("n_queries"), F.lit(0).cast("long"))
+    n_a = F.coalesce(F.col("n_agree"), F.lit(0).cast("long"))
     return (
-        per_label.join(class_sizes, "label")
+        class_sizes.join(per_label, "label", "left")
         .select(
             "label",
             "class_size",
-            "n_queries",
-            "n_agree",
-            decround(F.col("n_agree") / F.col("n_queries")).alias("agree_rate"),
-            decround(F.col("n_queries") / F.col("class_size")).alias("coverage"),
+            n_q.alias("n_queries"),
+            n_a.alias("n_agree"),
+            F.when(n_q > 0, decround(n_a / n_q)).alias("agree_rate"),
+            decround(n_q / F.col("class_size")).alias("coverage"),
         )
     )
 
@@ -1453,7 +1460,7 @@ def label_agreement_sql(
         k=1, bits=bits, bands=bands, table=table, dim=dim, multiprobe=multiprobe
     )
     rate = decround_sql("n_agree * 1.0 / n_queries")
-    cov = decround_sql("n_queries * 1.0 / class_size")
+    cov = decround_sql("coalesce(n_queries, 0) * 1.0 / class_size")
     return f"""
 WITH nn AS ({ann}),
 scored AS (
@@ -1471,9 +1478,12 @@ sizes AS (
   SELECT label, CAST(count(*) AS BIGINT) AS class_size
   FROM {table} GROUP BY label
 )
-SELECT label, class_size, n_queries, n_agree,
-       {rate} AS agree_rate, {cov} AS coverage
-FROM per_label JOIN sizes USING (label)
+SELECT label, class_size,
+       CAST(coalesce(n_queries, 0) AS BIGINT) AS n_queries,
+       CAST(coalesce(n_agree, 0) AS BIGINT) AS n_agree,
+       CASE WHEN coalesce(n_queries, 0) > 0 THEN {rate} END AS agree_rate,
+       {cov} AS coverage
+FROM sizes LEFT JOIN per_label USING (label)
 """
 
 

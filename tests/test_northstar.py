@@ -1258,3 +1258,40 @@ def test_label_agreement_high_on_separated_classes(spark):
     for r in out:
         assert r["agree_rate"] == 1.0
         assert 0 < r["coverage"] <= 1.0
+
+
+def test_label_agreement_reports_zero_coverage_class(spark):
+    """A class whose queries have NO LSH candidate must still appear in
+    the report with n_queries=0, coverage=0 and agree_rate NULL — not
+    silently vanish (the degenerate case the health metric exists to
+    surface). A singleton vector far from everything shares no LSH
+    band bucket with any other vector, so its class gets no candidates."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for lab, center in ((0, 10.0), (1, -10.0)):
+        for i in range(20):
+            v = np.full(8, center) + rng.randn(8) * 0.1
+            rows.append((lab * 100 + i, [float(x) for x in v], lab))
+    # class 2: one singleton whose 4 band signatures (bits=16, bands=4)
+    # miss every bucket the two clusters occupy — verified offline, so
+    # the LSH join deterministically yields NO candidate for it
+    rows.append((999, [2.4835707650561636, -0.6913215058559232,
+                       3.2384426905034625, 7.615149282040127,
+                       -1.1707668736166799, -1.1706847847459028,
+                       7.896064077536957, 3.837173645764544], 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in
+           similarity.label_agreement(df, bits=16, bands=4, dim=8).collect()}
+    assert set(out) == {0, 1, 2}, set(out)
+    r2 = out[2]
+    assert r2["class_size"] == 1
+    assert r2["n_queries"] == 0 and r2["n_agree"] == 0
+    assert r2["agree_rate"] is None
+    assert r2["coverage"] == 0.0
+    # classes 0/1 unaffected by the LEFT-join rewrite
+    for lab in (0, 1):
+        assert out[lab]["n_queries"] > 0 and out[lab]["agree_rate"] is not None
