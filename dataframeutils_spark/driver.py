@@ -2710,9 +2710,10 @@ def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich et al. 2016) on the bounded
     top-2000 word-frequency table: 30 greedy merges, each round one
-    map-side-combined pair count + a 1-row argmax collect. Iterative →
-    rows-only gate; exactness pinned vs a pure-Python reference in
-    tests/test_bpe.py."""
+    map-side-combined pair count + a 1-row argmax collect. Exact-hash
+    gated: the DuckDB oracle replays the same 30 greedy rounds as
+    chained argmax CTEs (bpe.bpe_train_sql); additionally pinned vs a
+    pure-Python reference in tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
     table, _ = bpe.bpe_train(docs, n_merges=30, vocab_top=2000)
     return table
@@ -2761,8 +2762,10 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style packing manifest with REAL subword counts: the learned
     BPE rules feed pack_from_counts — the pipeline's actual final step
-    (train tokenizer → count → pack). Rows-only (depends on training);
-    manifest invariants pytest-pinned."""
+    (train tokenizer → count → pack). Exact-hash gated end to end: the
+    oracle re-trains + encodes in SQL and reuses the shared manifest
+    chain (packing.pack_sequences_bpe_sql); manifest invariants also
+    pytest-pinned."""
     from dataframeutils_spark.operators import packing
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2773,8 +2776,9 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the 30 learned BPE rules to every document as chained
     scan-side folds (zero shuffle, zero Python): per-doc word/symbol/
-    token counts + compression ratio. Depends on the learned rules →
-    rows-only gate."""
+    token counts + compression ratio. Exact-hash gated: the oracle
+    re-trains in SQL and encodes every distinct word with nested
+    replace() (bpe.bpe_encode_stats_sql)."""
     docs = load_table(spark, sf_dir, "documents")
     _, rules = bpe.bpe_train(docs, n_merges=30, vocab_top=2000)
     return round_floats(bpe.bpe_encode_stats(docs, rules))
@@ -3490,10 +3494,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "events_attribution": q_events_attribution,
         "fuzzy_terms": q_fuzzy_terms,
+        # --- the BPE trio: flipped from rows-only to EXACT-oracled in
+        # r9 (in-SQL greedy retraining, see operators/bpe.py); they
+        # have r7 no_oracle rows, so they queue with the r9 newcomers
+        # for an exact gate slot in r10 ---
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "bpe_pack": q_bpe_pack,
         # --- rows-only by design (iterative fits, FFT, xxhash
-        # production twins, BPE tokenizer training): not ANSI-SQL
-        # expressible; golden-pinned in pytest and rows-gated in the
-        # committed CORRECTNESS_LOCAL.json full sweep at HEAD ---
+        # production twins, unigram-LM tokenizer training — Viterbi EM
+        # needs a fold no SQL dialect has): not ANSI-SQL expressible;
+        # golden-pinned in pytest and rows-gated in the committed
+        # CORRECTNESS_LOCAL.json full sweep at HEAD ---
         "stationarity": q_stationarity,
         "stationarity_summary": q_stationarity_summary,
         "memory_dependence": q_memory_dependence,
@@ -3510,9 +3522,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_xxhash": q_dedup_minhash_lsh_xxhash,
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "events_value_profile_approx": q_events_value_profile_approx,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "bpe_pack": q_bpe_pack,
     }
 
 
@@ -3605,6 +3614,14 @@ def all_oracles() -> dict[str, str]:
         "textrank": graph.textrank_keywords_sql(k=20, iters=5),
         "bm25_search": text.bm25_search_sql(("join", "scan", "slow"), k=25),
         "pack_sequences": packing.pack_sequences_sql(seq_len=256),
+        # the BPE trio: training is 30 chained argmax CTEs, encoding a
+        # nested replace() over separator-wrapped symbols — see
+        # operators/bpe.py "DuckDB oracles" for the equivalence proof
+        "bpe_train": bpe.bpe_train_sql(n_merges=30, vocab_top=2000),
+        "bpe_encode": bpe.bpe_encode_stats_sql(n_merges=30, vocab_top=2000),
+        "bpe_pack": packing.pack_sequences_bpe_sql(
+            n_merges=30, vocab_top=2000, seq_len=256
+        ),
         "vocab_growth": text.vocab_growth_sql(bucket=250),
         "length_buckets": packing.length_buckets_sql(min_len=16, max_len=4096),
         "leakage_safe_split": sampling.leakage_safe_split_sql(),

@@ -161,3 +161,174 @@ def bpe_encode_stats(
         F.size(flat_post).alias("n_tokens"),
         (F.size(flat_pre).cast("double") / F.size(flat_post)).alias("compression"),
     )
+
+
+# --- DuckDB oracles -------------------------------------------------------
+#
+# BPE training IS expressible in ANSI-ish SQL: each greedy round is one
+# pair-count aggregation + a deterministic 1-row argmax, and applying
+# the winning rule to every word is a single string replace() over a
+# separator-wrapped symbol encoding. replace() (leftmost,
+# non-overlapping, single pass, scan resumes AFTER the replacement) is
+# exactly the semantics of the engine's left-to-right greedy fold
+# (_apply_merge): in both, a symbol produced by a merge can never
+# participate in another merge within the same round, because
+# merged == left would require an empty right and merged == right would
+# require the merged symbol to be the CURRENT element rather than the
+# accumulator tail. The separator is chr(1) doubled between symbols and
+# single at the ends, so a pattern sep+l+sep+sep+r+sep can only match at
+# true symbol boundaries (a corpus containing literal \x01 bytes would
+# break the encoding; the engine side uses arrays and has no such
+# constraint).
+#
+# The 30 rounds become 30 chained CTE pairs (r{i} = winning rule,
+# s{i} = corpus after applying it). Every CTE is AS MATERIALIZED:
+# each s{i} is referenced three times by round i+1 (pair count + two
+# scalar subqueries), so without materialization the inlined plan grows
+# 3^rounds. The whole chain runs over the bounded top-``vocab_top``
+# word table, never the corpus, mirroring the engine's scale design.
+#
+# One asymmetry: the engine stops early if the best pair occurs < 2
+# times; SQL cannot break, so the oracle assumes all ``n_merges``
+# rounds are viable (true at every test SF — the weakest round at
+# sf0.01 still has pair_count 936; guarded by the gate itself).
+
+
+def _bpe_rules_ctes(
+    n_merges: int = 30, vocab_top: int = 2000, table: str = "documents"
+) -> str:
+    """CTE chain (toks, w, s0, r1..rN, s1..sN-1, rules) whose final
+    ``rules`` relation is (rank, left, right, merged, pair_count) —
+    byte-identical to :func:`bpe_train`'s merge table."""
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    sep = "chr(1)"
+    ctes = [
+        f"""toks AS MATERIALIZED (
+  SELECT {toks} AS ws FROM {table}
+)""",
+        f"""w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ws) AS word FROM toks)
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {vocab_top}
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT cnt,
+         {sep} || array_to_string(
+           list_append(list_transform(range(1, length(word)+1),
+                                      i -> substr(word, CAST(i AS INT), 1)),
+                       '{END_OF_WORD}'),
+           {sep}||{sep}) || {sep} AS s
+  FROM w
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT unnest(list_slice(syms, 1, len(syms)-1)) AS l,
+           unnest(list_slice(syms, 2, len(syms))) AS r, cnt
+    FROM (SELECT string_split(trim(s, {sep}), {sep}||{sep}) AS syms, cnt
+          FROM {prev})
+  ) GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1
+)""")
+        if i < n_merges:
+            ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT cnt, replace(s,
+      (SELECT {sep}||l||{sep}||{sep}||r||{sep} FROM r{i}),
+      (SELECT {sep}||l||r||{sep} FROM r{i})) AS s
+  FROM {prev}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INT) AS rank, l AS "left", r AS "right",'
+        f" l||r AS merged, n AS pair_count FROM r{i}"
+        for i in range(1, n_merges + 1)
+    )
+    ctes.append(f"rules AS (\n{sel}\n)")
+    return ",\n".join(ctes)
+
+
+def bpe_train_sql(
+    n_merges: int = 30, vocab_top: int = 2000, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`bpe_train`'s merge table."""
+    return (
+        "WITH "
+        + _bpe_rules_ctes(n_merges, vocab_top, table)
+        + "\nSELECT * FROM rules ORDER BY rank"
+    )
+
+
+def _bpe_wordtok_ctes(
+    n_merges: int = 30, vocab_top: int = 2000, table: str = "documents"
+) -> str:
+    """Rules chain + (dw, encw, wtok): every DISTINCT corpus word
+    encoded once with the learned rules in rank order (nested
+    replace()), yielding ``wtok(word, t)`` with t = subword token
+    count (= half the separator count of the encoded form)."""
+    sep = "chr(1)"
+    wrapped = (
+        f"{sep} || array_to_string("
+        f"list_append(list_transform(range(1, length(word)+1),"
+        f" i -> substr(word, CAST(i AS INT), 1)), '{END_OF_WORD}'),"
+        f" {sep}||{sep}) || {sep}"
+    )
+    enc = wrapped
+    for i in range(1, n_merges + 1):
+        enc = (
+            f"replace({enc},\n"
+            f"  (SELECT {sep}||l||{sep}||{sep}||r||{sep} FROM r{i}),\n"
+            f"  (SELECT {sep}||l||r||{sep} FROM r{i}))"
+        )
+    return (
+        _bpe_rules_ctes(n_merges, vocab_top, table)
+        + f""",
+dw AS MATERIALIZED (
+  SELECT DISTINCT unnest(ws) AS word FROM toks
+),
+encw AS MATERIALIZED (
+  SELECT word, {enc} AS s FROM dw
+),
+wtok AS MATERIALIZED (
+  SELECT word,
+         CAST((length(s) - length(replace(s, {sep}, ''))) // 2 AS BIGINT) AS t
+  FROM encw
+)"""
+    )
+
+
+def bpe_encode_stats_sql(
+    n_merges: int = 30, vocab_top: int = 2000, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`bpe_encode_stats` (per-doc word/symbol/
+    token counts + siground-rounded compression). Distinct words are
+    encoded ONCE, then joined back to the per-doc word list — same
+    answer as the engine's per-doc fold, far less replay."""
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    comp = siground_sql("n_symbols * 1.0 / n_tokens")
+    return f"""
+WITH {_bpe_wordtok_ctes(n_merges, vocab_top, table)},
+docw AS (
+  SELECT doc_id, unnest({toks}) AS word FROM {table}
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(d.word) + 1) AS BIGINT) AS n_symbols,
+         CAST(sum(wtok.t) AS BIGINT) AS n_tokens
+  FROM docw d JOIN wtok USING (word)
+  GROUP BY d.doc_id
+),
+-- engine emits EVERY doc (wordless ones with zero counts, NULL ratio)
+alldocs AS (
+  SELECT doc_id,
+         CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+         CAST(COALESCE(n_symbols, 0) AS BIGINT) AS n_symbols,
+         CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM {table} t LEFT JOIN agg USING (doc_id)
+)
+SELECT doc_id, n_words, n_symbols, n_tokens,
+       CASE WHEN n_tokens > 0 THEN {comp} END AS compression
+FROM alldocs
+"""

@@ -138,15 +138,12 @@ def pack_summary(
     )
 
 
-def pack_sequences_sql(
-    table: str = "documents", seq_len: int = 256
-) -> str:
-    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+def _pack_manifest_sql(seq_len: int) -> str:
+    """Manifest chain (prefix sum → bin fan-out → span arithmetic) over
+    an in-scope CTE ``d(doc_id, n)`` — shared by the whitespace and BPE
+    pack oracles so both check the identical packing semantics."""
     L = seq_len
-    return f"""
-WITH d AS (
-  SELECT doc_id, len({toks}) AS n FROM {table} WHERE len({toks}) > 0
-), o AS (
+    return f"""o AS (
   SELECT doc_id, n,
          CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
@@ -165,6 +162,43 @@ SELECT seq_id, doc_id,
          AS n_tokens
 FROM bins
 """
+
+
+def pack_sequences_sql(
+    table: str = "documents", seq_len: int = 256
+) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({toks}) AS n FROM {table} WHERE len({toks}) > 0
+), {_pack_manifest_sql(seq_len)}"""
+
+
+def pack_sequences_bpe_sql(
+    n_merges: int = 30,
+    vocab_top: int = 2000,
+    seq_len: int = 256,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`pack_sequences_bpe`: the in-SQL BPE
+    trainer/encoder (operators.bpe) supplies per-doc REAL subword
+    counts, then the same manifest chain as :func:`pack_sequences_sql`
+    checks the packing arithmetic — so the tokenizer-fed pack manifest
+    is exact-hash-gated end to end."""
+    from dataframeutils_spark.operators.bpe import _bpe_wordtok_ctes
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    return f"""
+WITH {_bpe_wordtok_ctes(n_merges, vocab_top, table)},
+docw AS (
+  SELECT doc_id, unnest({toks}) AS word FROM {table}
+),
+d AS (
+  SELECT doc_id, CAST(sum(wtok.t) AS BIGINT) AS n
+  FROM docw JOIN wtok USING (word)
+  GROUP BY doc_id
+  HAVING sum(wtok.t) > 0
+), {_pack_manifest_sql(seq_len)}"""
 
 
 def length_buckets(

@@ -333,7 +333,6 @@ def test_registry_contract():
         "volatility_gjr", "outliers_iforest", "outliers_lof",
         "similarity_ivf_hier", "dedup_minhash_lsh_xxhash",
         "similarity_ivf_kmeans", "events_value_profile_approx",
-        "bpe_train", "bpe_encode", "bpe_pack",
     }
     bottom = set(names[-len(ROWS_ONLY):])
     assert bottom == ROWS_ONLY, bottom ^ ROWS_ONLY

@@ -1,11 +1,13 @@
 """BPE trainer/encoder vs an independent pure-Python reference.
 
-The Spark trainer is iterative (not SQL-expressible), so exactness is
-pinned here instead of the DuckDB gate: identical greedy semantics —
-max weighted pair count, ties broken (left, right) lexicographic,
-left-to-right non-overlapping rule application — must reproduce the
-reference merge list symbol for symbol.
-"""
+Exactness of the Spark trainer is pinned here AND in the DuckDB gate
+(operators.bpe ships an in-SQL retrainer used as the driver oracle):
+identical greedy semantics — max weighted pair count, ties broken
+(left, right) lexicographic, left-to-right non-overlapping rule
+application — must reproduce the reference merge list symbol for
+symbol. The SQL oracle is additionally pinned against the same
+pure-Python reference below, so a bug shared by both engines' query
+text cannot hide."""
 
 from __future__ import annotations
 
@@ -126,3 +128,56 @@ def test_bpe_pack_manifest_invariants(spark):
     total = sum(r["n"] for r in summary)
     enc = bpe.bpe_encode_stats(docs, rules)
     assert total == enc.agg(F.sum("n_tokens")).collect()[0][0]
+
+
+def test_bpe_sql_oracle_matches_reference():
+    """The in-SQL trainer/encoder (the driver's DuckDB oracle) must
+    reproduce the pure-Python reference on the overlap-stress corpus —
+    including 'aaaa aaa aa': string replace() on the separator-wrapped
+    form must equal greedy left-to-right fold application. No Spark
+    involved: this isolates the oracle side of the gate."""
+    import duckdb
+
+    from dataframeutils_spark.operators import packing
+
+    n_merges = 8
+    ref_rules, ref_seqs = ref_bpe(TEXTS, n_merges)
+    assert len(ref_rules) == n_merges, "corpus must support all merges"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(TEXTS))
+    )
+    got = con.execute(bpe.bpe_train_sql(n_merges=n_merges, vocab_top=2000)).fetchall()
+    want = [
+        (i + 1, left, r, left + r, n)
+        for i, (left, r, n) in enumerate(ref_rules)
+    ]
+    assert got == want, (got, want)
+
+    # encode oracle: per-doc token counts from the reference seqs
+    enc = con.execute(
+        bpe.bpe_encode_stats_sql(n_merges=n_merges, vocab_top=2000)
+    ).fetchall()
+    by_doc = {r[0]: r for r in enc}
+    for doc_id, text in enumerate(TEXTS):
+        words = [w for w in text.lower().split() if w]
+        n_tokens = sum(len(ref_seqs[w]) for w in words)
+        n_symbols = sum(len(w) + 1 for w in words)
+        assert by_doc[doc_id][1] == len(words)
+        assert by_doc[doc_id][2] == n_symbols
+        assert by_doc[doc_id][3] == n_tokens
+
+    # pack oracle: sequences fill completely except the last
+    pk = con.execute(
+        packing.pack_sequences_bpe_sql(n_merges=n_merges, vocab_top=2000, seq_len=16)
+    ).fetchall()
+    per_seq: dict = {}
+    for seq_id, doc_id, doc_ofs, seq_ofs, n_tok in pk:
+        per_seq[seq_id] = per_seq.get(seq_id, 0) + n_tok
+    total = sum(len(ref_seqs[w]) for t in TEXTS for w in t.lower().split() if w)
+    assert sum(per_seq.values()) == total
+    last = max(per_seq)
+    for s, n in per_seq.items():
+        assert n == 16 or s == last
