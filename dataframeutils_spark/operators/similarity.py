@@ -1248,6 +1248,7 @@ def recall_audit(
     max_rows: int | None = 100_000,
     sample_mod: int | None = 16,
     production: bool = False,
+    arms: tuple[str, ...] = ("ann_lsh", "ivf"),
 ) -> DataFrame:
     """Recall@k of the approximate search paths measured against the
     exact brute-force top-k, as a first-class query: one row per method
@@ -1268,14 +1269,18 @@ def recall_audit(
     N. ``None`` audits every vector (tiny corpora only; the
     ``max_rows`` guard still applies to the brute-force side).
 
-    ``production=True`` adds two more method rows: ``ivf_kmeans`` (the
-    MLlib k-means quantizer with the Arrow assignment + re-rank paths —
-    the configuration a real deployment runs on clustered corpora) and
-    ``ann_multiprobe`` (hyperplane LSH probing the neighboring buckets),
-    four methods total. No DuckDB k-means → queries built with
-    production=True are rows-only; the recall floor on clustered data
-    is pinned in pytest (tests/test_northstar.py) instead of the hash
-    gate.
+    ``arms`` selects the method rows: any of ``ann_lsh``, ``ivf``,
+    ``ann_multiprobe`` (all hash-derived → exactly oracle-checkable via
+    :func:`recall_audit_sql`) and ``ivf_kmeans`` (the MLlib k-means
+    quantizer with the Arrow assignment + re-rank paths — the
+    configuration a real deployment runs on clustered corpora; no
+    DuckDB k-means → rows-only, its recall floor on clustered data is
+    pinned in tests/test_northstar.py). ``production=True`` is sugar
+    appending both production arms (ivf_kmeans + ann_multiprobe) to
+    ``arms``, four methods with the defaults. Splitting the exact arms
+    and the k-means arm into two REGISTERED queries keeps the
+    hash-gated audit plan small while the expensive production arm
+    stays rows-only on its own.
     """
     from dataframeutils_spark.schema import decround
 
@@ -1294,28 +1299,30 @@ def recall_audit(
     exact = brute_force_topk(
         emb, queries=queries, k=k, dim=dim, max_query_rows=max_rows
     ).select("query_id", "neighbor_id").localCheckpoint()
-    methods = {
-        "ann_lsh": ann_topk(emb, k=k, bits=bits, bands=bands, dim=dim).select(
-            "query_id", "neighbor_id"
-        ),
-        "ivf": ivf_topk(emb, k=k, n_centroids=None, n_probe=n_probe, dim=dim).select(
-            "query_id", "neighbor_id"
-        ),
-    }
     if production:
-        cents = train_centroids_kmeans(emb)
-        methods["ivf_kmeans"] = ivf_topk(
+        arms = tuple(dict.fromkeys(arms + ("ivf_kmeans", "ann_multiprobe")))
+    builders = {
+        "ann_lsh": lambda: ann_topk(emb, k=k, bits=bits, bands=bands, dim=dim),
+        "ivf": lambda: ivf_topk(
+            emb, k=k, n_centroids=None, n_probe=n_probe, dim=dim
+        ),
+        "ann_multiprobe": lambda: ann_topk_multiprobe(
+            emb, k=k, bits=bits, bands=bands, dim=dim
+        ),
+        "ivf_kmeans": lambda: ivf_topk(
             emb,
             k=k,
             n_probe=n_probe,
             dim=dim,
-            centroids=cents,
+            centroids=train_centroids_kmeans(emb),
             arrow_assign=True,
             arrow_rerank=True,
-        ).select("query_id", "neighbor_id")
-        methods["ann_multiprobe"] = ann_topk_multiprobe(
-            emb, k=k, bits=bits, bands=bands, dim=dim
-        ).select("query_id", "neighbor_id")
+        ),
+    }
+    unknown = [a for a in arms if a not in builders]
+    if unknown:
+        raise ValueError(f"unknown recall_audit arms: {unknown}")
+    methods = {a: builders[a]().select("query_id", "neighbor_id") for a in arms}
     out = None
     for name, approx in methods.items():
         # one LEFT join per method (approx top-k pairs are unique, so
@@ -1355,7 +1362,11 @@ def recall_audit_sql(
     dim: int = 64,
     table: str = "embeddings",
     sample_mod: int | None = 16,
+    arms: tuple[str, ...] = ("ann_lsh", "ivf"),
 ) -> str:
+    """Oracle for :func:`recall_audit` — one UNION ALL branch per
+    hash-derived arm (``ann_lsh``, ``ivf``, ``ann_multiprobe``);
+    ``ivf_kmeans`` has no SQL form and cannot appear here."""
     from dataframeutils_spark.schema import decround_sql
 
     q_pred = "TRUE"
@@ -1378,11 +1389,21 @@ FROM (
   GROUP BY e.query_id
 )"""
 
-    return (
-        one("ann_lsh", ann_topk_sql(k=k, bits=bits, bands=bands, dim=dim, table=table))
-        + "\nUNION ALL\n"
-        + one("ivf", ivf_topk_sql(k=k, n_centroids=None, n_probe=n_probe, table=table, dim=dim))
-    )
+    arm_sql = {
+        "ann_lsh": lambda: ann_topk_sql(
+            k=k, bits=bits, bands=bands, dim=dim, table=table
+        ),
+        "ivf": lambda: ivf_topk_sql(
+            k=k, n_centroids=None, n_probe=n_probe, table=table, dim=dim
+        ),
+        "ann_multiprobe": lambda: ann_topk_sql(
+            k=k, bits=bits, bands=bands, dim=dim, table=table, multiprobe=True
+        ),
+    }
+    unknown = [a for a in arms if a not in arm_sql]
+    if unknown:
+        raise ValueError(f"no SQL oracle for recall_audit arms: {unknown}")
+    return "\nUNION ALL\n".join(one(a, arm_sql[a]()) for a in arms)
 
 
 def label_agreement(
