@@ -950,6 +950,25 @@ def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_multiprobe_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-probe LSH with the hot-bucket occupancy cap (r8 verdict
+    item 4): at most 64 hash-ordered index entries survive per (band,
+    bucket), so candidate count per query is bounded by
+    bands × (1+r) × cap at ANY corpus size — the knob that keeps probe
+    cost from exploding on skewed/near-duplicate-heavy corpora at
+    100×. Same deterministic hash sample in both engines → exact
+    oracle; recall floor under the cap pinned in tests/test_northstar.py."""
+    return round_floats(
+        similarity.ann_topk_multiprobe(
+            load_table(spark, sf_dir, "embeddings"),
+            k=5, bits=32, bands=4, dim=EMB_DIM, bucket_cap=64,
+        ),
+        all_dec=True,
+    )
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN with hash-derived centroids — the second scale
     path next to LSH, exactly oracle-checkable like similarity_ann.
@@ -3502,13 +3521,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "events_attribution": q_events_attribution,
         "fuzzy_terms": q_fuzzy_terms,
-        # --- the BPE trio: flipped from rows-only to EXACT-oracled in
-        # r9 (in-SQL greedy retraining, see operators/bpe.py); they
-        # have r7 no_oracle rows, so they queue with the r9 newcomers
-        # for an exact gate slot in r10 ---
+        # --- r9 exact flips/newcomers (below the cap per the rotation
+        # protocol; they lead the r10 window): the BPE trio flipped
+        # from rows-only to EXACT-oracled (in-SQL greedy retraining,
+        # see operators/bpe.py), and the occupancy-capped multi-probe
+        # scale path (r8 verdict item 4) ---
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "bpe_pack": q_bpe_pack,
+        "similarity_ann_multiprobe_capped": q_similarity_ann_multiprobe_capped,
         # --- rows-only by design (iterative fits, FFT, xxhash
         # production twins, unigram-LM tokenizer training — Viterbi EM
         # needs a fold no SQL dialect has): not ANSI-SQL expressible;
@@ -3669,6 +3690,13 @@ def all_oracles() -> dict[str, str]:
         "similarity_ann_multiprobe": _round_oracle_cols(
             similarity.ann_topk_sql(
                 k=5, bits=32, bands=4, dim=EMB_DIM, multiprobe=True
+            ),
+            ["cos_sim"],
+        ),
+        "similarity_ann_multiprobe_capped": _round_oracle_cols(
+            similarity.ann_topk_sql(
+                k=5, bits=32, bands=4, dim=EMB_DIM, multiprobe=True,
+                bucket_cap=64,
             ),
             ["cos_sim"],
         ),

@@ -366,6 +366,7 @@ def ann_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     arrow_rerank: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: (query_id, neighbor_id, rank, cos_sim).
 
@@ -375,11 +376,13 @@ def ann_topk(
     candidates only → per-query rank. With r = bits/bands rows per
     band, a pair at angle θ collides on ≥1 band with probability
     1 − (1 − (1 − θ/π)^r)^bands. ``dim`` as in
-    :func:`hyperplane_signatures` (skip the probe job).
+    :func:`hyperplane_signatures` (skip the probe job). ``bucket_cap``
+    as in :func:`ann_topk_multiprobe` — the hot-bucket occupancy bound.
     """
     sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
     return _bucketed_topk_from_sigs(
-        sigs, corpus, k, bits, bands, id_col, vec_col, dim, arrow_rerank
+        sigs, corpus, k, bits, bands, id_col, vec_col, dim, arrow_rerank,
+        bucket_cap=bucket_cap,
     )
 
 
@@ -392,6 +395,7 @@ def ann_topk_multiprobe(
     vec_col: str = "embedding",
     dim: int | None = None,
     arrow_rerank: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., VLDB'07 idea on sign LSH):
     each query probes its own band bucket PLUS the r = bits/bands
@@ -402,11 +406,22 @@ def ann_topk_multiprobe(
     fixed index. Candidates stay bucket-occupancy-bounded: the index
     side of the equi-join is unchanged; only the probe side carries
     (1+r) rows per (vec, band). Fully hash-derived and deterministic →
-    exact DuckDB oracle (:func:`ann_topk_multiprobe_sql`)."""
+    exact DuckDB oracle (:func:`ann_topk_multiprobe_sql`).
+
+    ``bucket_cap`` is the 100×-scale knob: at most ``bucket_cap`` INDEX
+    entries survive per (band, bucket) — a deterministic hash-ordered
+    sample — so a hot bucket (skewed or near-duplicate-heavy corpora
+    put a large corpus fraction in one signature) can never make probe
+    cost quadratic: candidates per query are bounded by
+    bands × (1+r) × bucket_cap regardless of corpus size. Capping
+    trades a bounded, reproducible recall loss (pinned ≥ 0.9 on
+    clustered data in tests/test_northstar.py) for a hard join-output
+    bound; ``None`` (default) keeps exact bucket semantics for the
+    hash-gated queries."""
     sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
     return _bucketed_topk_from_sigs(
         sigs, corpus, k, bits, bands, id_col, vec_col, dim, arrow_rerank,
-        multiprobe=True,
+        multiprobe=True, bucket_cap=bucket_cap,
     )
 
 
@@ -421,6 +436,7 @@ def _bucketed_topk_from_sigs(
     dim: int | None = None,
     arrow_rerank: bool = False,
     multiprobe: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     rows_per_band = bits // bands
     band_hash = (
@@ -437,6 +453,21 @@ def _bucketed_topk_from_sigs(
     # explode copies O(|bucket|²) array bytes on hot buckets; the hash
     # join streams and ReuseExchange dedupes the upstream pipeline)
     b = band_hash.select(F.col("vec_id").alias("nid"), "band", "bh")
+    if bucket_cap is not None:
+        # occupancy cap: keep a deterministic hash-ordered sample of at
+        # most bucket_cap index entries per (band, bucket). The window
+        # partitions on the join keys, so its exchange is the same
+        # hash partitioning the equi-join needs — no extra shuffle
+        # shape, just the one row_number pass on the index side.
+        order = portable_hash60(
+            F.concat(F.lit("cap:"), F.col("nid").cast("string"))
+        )
+        w_cap = Window.partitionBy("band", "bh").orderBy(order, "nid")
+        b = (
+            b.withColumn("_rn", F.row_number().over(w_cap))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     if multiprobe:
         # query side also probes every bucket at Hamming distance 1 from
         # its own signature (flip each of the r bits): 1 + r probe rows
@@ -558,6 +589,7 @@ def ann_topk_sql(
     table: str = "embeddings",
     dim: int = 64,
     multiprobe: bool = False,
+    bucket_cap: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`ann_topk` — same hash-derived
     hyperplanes, bands and re-rank, in plain SQL.
@@ -567,6 +599,9 @@ def ann_topk_sql(
     two engines project onto different subspaces and silently diverge.
     ``multiprobe`` mirrors :func:`ann_topk_multiprobe`: the probe side
     adds the r Hamming-distance-1 buckets per (vec, band).
+    ``bucket_cap`` mirrors the occupancy cap: same hash-ordered
+    row_number sample of the index side, so the capped scale path is
+    exactly oracle-checkable too.
     """
     rows_per_band = bits // bands
     if multiprobe:
@@ -580,6 +615,17 @@ def ann_topk_sql(
     else:
         probe_cte = ""
         probe_src = "bh"
+    if bucket_cap is not None:
+        caph = portable_hash60_sql("('cap:' || vec_id::VARCHAR)")
+        idx_cte = f""", idx AS (
+  SELECT vec_id, band, bh FROM bh
+  QUALIFY row_number() OVER (PARTITION BY band, bh
+                             ORDER BY {caph}, vec_id) <= {bucket_cap}
+)"""
+        idx_src = "idx"
+    else:
+        idx_cte = ""
+        idx_src = "bh"
     u = portable_hash60_sql("(plane::VARCHAR || ':' || (d - 1)::VARCHAR)")
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
@@ -605,9 +651,9 @@ WITH proj AS (
   SELECT vec_id, plane // {rows_per_band} AS band,
          sum(bit * CAST(pow(2.0, plane % {rows_per_band}) AS BIGINT)) AS bh
   FROM sig GROUP BY vec_id, band
-){probe_cte}, cand AS (
+){probe_cte}{idx_cte}, cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-  FROM {probe_src} a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
+  FROM {probe_src} a JOIN {idx_src} b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
 ), scored AS (
   SELECT c.qid AS query_id, c.nid AS neighbor_id,
          {dot} / NULLIF({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}, 0) AS cos_sim

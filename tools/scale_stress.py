@@ -273,6 +273,11 @@ QUERIES = [
     # (1+r)x probe-side variant of the same band join
     "similarity_recall",
     "similarity_ann_multiprobe",
+    # r9: the occupancy-capped variant — the 100× answer to hot
+    # buckets. Candidates per query are bounded by bands×(1+r)×64 at
+    # any corpus size, so the stress wall must flatten vs the uncapped
+    # row above (which probes whole hot buckets)
+    "similarity_ann_multiprobe_capped",
     # r8 session-2: the corpus/embedding audits. The replicated corpus
     # is adversarial for vocab_growth (every replica re-treads the
     # source vocabulary — the curve must flatten, and the term table
