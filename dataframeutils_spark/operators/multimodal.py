@@ -1471,6 +1471,313 @@ FROM {table}
 """
 
 
+# REAL-codec tier 7: MP4 sample-table frame index. Full AVC/VP8 pixel
+# decode needs libav (not in this environment — the named stub in
+# _real_decode), but the operation a 100 TB video pipeline actually
+# runs FIRST is sample-table resolution: parse the stbl tables
+# (stsz sample sizes, stco chunk offsets, stsc sample→chunk mapping,
+# stss sync samples) and emit one narrow row per frame with its byte
+# offset, size and keyframe flag — that is how a trainer samples
+# keyframes out of petabytes of video WITHOUT decoding anything (read
+# the index, range-read just the keyframe bytes). The resolution
+# algorithm below is the general ISO 14496-12 one (walk stsc runs,
+# accumulate sizes within each chunk), not a fixture shortcut.
+
+_MP4X_W_MOD, _MP4X_H_MOD, _MP4X_F_MOD = 1264, 688, 48
+_MP4X_SZ_MOD, _MP4X_KEY_EVERY = 191, 8
+
+
+def synthesize_mp4_indexed(
+    width: int, height: int, n_frames: int, shift: int
+) -> bytes:
+    """A structurally valid fragmentless MP4 WITH media data: ftyp +
+    moov (mvhd, trak(tkhd, mdia(mdhd, hdlr'vide', minf(vmhd,
+    stbl(stsd/avc1, stts, stsc, stsz, stco, stss))))) + mdat. Frame f
+    (0-based) has size 64 + (shift + 17·f) % 191 bytes, all samples in
+    one chunk, sync samples every 8 frames — everything hash-derivable,
+    so the frame index is exactly oracle-checkable."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    sizes = [64 + (shift + 17 * f) % _MP4X_SZ_MOD for f in range(n_frames)]
+    keyframes = list(range(1, n_frames + 1, _MP4X_KEY_EVERY))  # 1-based
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)
+        + struct.pack(">IIII", 0, 0, 30000, n_frames * 1001)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(3) + b"\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, n_frames * 1001)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        bytes(4) + struct.pack(">IIII", 0, 0, 30000, n_frames * 1001)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = box(
+        b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00"
+    )
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+    avc1 = box(
+        b"avc1",
+        bytes(6) + struct.pack(">H", 1)  # reserved + data_ref_index
+        + bytes(16)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + bytes(4)
+        + struct.pack(">H", 1)  # frame_count
+        + bytes(32)  # compressorname
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + avc1)
+    stts = box(b"stts", bytes(4) + struct.pack(">III", 1, n_frames, 1001))
+    stsc = box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, n_frames, 1))
+    stsz = box(
+        b"stsz",
+        bytes(4)
+        + struct.pack(">II", 0, n_frames)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stss = box(
+        b"stss",
+        bytes(4)
+        + struct.pack(">I", len(keyframes))
+        + b"".join(struct.pack(">I", s) for s in keyframes),
+    )
+    # stco needs the absolute mdat data offset, which depends on the
+    # header size — compute with a placeholder, then rebuild
+    def build(chunk_ofs: int) -> bytes:
+        stco = box(b"stco", bytes(4) + struct.pack(">II", 1, chunk_ofs))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+        minf = box(b"minf", vmhd + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+        return ftyp + moov
+
+    header = build(0)
+    data_start = len(header) + 8  # + mdat box header
+    frames = b"".join(
+        bytes([(shift + f) % 256]) * sizes[f] for f in range(n_frames)
+    )
+    return build(data_start) + box(b"mdat", frames)
+
+
+def mp4_indexed_media_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture builder for the frame-index tier: one indexed MP4 (with
+    mdat) per document, all parameters md5-derived from the text."""
+
+    def synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+                payloads.append(
+                    synthesize_mp4_indexed(
+                        16 + h % _MP4X_W_MOD,
+                        16 + (h // 13) % _MP4X_H_MOD,
+                        1 + (h // 7) % _MP4X_F_MOD,
+                        h % 256,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video",
+                    "content": payloads,
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par, F.col("media_id")).mapInPandas(
+        synth_batches, schema="media_id long, media_type string, content binary"
+    )
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the top-level
+    boxes in b[start:end] (32-bit sizes; size==1/64-bit not needed for
+    the sub-4GB payloads this tier handles)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        if size < 8:
+            break
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def _find_box(b: bytes, start: int, end: int, path: list[bytes]):
+    """Descend a box path (e.g. [moov, trak, mdia, minf, stbl]);
+    returns (payload_start, payload_end) or None."""
+    for btype, ps, pe in _walk_boxes(b, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(b, ps, pe, path[1:])
+    return None
+
+
+def parse_mp4_frame_index(b: bytes) -> list[tuple[int, int, int, bool]]:
+    """REAL ISO 14496-12 sample-table resolution: (sample_no_0based,
+    byte_offset, size, is_sync) per frame, derived from stsz + stco +
+    stsc + stss exactly the way a player resolves sample positions —
+    walk the stsc runs chunk by chunk, accumulate sizes within each
+    chunk. General over any chunking, not just the fixture's."""
+    import struct
+
+    stbl = _find_box(
+        b, 0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
+    )
+    if stbl is None:
+        raise ValueError("MP4 missing moov/trak/mdia/minf/stbl")
+    tables: dict[bytes, tuple[int, int]] = {}
+    for btype, ps, pe in _walk_boxes(b, stbl[0], stbl[1]):
+        tables[btype] = (ps, pe)
+    if b"stsz" not in tables or b"stsc" not in tables or (
+        b"stco" not in tables and b"co64" not in tables
+    ):
+        raise ValueError("MP4 stbl missing stsz/stsc/stco")
+
+    def u32(at: int) -> int:
+        return struct.unpack(">I", b[at : at + 4])[0]
+
+    ps, _ = tables[b"stsz"]
+    fixed, n_samples = u32(ps + 4), u32(ps + 8)
+    sizes = (
+        [fixed] * n_samples
+        if fixed
+        else [u32(ps + 12 + 4 * i) for i in range(n_samples)]
+    )
+    if b"stco" in tables:
+        ps, _ = tables[b"stco"]
+        n_chunks = u32(ps + 4)
+        chunk_ofs = [u32(ps + 8 + 4 * i) for i in range(n_chunks)]
+    else:
+        ps, _ = tables[b"co64"]
+        n_chunks = u32(ps + 4)
+        chunk_ofs = [
+            struct.unpack(">Q", b[ps + 8 + 8 * i : ps + 16 + 8 * i])[0]
+            for i in range(n_chunks)
+        ]
+    ps, _ = tables[b"stsc"]
+    n_runs = u32(ps + 4)
+    runs = [
+        (u32(ps + 8 + 12 * i), u32(ps + 12 + 12 * i))  # (first_chunk, per)
+        for i in range(n_runs)
+    ]
+    sync: set[int] = set()
+    if b"stss" in tables:
+        ps, _ = tables[b"stss"]
+        sync = {u32(ps + 8 + 4 * i) for i in range(u32(ps + 4))}
+
+    out = []
+    sample = 0  # 0-based
+    for ri, (first_chunk, per) in enumerate(runs):
+        last_chunk = (
+            runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            ofs = chunk_ofs[chunk - 1]
+            for _ in range(per):
+                if sample >= n_samples:
+                    break
+                out.append(
+                    (sample, ofs, sizes[sample], (sample + 1) in sync)
+                )
+                ofs += sizes[sample]
+                sample += 1
+    return out
+
+
+def mp4_frame_index(media: DataFrame) -> DataFrame:
+    """Per-frame byte index over MP4 payloads: (media_id, frame,
+    offset, n_bytes, keyframe). Payloads never leave their scan task —
+    only the narrow index rows flow on, which is the whole point: at
+    100 TB the downstream keyframe sampler range-reads exactly the
+    bytes this index names."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                for sample, ofs, size, sync in parse_mp4_frame_index(bytes(c)):
+                    rows.append((mid, sample, ofs, size, sync))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame", "offset", "n_bytes", "keyframe"],
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches,
+        schema="media_id long, frame int, offset long, n_bytes int, keyframe boolean",
+    )
+
+
+def mp4_frame_index_sql(table: str = "documents") -> str:
+    """DuckDB oracle for mp4_indexed_media_table → :func:`mp4_frame_index`:
+    re-derive frame sizes from the md5 hash, offsets as header size +
+    prefix sum (the header size formula pins every box length in the
+    synthesizer — moov grows 4 bytes per frame in stsz plus 4 per sync
+    sample in stss), keyframes as the every-8 grid."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    return f"""
+WITH params AS (
+  SELECT doc_id AS media_id,
+         1 + ({h} // 7) % {_MP4X_F_MOD} AS n_frames,
+         {h} % 256 AS shift
+  FROM {table}
+), frames AS (
+  SELECT media_id, n_frames, shift,
+         unnest(range(0, n_frames)) AS frame
+  FROM params
+), sized AS (
+  SELECT media_id, frame,
+         CAST(64 + (shift + 17 * frame) % {_MP4X_SZ_MOD} AS INT) AS n_bytes,
+         -- header: ftyp 28 + moov skeleton 535 + stsz 4/frame
+         --         + stss 4/sync + mdat box header 8 (the constant
+         --         pins every box length in the synthesizer; verified
+         --         against parse_mp4_frame_index in tests)
+         535 + 28 + 4 * n_frames
+             + 4 * ((n_frames + {_MP4X_KEY_EVERY} - 1) // {_MP4X_KEY_EVERY})
+             + 8 AS data_start,
+         frame % {_MP4X_KEY_EVERY} = 0 AS keyframe
+  FROM frames
+)
+SELECT media_id, CAST(frame AS INT) AS frame,
+       CAST(data_start
+            + COALESCE(sum(n_bytes) OVER (PARTITION BY media_id
+                                          ORDER BY frame
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0)
+            AS BIGINT) AS offset,
+       n_bytes, keyframe
+FROM sized
+"""
+
+
 def audio_window_features(media: DataFrame, window: int = 512) -> DataFrame:
     """Windowed PCM feature extraction — the audio segmentation shape a
     training pipeline needs (silence trimming, VAD-ish gating, chunked

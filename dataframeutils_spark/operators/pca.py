@@ -62,6 +62,78 @@ def _partial_moments(emb: DataFrame, vec_col: str) -> DataFrame:
     return emb.select(vec_col).mapInPandas(part, "n long, moments array<double>")
 
 
+def _partial_moments_blocked(
+    emb: DataFrame, vec_col: str, block: int
+) -> DataFrame:
+    """Dimension-blocked batch partials for D where a single
+    D(D+3)/2-double moment row stops being a sane exchange row
+    (D=3072 → 38 MB). One row per (batch, block-pair bi ≤ bj):
+    the bi==bj row carries concat(Σx of block bi, triu of the diagonal
+    Gram block); the bi<bj row carries the full rect block, row-major.
+    Row size is bounded by block² doubles (block=512 → 2 MB) at ANY D,
+    and the Gram math is the same m.T @ m sliced per pair — bit-equal
+    to the unblocked layout."""
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            n, d = m.shape
+            s = m.sum(axis=0)
+            o = m.T @ m
+            nb = (d + block - 1) // block
+            bi_l, bj_l, arr_l = [], [], []
+            for bi in range(nb):
+                ri = slice(bi * block, min((bi + 1) * block, d))
+                for bj in range(bi, nb):
+                    rj = slice(bj * block, min((bj + 1) * block, d))
+                    blk = o[ri, rj]
+                    if bi == bj:
+                        iu = np.triu_indices(blk.shape[0])
+                        arr = np.concatenate([s[ri], blk[iu]])
+                    else:
+                        arr = blk.ravel()
+                    bi_l.append(bi)
+                    bj_l.append(bj)
+                    arr_l.append(arr)
+            yield pd.DataFrame(
+                {"bi": bi_l, "bj": bj_l, "n": n, "moments": arr_l}
+            )
+
+    return emb.select(vec_col).mapInPandas(
+        part, "bi int, bj int, n long, moments array<double>"
+    )
+
+
+def _reduce_blocked(parts: DataFrame) -> DataFrame:
+    """Elementwise-sum the blocked partials per block-pair (Arrow
+    groupBy — n_pairs = nb(nb+1)/2 groups, each summing n_batches
+    arrays of ≤ block² doubles). Every batch emits every pair exactly
+    once, so the per-pair Σn is the total row count."""
+
+    def red(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        arrs = np.stack(pdf["moments"].to_numpy())
+        return pd.DataFrame(
+            {
+                "bi": [key[0]],
+                "bj": [key[1]],
+                "n": [int(pdf["n"].sum())],
+                "moments": [arrs.sum(axis=0)],
+            }
+        )
+
+    return parts.groupBy("bi", "bj").applyInPandas(
+        red, "bi int, bj int, n long, moments array<double>"
+    )
+
+
 def _triu_dim(n_cells: int) -> int:
     """Invert |cells| = D + D(D+1)/2 = D(D+3)/2 exactly."""
     d = int(round((-3 + (9 + 8 * n_cells) ** 0.5) / 2))
@@ -70,8 +142,104 @@ def _triu_dim(n_cells: int) -> int:
     return d
 
 
+def _cov_cells_select(
+    outer: DataFrame, means: DataFrame, n_row: DataFrame, upper_only: bool
+) -> DataFrame:
+    """Shared tail: (i, j, xx) + per-dim sums + n → siground'd sample
+    covariance rows, optionally mirrored below the diagonal."""
+    j_means = means.select(F.col("i").alias("j"), F.col("s_i").alias("s_j"))
+    out = (
+        outer.join(F.broadcast(means), "i")
+        .join(F.broadcast(j_means), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            siground(
+                (F.col("xx") - F.col("s_i") * F.col("s_j") / F.col("n_total"))
+                / (F.col("n_total") - F.lit(1))
+            ).alias("cov"),
+        )
+    )
+    if not upper_only:
+        out = out.unionByName(
+            out.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
+        )
+    return out
+
+
+def _covariance_from_blocked(
+    emb: DataFrame, vec_col: str, d: int, block: int, upper_only: bool
+) -> DataFrame:
+    """Blocked covariance path for D > block: bounded Arrow reduce per
+    block-pair, THEN a single explode of the already-aggregated arrays
+    into (i, j) cells — the n_batches factor never multiplies the cell
+    explosion, and no exchange row exceeds block² doubles."""
+    reduced = _reduce_blocked(
+        _partial_moments_blocked(emb, vec_col, block)
+    ).localCheckpoint()  # bounded: nb(nb+1)/2 rows of ≤ block² doubles
+
+    def cells_fn(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                bi, bj = int(row["bi"]), int(row["bj"])
+                arr = np.asarray(row["moments"])
+                bsz_i = min(block, d - bi * block)
+                bsz_j = min(block, d - bj * block)
+                if bi == bj:
+                    tri = arr[bsz_i:]
+                    ii, jj = np.triu_indices(bsz_i)
+                    yield pd.DataFrame(
+                        {
+                            "i": bi * block + ii,
+                            "j": bj * block + jj,
+                            "xx": tri,
+                        }
+                    )
+                else:
+                    o = arr.reshape(bsz_i, bsz_j)
+                    ii, jj = np.indices((bsz_i, bsz_j))
+                    yield pd.DataFrame(
+                        {
+                            "i": bi * block + ii.ravel(),
+                            "j": bj * block + jj.ravel(),
+                            "xx": o.ravel(),
+                        }
+                    )
+
+    def means_fn(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            diag = pdf[pdf["bi"] == pdf["bj"]]
+            for _, row in diag.iterrows():
+                bi = int(row["bi"])
+                bsz = min(block, d - bi * block)
+                s = np.asarray(row["moments"])[:bsz]
+                yield pd.DataFrame(
+                    {"i": bi * block + np.arange(bsz), "s_i": s}
+                )
+
+    cells = reduced.mapInPandas(cells_fn, "i int, j int, xx double")
+    means = reduced.mapInPandas(means_fn, "i int, s_i double")
+    n_row = (
+        reduced.filter((F.col("bi") == 0) & (F.col("bj") == 0))
+        .select(F.col("n").alias("n_total"))
+    )
+    return _cov_cells_select(cells, means, n_row, upper_only)
+
+
 def embedding_covariance(
-    emb: DataFrame, vec_col: str = "embedding", upper_only: bool = True
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    upper_only: bool = True,
+    block: int | None = None,
 ) -> DataFrame:
     """Sample covariance matrix of the embedding column as (i, j, cov)
     rows, i ≤ j — exactly oracle-checkable, and the bounded input to
@@ -82,8 +250,17 @@ def embedding_covariance(
     is absorbed by the siground contract. The (pos → i, j) triangle
     unravel is a generated integer mapping table joined on pos — exact
     at any D, no float inverse formula.
+
+    ``block`` enables the dimension-blocked layout for D > block
+    (modern embedding models ship D = 1536–3072, past the point where
+    one D(D+3)/2-double moment row is a sane exchange row): per-batch
+    block-pair partials, Arrow-reduced per pair, exploded to cells only
+    AFTER aggregation. Same float64 accumulation → same siground'd
+    cells (pinned in tests/test_northstar.py).
     """
     d = _probe_dim(emb, vec_col)
+    if block is not None and d > block:
+        return _covariance_from_blocked(emb, vec_col, d, block, upper_only)
     parts = _partial_moments(emb, vec_col)
     # bounded reduce: the exchange carries ≤ n_batches × (D + D(D+1)/2)
     cells = (
@@ -116,27 +293,7 @@ def embedding_covariance(
     outer = cells.filter(F.col("pos") >= d).join(ij, "pos").select(
         "i", "j", F.col("s").alias("xx")
     )
-    j_means = means.select(F.col("i").alias("j"), F.col("s_i").alias("s_j"))
-    out = (
-        outer.join(F.broadcast(means), "i")
-        .join(F.broadcast(j_means), "j")
-        .crossJoin(F.broadcast(n_row))
-        .select(
-            "i",
-            "j",
-            siground(
-                (F.col("xx") - F.col("s_i") * F.col("s_j") / F.col("n_total"))
-                / (F.col("n_total") - F.lit(1))
-            ).alias("cov"),
-        )
-    )
-    if not upper_only:
-        out = out.unionByName(
-            out.filter(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-            )
-        )
-    return out
+    return _cov_cells_select(outer, means, n_row, upper_only)
 
 
 def embedding_covariance_sql(
@@ -163,8 +320,18 @@ FROM agg JOIN stats si ON agg.i = si.i JOIN stats sj ON agg.j = sj.i
 """
 
 
+#: above this width embedding_pca switches to the blocked layout on its
+#: own: one unblocked moment row is D(D+3)/2 doubles (D=2048 → 17 MB),
+#: and the driver collect multiplies that by n_batches
+_PCA_AUTO_BLOCK_ABOVE = 1024
+_PCA_BLOCK = 512
+
+
 def embedding_pca(
-    emb: DataFrame, vec_col: str = "embedding", k: int = 8
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    block: int | None = None,
 ) -> DataFrame:
     """Top-k PCA spectrum of the embedding column: (component,
     eigenvalue, explained_ratio, cum_ratio) — eigenvalues are
@@ -176,27 +343,71 @@ def embedding_pca(
     The spectrum answers the pipeline questions: how many effective
     dimensions the embeddings use (whitening depth for SemDeDup /
     IVF), and whether the space has collapsed (one dominant ratio).
-    The collect is the bounded batch-partial table (n_batches ×
-    (D + D(D+1)/2) doubles), the same class as the k-means centroid
-    pull — data never reaches the driver.
+    The collect is bounded either way — data never reaches the driver:
+    unblocked, it is the batch-partial table (n_batches × D(D+3)/2
+    doubles); for D > ``block`` (auto-engaged above D=1024, the modern
+    D=1536–3072 embedding regime) the blocked layout collects the
+    ALREADY-REDUCED block-pair table instead — D(D+3)/2 doubles total,
+    independent of batch count, with no exchange row over block²
+    doubles.
     """
     import numpy as np
 
-    parts = _partial_moments(emb, vec_col)
-    rows = parts.collect()  # bounded: one row per Arrow batch
-    n = sum(r["n"] for r in rows)
-    if n < 2:
-        raise ValueError(
-            f"embedding_pca needs at least 2 vectors to form a sample "
-            f"covariance (got n={n})"
-        )
-    acc = np.sum([np.asarray(r["moments"]) for r in rows], axis=0)
-    d = _triu_dim(len(acc))
-    s, tri = acc[:d], acc[d:]
-    o = np.zeros((d, d))
-    iu = np.triu_indices(d)
-    o[iu] = tri
-    o = o + o.T - np.diag(np.diag(o))
+    d = _probe_dim(emb, vec_col)
+    if block is None and d > _PCA_AUTO_BLOCK_ABOVE:
+        block = _PCA_BLOCK
+    if block is not None and d > block:
+        reduced = _reduce_blocked(
+            _partial_moments_blocked(emb, vec_col, block)
+        ).collect()  # bounded: nb(nb+1)/2 rows, D(D+3)/2 doubles total
+        n = next(int(r["n"]) for r in reduced if r["bi"] == 0 and r["bj"] == 0)
+        if n < 2:
+            raise ValueError(
+                f"embedding_pca needs at least 2 vectors to form a "
+                f"sample covariance (got n={n})"
+            )
+        s = np.zeros(d)
+        o = np.zeros((d, d))
+        for r in reduced:
+            bi, bj = int(r["bi"]), int(r["bj"])
+            arr = np.asarray(r["moments"])
+            bsz_i = min(block, d - bi * block)
+            bsz_j = min(block, d - bj * block)
+            if bi == bj:
+                s[bi * block : bi * block + bsz_i] = arr[:bsz_i]
+                blk = np.zeros((bsz_i, bsz_i))
+                blk[np.triu_indices(bsz_i)] = arr[bsz_i:]
+                blk = blk + blk.T - np.diag(np.diag(blk))
+                o[
+                    bi * block : bi * block + bsz_i,
+                    bi * block : bi * block + bsz_i,
+                ] = blk
+            else:
+                blk = arr.reshape(bsz_i, bsz_j)
+                o[
+                    bi * block : bi * block + bsz_i,
+                    bj * block : bj * block + bsz_j,
+                ] = blk
+                o[
+                    bj * block : bj * block + bsz_j,
+                    bi * block : bi * block + bsz_i,
+                ] = blk.T
+    else:
+        parts = _partial_moments(emb, vec_col)
+        rows = parts.collect()  # bounded: one row per Arrow batch
+        n = sum(r["n"] for r in rows)
+        if n < 2:
+            raise ValueError(
+                f"embedding_pca needs at least 2 vectors to form a sample "
+                f"covariance (got n={n})"
+            )
+        acc = np.sum([np.asarray(r["moments"]) for r in rows], axis=0)
+        d = _triu_dim(len(acc))
+        s, tri = acc[:d], acc[d:]
+        o = np.zeros((d, d))
+        iu = np.triu_indices(d)
+        o[iu] = tri
+        o = o + o.T - np.diag(np.diag(o))
     cov = (o - np.outer(s, s) / n) / (n - 1)
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(evals.sum())

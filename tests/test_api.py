@@ -350,7 +350,8 @@ def test_registry_contract():
         # everything below the cap must carry a driver row from
         # r6/r7/r8 or be documented rows-only-by-design (in-round r9
         # newcomers, once registered, are added to NEW_R9 here)
-        NEW_R9 = {"similarity_ann_multiprobe_capped"}
+        NEW_R9 = {"similarity_ann_multiprobe_capped",
+                  "multimodal_mp4_frame_index"}
         missing = [
             n for n in names[50:]
             if n not in r6 and n not in r7 and n not in r8

@@ -501,3 +501,59 @@ def test_avi_frame_stats_matches_oracle(spark, ddb):
         tuple(t) for t in ddb.execute(M.avi_frame_stats_sql(every_k=2)).fetchall()
     )
     assert got == want and len(got) > len(set(r[0] for r in got))  # multi-frame fan-out
+
+
+def test_mp4_frame_index_general_chunking_hand_built():
+    """The sample-offset resolution must implement the GENERAL ISO
+    14496-12 algorithm, not the fixture's one-chunk shortcut: a
+    hand-built stbl with two stsc runs (2 samples/chunk then 3) over
+    three chunks at non-contiguous offsets must resolve each sample to
+    chunk_offset + intra-chunk size prefix sum."""
+    import struct
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    sizes = [10, 20, 30, 40, 50, 60, 70]  # 7 samples
+    # chunks at arbitrary offsets: c1 has s0,s1; c2 has s2,s3; c3 has s4..s6
+    stsc = box(b"stsc", bytes(4) + struct.pack(">I", 2)
+               + struct.pack(">III", 1, 2, 1)
+               + struct.pack(">III", 3, 3, 1))
+    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, 7)
+               + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = box(b"stco", bytes(4) + struct.pack(">I", 3)
+               + struct.pack(">III", 1000, 2000, 5000))
+    stss = box(b"stss", bytes(4) + struct.pack(">I", 2)
+               + struct.pack(">II", 1, 5))
+    stbl = box(b"stbl", stsc + stsz + stco + stss)
+    b = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    got = M.parse_mp4_frame_index(b)
+    want = [
+        (0, 1000, 10, True), (1, 1010, 20, False),
+        (2, 2000, 30, False), (3, 2030, 40, False),
+        (4, 5000, 50, True), (5, 5050, 60, False), (6, 5110, 70, False),
+    ]
+    assert got == want
+
+
+def test_mp4_frame_index_roundtrip_and_oracle(spark, ddb):
+    """Synthesizer → parser roundtrip (offsets point at the real mdat
+    payload bytes) and the exact DuckDB oracle on the driver fixture."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    b = M.synthesize_mp4_indexed(320, 240, 19, 77)
+    idx = M.parse_mp4_frame_index(b)
+    assert len(idx) == 19
+    for f, (sample, ofs, size, sync) in enumerate(idx):
+        assert sample == f
+        assert size == 64 + (77 + 17 * f) % 191
+        assert sync == (f % 8 == 0)
+        assert b[ofs : ofs + size] == bytes([(77 + f) % 256]) * size
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.mp4_indexed_media_table(docs)
+    got = sorted(tuple(r) for r in M.mp4_frame_index(media).collect())
+    want = sorted(tuple(t) for t in ddb.execute(M.mp4_frame_index_sql()).fetchall())
+    assert got == want and len(got) > 500

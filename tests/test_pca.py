@@ -80,3 +80,46 @@ def test_pca_constant_embeddings_fail_loudly(spark):
     )
     with pytest.raises(ValueError, match="trace is 0"):
         pca.embedding_pca(const)
+
+
+def test_blocked_covariance_equals_unblocked(emb):
+    """VERDICT r8 #7: the dimension-blocked layout (for D > 2k
+    embeddings) must reproduce the unblocked cells bit-for-bit after
+    siground — block=2 on D=6 forces 3x3 block-pairs including ragged
+    none (6 % 2 == 0) plus off-diagonal rects."""
+    df, _ = emb
+    un = {(r["i"], r["j"]): r["cov"] for r in pca.embedding_covariance(df).collect()}
+    bl = {
+        (r["i"], r["j"]): r["cov"]
+        for r in pca.embedding_covariance(df, block=2).collect()
+    }
+    assert bl == un
+
+
+def test_blocked_covariance_ragged_tail_block(spark):
+    """D=5 with block=2 leaves a width-1 tail block — the slicing and
+    triangle assembly must stay exact on the ragged block-pairs."""
+    rng = np.random.RandomState(3)
+    m = rng.randn(80, 5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    un = {(r["i"], r["j"]): r["cov"] for r in pca.embedding_covariance(df).collect()}
+    bl = {
+        (r["i"], r["j"]): r["cov"]
+        for r in pca.embedding_covariance(df, block=2).collect()
+    }
+    assert bl == un
+    assert len(bl) == 5 * 6 // 2
+
+
+def test_blocked_pca_equals_unblocked(emb):
+    df, _ = emb
+    un = pca.embedding_pca(df, k=6).collect()
+    bl = pca.embedding_pca(df, k=6, block=2).collect()
+    key = lambda rows: [
+        (r["component"], r["eigenvalue"], r["explained_ratio"], r["cum_ratio"])
+        for r in sorted(rows, key=lambda r: r["component"])
+    ]
+    assert key(bl) == key(un)
