@@ -3547,15 +3547,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pack": q_bpe_pack,
         "similarity_ann_multiprobe_capped": q_similarity_ann_multiprobe_capped,
         "multimodal_mp4_frame_index": q_multimodal_mp4_frame_index,
-        # --- rows-only by design (iterative fits, FFT, xxhash
-        # production twins, unigram-LM tokenizer training — Viterbi EM
-        # needs a fold no SQL dialect has): not ANSI-SQL expressible;
-        # golden-pinned in pytest and rows-gated in the committed
-        # CORRECTNESS_LOCAL.json full sweep at HEAD ---
+        # frequency_domain also flipped rows-only → exact in r9: the
+        # periodogram is a DFT (cos/sin sums per Fourier frequency) and
+        # the detrend is OLS — see oracles.FREQUENCY_SQL
+        "frequency_domain": q_frequency_domain,
+        # --- rows-only by design (iterative fits with p-value
+        # distribution tables, xxhash production twins, unigram-LM
+        # tokenizer training — Viterbi EM needs a fold no SQL dialect
+        # has): not ANSI-SQL expressible; golden-pinned in pytest and
+        # rows-gated in the committed CORRECTNESS_LOCAL.json full
+        # sweep at HEAD ---
         "stationarity": q_stationarity,
         "stationarity_summary": q_stationarity_summary,
         "memory_dependence": q_memory_dependence,
-        "frequency_domain": q_frequency_domain,
         "cointegration": q_cointegration,
         "granger": q_granger,
         "regime_detection": q_regime_detection,
@@ -3575,6 +3579,7 @@ def all_oracles() -> dict[str, str]:
     return {
         "weighted_bins": oracles.weighted_bins_sql(WB_BIN_SIZE_MILLI, WB_MAX_BINS),
         "panel_distribution": oracles.DISTRIBUTION_SQL,
+        "frequency_domain": oracles.FREQUENCY_SQL,
         "panel_dispersion": oracles.DISPERSION_SQL,
         "panel_ar1": oracles.AR1_SQL,
         "memory_acf_hurst": oracles.MEMORY_SQL,

@@ -195,6 +195,55 @@ FROM agg WHERE n >= 12
 )
 
 
+# frequency_domain (reference A5): the periodogram IS SQL-expressible —
+# a DFT is a cos/sin dot product per Fourier frequency, the linear
+# detrend is OLS (regr_slope/regr_intercept), and the density scaling /
+# one-sided doubling follow functions/stats.py::periodogram exactly
+# (boxcar, detrend='constant' demean, p = (c²+s²)/n, ×2 except DC and
+# even-n Nyquist). The engine computes the same spectrum via rfft;
+# aggregation-order noise (~1e-13 relative) is absorbed by the rounding
+# contract, and argmax ties cannot flip across engines unless two bins
+# are equal to within that noise (distinct peaks at every test SF).
+# O(n·n/2) terms per series — exact-oracle scale only.
+FREQUENCY_SQL = with_panel(
+    f"""
+, gated AS (
+  SELECT grp, feature, value,
+         row_number() OVER (PARTITION BY grp, feature ORDER BY date) - 1 AS t,
+         count(*) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= 8
+), det AS (
+  SELECT grp, feature, t, n,
+         value - (regr_slope(value, t) OVER w * t
+                  + regr_intercept(value, t) OVER w) AS x
+  FROM gated WINDOW w AS (PARTITION BY grp, feature)
+), dem AS (
+  SELECT grp, feature, t, n,
+         x - avg(x) OVER (PARTITION BY grp, feature) AS x
+  FROM det
+), ks AS (
+  SELECT unnest(range(1, (SELECT CAST(max(n) // 2 AS BIGINT) FROM gated) + 1)) AS k
+), terms AS (
+  SELECT grp, feature, n, k,
+         sum(x * cos(2 * pi() * k * t / n)) AS c,
+         sum(x * sin(2 * pi() * k * t / n)) AS s
+  FROM dem JOIN ks ON ks.k <= dem.n // 2
+  GROUP BY grp, feature, n, k
+), pwr AS (
+  SELECT grp, feature, k,
+         CAST(k AS DOUBLE) / n AS freq,
+         (c * c + s * s) / n
+           * (CASE WHEN n % 2 = 0 AND k = n // 2 THEN 1.0 ELSE 2.0 END) AS p
+  FROM terms
+)
+SELECT grp, feature, {dec('freq')} AS dom_freq, {sig('p')} AS dom_power
+FROM pwr
+QUALIFY row_number() OVER (PARTITION BY grp, feature ORDER BY p DESC, k) = 1
+"""
+)
+
+
 def lagged_corr_sql(max_lag: int = 6, min_pairs: int = 10) -> str:
     return with_panel(
         f"""

@@ -328,7 +328,7 @@ def test_registry_contract():
     # rows-only-by-design queries sit at the bottom of the registry
     ROWS_ONLY = {
         "stationarity", "stationarity_summary", "memory_dependence",
-        "frequency_domain", "cointegration", "granger",
+        "cointegration", "granger",
         "regime_detection", "volatility_garch", "volatility_egarch",
         "volatility_gjr", "outliers_iforest", "outliers_lof",
         "similarity_ivf_hier", "dedup_minhash_lsh_xxhash",
@@ -351,7 +351,7 @@ def test_registry_contract():
         # r6/r7/r8 or be documented rows-only-by-design (in-round r9
         # newcomers, once registered, are added to NEW_R9 here)
         NEW_R9 = {"similarity_ann_multiprobe_capped",
-                  "multimodal_mp4_frame_index"}
+                  "multimodal_mp4_frame_index", "frequency_domain"}
         missing = [
             n for n in names[50:]
             if n not in r6 and n not in r7 and n not in r8
