@@ -164,6 +164,11 @@ HEADLINE = [
     "dup_matrix",  # cross-source duplication provenance matrix
     "label_agreement",  # 1-NN precision@1 per class over the LSH path
     "embedding_class_stats",  # class-collapse detector: intra vs inter dispersion
+    # r9 additions
+    "similarity_ann_multiprobe_capped",  # occupancy-capped probes: the 100x knob
+    "multimodal_mp4_frame_index",  # ISO 14496-12 sample-table resolution
+    "bpe_pack",  # tokenizer-fed pack manifest (now exact-oracled end to end)
+    "frequency_domain",  # periodogram argmax (now exact via the DFT oracle)
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.
