@@ -169,6 +169,8 @@ HEADLINE = [
     "multimodal_mp4_frame_index",  # ISO 14496-12 sample-table resolution
     "bpe_pack",  # tokenizer-fed pack manifest (now exact-oracled end to end)
     "frequency_domain",  # periodogram argmax (now exact via the DFT oracle)
+    "dedup_canonical",  # fuzzy-exact tier: canonical-form hash groups
+    "k_anonymity",  # re-identification audit, |classes|-bounded exchange
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

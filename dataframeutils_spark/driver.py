@@ -291,6 +291,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup tier (operators/dedup.py): group by the
+    canonical-form hash (lowercase + whitespace collapse) and count the
+    byte-level variants each group collapses — the re-encoded-crawl /
+    trailing-newline duplicates exact_dedup misses and MinHash wastes
+    shingling on. Same one-shuffle scale shape as dedup_exact."""
+    return dedup.canonical_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (operators/cleaning.py): equivalence
+    classes over (event_type, epoch day, floor(value)) with the
+    below-k row/class counts and risk ratio — the re-identification
+    pre-flight before publishing an event log. One combinable groupBy
+    (exchange = |classes|) + a 1-row aggregate."""
+    ev = _events_normalized(spark, sf_dir)
+    quasi = ev.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        F.floor("value").cast("long").alias("value_bin"),
+    )
+    return cleaning.k_anonymity(quasi, ["event_type", "day", "value_bin"], k=5)
+
+
 def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-corpus segment dedup: exact 10-word segments
     repeated in ≥2 documents are scrubbed and every document rebuilt —
@@ -3551,6 +3577,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # periodogram is a DFT (cos/sin sums per Fourier frequency) and
         # the detrend is OLS — see oracles.FREQUENCY_SQL
         "frequency_domain": q_frequency_domain,
+        "dedup_canonical": q_dedup_canonical,
+        "k_anonymity": q_k_anonymity,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, unigram-LM
         # tokenizer training — Viterbi EM needs a fold no SQL dialect
@@ -3588,6 +3616,16 @@ def all_oracles() -> dict[str, str]:
         "mutual_info": oracles.MUTUAL_INFO_SQL,
         "zscore_outliers": oracles.ZSCORE_SQL,
         "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_canonical": dedup.canonical_dedup_sql(),
+        "k_anonymity": cleaning.k_anonymity_sql(
+            [
+                "event_type",
+                "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day",
+                "CAST(floor(value) AS BIGINT) AS value_bin",
+            ],
+            k=5,
+            table="events",
+        ),
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(),
         "dedup_ngram_jaccard": _round_oracle_cols(
             dedup.ngram_jaccard_sql(), ["jaccard"]

@@ -483,3 +483,69 @@ SELECT cid AS vec_id, s AS max_eval_sim, eid AS nearest_eval_id,
        s >= {threshold} AS contaminated
 FROM ranked WHERE r = 1
 """
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity release audit: group rows by their quasi-identifier
+    combination and report how much of the dataset sits in equivalence
+    classes smaller than ``k`` — the standard re-identification risk
+    check run before publishing event logs or per-user aggregates
+    (Sweeney 2002; a row in a class of size < k is linkable to an
+    individual by anyone who knows its quasi-identifiers).
+
+    One row out: (k, n_rows, n_classes, n_classes_below_k,
+    n_rows_at_risk, risk_pct, min_class_size, max_class_size).
+
+    Scale shape: ONE map-side-combinable groupBy on the quasi columns
+    (exchange = |classes|, never rows), then a single-row aggregate
+    over the class-size table. No row payload ever shuffles.
+    """
+    from dataframeutils_spark.schema import decround
+
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("sz")
+    )
+    below = F.col("sz") < k
+    return classes.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.sum(below.cast("long")).alias("n_classes_below_k"),
+        F.sum(F.when(below, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        decround(
+            F.sum(F.when(below, F.col("sz")).otherwise(F.lit(0)))
+            / F.sum("sz")
+        ).alias("risk_pct"),
+        F.min("sz").cast("long").alias("min_class_size"),
+        F.max("sz").cast("long").alias("max_class_size"),
+    )
+
+
+def k_anonymity_sql(quasi_exprs: list[str], k: int, table: str) -> str:
+    """DuckDB oracle for :func:`k_anonymity` — same two-level
+    aggregate over the given quasi-identifier SQL expressions."""
+    from dataframeutils_spark.schema import decround_sql
+
+    keys = ", ".join(quasi_exprs)
+    risk = decround_sql(
+        "sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) * 1.0 / sum(sz)".format(k=k)
+    )
+    # GROUP BY ALL: quasi_exprs may carry AS aliases
+    return f"""
+WITH classes AS (
+  SELECT {keys}, count(*) AS sz FROM {table} GROUP BY ALL
+)
+SELECT CAST({k} AS INT) AS k,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN sz < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below_k,
+       CAST(sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       {risk} AS risk_pct,
+       CAST(min(sz) AS BIGINT) AS min_class_size,
+       CAST(max(sz) AS BIGINT) AS max_class_size
+FROM classes
+"""

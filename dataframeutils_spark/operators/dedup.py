@@ -75,6 +75,56 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def canonical_text(col: Column) -> Column:
+    """Canonical form for fuzzy-exact dedup: lowercase + whitespace
+    runs collapsed to single spaces + trimmed. Deliberately ONLY
+    whitespace/case (no punctuation stripping — Java vs RE2 punct
+    classes diverge on unicode, and dropping punctuation changes
+    meaning); near-dup beyond that is MinHash territory."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def canonical_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fuzzy-exact dedup tier between :func:`exact_dedup` and MinHash:
+    group documents by the canonical-form hash — (canon_hash, n_docs,
+    keep_doc_id, n_variants). ``n_variants`` counts distinct RAW
+    hashes inside the group, i.e. how many byte-level variants the
+    canonicalization collapsed (re-encoded crawls, trailing-newline
+    twins, case-mangled mirrors — the duplicates exact_dedup MISSES
+    and MinHash wastes shingling on).
+
+    Same scale shape as exact_dedup: both hashes computed scan-side,
+    one shuffle on the 32-hex canonical key (64 bytes/row with the raw
+    hash), map-side combinable aggregates.
+    """
+    return (
+        docs.select(
+            F.md5(canonical_text(F.col(text_col))).alias("canon_hash"),
+            F.md5(F.col(text_col)).alias("_raw"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("keep_doc_id"),
+            F.countDistinct("_raw").alias("n_variants"),
+        )
+    )
+
+
+def canonical_dedup_sql(table: str = "documents") -> str:
+    canon = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+SELECT md5({canon}) AS canon_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_variants
+FROM {table} GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -351,7 +351,8 @@ def test_registry_contract():
         # r6/r7/r8 or be documented rows-only-by-design (in-round r9
         # newcomers, once registered, are added to NEW_R9 here)
         NEW_R9 = {"similarity_ann_multiprobe_capped",
-                  "multimodal_mp4_frame_index", "frequency_domain"}
+                  "multimodal_mp4_frame_index", "frequency_domain",
+                  "dedup_canonical", "k_anonymity"}
         missing = [
             n for n in names[50:]
             if n not in r6 and n not in r7 and n not in r8

@@ -1366,3 +1366,48 @@ def test_multiprobe_bucket_cap_recall_floor_clustered(spark):
     }
     recall = len(exact & capped) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_canonical_dedup_collapses_whitespace_and_case_variants(spark):
+    """The canonical tier must group byte-level variants exact_dedup
+    misses (case mangling, whitespace runs, trailing newline) while
+    keeping genuinely different texts apart."""
+    from dataframeutils_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox"),
+            (2, "the  quick   brown fox "),   # case + runs + trailing
+            (3, "THE QUICK BROWN\tFOX"),      # tab + caps
+            (4, "the quick brown fox jumps"), # different text
+            (5, "the quick brown fox"),       # already canonical
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["canon_hash"]: r for r in dedup.canonical_dedup(docs).collect()}
+    assert len(out) == 2
+    big = max(out.values(), key=lambda r: r["n_docs"])
+    assert big["n_docs"] == 4 and big["keep_doc_id"] == 1
+    # 4 docs but only 4 distinct raw hashes? 1,2,3,5 all differ raw
+    assert big["n_variants"] == 4
+    # exact dedup would have found nothing to collapse
+    assert dedup.exact_dedup(docs).count() == 5
+
+
+def test_k_anonymity_counts_classes_below_k(spark):
+    """Hand-checkable equivalence classes: sizes 1, 2 and 5 with k=3
+    put exactly the singleton and the pair at risk."""
+    from dataframeutils_spark.operators import cleaning
+
+    rows = (
+        [("a", 1)] * 5      # class size 5: safe
+        + [("b", 1)] * 2    # class size 2: at risk
+        + [("c", 2)]        # class size 1: at risk
+    )
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    r = cleaning.k_anonymity(df, ["qa", "qb"], k=3).collect()[0]
+    assert r["k"] == 3
+    assert r["n_rows"] == 8 and r["n_classes"] == 3
+    assert r["n_classes_below_k"] == 2 and r["n_rows_at_risk"] == 3
+    assert r["risk_pct"] == 0.375
+    assert r["min_class_size"] == 1 and r["max_class_size"] == 5

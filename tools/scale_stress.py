@@ -293,6 +293,14 @@ QUERIES = [
     "stream_heavy_hitters",
     "label_agreement",
     "embedding_class_stats",
+    # r9: canonical dedup is the same one-shuffle shape as dedup_exact
+    # (the replicated corpus's appended-token replicas stay distinct,
+    # so the canonical key table is ~|docs| — worst case for it);
+    # k_anonymity's exchange is |classes| at any row count; the frame
+    # index and capped multi-probe are the round's new scale paths
+    "dedup_canonical",
+    "k_anonymity",
+    "multimodal_mp4_frame_index",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
