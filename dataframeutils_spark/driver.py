@@ -309,9 +309,10 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_normalized(spark, sf_dir)
     quasi = ev.select(
         "event_type",
-        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
-        .cast("long")
-        .alias("day"),
+        # integral `div`, not floor-of-float-division: DuckDB's `//`
+        # truncates toward zero, so the oracle and engine must agree on
+        # pre-1970 (negative-epoch) timestamps too
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
         F.floor("value").cast("long").alias("value_bin"),
     )
     return cleaning.k_anonymity(quasi, ["event_type", "day", "value_bin"], k=5)

@@ -128,6 +128,7 @@ def bpe_train(
 
 
 _SEP = "\x01"  # symbol separator for the string-replace encode form
+_BOUND = "\x02"  # word-boundary byte: makes cross-word matches impossible
 
 
 def bpe_encode_stats(
@@ -143,23 +144,24 @@ def bpe_encode_stats(
     / tokens.
 
     Encoding form: the whole document as ONE separator-wrapped symbol
-    string (sep + sym + sep sep + sym + ... + sep per word, words
-    concatenated), each rule applied as a single-pass literal
-    ``replace`` — the same representation the DuckDB oracle uses, and
-    provably equivalent to the per-word greedy fold (leftmost
-    non-overlapping; a replacement never re-participates in its own
-    pass). Merges cannot cross word boundaries: a cross-boundary match
-    would need a rule whose LEFT symbol ends with the end-of-word
-    marker, and no such rule is learnable (the marker is always
-    word-final, so nothing ever follows it inside a word). vs the
-    previous 30 chained array folds (O(len²) copies per rule), each
-    replace is one linear JVM scan: measured 92 s → ~3 s for the
-    sf0.1 corpus encode. Constraint (shared with the oracle): corpus
-    text must not contain the \\x01 separator byte."""
+    string (sep + sym + sep sep + sym + ... + sep per word), each rule
+    applied as a single-pass literal ``replace`` — the same
+    representation the DuckDB oracle uses, and provably equivalent to
+    the per-word greedy fold (leftmost non-overlapping; a replacement
+    never re-participates in its own pass). Words are joined with a
+    DISTINCT boundary byte (\\x02), so the between-words region is
+    ``sep boundary sep`` — a rule pattern (which contains only
+    ``sep sep`` between its two symbols) can never straddle a word
+    boundary, even for pathological corpora whose text contains the
+    end-of-word marker character itself. vs the previous 30 chained
+    array folds (O(len²) copies per rule), each replace is one linear
+    JVM scan: measured 92 s → ~3 s for the sf0.1 corpus encode.
+    Constraint (shared with the oracle): corpus text must not contain
+    the \\x01/\\x02 control bytes."""
     words = _tokens(F.lower(F.col(text_col)))
     sep2 = _SEP + _SEP
     wrapped = F.concat_ws(
-        "",
+        _BOUND,
         F.transform(
             words,
             lambda w: F.concat(

@@ -75,13 +75,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Explicit literal-char whitespace class — NOT \s: Java's \s includes
+# vertical tab (\x0B) while RE2's does not, so the shorthand would make
+# the two engines canonicalize the same document differently. The
+# literal bytes below mean the same thing in both dialects.
+_WS_RUN = "[ \t\n\r\f\x0b]+"
+
+
 def canonical_text(col: Column) -> Column:
     """Canonical form for fuzzy-exact dedup: lowercase + whitespace
     runs collapsed to single spaces + trimmed. Deliberately ONLY
     whitespace/case (no punctuation stripping — Java vs RE2 punct
     classes diverge on unicode, and dropping punctuation changes
     meaning); near-dup beyond that is MinHash territory."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), _WS_RUN, " "))
 
 
 def canonical_dedup(
@@ -115,7 +122,7 @@ def canonical_dedup(
 
 
 def canonical_dedup_sql(table: str = "documents") -> str:
-    canon = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    canon = f"trim(regexp_replace(lower(text), '{_WS_RUN}', ' ', 'g'))"
     return f"""
 SELECT md5({canon}) AS canon_hash,
        CAST(count(*) AS BIGINT) AS n_docs,

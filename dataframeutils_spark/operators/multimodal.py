@@ -1630,14 +1630,47 @@ def _walk_boxes(b: bytes, start: int, end: int):
 
 
 def _find_box(b: bytes, start: int, end: int, path: list[bytes]):
-    """Descend a box path (e.g. [moov, trak, mdia, minf, stbl]);
-    returns (payload_start, payload_end) or None."""
+    """Descend a box path (e.g. [moov, trak, mdia, minf, stbl]) with
+    BACKTRACKING: if the first child matching a segment does not
+    contain the rest of the path, the next matching sibling is tried.
+    Returns (payload_start, payload_end) or None."""
     for btype, ps, pe in _walk_boxes(b, start, end):
         if btype == path[0]:
             if len(path) == 1:
                 return ps, pe
-            return _find_box(b, ps, pe, path[1:])
+            found = _find_box(b, ps, pe, path[1:])
+            if found is not None:
+                return found
     return None
+
+
+def _video_stbl(b: bytes):
+    """The stbl of the VIDEO track: walk every moov/trak, prefer the
+    one whose mdia/hdlr handler is 'vide' (real multi-track files
+    commonly mux audio first), falling back to the first trak that has
+    a sample table at all."""
+    moov = _find_box(b, 0, len(b), [b"moov"])
+    if moov is None:
+        return None
+    fallback = None
+    for btype, ps, pe in _walk_boxes(b, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        mdia = _find_box(b, ps, pe, [b"mdia"])
+        if mdia is None:
+            continue
+        stbl = _find_box(b, mdia[0], mdia[1], [b"minf", b"stbl"])
+        if stbl is None:
+            continue
+        hdlr = _find_box(b, mdia[0], mdia[1], [b"hdlr"])
+        handler = (
+            b[hdlr[0] + 8 : hdlr[0] + 12] if hdlr is not None else b""
+        )
+        if handler == b"vide":
+            return stbl
+        if fallback is None:
+            fallback = stbl
+    return fallback
 
 
 def parse_mp4_frame_index(b: bytes) -> list[tuple[int, int, int, bool]]:
@@ -1645,12 +1678,12 @@ def parse_mp4_frame_index(b: bytes) -> list[tuple[int, int, int, bool]]:
     byte_offset, size, is_sync) per frame, derived from stsz + stco +
     stsc + stss exactly the way a player resolves sample positions —
     walk the stsc runs chunk by chunk, accumulate sizes within each
-    chunk. General over any chunking, not just the fixture's."""
+    chunk. General over any chunking AND any track order (the video
+    trak is selected by its hdlr handler type), not just the
+    fixture's."""
     import struct
 
-    stbl = _find_box(
-        b, 0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
-    )
+    stbl = _video_stbl(b)
     if stbl is None:
         raise ValueError("MP4 missing moov/trak/mdia/minf/stbl")
     tables: dict[bytes, tuple[int, int]] = {}

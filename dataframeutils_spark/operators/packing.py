@@ -113,10 +113,11 @@ def pack_sequences_bpe(
 ) -> DataFrame:
     """GPT-style packing with REAL subword counts: per-doc token counts
     come from replaying learned BPE rules (operators.bpe) as scan-side
-    folds, then the manifest is the same two-phase prefix-sum plan as
-    :func:`pack_sequences`. Depends on trained rules → rows-only gate;
-    the manifest invariants (every non-final sequence exactly full) are
-    pytest-pinned."""
+    chained string replaces, then the manifest is the same two-phase
+    prefix-sum plan as :func:`pack_sequences`. Exact-hash gated end to
+    end via :func:`pack_sequences_bpe_sql` (the oracle re-trains in
+    SQL); the manifest invariants (every non-final sequence exactly
+    full) are additionally pytest-pinned."""
     from dataframeutils_spark.operators import bpe as bpe_ops
 
     counts = bpe_ops.bpe_encode_stats(

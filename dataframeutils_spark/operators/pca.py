@@ -134,6 +134,25 @@ def _reduce_blocked(parts: DataFrame) -> DataFrame:
     )
 
 
+def _unpack_blocked_row(arr, bi: int, bj: int, d: int, block: int):
+    """Decode one (bi, bj, moments) row of the blocked layout — the ONE
+    place that knows the packing: diagonal rows are concat(Σx of block
+    bi, row-major upper triangle of the symmetric Gram block),
+    off-diagonal rows the full rect. Returns (s_slice-or-None,
+    dense block ndarray of shape (bsz_i, bsz_j))."""
+    import numpy as np
+
+    bsz_i = min(block, d - bi * block)
+    bsz_j = min(block, d - bj * block)
+    if bi == bj:
+        s = arr[:bsz_i]
+        blk = np.zeros((bsz_i, bsz_i))
+        blk[np.triu_indices(bsz_i)] = arr[bsz_i:]
+        blk = blk + blk.T - np.diag(np.diag(blk))
+        return s, blk
+    return None, arr.reshape(bsz_i, bsz_j)
+
+
 def _triu_dim(n_cells: int) -> int:
     """Invert |cells| = D + D(D+1)/2 = D(D+3)/2 exactly."""
     d = int(round((-3 + (9 + 8 * n_cells) ** 0.5) / 2))
@@ -188,29 +207,22 @@ def _covariance_from_blocked(
         for pdf in it:
             for _, row in pdf.iterrows():
                 bi, bj = int(row["bi"]), int(row["bj"])
-                arr = np.asarray(row["moments"])
-                bsz_i = min(block, d - bi * block)
-                bsz_j = min(block, d - bj * block)
+                _, blk = _unpack_blocked_row(
+                    np.asarray(row["moments"]), bi, bj, d, block
+                )
                 if bi == bj:
-                    tri = arr[bsz_i:]
-                    ii, jj = np.triu_indices(bsz_i)
-                    yield pd.DataFrame(
-                        {
-                            "i": bi * block + ii,
-                            "j": bj * block + jj,
-                            "xx": tri,
-                        }
-                    )
+                    ii, jj = np.triu_indices(blk.shape[0])
                 else:
-                    o = arr.reshape(bsz_i, bsz_j)
-                    ii, jj = np.indices((bsz_i, bsz_j))
-                    yield pd.DataFrame(
-                        {
-                            "i": bi * block + ii.ravel(),
-                            "j": bj * block + jj.ravel(),
-                            "xx": o.ravel(),
-                        }
+                    ii, jj = (
+                        x.ravel() for x in np.indices(blk.shape)
                     )
+                yield pd.DataFrame(
+                    {
+                        "i": bi * block + ii,
+                        "j": bj * block + jj,
+                        "xx": blk[ii, jj] if bi == bj else blk.ravel(),
+                    }
+                )
 
     def means_fn(it):
         import numpy as np
@@ -220,10 +232,11 @@ def _covariance_from_blocked(
             diag = pdf[pdf["bi"] == pdf["bj"]]
             for _, row in diag.iterrows():
                 bi = int(row["bi"])
-                bsz = min(block, d - bi * block)
-                s = np.asarray(row["moments"])[:bsz]
+                s, _ = _unpack_blocked_row(
+                    np.asarray(row["moments"]), bi, bi, d, block
+                )
                 yield pd.DataFrame(
-                    {"i": bi * block + np.arange(bsz), "s_i": s}
+                    {"i": bi * block + np.arange(len(s)), "s_i": s}
                 )
 
     cells = reduced.mapInPandas(cells_fn, "i int, j int, xx double")
@@ -360,47 +373,30 @@ def embedding_pca(
         reduced = _reduce_blocked(
             _partial_moments_blocked(emb, vec_col, block)
         ).collect()  # bounded: nb(nb+1)/2 rows, D(D+3)/2 doubles total
+        # n >= 2 already guaranteed by _probe_dim above
         n = next(int(r["n"]) for r in reduced if r["bi"] == 0 and r["bj"] == 0)
-        if n < 2:
-            raise ValueError(
-                f"embedding_pca needs at least 2 vectors to form a "
-                f"sample covariance (got n={n})"
-            )
         s = np.zeros(d)
         o = np.zeros((d, d))
         for r in reduced:
             bi, bj = int(r["bi"]), int(r["bj"])
-            arr = np.asarray(r["moments"])
-            bsz_i = min(block, d - bi * block)
-            bsz_j = min(block, d - bj * block)
-            if bi == bj:
-                s[bi * block : bi * block + bsz_i] = arr[:bsz_i]
-                blk = np.zeros((bsz_i, bsz_i))
-                blk[np.triu_indices(bsz_i)] = arr[bsz_i:]
-                blk = blk + blk.T - np.diag(np.diag(blk))
-                o[
-                    bi * block : bi * block + bsz_i,
-                    bi * block : bi * block + bsz_i,
-                ] = blk
-            else:
-                blk = arr.reshape(bsz_i, bsz_j)
-                o[
-                    bi * block : bi * block + bsz_i,
-                    bj * block : bj * block + bsz_j,
-                ] = blk
-                o[
-                    bj * block : bj * block + bsz_j,
-                    bi * block : bi * block + bsz_i,
-                ] = blk.T
+            s_slice, blk = _unpack_blocked_row(
+                np.asarray(r["moments"]), bi, bj, d, block
+            )
+            bsz_i, bsz_j = blk.shape
+            if s_slice is not None:
+                s[bi * block : bi * block + bsz_i] = s_slice
+            o[
+                bi * block : bi * block + bsz_i,
+                bj * block : bj * block + bsz_j,
+            ] = blk
+            o[
+                bj * block : bj * block + bsz_j,
+                bi * block : bi * block + bsz_i,
+            ] = blk.T
     else:
         parts = _partial_moments(emb, vec_col)
         rows = parts.collect()  # bounded: one row per Arrow batch
         n = sum(r["n"] for r in rows)
-        if n < 2:
-            raise ValueError(
-                f"embedding_pca needs at least 2 vectors to form a sample "
-                f"covariance (got n={n})"
-            )
         acc = np.sum([np.asarray(r["moments"]) for r in rows], axis=0)
         d = _triu_dim(len(acc))
         s, tri = acc[:d], acc[d:]

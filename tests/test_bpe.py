@@ -181,3 +181,23 @@ def test_bpe_sql_oracle_matches_reference():
     last = max(per_seq)
     for s, n in per_seq.items():
         assert n == 16 or s == last
+
+
+def test_encode_no_cross_word_merge_with_marker_in_text(spark):
+    """Code-review regression: a corpus containing the end-of-word
+    marker character itself (e.g. text ABOUT sentencepiece output)
+    must still never merge across word boundaries — the \\x02 word
+    joiner makes the between-words region unmatchable regardless of
+    what rules exist."""
+    docs = spark.createDataFrame(
+        [(0, "cat bat"), (1, f"x{bpe.END_OF_WORD}y zz")],
+        "doc_id long, text string",
+    )
+    # adversarial hand-made rule: left IS the end-of-word marker
+    rules = [(bpe.END_OF_WORD, "b", 0)]
+    got = {r["doc_id"]: r for r in bpe.bpe_encode_stats(docs, rules).collect()}
+    # per-word greedy fold reference: no within-word (marker, b) pair
+    # exists in 'cat'/'bat', so nothing merges: 4 + 4 tokens
+    assert got[0]["n_tokens"] == 8
+    # doc 1: word 'x▁y' has symbols [x, ▁, y, ▁] — no (▁, b) pair either
+    assert got[1]["n_tokens"] == 4 + 3

@@ -557,3 +557,37 @@ def test_mp4_frame_index_roundtrip_and_oracle(spark, ddb):
     got = sorted(tuple(r) for r in M.mp4_frame_index(media).collect())
     want = sorted(tuple(t) for t in ddb.execute(M.mp4_frame_index_sql()).fetchall())
     assert got == want and len(got) > 500
+
+
+def test_mp4_frame_index_selects_video_trak_on_multitrack():
+    """Code-review regression: real files commonly mux the audio trak
+    FIRST — the parser must select the trak whose hdlr handler is
+    'vide' (with backtracking past traks that lack the path), not
+    blindly descend the first trak."""
+    import struct
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    def trak(handler, sizes, chunk_ofs, syncs):
+        hdlr = box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12) + b"\x00")
+        stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, len(sizes))
+                   + b"".join(struct.pack(">I", s) for s in sizes))
+        stsc = box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, len(sizes), 1))
+        stco = box(b"stco", bytes(4) + struct.pack(">II", 1, chunk_ofs))
+        stss = box(b"stss", bytes(4) + struct.pack(">I", len(syncs))
+                   + b"".join(struct.pack(">I", s) for s in syncs))
+        stbl = box(b"stbl", stsc + stsz + stco + stss)
+        return box(b"trak", box(b"mdia", hdlr + box(b"minf", stbl)))
+
+    audio = trak(b"soun", [111, 222, 333], 9000, [1, 2, 3])
+    video = trak(b"vide", [10, 20], 4000, [1])
+    b = box(b"moov", audio + video)
+    got = M.parse_mp4_frame_index(b)
+    assert got == [(0, 4000, 10, True), (1, 4010, 20, False)]
+
+    # and with no video trak at all, fall back to the first sample table
+    b2 = box(b"moov", trak(b"soun", [5, 6], 100, [2]))
+    assert M.parse_mp4_frame_index(b2) == [(0, 100, 5, False), (1, 105, 6, True)]

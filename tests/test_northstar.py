@@ -1411,3 +1411,49 @@ def test_k_anonymity_counts_classes_below_k(spark):
     assert r["n_classes_below_k"] == 2 and r["n_rows_at_risk"] == 3
     assert r["risk_pct"] == 0.375
     assert r["min_class_size"] == 1 and r["max_class_size"] == 5
+
+
+def test_canonical_dedup_vertical_tab_cross_engine(spark, ddb):
+    """Code-review regression: Java's \\s includes vertical tab, RE2's
+    does not — the explicit literal whitespace class must make both
+    engines canonicalize a \\x0B-bearing document identically."""
+    import pandas as pd
+
+    from dataframeutils_spark.operators import dedup
+
+    rows = [(1, "alpha\x0bbeta"), (2, "alpha beta"), (3, "alpha\tbeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in dedup.canonical_dedup(docs).collect()
+    )
+    ddb.execute("CREATE OR REPLACE TABLE vt_docs (doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO vt_docs VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(t)
+        for t in ddb.execute(dedup.canonical_dedup_sql(table="vt_docs")).fetchall()
+    )
+    assert got == want
+    # and the three variants all collapse into ONE canonical group
+    assert len(got) == 1 and got[0][1] == 3
+
+
+def test_k_anonymity_day_binning_pre_epoch_cross_engine(spark, ddb):
+    """Code-review regression: integral `div` (Spark) and `//` (DuckDB)
+    both truncate toward zero, so pre-1970 timestamps land in the same
+    day bin on both engines (floor-of-float-division would not)."""
+    micros = [-100_000_000_000, -1, 0, 1, 100_000_000_000]
+    df = spark.createDataFrame([(m,) for m in micros], "us long")
+    got = [
+        r["day"]
+        for r in df.select(F.expr("us div 86400000000").alias("day"))
+        .orderBy("us")
+        .collect()
+    ]
+    want = [
+        t[0]
+        for t in ddb.execute(
+            "SELECT us // 86400000000 FROM (SELECT unnest(?) AS us) ORDER BY us",
+            [micros],
+        ).fetchall()
+    ]
+    assert got == want == [-1, 0, 0, 0, 1]
