@@ -3390,8 +3390,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lead the r10 window), then the 47 r7-verified entries, then the 50
     entries gated green in CORRECTNESS_r08.json (newest rows), then the
     rows-only-by-design group at the bottom. In-round r9 newcomers are
-    registered below the cap per the rotation protocol and lead the
-    r10 window alongside the r6 leftovers.
+    registered below the cap per the rotation protocol; the r10 window
+    should lead with the 7 r6 leftovers (apply_changes through
+    weighted_bins) plus the 9 never-externally-gated-as-exact r9
+    entries: the BPE trio (bpe_train/bpe_encode/bpe_pack — flipped to
+    exact via the in-SQL retrainer), frequency_domain (flipped exact
+    via the DFT oracle), similarity_ann_multiprobe_capped,
+    multimodal_mp4_frame_index, dedup_canonical and k_anonymity, and
+    the re-shaped similarity_recall (now 3 exact hash arms).
     """
     return {
         # --- r9 window leads (positions 1-8): the 8 exact-oracled r8
