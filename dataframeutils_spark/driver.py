@@ -3586,6 +3586,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_domain": q_frequency_domain,
         "dedup_canonical": q_dedup_canonical,
         "k_anonymity": q_k_anonymity,
+        # memory_dependence flipped rows-only → exact in r9: at the
+        # registered lags=10 the chi² dof is even, so the Ljung–Box
+        # p-value has a closed-form survival — oracles.MEMORY_DEPENDENCE_SQL
+        "memory_dependence": q_memory_dependence,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, unigram-LM
         # tokenizer training — Viterbi EM needs a fold no SQL dialect
@@ -3594,7 +3598,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sweep at HEAD ---
         "stationarity": q_stationarity,
         "stationarity_summary": q_stationarity_summary,
-        "memory_dependence": q_memory_dependence,
         "cointegration": q_cointegration,
         "granger": q_granger,
         "regime_detection": q_regime_detection,
@@ -3615,6 +3618,7 @@ def all_oracles() -> dict[str, str]:
         "weighted_bins": oracles.weighted_bins_sql(WB_BIN_SIZE_MILLI, WB_MAX_BINS),
         "panel_distribution": oracles.DISTRIBUTION_SQL,
         "frequency_domain": oracles.FREQUENCY_SQL,
+        "memory_dependence": oracles.MEMORY_DEPENDENCE_SQL,
         "panel_dispersion": oracles.DISPERSION_SQL,
         "panel_ar1": oracles.AR1_SQL,
         "memory_acf_hurst": oracles.MEMORY_SQL,

@@ -195,6 +195,76 @@ FROM agg WHERE n >= 12
 )
 
 
+# memory_dependence (reference A4, full output): the Ljung–Box p-value
+# IS SQL-expressible at the registered lags=10 because the chi² dof is
+# EVEN — the survival function has the closed form
+# exp(-q/2) · Σ_{i<k/2} (q/2)^i / i!, no incomplete-gamma machinery
+# needed. The Q statistic itself is autocorrelation sums (global mean,
+# biased normalization — NOT per-segment corr()), built from ten lag
+# windows. The acf/hurst columns reuse MEMORY_SQL's expressions; float
+# noise between the engine's gamma-series evaluation and the closed
+# form (~1e-14) is absorbed by the rounding contract.
+_LB_LAGS = 10
+_LB_CORRS = ",\n         ".join(
+    f"sum((value - m) * (l{k} - m)) AS c{k}" for k in range(1, _LB_LAGS + 1)
+)
+_LB_LAG_COLS = ",\n         ".join(
+    f"lag(value, {k}) OVER w AS l{k}" for k in range(1, _LB_LAGS + 1)
+)
+_LB_Q = " + ".join(
+    f"pow(c{k} / denom, 2) / (n - {k})" for k in range(1, _LB_LAGS + 1)
+)
+# closed-form chi²(10) survival: k/2 = 5 series terms
+_LB_P = (
+    "exp(-q / 2) * (1 + (q/2) + pow(q/2, 2)/2 + pow(q/2, 3)/6 "
+    "+ pow(q/2, 4)/24)"
+)
+
+MEMORY_DEPENDENCE_SQL = with_panel(
+    f"""
+, d AS (
+  SELECT grp, feature, date, value,
+         avg(value) OVER (PARTITION BY grp, feature) AS mean_v,
+         avg(value) OVER (PARTITION BY grp, feature) AS m,
+         count(*) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= 12
+), lagged AS (
+  SELECT grp, feature, n, m, value,
+         lag(value, 1)  OVER w AS xlag1,
+         lag(value, 5)  OVER w AS xlag5,
+         lag(value, 10) OVER w AS xlag10,
+         sum(value - mean_v) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_dev,
+         {_LB_LAG_COLS}
+  FROM d
+  WINDOW w AS (PARTITION BY grp, feature ORDER BY date)
+), agg AS (
+  SELECT grp, feature, any_value(n) AS n,
+         corr(value, xlag1)  AS a1,
+         corr(value, xlag5)  AS a5,
+         corr(value, xlag10) AS a10,
+         max(cum_dev) AS cmax, min(cum_dev) AS cmin,
+         stddev_samp(value) AS sd,
+         sum((value - m) * (value - m)) AS denom,
+         {_LB_CORRS}
+  FROM lagged GROUP BY grp, feature
+), lb AS (
+  SELECT grp, feature, n, a1, a5, a10, cmax, cmin, sd, denom,
+         CASE WHEN denom > 0
+              THEN n * (n + 2.0) * ({_LB_Q}) END AS q
+  FROM agg
+)
+SELECT grp, feature,
+       {dec('a1')} AS acf_lag1, {dec('a5')} AS acf_lag5, {dec('a10')} AS acf_lag10,
+       CASE WHEN denom > 0 THEN {dec(_LB_P)} END AS ljungbox_p,
+       CASE WHEN n < 20 THEN NULL
+            WHEN sd = 0 THEN 0.5
+            ELSE {dec('ln((cmax - cmin) / sd) / ln(n)')} END AS hurst_exp
+FROM lb
+"""
+)
+
+
 # frequency_domain (reference A5): the periodogram IS SQL-expressible —
 # a DFT is a cos/sin dot product per Fourier frequency, the linear
 # detrend is OLS (regr_slope/regr_intercept), and the density scaling /

@@ -327,7 +327,7 @@ def test_registry_contract():
     ], rows_only_in_cap
     # rows-only-by-design queries sit at the bottom of the registry
     ROWS_ONLY = {
-        "stationarity", "stationarity_summary", "memory_dependence",
+        "stationarity", "stationarity_summary",
         "cointegration", "granger",
         "regime_detection", "volatility_garch", "volatility_egarch",
         "volatility_gjr", "outliers_iforest", "outliers_lof",
@@ -352,7 +352,7 @@ def test_registry_contract():
         # newcomers, once registered, are added to NEW_R9 here)
         NEW_R9 = {"similarity_ann_multiprobe_capped",
                   "multimodal_mp4_frame_index", "frequency_domain",
-                  "dedup_canonical", "k_anonymity"}
+                  "dedup_canonical", "k_anonymity", "memory_dependence"}
         missing = [
             n for n in names[50:]
             if n not in r6 and n not in r7 and n not in r8
