@@ -201,3 +201,33 @@ def test_encode_no_cross_word_merge_with_marker_in_text(spark):
     assert got[0]["n_tokens"] == 8
     # doc 1: word 'x▁y' has symbols [x, ▁, y, ▁] — no (▁, b) pair either
     assert got[1]["n_tokens"] == 4 + 3
+
+
+def test_encode_equals_fold_property(spark):
+    """Property test for the replace-vs-fold equivalence: across many
+    random small corpora (including marker and repeated-char words),
+    the string-replace encode's token counts must equal the pure-Python
+    per-word greedy fold for the TRAINED rules of that corpus."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = "abc" + bpe.END_OF_WORD  # marker char in text on purpose
+    for trial in range(6):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(rng.randint(2, 6))
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        n_merges = rng.randint(1, 12)
+        _, rules = bpe.bpe_train(docs, n_merges=n_merges, vocab_top=1000)
+        ref_rules, ref_seqs = ref_bpe(texts, n_merges)
+        assert rules == ref_rules, (trial, texts)
+        got = {r["doc_id"]: r["n_tokens"] for r in bpe.bpe_encode_stats(docs, rules).collect()}
+        for i, t in enumerate(texts):
+            want = sum(len(ref_seqs[w]) for w in t.lower().split() if w)
+            assert got[i] == want, (trial, t, rules)
