@@ -71,12 +71,20 @@ def bpe_train(
     n_merges: int = 30,
     vocab_top: int = 2000,
     text_col: str = "text",
+    require_full: bool = False,
 ) -> tuple[DataFrame, list[tuple[str, str, int]]]:
     """Learn ``n_merges`` BPE rules; returns (merge table DataFrame,
     the same rules as a driver-side list for :func:`bpe_encode`).
 
     Merge table columns: rank (1-based), left, right, merged,
     pair_count (the weighted occurrence count that won the round).
+
+    ``require_full=True`` raises a readable ValueError if training
+    early-stops (best pair count < 2) before all ``n_merges`` rules are
+    learned. The exact-gated driver queries set it because their DuckDB
+    oracle unconditionally replays all ``n_merges`` rounds — on a
+    corpus too sparse to support them, the asymmetry must fail loudly
+    here, not as an opaque row-count diff at the gate.
     """
     spark = docs.sparkSession
     wt = _word_table(docs, text_col, vocab_top)
@@ -117,6 +125,14 @@ def bpe_train(
             # truncate lineage: 5 chained HOF folds per checkpoint
             cur = cur.localCheckpoint(eager=True)
     seqs.unpersist()
+    if require_full and len(rules) < n_merges:
+        raise ValueError(
+            f"bpe_train: early-stopped after {len(rules)}/{n_merges} merges "
+            "(best remaining pair occurs < 2 times). The corpus is too "
+            "sparse for the requested merge count; the SQL oracle replays "
+            "all rounds unconditionally, so an exact gate on this corpus "
+            "would mismatch — lower n_merges or use a larger corpus."
+        )
     table = spark.createDataFrame(
         [
             (i + 1, l, r, l + r, n)
@@ -157,8 +173,30 @@ def bpe_encode_stats(
     array folds (O(len²) copies per rule), each replace is one linear
     JVM scan: measured 92 s → ~3 s for the sf0.1 corpus encode.
     Constraint (shared with the oracle): corpus text must not contain
-    the \\x01/\\x02 control bytes."""
+    the \\x01/\\x02 control bytes — enforced scan-side with
+    ``assert_true`` so corrupt input fails loudly at execution instead
+    of hash-mismatching downstream (the array-fold form had no such
+    constraint; this one trades it for the linear-scan encode)."""
     words = _tokens(F.lower(F.col(text_col)))
+    # Reserved-byte guard: NULL (and a no-op) on clean rows, a loud
+    # SparkRuntimeException naming the doc on corrupt ones. Folded into
+    # n_words via coalesce so the non-foldable assert is always
+    # evaluated without changing any output value.
+    guard = F.assert_true(
+        ~(
+            F.col(text_col).contains(_SEP)
+            | F.col(text_col).contains(_BOUND)
+        ),
+        F.concat(
+            F.lit(
+                "bpe_encode_stats: text contains a reserved control byte "
+                "(\\x01 symbol separator or \\x02 word boundary); the "
+                "string-replace encode would be silently wrong. Clean or "
+                "drop the row first. doc "
+            ),
+            F.col(id_col).cast("string"),
+        ),
+    ).cast("int")
     sep2 = _SEP + _SEP
     wrapped = F.concat_ws(
         _BOUND,
@@ -194,7 +232,7 @@ def bpe_encode_stats(
     )
     return docs.select(
         id_col,
-        F.size(words).alias("n_words"),
+        (F.size(words) + F.coalesce(guard, F.lit(0))).alias("n_words"),
         n_symbols.alias("n_symbols"),
         n_tokens.alias("n_tokens"),
         (n_symbols.cast("double") / n_tokens).alias("compression"),

@@ -224,7 +224,6 @@ MEMORY_DEPENDENCE_SQL = with_panel(
     f"""
 , d AS (
   SELECT grp, feature, date, value,
-         avg(value) OVER (PARTITION BY grp, feature) AS mean_v,
          avg(value) OVER (PARTITION BY grp, feature) AS m,
          count(*) OVER (PARTITION BY grp, feature) AS n
   FROM melt WHERE value IS NOT NULL
@@ -234,7 +233,7 @@ MEMORY_DEPENDENCE_SQL = with_panel(
          lag(value, 1)  OVER w AS xlag1,
          lag(value, 5)  OVER w AS xlag5,
          lag(value, 10) OVER w AS xlag10,
-         sum(value - mean_v) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_dev,
+         sum(value - m) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_dev,
          {_LB_LAG_COLS}
   FROM d
   WINDOW w AS (PARTITION BY grp, feature ORDER BY date)

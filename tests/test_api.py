@@ -271,13 +271,13 @@ def test_event_study_facade(spark):
 def test_registry_contract():
     """Driver-contract invariants the external gate depends on: every
     oracle belongs to a registered query, every registry entry is
-    callable, and the round-9 rotation holds — positions 1-14 are the
-    14 never-externally-gated queries (8 exact r8 newcomers then the 6
-    rows-only iteratives, gated this round per the r8 verdict item 1),
-    positions 15-50 the first 36 of the r6-verified batch (oldest
-    driver rows), and everything below the cap either carries a driver
-    row from r6/r7/r8 or is documented rows-only-by-design at the
-    bottom of the registry."""
+    callable, and the round-10 rotation holds — positions 1-16 are the
+    7 r6 leftovers plus the 9 r9 entries never externally gated as
+    exact (all 16 exact-mode: the zero-`err` window hygiene rule is
+    back after r9's one-shot relaxation), positions 17-50 the first 34
+    of the r7-verified batch, and everything below the cap either
+    carries a driver row from r6/r7/r8/r9 or is documented
+    rows-only-by-design at the bottom of the registry."""
     import json
     import os as _os
 
@@ -289,42 +289,36 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # r9 window leads: the 14 never-externally-gated queries — exact
-    # first, then the rows-only iteratives (r8 verdict item 1 asks for
-    # a CORRECTNESS_r09 row for each, relaxing the zero-rows-only
-    # hygiene rule for one round to reach 173/173 cumulative coverage)
-    assert names[:14] == [
-        "similarity_ann_multiprobe", "vocab_growth", "length_buckets",
-        "leakage_safe_split", "stream_heavy_hitters", "dup_matrix",
-        "label_agreement", "embedding_class_stats",
-        "unigram_train", "unigram_encode", "tokenizer_fertility",
-        "embedding_pca_spectrum", "join_size_estimate_fast",
-        "similarity_recall_production",
+    # r10 window leads: 7 r6 leftovers (oldest external rows;
+    # similarity_recall never gated in its 3-exact-arm form) + the 9
+    # r9 entries never externally gated AS EXACT
+    assert names[:16] == [
+        "apply_changes", "weighted_sample", "stream_apply_changes",
+        "similarity_ivfadc", "similarity_recall", "similarity_ivf",
+        "weighted_bins",
+        "bpe_train", "bpe_encode", "bpe_pack",
+        "frequency_domain", "memory_dependence",
+        "similarity_ann_multiprobe_capped", "multimodal_mp4_frame_index",
+        "dedup_canonical", "k_anonymity",
     ]
-    # positions 15-50: first 36 of the remaining r6-verified batch
-    assert names[14:50] == [
-        "bloom_skipping", "scd2_history", "semdedup", "bloom_membership",
-        "events_funnel", "events_retention", "multimodal_gif_frames",
-        "session_overlap", "stream_join", "events_value_profile",
-        "multimodal_real_meta", "multimodal_resize",
-        "stream_windowed_stats", "stream_sliding_stats",
-        "stream_sessionized", "stream_user_profile", "stream_dedup",
-        "decontaminate", "pii_scrub", "quality_rules",
-        "countmin_profile", "textrank", "bm25_search", "pack_sequences",
-        "dataset_card", "inverted_index", "dedup_incremental",
-        "dedup_keep_best", "shard_manifest", "mixture_temperature",
-        "embedding_pq", "pq_topk", "chunk_documents", "panel_ffill",
-        "panel_resample", "multimodal_features",
+    # positions 17-50: first 34 of the r7-verified batch
+    assert names[16:50] == [
+        "mad_outliers", "psi_drift", "compaction_plan", "dsir_select",
+        "feature_matrix", "lsh_tuning", "quantile_bin", "salted_join",
+        "zorder_layout", "multimodal_meta", "multimodal_frames",
+        "embedding_quantize", "embedding_dim_stats", "events_props",
+        "multimodal_jpeg_pixels", "multimodal_wav_samples",
+        "multimodal_audio_windows", "multimodal_mp4_meta",
+        "tpch_q1", "tpch_q18", "hll_distinct", "stream_distinct_users",
+        "hist_quantiles", "corpus_overlap", "tpch_q4", "asof_profile",
+        "asof_profile_forward", "sales_by_nation", "sales_rollup",
+        "range_attribution", "dataset_split", "dedup_clusters",
+        "dedup_exact", "panel_distribution",
     ]
-    # the 8 exact leads all carry oracles; the 6 rows-only leads are
-    # exactly the documented never-gated iteratives
-    assert all(n in os_ for n in names[:8]), [n for n in names[:8] if n not in os_]
+    # zero-`err` hygiene: EVERY query inside the 50-entry window
+    # carries an exact DuckDB oracle
     rows_only_in_cap = [n for n in names[:50] if n not in os_]
-    assert rows_only_in_cap == [
-        "unigram_train", "unigram_encode", "tokenizer_fertility",
-        "embedding_pca_spectrum", "join_size_estimate_fast",
-        "similarity_recall_production",
-    ], rows_only_in_cap
+    assert rows_only_in_cap == [], rows_only_in_cap
     # rows-only-by-design queries sit at the bottom of the registry
     ROWS_ONLY = {
         "stationarity", "stationarity_summary",
@@ -337,30 +331,30 @@ def test_registry_contract():
     bottom = set(names[-len(ROWS_ONLY):])
     assert bottom == ROWS_ONLY, bottom ^ ROWS_ONLY
     here = _os.path.dirname(__file__)
-    r06 = _os.path.join(here, "..", "CORRECTNESS_r06.json")
-    r07 = _os.path.join(here, "..", "CORRECTNESS_r07.json")
-    r08 = _os.path.join(here, "..", "CORRECTNESS_r08.json")
-    if _os.path.exists(r06) and _os.path.exists(r07) and _os.path.exists(r08):
-        with open(r06) as fh:
-            r6 = json.load(fh)
-        with open(r07) as fh:
-            r7 = json.load(fh)
-        with open(r08) as fh:
-            r8 = json.load(fh)
+    rounds = {}
+    for rn in ("r06", "r07", "r08", "r09"):
+        p = _os.path.join(here, "..", f"CORRECTNESS_{rn}.json")
+        if _os.path.exists(p):
+            with open(p) as fh:
+                rounds[rn] = json.load(fh)
+    if len(rounds) == 4:
+        gated = set().union(*rounds.values())
         # everything below the cap must carry a driver row from
-        # r6/r7/r8 or be documented rows-only-by-design (in-round r9
-        # newcomers, once registered, are added to NEW_R9 here)
-        NEW_R9 = {"similarity_ann_multiprobe_capped",
-                  "multimodal_mp4_frame_index", "frequency_domain",
-                  "dedup_canonical", "k_anonymity", "memory_dependence"}
+        # r6/r7/r8/r9 or be documented rows-only-by-design (in-round
+        # r10 newcomers, once registered, are added to NEW_R10 here)
+        NEW_R10 = {"multimodal_webm_frame_index"}
         missing = [
             n for n in names[50:]
-            if n not in r6 and n not in r7 and n not in r8
-            and n not in ROWS_ONLY and n not in NEW_R9
+            if n not in gated and n not in ROWS_ONLY and n not in NEW_R10
         ]
         assert missing == [], missing
-        # and the r8 window itself was fully green: 50/50 exact hashes
-        bad = [n for n, v in r8.items() if v.get("err") is not None]
+        # and the r9 window itself was fully green: 44 exact hashes +
+        # the 6 rows-only iteratives the r8 verdict asked to gate
+        # anyway (err == "no_oracle" by design, rows still delivered)
+        r9 = rounds["r09"]
+        bad = [n for n, v in r9.items()
+               if v.get("err") not in (None, "no_oracle")]
         assert bad == [], bad
-        bad = [n for n, v in r8.items() if not v.get("hash_match")]
+        bad = [n for n, v in r9.items()
+               if v.get("err") is None and not v.get("hash_match")]
         assert bad == [], bad

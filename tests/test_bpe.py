@@ -107,6 +107,46 @@ def test_bpe_train_stops_below_min_count(spark):
     assert rules == [] and table.count() == 0
 
 
+def test_bpe_train_require_full_raises_readably(spark):
+    # the exact-gated driver wrappers pass require_full=True so the
+    # engine/oracle early-stop asymmetry fails loudly, not as an
+    # opaque gate row-count diff (r9 ADVICE)
+    docs = spark.createDataFrame(
+        [(0, "ab cd ef"), (1, "gh ij kl")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="early-stopped after 0/10"):
+        bpe.bpe_train(docs, n_merges=10, vocab_top=100, require_full=True)
+
+
+def test_bpe_encode_rejects_reserved_control_bytes(spark):
+    # \x01/\x02 in corpus text would silently corrupt the
+    # string-replace encode; the scan-side assert_true guard must fail
+    # loudly instead (r9 ADVICE)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    clean = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat")], "doc_id long, text string"
+    )
+    _, rules = bpe.bpe_train(clean, n_merges=3, vocab_top=100)
+    # clean corpus: guard is a no-op, stats unchanged
+    got = bpe.bpe_encode_stats(clean, rules).orderBy("doc_id").collect()
+    assert [r["n_words"] for r in got] == [3, 3]
+    dirty = spark.createDataFrame(
+        [(0, "the cat sat"), (7, "bad\x01byte here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        bpe.bpe_encode_stats(dirty, rules).collect()
+    assert "reserved control byte" in str(ei.value)
+    assert "doc 7" in str(ei.value)
+    dirty2 = spark.createDataFrame(
+        [(3, "word\x02boundary")], "doc_id long, text string"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        bpe.bpe_encode_stats(dirty2, rules).collect()
+
+
 def test_bpe_pack_manifest_invariants(spark):
     from dataframeutils_spark.operators import packing
 
