@@ -2777,11 +2777,15 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed unigram-LM tokenizer training (Kudo 2018, Viterbi-EM
     variant) on the bounded top-2000 word table: seed substrings → EM
     (scan-side Arrow DP + one map-side-combined recount per round) →
-    deterministic prune. Iterative → rows-only gate; exactness pinned
-    vs a pure-Python reference in tests/test_unigram.py."""
+    deterministic prune. Exact-hash gated (r10): at em_rounds=1 /
+    require_rounds=1 the DuckDB oracle replays seed → one Viterbi-EM
+    recount → break, with the DP as a recursive CTE
+    (unigram.unigram_train_sql); also pinned vs a pure-Python
+    reference in tests/test_unigram.py."""
     docs = load_table(spark, sf_dir, "documents")
     table, _ = unigram.unigram_train(
-        docs, vocab_size=200, seed_size=800, vocab_top=2000, em_rounds=1, shrink=0.6
+        docs, vocab_size=200, seed_size=800, vocab_top=2000, em_rounds=1,
+        shrink=0.6, require_rounds=1,
     )
     return round_floats(table)
 
@@ -2789,11 +2793,14 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viterbi-encode every document with the learned unigram
     vocabulary (Arrow mapInPandas, scan-side — text never shuffles):
-    per-doc word/char/token counts + compression. Depends on the
-    learned vocabulary → rows-only gate."""
+    per-doc word/char/token counts + compression. Exact-hash gated
+    (r10): the oracle re-trains in SQL and Viterbi-encodes every
+    distinct word via the recursive-CTE DP
+    (unigram.unigram_encode_stats_sql)."""
     docs = load_table(spark, sf_dir, "documents")
     _, scores = unigram.unigram_train(
-        docs, vocab_size=200, seed_size=800, vocab_top=2000, em_rounds=1, shrink=0.6
+        docs, vocab_size=200, seed_size=800, vocab_top=2000, em_rounds=1,
+        shrink=0.6, require_rounds=1,
     )
     return round_floats(unigram.unigram_encode_stats(docs, scores))
 
@@ -2801,11 +2808,14 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language fertility / chars-per-token report comparing the
     trained unigram-LM and BPE vocabularies — the multilingual
-    tokenizer-quality dashboard. Depends on both trainings → rows-only
-    gate; the per-doc encoders are reference-pinned in pytest."""
+    tokenizer-quality dashboard. Exact-hash gated (r10): the oracle
+    composes the BPE replace-chain and the unigram recursive-CTE DP in
+    one statement (unigram.tokenizer_fertility_sql); the per-doc
+    encoders are also reference-pinned in pytest."""
     docs = load_table(spark, sf_dir, "documents")
     _, scores = unigram.unigram_train(
-        docs, vocab_size=200, seed_size=800, vocab_top=2000, em_rounds=1, shrink=0.6
+        docs, vocab_size=200, seed_size=800, vocab_top=2000, em_rounds=1,
+        shrink=0.6, require_rounds=1,
     )
     _, rules = bpe.bpe_train(docs, n_merges=30, vocab_top=2000, require_full=True)
     return round_floats(
@@ -3570,9 +3580,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_matrix": q_dup_matrix,
         "label_agreement": q_label_agreement,
         "embedding_class_stats": q_embedding_class_stats,
-        # --- rows-only queries gated in CORRECTNESS_r09.json (the
-        # one-shot coverage relaxation); kept below the cap from now
-        # on so the external window stays zero-`err` ---
+        # --- queries gated rows-only in CORRECTNESS_r09.json (the
+        # one-shot coverage relaxation), kept below the cap so the
+        # external window stays zero-`err`. The unigram trio flipped
+        # rows-only -> exact in r10 (recursive-CTE Viterbi DP oracle,
+        # operators/unigram.py) and leads the r11 window together with
+        # the r7 leftovers ---
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -3708,6 +3721,21 @@ def all_oracles() -> dict[str, str]:
         # operators/bpe.py "DuckDB oracles" for the equivalence proof
         "bpe_train": bpe.bpe_train_sql(n_merges=30, vocab_top=2000),
         "bpe_encode": bpe.bpe_encode_stats_sql(n_merges=30, vocab_top=2000),
+        # unigram trio flipped rows-only -> exact in r10: with em_rounds=1
+        # training is seed -> one Viterbi-EM recount -> break, and the
+        # Viterbi DP is a recursive CTE carrying a max_piece_len frontier
+        # of (neg-score, n_pieces, piece, path) structs (see
+        # operators/unigram.py "DuckDB oracles"; engine guarded by
+        # unigram_train(require_rounds=1))
+        "unigram_train": unigram.unigram_train_sql(
+            seed_size=800, vocab_top=2000
+        ),
+        "unigram_encode": unigram.unigram_encode_stats_sql(
+            seed_size=800, vocab_top=2000
+        ),
+        "tokenizer_fertility": unigram.tokenizer_fertility_sql(
+            n_merges=30, seed_size=800, vocab_top=2000
+        ),
         "bpe_pack": packing.pack_sequences_bpe_sql(
             n_merges=30, vocab_top=2000, seq_len=256
         ),

@@ -35,8 +35,12 @@ implementation-reproducible: Viterbi prefers (higher score, then fewer
 pieces, then lexicographically smaller piece at the boundary); pruning
 and seeding order by (count desc, piece asc).
 
-Training is inherently iterative → the driver queries get rows-only
-gate checks; exactness is pinned in ``tests/test_unigram.py`` against
+Training is iterative, but at the registered parameters (em_rounds=1,
+one outer round to convergence — guarded by ``require_rounds``) the
+whole procedure IS SQL-expressible, so the driver queries are
+exact-hash gated against the DuckDB oracles at the bottom of this
+module (flipped from rows-only in r10, mirroring the r9 BPE flip).
+Exactness is additionally pinned in ``tests/test_unigram.py`` against
 an independent pure-Python reference implementation with identical tie
 rules (the BPE test pattern).
 """
@@ -136,12 +140,21 @@ def unigram_train(
     em_rounds: int = 2,
     shrink: float = 0.75,
     text_col: str = "text",
+    require_rounds: int | None = None,
 ) -> tuple[DataFrame, dict[str, float]]:
     """Learn a unigram-LM vocabulary; returns (vocab table DataFrame,
     {piece: logprob} for :func:`unigram_encode_stats`).
 
     Vocab table columns: piece, cnt (final Viterbi count — integer by
     the hard-EM construction), logprob.
+
+    ``require_rounds=N`` raises a readable ValueError if the outer
+    EM+prune loop converges in a different number of iterations. The
+    exact-gated driver queries pass 1 because their DuckDB oracle
+    replays exactly one seed → EM → break round (the bpe
+    ``require_full`` pattern): on a corpus rich enough to need a prune
+    round, the asymmetry must fail loudly here, not as an opaque gate
+    hash diff.
     """
     spark = docs.sparkSession
     wt = _word_table(docs, text_col, vocab_top).persist()
@@ -182,7 +195,9 @@ def unigram_train(
         return {p: math.log(c / total) for p, c in floored.items() if c > 0}
 
     counts = pieces
+    rounds = 0
     while True:
+        rounds += 1
         for _ in range(em_rounds):
             scores = to_scores(counts)
             new = em_counts(scores)
@@ -206,6 +221,15 @@ def unigram_train(
         counts = {p: c for p, c in counts.items() if len(p) == 1}
         counts.update(dict(survivors))
     wt.unpersist()
+    if require_rounds is not None and rounds != require_rounds:
+        raise ValueError(
+            f"unigram_train: converged after {rounds} EM+prune rounds, "
+            f"expected exactly {require_rounds}. The SQL oracle replays a "
+            "fixed number of rounds, so an exact gate on this corpus would "
+            "mismatch — the corpus vocabulary grew past what one EM pass "
+            "prunes to vocab_size; regenerate the oracle or drop "
+            "require_rounds."
+        )
     scores = to_scores(counts)
     table = spark.createDataFrame(
         sorted(
@@ -304,3 +328,309 @@ def tokenizer_fertility(
         (F.sum("n_symbols") / F.sum("n_tokens")).alias("bpe_syms_per_tok"),
     )
     return u.join(b, group_col)
+
+
+# --- DuckDB oracles -------------------------------------------------------
+#
+# Unigram-LM TRAINING is expressible in SQL at the registered
+# parameters, mirroring the BPE flip (operators/bpe.py "DuckDB
+# oracles"): with em_rounds=1 the whole procedure is seed → one
+# Viterbi-EM recount → break, and the Viterbi DP itself is a recursive
+# CTE over character positions. Each DP row carries a FRONTIER — the
+# best (neg-score, n_pieces, boundary piece, path) struct for the last
+# ``max_piece_len`` positions — so the recursion needs only the
+# previous iteration's rows (recursive CTEs can't see older
+# iterations), and the winning segmentation is read off the carried
+# path (no backtracking pass). The struct field order (ns, np, piece)
+# makes DuckDB's lexicographic struct min IDENTICAL to the engine's
+# pinned tie rule: higher score, then fewer pieces, then
+# lexicographically smaller boundary piece. Score sums match bitwise
+# because IEEE-754 negation distributes exactly over addition, so the
+# oracle's neg-score accumulation is the bit-negation of the engine's
+# score accumulation, and both engines call the same libm ln/log.
+#
+# Two asymmetries, both guarded engine-side by ``require_rounds`` (the
+# bpe ``require_full`` pattern): the oracle replays exactly ONE outer
+# EM+prune round (true at every test SF — the synthetic corpus has 31
+# distinct words, so one EM pass drops the 800-piece seed straight
+# below the prune target), and only em_rounds=1 is supported.
+
+_UNK_NS = "20.0"  # -UNK_SCORE, as accumulated on the neg-score axis
+
+
+def _viterbi_dp_cte(
+    dp: str, words_from: str, scores_cte: str, max_piece_len: int = 6
+) -> str:
+    """Recursive CTE ``dp(word, i, hist)`` segmenting every word of
+    ``words_from`` (a FROM-able relation with a ``word`` column) under
+    ``scores_cte(piece, s)``. The best segmentation of each word is
+    ``hist[1].path`` on the row with ``i = length(word)``; its token
+    count is ``hist[1].np``."""
+    K = max_piece_len
+    cands, joins = [], []
+    for k in range(1, K + 1):
+        piece = f"substr(d.word, d.i+2-{k}, {k})"
+        cands.append(
+            f"CASE WHEN d.i+1 >= {k} AND s{k}.s IS NOT NULL THEN "
+            f"{{'ns': d.hist[{k}].ns - s{k}.s, 'np': d.hist[{k}].np + 1, "
+            f"'piece': {piece}, "
+            f"'path': list_append(d.hist[{k}].path, {piece})}} END AS c{k}"
+        )
+        joins.append(
+            f"      LEFT JOIN {scores_cte} s{k} ON d.i+1 >= {k} "
+            f"AND s{k}.piece = {piece}"
+        )
+    cand_cols = ",\n        ".join(cands)
+    cand_list = ", ".join(f"c{k}" for k in range(1, K + 1))
+    return f"""{dp} AS (
+  SELECT word, 0 AS i,
+         [{{'ns': CAST(0.0 AS DOUBLE), 'np': 0, 'piece': '',
+            'path': CAST([] AS VARCHAR[])}}] AS hist
+  FROM {words_from}
+  UNION ALL
+  SELECT word, i + 1, list_prepend(best, hist[1:{K - 1}]) AS hist
+  FROM (
+    SELECT word, i, hist,
+      COALESCE(
+        list_sort(list_filter([{cand_list}], x -> x IS NOT NULL))[1],
+        {{'ns': hist[1].ns + CAST({_UNK_NS} AS DOUBLE), 'np': hist[1].np + 1,
+          'piece': substr(word, i+1, 1),
+          'path': list_append(hist[1].path, substr(word, i+1, 1))}}
+      ) AS best
+    FROM (
+      SELECT d.word, d.i, d.hist,
+        {cand_cols}
+      FROM {dp} d
+{chr(10).join(joins)}
+      WHERE d.i < length(d.word)
+    )
+  )
+)"""
+
+
+def _floored_scores_cte(name: str, counts_cte: str) -> str:
+    """``to_scores`` in SQL: single chars floored at count 1, total
+    over the floored counts, log-prob = ln(c / total)."""
+    floor = "CASE WHEN length(piece) = 1 THEN greatest(cnt, 1) ELSE cnt END"
+    return f"""{name} AS MATERIALIZED (
+  SELECT piece, ln(CAST(fc AS DOUBLE) / CAST(tot AS DOUBLE)) AS s
+  FROM (SELECT piece, {floor} AS fc FROM {counts_cte}),
+       (SELECT CAST(sum({floor}) AS BIGINT) AS tot FROM {counts_cte})
+  WHERE fc > 0
+)"""
+
+
+def _unigram_vocab_ctes(
+    seed_size: int = 800,
+    max_piece_len: int = 6,
+    vocab_top: int = 2000,
+    em_rounds: int = 1,
+    table: str = "documents",
+    define_base: bool = True,
+) -> str:
+    """CTE chain (toks, w, useed, usc0, udpa, urecount, ucnts1, usc1)
+    whose ``ucnts1``/``usc1`` are the final vocabulary counts and
+    log-prob scores — byte-identical to :func:`unigram_train` at
+    ``require_rounds=1``. With ``define_base=False`` the shared
+    ``toks``/``w`` CTEs (identical definitions) are assumed to exist —
+    for composition with the BPE chain in the fertility oracle."""
+    if em_rounds != 1:
+        raise ValueError("SQL oracle supports em_rounds=1 only")
+    K = max_piece_len
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    ctes = []
+    if define_base:
+        ctes += [
+            f"""toks AS MATERIALIZED (
+  SELECT {toks} AS ws FROM {table}
+)""",
+            f"""w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ws) AS word FROM toks)
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {vocab_top}
+)""",
+        ]
+    ctes += [
+        f"""useed_all AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest(flatten(list_transform(range(1, length(word)+1),
+        i -> list_transform(range(1, least({K}, length(word)-i+1)+1),
+             l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
+           cnt
+    FROM w
+  ) GROUP BY piece
+)""",
+        f"""useed AS MATERIALIZED (
+  SELECT piece, cnt FROM useed_all WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM useed_all WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {seed_size})
+)""",
+        _floored_scores_cte("usc0", "useed"),
+        _viterbi_dp_cte("udpa", "(SELECT word FROM w)", "usc0", K),
+        """urecount AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest(f.hist[1].path) AS piece, w.cnt
+    FROM udpa f JOIN w USING (word)
+    WHERE f.i = length(f.word)
+  ) GROUP BY piece
+)""",
+        """ucnts1 AS MATERIALIZED (
+  SELECT s.piece, CAST(COALESCE(r.cnt, 0) AS BIGINT) AS cnt
+  FROM useed s LEFT JOIN urecount r USING (piece)
+  WHERE length(s.piece) = 1 OR COALESCE(r.cnt, 0) > 0
+)""",
+        _floored_scores_cte("usc1", "ucnts1"),
+    ]
+    return ",\n".join(ctes)
+
+
+def unigram_train_sql(
+    seed_size: int = 800,
+    max_piece_len: int = 6,
+    vocab_top: int = 2000,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`unigram_train`'s vocab table at
+    ``require_rounds=1`` (piece, cnt, siground-rounded logprob)."""
+    from dataframeutils_spark.schema import siground_sql
+
+    return f"""
+WITH RECURSIVE {_unigram_vocab_ctes(seed_size, max_piece_len, vocab_top, 1, table)}
+SELECT c.piece, c.cnt, {siground_sql('s.s')} AS logprob
+FROM ucnts1 c JOIN usc1 s USING (piece)
+"""
+
+
+def _unigram_wordtok_ctes(
+    seed_size: int = 800,
+    max_piece_len: int = 6,
+    vocab_top: int = 2000,
+    table: str = "documents",
+    define_base: bool = True,
+    define_dw: bool = True,
+) -> str:
+    """Vocab chain + (dw, udpb, uwtok): every DISTINCT corpus word
+    Viterbi-encoded once under the final scores, yielding
+    ``uwtok(word, t)`` with t = token count."""
+    parts = [
+        _unigram_vocab_ctes(
+            seed_size, max_piece_len, vocab_top, 1, table, define_base
+        )
+    ]
+    if define_dw:
+        parts.append(
+            """dw AS MATERIALIZED (
+  SELECT DISTINCT unnest(ws) AS word FROM toks
+)"""
+        )
+    parts += [
+        _viterbi_dp_cte("udpb", "dw", "usc1", max_piece_len),
+        """uwtok AS MATERIALIZED (
+  SELECT word, CAST(hist[1].np AS BIGINT) AS t
+  FROM udpb WHERE i = length(word)
+)""",
+    ]
+    return ",\n".join(parts)
+
+
+def unigram_encode_stats_sql(
+    seed_size: int = 800,
+    max_piece_len: int = 6,
+    vocab_top: int = 2000,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`unigram_encode_stats` (per-doc word/
+    char/token counts + siground-rounded compression). Distinct words
+    are DP-encoded ONCE, then joined back to the per-doc word list —
+    the bpe_encode_stats_sql pattern."""
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    comp = siground_sql("n_chars_tok * 1.0 / n_tokens")
+    return f"""
+WITH RECURSIVE {_unigram_wordtok_ctes(seed_size, max_piece_len, vocab_top, table)},
+docw AS (
+  SELECT doc_id, unnest({toks}) AS word FROM {table}
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS INT) AS n_words,
+         CAST(sum(length(d.word)) AS INT) AS n_chars_tok,
+         CAST(sum(uwtok.t) AS INT) AS n_tokens
+  FROM docw d JOIN uwtok USING (word)
+  GROUP BY d.doc_id
+),
+-- engine emits EVERY doc (wordless ones with zero counts, NULL ratio)
+alldocs AS (
+  SELECT doc_id,
+         CAST(COALESCE(n_words, 0) AS INT) AS n_words,
+         CAST(COALESCE(n_chars_tok, 0) AS INT) AS n_chars_tok,
+         CAST(COALESCE(n_tokens, 0) AS INT) AS n_tokens
+  FROM {table} t LEFT JOIN agg USING (doc_id)
+)
+SELECT doc_id, n_words, n_chars_tok, n_tokens,
+       CASE WHEN n_tokens > 0 THEN {comp} END AS compression
+FROM alldocs
+"""
+
+
+def tokenizer_fertility_sql(
+    n_merges: int = 30,
+    seed_size: int = 800,
+    max_piece_len: int = 6,
+    vocab_top: int = 2000,
+    table: str = "documents",
+    group_col: str = "lang",
+) -> str:
+    """DuckDB oracle for :func:`tokenizer_fertility`: the BPE word-token
+    chain and the unigram word-token chain composed in one statement
+    (shared toks/w/dw base), aggregated per language with the
+    fixed-decimal rounding the Spark side applies via
+    ``round_floats(all_dec=True)``."""
+    from dataframeutils_spark.operators.bpe import _bpe_wordtok_ctes
+    from dataframeutils_spark.schema import decround_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+
+    def ratio(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 THEN "
+            + decround_sql(f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)")
+            + " END"
+        )
+
+    return f"""
+WITH RECURSIVE {_bpe_wordtok_ctes(n_merges, vocab_top, table)},
+{_unigram_wordtok_ctes(seed_size, max_piece_len, vocab_top, table,
+                       define_base=False, define_dw=False)},
+docw AS (
+  SELECT {group_col}, unnest({toks}) AS word FROM {table}
+),
+ndocs AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_docs
+  FROM {table} GROUP BY {group_col}
+),
+ua AS (
+  SELECT {group_col},
+         CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(length(word)) AS BIGINT) AS nc,
+         CAST(sum(u.t) AS BIGINT) AS nt
+  FROM docw JOIN uwtok u USING (word) GROUP BY {group_col}
+),
+ba AS (
+  SELECT {group_col},
+         CAST(sum(length(word) + 1) AS BIGINT) AS ns,
+         CAST(sum(b.t) AS BIGINT) AS nt
+  FROM docw JOIN wtok b USING (word) GROUP BY {group_col}
+)
+SELECT n.{group_col}, n.n_docs,
+       {ratio('ua.nt', 'ua.nw')} AS uni_fertility,
+       {ratio('ua.nc', 'ua.nt')} AS uni_chars_per_tok,
+       {ratio('ba.nt', 'ua.nw')} AS bpe_fertility,
+       {ratio('ba.ns', 'ba.nt')} AS bpe_syms_per_tok
+FROM ndocs n
+LEFT JOIN ua USING ({group_col})
+LEFT JOIN ba USING ({group_col})
+"""

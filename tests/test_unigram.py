@@ -190,3 +190,79 @@ def test_tokenizer_fertility_invariants(spark):
         assert r["bpe_fertility"] >= 1.0
         assert r["uni_chars_per_tok"] >= 1.0
         assert r["bpe_syms_per_tok"] >= 1.0
+
+
+def test_unigram_train_require_rounds_raises(spark):
+    # vocab_size=3 forces prune rounds beyond the first EM pass; the
+    # exact-gated wrappers pass require_rounds=1 so the engine/oracle
+    # round-count asymmetry fails loudly (r10, the bpe require_full
+    # pattern)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="converged after"):
+        unigram.unigram_train(
+            _docs(spark), vocab_size=3, seed_size=200, vocab_top=1000,
+            em_rounds=1, shrink=0.6, require_rounds=1,
+        )
+
+
+def test_unigram_sql_oracle_matches_reference():
+    """The in-SQL trainer/encoder (the driver's DuckDB oracle: seed →
+    one recursive-CTE Viterbi-EM recount → final scores → encode DP)
+    must reproduce the pure-Python reference. No Spark involved: this
+    isolates the oracle side of the gate, exactly like
+    test_bpe_sql_oracle_matches_reference."""
+    import duckdb
+
+    vocab_size, seed_size, vocab_top = 200, 150, 1000
+    ref_counts, ref_scores = ref_unigram(
+        TEXTS, vocab_size, seed_size, vocab_top=vocab_top,
+        em_rounds=1, shrink=0.6,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(i, t, "en" if i % 2 else "de") for i, t in enumerate(TEXTS)],
+    )
+
+    # train oracle: counts exact, logprob to float noise (the oracle
+    # siground-rounds; compare against the unrounded ref at 1e-6 rel)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            unigram.unigram_train_sql(seed_size=seed_size, vocab_top=vocab_top)
+        ).fetchall()
+    }
+    assert set(got) == set(ref_counts)
+    for p, c in ref_counts.items():
+        assert got[p][0] == c, (p, got[p], c)
+        # oracle logprob is siground-rounded to 6 significant digits
+        assert abs(got[p][1] - ref_scores[p]) <= 5e-6 * abs(ref_scores[p]), p
+
+    # encode oracle: per-doc token counts vs ref_viterbi under the ref
+    # final scores
+    enc = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            unigram.unigram_encode_stats_sql(
+                seed_size=seed_size, vocab_top=vocab_top
+            )
+        ).fetchall()
+    }
+    for i, t in enumerate(TEXTS):
+        words = [w for w in t.lower().split(" ") if w]
+        want_tok = sum(len(ref_viterbi(w, ref_scores, 6)) for w in words)
+        assert enc[i] == (len(words), sum(map(len, words)), want_tok), (i, enc[i])
+
+    # fertility oracle: token conservation against the encode oracle
+    fert = con.execute(
+        unigram.tokenizer_fertility_sql(
+            n_merges=8, seed_size=seed_size, vocab_top=vocab_top
+        )
+    ).fetchdf()
+    assert set(fert["lang"]) == {"en", "de"}
+    assert int(fert["n_docs"].sum()) == len(TEXTS)
+    assert (fert["uni_fertility"] >= 1.0).all()
+    assert (fert["bpe_fertility"] >= 1.0).all()
