@@ -420,40 +420,50 @@ def connected_components(
 
     Min-label propagation WITH adaptive pointer doubling (hash-to-min
     family; cf. Rastogi et al., "Finding Connected Components in
-    Map-Reduce in Logarithmic Rounds"): every node starts labelled with
-    its own id; each round a node takes the min of (its label, its
-    neighbors' labels) and — from round 3 — the label of its label.
-    The neighbor step moves one hop; the label-of-label jump doubles
-    the closed distance, so an adversarial diameter-D chain converges
-    in O(log D) rounds instead of O(D) — with ``max_iter=25`` that
-    covers diameters beyond 2^22, unreachable for any physical graph.
-    The jump engages only from round 3 because near-dup graphs (tiny
-    cliques, diameter 1-2) converge before then — the common case pays
-    exactly the r2 plan (one join + one groupBy over the EDGE table per
-    round, never the corpus); only genuinely deep graphs add the label
-    self-join.
+    Map-Reduce in Logarithmic Rounds"): labels START at
+    min(self, neighbors) — the result of the first propagation round,
+    fused into the initialization as a single aggregation over the edge
+    table — then each loop round takes the min of (its label, its
+    neighbors' labels) and — from loop round 3 — the label of its
+    label. The neighbor step moves one hop; the label-of-label jump
+    doubles the closed distance, so an adversarial diameter-D chain
+    converges in O(log D) rounds instead of O(D) — with ``max_iter=25``
+    that covers diameters beyond 2^22, unreachable for any physical
+    graph. The jump engages late because near-dup graphs (tiny cliques,
+    diameter 1-2) converge before then — the common case pays the fused
+    init plus ONE verification round (one join + one groupBy over the
+    EDGE table, never the corpus); only genuinely deep graphs add the
+    label self-join.
 
     Per-round ``localCheckpoint`` truncates the lineage (chained
     shuffles would otherwise re-execute from the scan on every action)
     and the convergence check is a metadata-cheap aggregate, not a
     collect.
     """
-    if max_iter < 2:
-        # the round-0 convergence probe is deliberately skipped (forced
-        # changed=1), so max_iter=1 would raise spuriously on an
-        # already-converged graph and max_iter=0 would silently return
-        # identity labels — both wrong, so fail loud at the boundary
-        raise ValueError(f"max_iter must be >= 2, got {max_iter}")
+    if max_iter < 1:
+        # max_iter=0 would silently return the fused-init labels
+        # unverified — fail loud at the boundary
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()  # eager: pay for the upstream pair pipeline ONCE
+    # Fused round 0: identity labels after one neighbor-min round are
+    # exactly min(self, neighbors), computable as ONE aggregation over
+    # the symmetric edge table — replacing distinct + identity init +
+    # a full join/groupBy/checkpoint/probe cycle. Tiny duplicate
+    # cliques (diameter 1, the common case) are already converged
+    # here, so they pay a single verification round below; at scale
+    # this removes one whole shuffle round over the edge table.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nbr_min"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("nbr_min")).alias("label"),
+        )
     )
     changed = 0
     for round_idx in range(max_iter):
@@ -475,7 +485,8 @@ def connected_components(
             # new label (labels is already checkpointed, so this
             # self-join costs one hash join, no recompute). If the
             # neighbor step closes distance d, the jump closes 2d+1 —
-            # exponential convergence. Engaged only from round 3:
+            # exponential convergence. Engaged only from loop round 3
+            # (the 4th propagation round counting the fused init):
             # near-dup graphs (tiny cliques, diameter 1-2) converge
             # before then and never pay the extra join; anything still
             # unconverged has real depth and needs the O(log D) ramp.
@@ -495,14 +506,9 @@ def connected_components(
         merged = stage.select(
             "node", "label", F.col("mid_label").alias("new_label")
         ).localCheckpoint()
-        # skip the round-0 probe: any edge between distinct nodes lowers
-        # a label in round 0, so it cannot have converged yet (a
-        # degenerate self-loop-only graph just runs one extra cheap
-        # round) — one fewer Spark job per call
-        if round_idx == 0:
-            changed = 1
-        else:
-            changed = merged.filter(F.col("label") != F.col("new_label")).limit(1).count()
+        # probe every round (the fused init above may already have
+        # converged diameter-1 graphs before the loop starts)
+        changed = merged.filter(F.col("label") != F.col("new_label")).limit(1).count()
         labels = merged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break

@@ -122,15 +122,17 @@ def test_connected_components_raises_when_unconverged(spark):
 
 
 def test_connected_components_rejects_tiny_max_iter(spark):
-    """max_iter<2 interacts wrongly with the skipped round-0 probe
-    (1 raises spuriously on converged graphs, 0 returns identity
-    labels) — both must be rejected at the boundary."""
+    """max_iter=0 would return the fused-init labels unverified — must
+    be rejected at the boundary. max_iter=1 is now legal: the fused
+    min(self, neighbors) init converges diameter-1 graphs before the
+    loop, so one verification round suffices for a clique."""
     import pytest
 
     df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
-    for bad in (0, 1):
-        with pytest.raises(ValueError, match="max_iter"):
-            dedup.connected_components(df, max_iter=bad)
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(df, max_iter=0)
+    got = dedup.connected_components(df, max_iter=1).collect()
+    assert {(r["doc_id"], r["cluster_id"]) for r in got} == {(1, 1), (2, 1)}
 
 
 @pytest.mark.parametrize(
