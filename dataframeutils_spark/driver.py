@@ -3034,6 +3034,22 @@ def q_multimodal_mp4_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mp4_frame_index(media)
 
 
+def q_multimodal_webm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska/WebM frame indexing (r9 verdict item 4) — the
+    EBML twin of the MP4 sample-table walk for the other half of web
+    video: Segment → Cluster* → SimpleBlock* resolved with a general
+    EBML parser (variable-length IDs/sizes, any cluster layout), the
+    keyframe bit read from each block's flags, one narrow row per frame
+    — (media_id, frame, offset, n_bytes, keyframe) naming exactly the
+    payload bytes a keyframe sampler range-reads. Laced blocks and
+    BlockGroup are rejected by name. All values hash-derived → exact
+    oracle (header-formula, like mp4_frame_index)."""
+    media = multimodal.webm_indexed_media_table(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.webm_frame_index(media)
+
+
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM segmentation: decode each WAV's int16 stream and
     emit one integer-exact feature row per fixed 512-frame window —
@@ -3592,6 +3608,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_spectrum": q_embedding_pca,
         "join_size_estimate_fast": q_join_size_estimate_fast,
         "similarity_recall_production": q_similarity_recall_production,
+        # --- r10 in-round newcomers (below the cap per the rotation
+        # protocol; they lead the r11 window with the r7 leftovers and
+        # the unigram trio): the WebM/Matroska EBML frame-index twin of
+        # the MP4 sample-table walk (r9 verdict item 4) ---
+        "multimodal_webm_frame_index": q_multimodal_webm_frame_index,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, k-means/BLAS
         # arms, eigh, Viterbi-EM unigram training): not ANSI-SQL
@@ -3896,6 +3917,7 @@ GROUP BY event_type
         "multimodal_audio_windows": multimodal.audio_window_features_sql(window=512),
         "multimodal_mp4_meta": multimodal.mp4_meta_sql(),
         "multimodal_mp4_frame_index": multimodal.mp4_frame_index_sql(),
+        "multimodal_webm_frame_index": multimodal.webm_frame_index_sql(),
         "multimodal_avi_frames": multimodal.avi_frame_stats_sql(every_k=2),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),

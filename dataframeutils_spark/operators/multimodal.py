@@ -1811,6 +1811,332 @@ FROM sized
 """
 
 
+# ---------------------------------------------------------------------------
+# WebM/Matroska frame index — the EBML twin of the MP4 sample-table walk
+# ---------------------------------------------------------------------------
+# The other half of web video ships in Matroska containers (WebM =
+# Matroska restricted to VP8/VP9/AV1 + Vorbis/Opus). Unlike MP4 there is
+# no central sample table: frame positions live inline as SimpleBlock
+# elements inside Clusters, each carrying its own keyframe flag — so the
+# codec-free index a trainer range-reads keyframes with comes from
+# walking the EBML element tree, not from stsz/stsc/stco arithmetic.
+# The walker below is a general EBML parser (variable-length IDs and
+# sizes, any cluster layout, any element order), not a fixture shortcut;
+# lacing and BlockGroup/Block are rejected by name (the synthesizer
+# never emits them, and silently mis-indexing laced frames would be
+# worse than failing loudly).
+
+_WEBM_FPC = 12  # frames per Cluster in the synthesizer
+_WEBM_FRAME_MS = 40  # per-frame timestamp step (25 fps)
+
+
+def _ebml_uint(val: int, width: int) -> bytes:
+    return val.to_bytes(width, "big")
+
+
+def _ebml_size(val: int, width: int) -> bytes:
+    """EBML size varint of a FIXED width (marker bit in the first
+    byte): fixed widths keep every synthesized element length a
+    closed-form function of the frame count, which is what makes the
+    oracle's offset formula possible."""
+    if val >= (1 << (7 * width)) - 1:
+        raise ValueError(f"size {val} does not fit a {width}-byte varint")
+    return ((1 << (7 * width)) | val).to_bytes(width, "big")
+
+
+def _ebml_elem(eid: bytes, payload: bytes, size_width: int = 1) -> bytes:
+    return eid + _ebml_size(len(payload), size_width) + payload
+
+
+def _webm_static_parts(width: int, height: int) -> tuple[bytes, bytes, bytes]:
+    """(ebml_header, info, tracks) — every element fixed-length by
+    construction (PixelWidth/PixelHeight always 2-byte uints)."""
+    ebml = _ebml_elem(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_elem(b"\x42\x86", b"\x01")  # EBMLVersion
+        + _ebml_elem(b"\x42\xf7", b"\x01")  # EBMLReadVersion
+        + _ebml_elem(b"\x42\xf2", b"\x04")  # EBMLMaxIDLength
+        + _ebml_elem(b"\x42\xf3", b"\x08")  # EBMLMaxSizeLength
+        + _ebml_elem(b"\x42\x82", b"webm")  # DocType
+        + _ebml_elem(b"\x42\x87", b"\x02")  # DocTypeVersion
+        + _ebml_elem(b"\x42\x85", b"\x02"),  # DocTypeReadVersion
+    )
+    info = _ebml_elem(
+        b"\x15\x49\xa9\x66",
+        _ebml_elem(b"\x2a\xd7\xb1", _ebml_uint(1_000_000, 3))  # TimestampScale
+        + _ebml_elem(b"\x4d\x80", b"dfu")  # MuxingApp
+        + _ebml_elem(b"\x57\x41", b"dfu"),  # WritingApp
+    )
+    video = _ebml_elem(
+        b"\xe0",
+        _ebml_elem(b"\xb0", _ebml_uint(width, 2))  # PixelWidth
+        + _ebml_elem(b"\xba", _ebml_uint(height, 2)),  # PixelHeight
+    )
+    track = _ebml_elem(
+        b"\xae",
+        _ebml_elem(b"\xd7", b"\x01")  # TrackNumber
+        + _ebml_elem(b"\x73\xc5", b"\x01")  # TrackUID
+        + _ebml_elem(b"\x83", b"\x01")  # TrackType: video
+        + _ebml_elem(b"\x86", b"V_VP8")  # CodecID
+        + video,
+    )
+    tracks = _ebml_elem(b"\x16\x54\xae\x6b", track)
+    return ebml, info, tracks
+
+
+# Constant byte count before the first Cluster: EBML header + Segment
+# ID (4) + Segment 8-byte size varint + Info + Tracks. Width/height only
+# change VALUES of fixed-width fields, never lengths, so any arguments
+# give the same total.
+_WEBM_HDR_LEN = (
+    len(_webm_static_parts(16, 16)[0])
+    + 4 + 8
+    + len(_webm_static_parts(16, 16)[1])
+    + len(_webm_static_parts(16, 16)[2])
+)
+# Per-cluster overhead: Cluster ID (4) + 4-byte size varint + Timestamp
+# element (ID 0xE7 + 1-byte size + 2-byte value) = 12. Per-frame
+# overhead inside a SimpleBlock: ID 0xA3 (1) + 2-byte size varint +
+# track varint 0x81 (1) + 2-byte relative timestamp + flags (1) = 7.
+_WEBM_CLUSTER_OVH = 12
+_WEBM_FRAME_OVH = 7
+
+
+def synthesize_webm_indexed(
+    width: int, height: int, n_frames: int, shift: int
+) -> bytes:
+    """A structurally valid WebM with media data: EBML header +
+    Segment(Info, Tracks(TrackEntry V_VP8), Cluster*). Frame f
+    (0-based) has size 64 + (shift + 17·f) % {sz} bytes of the fill
+    byte (shift+f) % 256, packed {fpc} SimpleBlocks per Cluster, the
+    keyframe flag set every {key} frames — everything hash-derivable,
+    so the frame index is exactly oracle-checkable (the MP4
+    synthesize_mp4_indexed contract, EBML container)."""
+    sizes = [64 + (shift + 17 * f) % _MP4X_SZ_MOD for f in range(n_frames)]
+    ebml, info, tracks = _webm_static_parts(width, height)
+    clusters = b""
+    for c0 in range(0, n_frames, _WEBM_FPC):
+        blocks = b""
+        for f in range(c0, min(c0 + _WEBM_FPC, n_frames)):
+            flags = 0x80 if f % _MP4X_KEY_EVERY == 0 else 0x00
+            payload = (
+                b"\x81"  # track number varint (track 1)
+                + ((f - c0) * _WEBM_FRAME_MS).to_bytes(2, "big")
+                + bytes([flags])
+                + bytes([(shift + f) % 256]) * sizes[f]
+            )
+            blocks += b"\xa3" + _ebml_size(len(payload), 2) + payload
+        cluster_payload = (
+            _ebml_elem(b"\xe7", _ebml_uint(c0 * _WEBM_FRAME_MS, 2)) + blocks
+        )
+        clusters += (
+            b"\x1f\x43\xb6\x75" + _ebml_size(len(cluster_payload), 4)
+            + cluster_payload
+        )
+    segment_payload = info + tracks + clusters
+    return (
+        ebml
+        + b"\x18\x53\x80\x67"
+        + _ebml_size(len(segment_payload), 8)
+        + segment_payload
+    )
+
+
+synthesize_webm_indexed.__doc__ = synthesize_webm_indexed.__doc__.format(
+    sz=_MP4X_SZ_MOD, fpc=_WEBM_FPC, key=_MP4X_KEY_EVERY
+)
+
+
+def webm_indexed_media_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture builder for the WebM frame-index tier: one WebM per
+    document, parameters md5-derived from the text exactly like
+    :func:`mp4_indexed_media_table`."""
+
+    def synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
+                payloads.append(
+                    synthesize_webm_indexed(
+                        16 + h % _MP4X_W_MOD,
+                        16 + (h // 13) % _MP4X_H_MOD,
+                        1 + (h // 7) % _MP4X_F_MOD,
+                        h % 256,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video",
+                    "content": payloads,
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par, F.col("media_id")).mapInPandas(
+        synth_batches, schema="media_id long, media_type string, content binary"
+    )
+
+
+def _ebml_read_id(b: bytes, pos: int) -> tuple[int, int]:
+    """EBML element ID at pos → (id_as_int_with_marker, next_pos)."""
+    first = b[pos]
+    if first == 0:
+        raise ValueError("invalid EBML ID (leading zero byte)")
+    length, mask = 1, 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+        if length > 4:
+            raise ValueError("EBML ID longer than 4 bytes")
+    return int.from_bytes(b[pos : pos + length], "big"), pos + length
+
+
+def _ebml_read_size(b: bytes, pos: int) -> tuple[int, int]:
+    """EBML size varint at pos → (value, next_pos); rejects the
+    all-ones "unknown size" form (streaming Matroska — an index over a
+    finite blob never needs it)."""
+    first = b[pos]
+    if first == 0:
+        raise ValueError("invalid EBML size (leading zero byte)")
+    length, mask = 1, 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+        if length > 8:
+            raise ValueError("EBML size longer than 8 bytes")
+    val = first & (mask - 1)
+    for i in range(1, length):
+        val = (val << 8) | b[pos + i]
+    if val == (1 << (7 * length)) - 1:
+        raise ValueError("unknown-size EBML element not supported")
+    return val, pos + length
+
+
+def _ebml_children(b: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end) for the EBML
+    elements in b[start:end] — variable-length IDs and sizes, any
+    order."""
+    pos = start
+    while pos < end:
+        eid, p = _ebml_read_id(b, pos)
+        size, p = _ebml_read_size(b, p)
+        if p + size > end:
+            raise ValueError("EBML element overruns its parent")
+        yield eid, p, p + size
+        pos = p + size
+
+
+def parse_webm_frame_index(b: bytes) -> list[tuple[int, int, int, bool]]:
+    """REAL Matroska/WebM resolution: (frame_no_0based, byte_offset,
+    size, is_keyframe) per video frame, derived by walking the EBML
+    tree — Segment → Cluster* → SimpleBlock* in storage order, the
+    keyframe bit read from each SimpleBlock\'s flags byte, the offset
+    pointing at the frame PAYLOAD (after the block\'s track/timestamp/
+    flags header), exactly the bytes a keyframe sampler range-reads.
+    General over any cluster layout and element order; laced blocks and
+    BlockGroup/Block are rejected by name rather than mis-indexed."""
+    segment = None
+    for eid, ps, pe in _ebml_children(b, 0, len(b)):
+        if eid == 0x18538067:  # Segment
+            segment = (ps, pe)
+            break
+    if segment is None:
+        raise ValueError("WebM missing Segment element")
+    out: list[tuple[int, int, int, bool]] = []
+    frame = 0
+    for eid, ps, pe in _ebml_children(b, segment[0], segment[1]):
+        if eid != 0x1F43B675:  # Cluster
+            continue
+        for ceid, cps, cpe in _ebml_children(b, ps, pe):
+            if ceid == 0xA0:
+                raise ValueError(
+                    "Matroska BlockGroup/Block not supported (only "
+                    "SimpleBlock); keyframe flags would need "
+                    "ReferenceBlock resolution"
+                )
+            if ceid != 0xA3:  # SimpleBlock
+                continue
+            _, p = _ebml_read_size(b, cps)  # track number varint
+            p += 2  # relative timestamp (signed 16-bit)
+            flags = b[p]
+            if flags & 0x06:
+                raise ValueError(
+                    "laced SimpleBlock not supported (lacing bits set)"
+                )
+            p += 1
+            out.append((frame, p, cpe - p, bool(flags & 0x80)))
+            frame += 1
+    return out
+
+
+def webm_frame_index(media: DataFrame) -> DataFrame:
+    """Per-frame byte index over WebM payloads: (media_id, frame,
+    offset, n_bytes, keyframe) — the EBML twin of
+    :func:`mp4_frame_index`, same scale shape: payloads never leave
+    their scan task, only narrow index rows flow on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                for frame, ofs, size, key in parse_webm_frame_index(bytes(c)):
+                    rows.append((mid, frame, ofs, size, key))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame", "offset", "n_bytes", "keyframe"],
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches,
+        schema="media_id long, frame int, offset long, n_bytes int, keyframe boolean",
+    )
+
+
+def webm_frame_index_sql(table: str = "documents") -> str:
+    """DuckDB oracle for webm_indexed_media_table →
+    :func:`webm_frame_index`: re-derive frame sizes from the md5 hash;
+    offset(f) = header + cluster overhead × (f // fpc + 1) + per-frame
+    block overhead × (f + 1) + prefix sum of earlier frame sizes (the
+    fixed-width EBML encodings in the synthesizer pin every element
+    length; verified against parse_webm_frame_index in tests)."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    return f"""
+WITH params AS (
+  SELECT doc_id AS media_id,
+         1 + ({h} // 7) % {_MP4X_F_MOD} AS n_frames,
+         {h} % 256 AS shift
+  FROM {table}
+), frames AS (
+  SELECT media_id, shift,
+         unnest(range(0, n_frames)) AS frame
+  FROM params
+), sized AS (
+  SELECT media_id, frame,
+         CAST(64 + (shift + 17 * frame) % {_MP4X_SZ_MOD} AS INT) AS n_bytes,
+         frame % {_MP4X_KEY_EVERY} = 0 AS keyframe
+  FROM frames
+)
+SELECT media_id, CAST(frame AS INT) AS frame,
+       CAST({_WEBM_HDR_LEN}
+            + {_WEBM_CLUSTER_OVH} * (frame // {_WEBM_FPC} + 1)
+            + {_WEBM_FRAME_OVH} * (frame + 1)
+            + COALESCE(sum(n_bytes) OVER (PARTITION BY media_id
+                                          ORDER BY frame
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0)
+            AS BIGINT) AS offset,
+       n_bytes, keyframe
+FROM sized
+"""
+
+
 def audio_window_features(media: DataFrame, window: int = 512) -> DataFrame:
     """Windowed PCM feature extraction — the audio segmentation shape a
     training pipeline needs (silence trimming, VAD-ish gating, chunked

@@ -591,3 +591,107 @@ def test_mp4_frame_index_selects_video_trak_on_multitrack():
     # and with no video trak at all, fall back to the first sample table
     b2 = box(b"moov", trak(b"soun", [5, 6], 100, [2]))
     assert M.parse_mp4_frame_index(b2) == [(0, 100, 5, False), (1, 105, 6, True)]
+
+
+def test_webm_frame_index_roundtrip_and_oracle(spark, ddb):
+    """WebM synthesizer → EBML walker roundtrip (offsets point at the
+    real SimpleBlock payload bytes across multiple Clusters) and the
+    exact DuckDB oracle on the driver fixture — the mp4_frame_index
+    test, EBML container."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    b = M.synthesize_webm_indexed(320, 240, 29, 77)  # 3 Clusters (12/cluster)
+    idx = M.parse_webm_frame_index(b)
+    assert len(idx) == 29
+    for f, (frame, ofs, size, key) in enumerate(idx):
+        assert frame == f
+        assert size == 64 + (77 + 17 * f) % 191
+        assert key == (f % 8 == 0)
+        assert b[ofs : ofs + size] == bytes([(77 + f) % 256]) * size
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.webm_indexed_media_table(docs)
+    got = sorted(tuple(r) for r in M.webm_frame_index(media).collect())
+    want = sorted(tuple(t) for t in ddb.execute(M.webm_frame_index_sql()).fetchall())
+    assert got == want and len(got) > 500
+
+
+def test_webm_parser_on_hand_built_general_ebml():
+    """The walker must be a general EBML parser, not a synthesizer
+    inverse: minimal-width size varints (not the synthesizer's fixed
+    widths), a Void element between blocks, SeekHead before Info, and a
+    3-byte cluster size all parse; frame numbering follows storage
+    order across clusters."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    def vint(val, width):  # EBML size varint
+        return ((1 << (7 * width)) | val).to_bytes(width, "big")
+
+    def block(track, ts, flags, payload):
+        inner = bytes([0x80 | track]) + ts.to_bytes(2, "big") + bytes([flags]) + payload
+        return b"\xa3" + vint(len(inner), 1) + inner  # 1-byte size varint
+
+    # minimal EBML header: just DocType "webm" inside
+    doctype = b"\x42\x82" + vint(4, 1) + b"webm"
+    ebml = b"\x1a\x45\xdf\xa3" + vint(len(doctype), 1) + doctype
+    void = b"\xec" + vint(3, 1) + b"\x00\x00\x00"
+    seekhead = b"\x11\x4d\x9b\x74" + vint(0, 1)
+    c1_payload = (
+        b"\xe7" + vint(1, 1) + b"\x00"  # Timestamp, 1-byte value
+        + block(1, 0, 0x80, b"KEYF1")
+        + void
+        + block(1, 40, 0x00, b"d2")
+    )
+    c2_payload = b"\xe7" + vint(1, 1) + b"\x50" + block(1, 0, 0x80, b"k3x")
+    seg_payload = (
+        seekhead
+        + b"\x1f\x43\xb6\x75" + vint(len(c1_payload), 1) + c1_payload
+        + b"\x1f\x43\xb6\x75" + vint(len(c2_payload), 3) + c2_payload
+    )
+    b = ebml + b"\x18\x53\x80\x67" + vint(len(seg_payload), 2) + seg_payload
+    got = M.parse_webm_frame_index(b)
+    assert [(f, b[o : o + s], k) for f, o, s, k in got] == [
+        (0, b"KEYF1", True),
+        (1, b"d2", False),
+        (2, b"k3x", True),
+    ]
+
+
+def test_webm_parser_rejects_lacing_blockgroup_unknown_size():
+    """Failure modes are rejected BY NAME, never silently mis-indexed:
+    lacing bits, BlockGroup/Block, unknown-size elements, and a child
+    overrunning its parent."""
+    import pytest
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    def vint(val, width):
+        return ((1 << (7 * width)) | val).to_bytes(width, "big")
+
+    doctype = b"\x42\x82" + vint(4, 1) + b"webm"
+    ebml = b"\x1a\x45\xdf\xa3" + vint(len(doctype), 1) + doctype
+
+    def seg(cluster_payload):
+        c = b"\x1f\x43\xb6\x75" + vint(len(cluster_payload), 1) + cluster_payload
+        return ebml + b"\x18\x53\x80\x67" + vint(len(c), 2) + c
+
+    laced = b"\x81" + b"\x00\x00" + b"\x02" + b"xx"  # lacing bits 0b10
+    with pytest.raises(ValueError, match="laced"):
+        M.parse_webm_frame_index(seg(b"\xa3" + vint(len(laced), 1) + laced))
+
+    bg = b"\xa0" + vint(2, 1) + b"\x00\x00"
+    with pytest.raises(ValueError, match="BlockGroup"):
+        M.parse_webm_frame_index(seg(bg))
+
+    # unknown-size element (all size bits set)
+    unk = ebml + b"\x18\x53\x80\x67" + b"\xff"
+    with pytest.raises(ValueError, match="unknown-size"):
+        M.parse_webm_frame_index(unk)
+
+    # child claims more bytes than its parent holds
+    bad = b"\xa3" + vint(200, 1) + b"\x81\x00\x00\x00"
+    with pytest.raises(ValueError, match="overruns"):
+        M.parse_webm_frame_index(seg(bad))
+
+    with pytest.raises(ValueError, match="Segment"):
+        M.parse_webm_frame_index(ebml)
