@@ -968,10 +968,15 @@ def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (operators/similarity.py): each query also
     probes the r Hamming-distance-1 band buckets — query-time recall on
     a FIXED index, the standard production dial when re-indexing is too
-    expensive. Hash-derived and deterministic → exact oracle."""
+    expensive. Hash-derived and deterministic → exact oracle. Since r10
+    the occupancy cap is the ENGINE-WIDE DEFAULT
+    (similarity.DEFAULT_BUCKET_CAP); this query opts in to uncapped
+    exact-bucket semantics explicitly, as the uncapped reference
+    variant next to similarity_ann_multiprobe_capped."""
     return round_floats(
         similarity.ann_topk_multiprobe(
-            load_table(spark, sf_dir, "embeddings"), k=5, bits=32, bands=4, dim=EMB_DIM
+            load_table(spark, sf_dir, "embeddings"), k=5, bits=32, bands=4,
+            dim=EMB_DIM, bucket_cap=None,
         ),
         all_dec=True,
     )
@@ -985,8 +990,11 @@ def q_similarity_ann_multiprobe_capped(
     bucket), so candidate count per query is bounded by
     bands × (1+r) × cap at ANY corpus size — the knob that keeps probe
     cost from exploding on skewed/near-duplicate-heavy corpora at
-    100×. Same deterministic hash sample in both engines → exact
-    oracle; recall floor under the cap pinned in tests/test_northstar.py."""
+    100×. Since r10 this cap is the engine-wide DEFAULT
+    (similarity.DEFAULT_BUCKET_CAP=64, r9 verdict item 6); this query
+    pins it explicitly. Same deterministic hash sample in both engines
+    → exact oracle; recall floor under the cap pinned in
+    tests/test_northstar.py."""
     return round_floats(
         similarity.ann_topk_multiprobe(
             load_table(spark, sf_dir, "embeddings"),
@@ -3797,7 +3805,8 @@ def all_oracles() -> dict[str, str]:
         ),
         "similarity_ann_multiprobe": _round_oracle_cols(
             similarity.ann_topk_sql(
-                k=5, bits=32, bands=4, dim=EMB_DIM, multiprobe=True
+                k=5, bits=32, bands=4, dim=EMB_DIM, multiprobe=True,
+                bucket_cap=None,  # the explicit uncapped reference variant
             ),
             ["cos_sim"],
         ),

@@ -357,6 +357,19 @@ def hyperplane_signatures(
     )
 
 
+# Hot-bucket occupancy cap applied by DEFAULT in every LSH probe path
+# (engine AND oracle — keep the two aligned): at most this many
+# hash-ordered index entries survive per (band, bucket), so candidate
+# count per query is bounded by bands x (1+r) x cap at ANY corpus size
+# — the only 100x-safe shape on skewed or near-duplicate-heavy corpora,
+# where one hot signature can hold a constant fraction of the corpus
+# and make the bucket self-join quadratic. Uncapped exact-bucket
+# semantics are OPT-IN via bucket_cap=None (kept by the registered
+# similarity_ann_multiprobe query as the uncapped reference variant).
+# Recall floor under the cap is pinned in tests/test_northstar.py.
+DEFAULT_BUCKET_CAP = 64
+
+
 def ann_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -366,7 +379,7 @@ def ann_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     arrow_rerank: bool = False,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: (query_id, neighbor_id, rank, cos_sim).
 
@@ -377,7 +390,9 @@ def ann_topk(
     band, a pair at angle θ collides on ≥1 band with probability
     1 − (1 − (1 − θ/π)^r)^bands. ``dim`` as in
     :func:`hyperplane_signatures` (skip the probe job). ``bucket_cap``
-    as in :func:`ann_topk_multiprobe` — the hot-bucket occupancy bound.
+    as in :func:`ann_topk_multiprobe` — the hot-bucket occupancy bound,
+    ON by default (``DEFAULT_BUCKET_CAP``); ``None`` opts in to exact
+    bucket semantics.
     """
     sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
     return _bucketed_topk_from_sigs(
@@ -395,7 +410,7 @@ def ann_topk_multiprobe(
     vec_col: str = "embedding",
     dim: int | None = None,
     arrow_rerank: bool = False,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., VLDB'07 idea on sign LSH):
     each query probes its own band bucket PLUS the r = bits/bands
@@ -416,8 +431,9 @@ def ann_topk_multiprobe(
     bands × (1+r) × bucket_cap regardless of corpus size. Capping
     trades a bounded, reproducible recall loss (pinned ≥ 0.9 on
     clustered data in tests/test_northstar.py) for a hard join-output
-    bound; ``None`` (default) keeps exact bucket semantics for the
-    hash-gated queries."""
+    bound. Capping is the DEFAULT (``DEFAULT_BUCKET_CAP``) — the only
+    100×-safe shape on skewed corpora; pass ``bucket_cap=None`` to opt
+    in to exact bucket semantics."""
     sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
     return _bucketed_topk_from_sigs(
         sigs, corpus, k, bits, bands, id_col, vec_col, dim, arrow_rerank,
@@ -589,7 +605,7 @@ def ann_topk_sql(
     table: str = "embeddings",
     dim: int = 64,
     multiprobe: bool = False,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> str:
     """DuckDB oracle for :func:`ann_topk` — same hash-derived
     hyperplanes, bands and re-rank, in plain SQL.
