@@ -167,6 +167,9 @@ HEADLINE = [
     # r9 additions
     "similarity_ann_multiprobe_capped",  # occupancy-capped probes: the 100x knob
     "multimodal_mp4_frame_index",  # ISO 14496-12 sample-table resolution
+    "multimodal_webm_frame_index",  # Matroska EBML cluster/SimpleBlock walk
+    "multimodal_image_dhash",  # perceptual hash over real PNG decode
+    "multimodal_image_phash_dedup",  # rescaled-duplicate groups
     "bpe_pack",  # tokenizer-fed pack manifest (now exact-oracled end to end)
     "frequency_domain",  # periodogram argmax (now exact via the DFT oracle)
     "dedup_canonical",  # fuzzy-exact tier: canonical-form hash groups
@@ -194,6 +197,21 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Optional headline subset (comma-separated names, or "i:j" slice of
+    # HEADLINE): lets long off-SF runs (e.g. the 10x BENCH_LOCAL sf1
+    # section) be chunked across sessions without changing the per-query
+    # warm protocol, which is per-query anyway.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "")
+    headline = HEADLINE
+    if only_env:
+        if ":" in only_env and all(
+            p.isdigit() or p == "" for p in only_env.split(":")
+        ):
+            i, j = only_env.split(":")
+            headline = HEADLINE[int(i or 0):int(j) if j else len(HEADLINE)]
+        else:
+            wanted = {n.strip() for n in only_env.split(",") if n.strip()}
+            headline = [n for n in HEADLINE if n in wanted]
     # scale factor from the directory name (sf0.1 → 0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -278,22 +296,23 @@ def main() -> None:
     # execution in this fresh JVM, before ANY warm pass — codegen
     # compile + JIT included — so the warm protocol's delta is visible
     # in the published JSON rather than only the steady-state number.
-    t0 = time.time()
-    try:
-        qs["weighted_bins"](spark, sf_dir).count()
-        weighted_bins_cold = round(time.time() - t0, 3)
-    except Exception as exc:
-        weighted_bins_cold = -1.0
-        print(f"# weighted_bins cold: FAILED {exc}", file=sys.stderr, flush=True)
-    print(
-        f"# weighted_bins cold (first run, fresh JVM): {weighted_bins_cold:.2f}s",
-        file=sys.stderr,
-        flush=True,
-    )
+    weighted_bins_cold = -1.0
+    if "weighted_bins" in headline:  # skip in subset chunks without it
+        t0 = time.time()
+        try:
+            qs["weighted_bins"](spark, sf_dir).count()
+            weighted_bins_cold = round(time.time() - t0, 3)
+        except Exception as exc:
+            print(f"# weighted_bins cold: FAILED {exc}", file=sys.stderr, flush=True)
+        print(
+            f"# weighted_bins cold (first run, fresh JVM): {weighted_bins_cold:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     per_query: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = qs.get(name)
         if fn is None:
             continue

@@ -3058,6 +3058,28 @@ def q_multimodal_webm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.webm_frame_index(media)
 
 
+def q_multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash, Krawetz) per image over the
+    REAL PNG decode path: decode → 9×8 nearest resample → horizontal
+    gradient sign bits, packed as four 16-bit bands. Computed entirely
+    scan-side from payloads that never leave their task; the oracle
+    predicts the hash from the gradient-fixture arithmetic, so any
+    decode/resample/packing bug is a hash mismatch."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_dhash(media)
+
+
+def q_multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate groups: images sharing the full 64-bit
+    dHash — re-scaled/re-encoded copies of the same visual content that
+    byte-level exact_dedup cannot catch (n_distinct_dims > 1 groups
+    hold genuinely different-sized copies). One combinable groupBy over
+    the 8-byte band key — exact_dedup's scale shape on perceptual
+    keys."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_dhash_dedup(media)
+
+
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM segmentation: decode each WAV's int16 stream and
     emit one integer-exact feature row per fixed 512-frame window —
@@ -3621,6 +3643,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the unigram trio): the WebM/Matroska EBML frame-index twin of
         # the MP4 sample-table walk (r9 verdict item 4) ---
         "multimodal_webm_frame_index": q_multimodal_webm_frame_index,
+        # perceptual image hashing: dHash over the real PNG decode path
+        # + the rescaled-duplicate groups exact byte dedup cannot catch
+        "multimodal_image_dhash": q_multimodal_image_dhash,
+        "multimodal_image_phash_dedup": q_multimodal_image_phash_dedup,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, k-means/BLAS
         # arms, eigh, Viterbi-EM unigram training): not ANSI-SQL
@@ -3927,6 +3953,8 @@ GROUP BY event_type
         "multimodal_mp4_meta": multimodal.mp4_meta_sql(),
         "multimodal_mp4_frame_index": multimodal.mp4_frame_index_sql(),
         "multimodal_webm_frame_index": multimodal.webm_frame_index_sql(),
+        "multimodal_image_dhash": multimodal.image_dhash_sql(),
+        "multimodal_image_phash_dedup": multimodal.image_dhash_dedup_sql(),
         "multimodal_avi_frames": multimodal.avi_frame_stats_sql(every_k=2),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),

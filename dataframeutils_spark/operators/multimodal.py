@@ -571,6 +571,157 @@ FROM dims
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — near-duplicate images at 100 TB
+# ---------------------------------------------------------------------------
+# Exact/byte dedup misses re-encoded, re-scaled, or metadata-stripped
+# copies of the same picture — the dominant duplicate class in crawled
+# image corpora. The standard cheap answer is a perceptual difference
+# hash (dHash, Krawetz): decode → downscale to a tiny fixed raster →
+# keep only the horizontal gradient SIGNS. Re-scaling and re-encoding
+# preserve gradient signs almost everywhere, so perceptual duplicates
+# land on equal (or near-equal) 64-bit hashes, and dedup becomes the
+# same one-shuffle hash-groupBy shape as exact_dedup — on hashes
+# computed scan-side from payloads that never leave their task.
+# The hash is packed as FOUR 16-bit bands (two 8-pixel rows each):
+# no 64-bit sign-overflow anywhere, and the bands double as the
+# LSH keys for Hamming-near matching (pairs sharing ≥1 band), the
+# same banding trick MinHash and the ANN paths use.
+
+_DHASH_W, _DHASH_H = 9, 8  # 9 columns → 8 horizontal comparisons
+
+
+def _dhash_bands(img) -> tuple[int, int, int, int]:
+    """dHash of a decoded raster: nearest-resample to 9×8, bit(y,x) =
+    1 iff pixel(y, x+1) > pixel(y, x), two 8-bit rows per band."""
+    import numpy as np
+
+    if img.ndim == 3:
+        # integer BT.601 luma — deterministic across engines/platforms
+        rgb = img[:, :, :3].astype(np.int64)
+        img = (77 * rgb[:, :, 0] + 150 * rgb[:, :, 1] + 29 * rgb[:, :, 2]) >> 8
+    small = resize_nearest(img.astype(np.int64), _DHASH_W, _DHASH_H)
+    rows = []
+    for y in range(_DHASH_H):
+        byte = 0
+        for x in range(_DHASH_W - 1):
+            if small[y, x + 1] > small[y, x]:
+                byte |= 1 << x
+        rows.append(byte)
+    return tuple(
+        (rows[2 * k] << 8) | rows[2 * k + 1] for k in range(4)
+    )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash per image: (media_id, width, height,
+    b0..b3) with the 64-bit dHash packed as four 16-bit bands. REAL
+    pixel decode (PNG, all filter types) inside the scan task; only the
+    narrow hash rows flow on — the shape that holds at 100 TB of
+    payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = decode_png_pixels(bytes(c))
+                rows.append((mid, w, h) + _dhash_bands(img))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "b0", "b1", "b2", "b3"],
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, "
+            "b0 int, b1 int, b2 int, b3 int"
+        ),
+    )
+
+
+def image_dhash_dedup(media: DataFrame) -> DataFrame:
+    """Perceptual dedup groups: images sharing the FULL 64-bit dHash —
+    which re-scaled copies of the same visual content do, while their
+    byte hashes differ (the class exact_dedup cannot catch). One
+    combinable groupBy over the four 16-bit band columns (≤ 8 bytes of
+    key per row through the exchange, exactly exact_dedup's scale
+    shape): (b0..b3, n_images, n_distinct_dims, canonical_id) for
+    groups of ≥ 2, canonical = min media_id, n_distinct_dims counts the
+    (w, h) variants collapsed into the group — > 1 means the group
+    holds genuinely re-scaled copies, not byte twins. Hamming-NEAR
+    matching (pairs differing in ≤ d bits) reuses b0..b3 as LSH band
+    keys — pairs sharing ≥ 1 band, the MinHash banding trick — and
+    stays subquadratic the same way."""
+    hashes = image_dhash(media)
+    return (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("width", "height").alias("n_distinct_dims"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
+def _dhash_bands_sql() -> str:
+    """SQL fragment: the four dHash bands of the gradient fixture,
+    computed from (w, hgt) via the same nearest-resample index map and
+    gradient formula the synthesizer embeds. Requires a relation with
+    (w, hgt) in scope; emits b0..b3 select expressions."""
+    px = (
+        f"(7 * ((_x * w) // {_DHASH_W}) + 13 * ((_y * hgt) // {_DHASH_H})) % 251"
+    )
+    bit = (
+        f"CASE WHEN {px.replace('_x', '(x+1)').replace('_y', 'y')} > "
+        f"{px.replace('_x', 'x').replace('_y', 'y')} "
+        f"THEN 1 << x ELSE 0 END"
+    )
+    row_byte = (
+        f"list_sum(list_transform(range({_DHASH_W - 1}), x -> {bit}))"
+    )
+    return ", ".join(
+        f"CAST(({row_byte.replace('y', str(2 * k))}) * 256 "
+        f"+ ({row_byte.replace('y', str(2 * k + 1))}) AS INT) AS b{k}"
+        for k in range(4)
+    )
+
+
+def image_dhash_sql(table: str = "documents") -> str:
+    """DuckDB oracle for real_media_table → :func:`image_dhash`: the
+    gradient fixture's dHash in closed form (resize_real_sql pattern).
+    The ENGINE decodes real PNG bytes and resamples real pixels; the
+    oracle predicts the result from the generator arithmetic, so any
+    decode/resample/packing bug shows as a hash mismatch."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + {h} % {_PNG_W_MOD} AS BIGINT) AS w,
+         CAST(8 + ({h} // {_PNG_W_MOD}) % {_PNG_H_MOD} AS BIGINT) AS hgt
+  FROM {table} WHERE doc_id % 2 = 0
+)
+SELECT media_id, CAST(w AS INT) AS width, CAST(hgt AS INT) AS height,
+       {_dhash_bands_sql()}
+FROM dims
+"""
+
+
+def image_dhash_dedup_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`image_dhash_dedup`."""
+    return f"""
+WITH hashes AS ({image_dhash_sql(table)})
+SELECT b0, b1, b2, b3,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT (width, height)) AS BIGINT) AS n_distinct_dims,
+       min(media_id) AS canonical_id
+FROM hashes
+GROUP BY b0, b1, b2, b3
+HAVING count(*) >= 2
+"""
+
+
 def sample_frames(media: DataFrame, every_k: int = 8) -> DataFrame:
     """Frame-sampling stage for video payloads: one output row per
     sampled frame index (the fan-out a real frame extractor produces).

@@ -695,3 +695,46 @@ def test_webm_parser_rejects_lacing_blockgroup_unknown_size():
 
     with pytest.raises(ValueError, match="Segment"):
         M.parse_webm_frame_index(ebml)
+
+
+def test_image_dhash_matches_oracle_and_catches_rescaled_dups(spark, ddb):
+    """dHash over the REAL PNG decode path matches the gradient-formula
+    oracle per image, and the dedup groups collapse genuinely
+    re-scaled copies (same perceptual hash, different dimensions) that
+    byte-level dedup cannot."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.real_media_table(docs)
+    got = sorted(tuple(r) for r in M.image_dhash(media).collect())
+    want = sorted(tuple(t) for t in ddb.execute(M.image_dhash_sql()).fetchall())
+    assert got == want and len(got) > 100
+
+    groups = M.image_dhash_dedup(media).collect()
+    gw = sorted(tuple(r) for r in groups)
+    ww = sorted(tuple(t) for t in ddb.execute(M.image_dhash_dedup_sql()).fetchall())
+    assert gw == ww
+    # the fixture produces at least one group of re-scaled (different
+    # (w, h)) images sharing the perceptual hash
+    assert any(r["n_distinct_dims"] > 1 for r in groups)
+
+
+def test_image_dhash_rescale_invariance_and_sensitivity():
+    """The property the hash exists for: a nearest-resampled copy of
+    the same gradient content keeps the same dHash, while different
+    content (shifted gradient) changes it."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    base = M.decode_png_pixels(M.synthesize_png(48, 40))[2]
+    # exact 2x pixel-replication upscale: floor-of-floor index
+    # composition makes the dHash sampling grid hit identical source
+    # pixels (floor(floor(96x/9)/2) == floor(48x/9))
+    up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert M._dhash_bands(base) == M._dhash_bands(up)
+    shifted = (base.astype(np.int64) + np.arange(48)[None, ::-1] * 5) % 251
+    assert M._dhash_bands(shifted) != M._dhash_bands(base)
+    # RGB path: grey content in 3 channels hashes like its luma plane
+    rgb = np.stack([base, base, base], axis=2)
+    assert M._dhash_bands(rgb) == M._dhash_bands(base)

@@ -301,6 +301,11 @@ QUERIES = [
     "dedup_canonical",
     "k_anonymity",
     "multimodal_mp4_frame_index",
+    # r10: EBML twin of the MP4 walk — same payload-stays-in-scan shape
+    "multimodal_webm_frame_index",
+    # r10: perceptual-hash dedup — real PNG decode scan-side, 8-byte
+    # band keys through the exchange
+    "multimodal_image_phash_dedup",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
