@@ -170,6 +170,7 @@ HEADLINE = [
     "multimodal_webm_frame_index",  # Matroska EBML cluster/SimpleBlock walk
     "multimodal_image_dhash",  # perceptual hash over real PNG decode
     "multimodal_image_phash_dedup",  # rescaled-duplicate groups
+    "multimodal_image_neardup",  # banded Hamming pairs (pigeonhole-complete at d<=3)
     "bpe_pack",  # tokenizer-fed pack manifest (now exact-oracled end to end)
     "frequency_domain",  # periodogram argmax (now exact via the DFT oracle)
     "dedup_canonical",  # fuzzy-exact tier: canonical-form hash groups

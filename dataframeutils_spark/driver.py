@@ -3080,6 +3080,17 @@ def q_multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     return multimodal.image_dhash_dedup(media)
 
 
+def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-near perceptual duplicate pairs (dHash distance ≤ 3):
+    banded subquadratic join with the pigeonhole completeness
+    guarantee — at distance ≤ 3 over 4 bands the band path provably
+    returns the same pair set as brute force, which is exactly what
+    the O(n²) DuckDB oracle computes. Catches slightly-altered copies
+    whose hashes are close but not equal."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_hamming_pairs(media, max_dist=3)
+
+
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM segmentation: decode each WAV's int16 stream and
     emit one integer-exact feature row per fixed 512-frame window —
@@ -3647,6 +3658,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + the rescaled-duplicate groups exact byte dedup cannot catch
         "multimodal_image_dhash": q_multimodal_image_dhash,
         "multimodal_image_phash_dedup": q_multimodal_image_phash_dedup,
+        "multimodal_image_neardup": q_multimodal_image_neardup,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, k-means/BLAS
         # arms, eigh, Viterbi-EM unigram training): not ANSI-SQL
@@ -3955,6 +3967,7 @@ GROUP BY event_type
         "multimodal_webm_frame_index": multimodal.webm_frame_index_sql(),
         "multimodal_image_dhash": multimodal.image_dhash_sql(),
         "multimodal_image_phash_dedup": multimodal.image_dhash_dedup_sql(),
+        "multimodal_image_neardup": multimodal.image_hamming_pairs_sql(),
         "multimodal_avi_frames": multimodal.avi_frame_stats_sql(every_k=2),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),

@@ -708,6 +708,96 @@ FROM dims
 """
 
 
+def image_hamming_pairs(
+    media: DataFrame, max_dist: int = 3, max_rows: int | None = 100_000
+) -> DataFrame:
+    """Hamming-NEAR perceptual duplicates: (img_a, img_b, hamming) for
+    image pairs whose 64-bit dHashes differ in ≤ ``max_dist`` bits —
+    slightly-cropped/re-compressed copies whose hashes are close but
+    not equal (the tier between :func:`image_dhash_dedup`'s
+    equal-hash groups and genuinely different images).
+
+    Banded with the PIGEONHOLE GUARANTEE: the hash is stored as 4
+    16-bit bands, so any pair within Hamming distance ≤ 3 < 4 agrees
+    exactly on ≥ 1 band and is FOUND by the band equi-join — for
+    ``max_dist`` ≤ 3 this subquadratic path returns provably the same
+    pairs as the brute-force cross join (pinned in pytest). Above 3
+    the band join becomes a recall-bounded candidate generator (the
+    standard multi-index Hamming trade).
+
+    Scale note: band-bucket occupancy bounds the join output the same
+    way it does in MinHash-LSH; on real corpora dHashes are diverse
+    and buckets stay small, but a corpus of visually near-identical
+    images (this repo's gradient FIXTURES are exactly that) degrades
+    toward all-pairs — ``max_rows`` refuses inputs where that join
+    would be a scale-killer (``None`` bypasses the guard and its
+    count() job), the embedding_dup_pairs contract.
+    """
+    hashes = image_dhash(media)
+    if max_rows is not None:
+        n = hashes.count()
+        if n > max_rows:
+            raise ValueError(
+                f"image_hamming_pairs: {n} images > max_rows={max_rows}; "
+                "near-identical corpora make the band join quadratic — "
+                "raise max_rows explicitly if that cost is intended"
+            )
+    bands = hashes.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("img_a"),
+            F.col("b.media_id").alias("img_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("img_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("img_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")).cast("long"))
+        for k in range(4)
+    )
+    return (
+        cand.join(ha, "img_a")
+        .join(hb, "img_b")
+        .select("img_a", "img_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
+def image_hamming_pairs_sql(table: str = "documents", max_dist: int = 3) -> str:
+    """DuckDB oracle for :func:`image_hamming_pairs` — brute-force
+    threshold join over the fixture-formula hashes. For max_dist ≤ 3
+    the engine's banded path must return EXACTLY this set (pigeonhole:
+    ≤ 3 differing bits across 4 bands leaves one band equal)."""
+    ham = " + ".join(
+        f"bit_count(xor(CAST(a.b{k} AS BIGINT), CAST(b.b{k} AS BIGINT)))"
+        for k in range(4)
+    )
+    return f"""
+WITH hashes AS ({image_dhash_sql(table)})
+SELECT a.media_id AS img_a, b.media_id AS img_b,
+       CAST({ham} AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE {ham} <= {max_dist}
+"""
+
+
 def image_dhash_dedup_sql(table: str = "documents") -> str:
     """DuckDB oracle for :func:`image_dhash_dedup`."""
     return f"""

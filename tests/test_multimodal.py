@@ -738,3 +738,44 @@ def test_image_dhash_rescale_invariance_and_sensitivity():
     # RGB path: grey content in 3 channels hashes like its luma plane
     rgb = np.stack([base, base, base], axis=2)
     assert M._dhash_bands(rgb) == M._dhash_bands(base)
+
+
+def test_image_hamming_pairs_pigeonhole_completeness(spark, ddb):
+    """At max_dist ≤ 3 over 4 bands, the banded subquadratic path must
+    return EXACTLY the brute-force pair set (pigeonhole: ≤ 3 differing
+    bits leave ≥ 1 of 4 bands equal). The oracle IS the brute force."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.real_media_table(docs)
+    got = sorted(tuple(r) for r in M.image_hamming_pairs(media, max_dist=3).collect())
+    want = sorted(tuple(t) for t in ddb.execute(M.image_hamming_pairs_sql()).fetchall())
+    assert got == want and len(got) > 0
+    # negative control: at distance 4 the guarantee genuinely breaks —
+    # a pair with exactly one differing bit per band shares no band,
+    # so the band join misses it while brute force finds it
+    h = [(1, 0, 0, 0, 0), (2, 1, 1 << 7, 1 << 3, 1 << 11)]
+    import itertools
+
+    def brute(pairs, d):
+        out = []
+        for (ia, *a), (ib, *b) in itertools.combinations(pairs, 2):
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+            if ham <= d:
+                out.append((ia, ib, ham))
+        return out
+
+    assert brute(h, 4) == [(1, 2, 4)]  # brute force finds it...
+    shared = any(a == b for a, b in zip(h[0][1:], h[1][1:]))
+    assert not shared  # ...but no band matches: banded recall < 1 at d=4
+
+
+def test_image_hamming_pairs_size_guard(spark):
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.real_media_table(docs)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_rows"):
+        M.image_hamming_pairs(media, max_rows=3)
