@@ -171,6 +171,8 @@ HEADLINE = [
     "multimodal_image_dhash",  # perceptual hash over real PNG decode
     "multimodal_image_phash_dedup",  # rescaled-duplicate groups
     "multimodal_image_neardup",  # banded Hamming pairs (pigeonhole-complete at d<=3)
+    "multimodal_audio_fingerprint",  # windowed-energy delta-sign fingerprint
+    "multimodal_audio_fp_dedup",  # resampled-audio duplicate groups
     "bpe_pack",  # tokenizer-fed pack manifest (now exact-oracled end to end)
     "frequency_domain",  # periodogram argmax (now exact via the DFT oracle)
     "dedup_canonical",  # fuzzy-exact tier: canonical-form hash groups

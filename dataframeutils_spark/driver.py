@@ -3091,6 +3091,25 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_hamming_pairs(media, max_dist=3)
 
 
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprint (windowed-energy delta signs,
+    chromaprint-style simplified) over the REAL PCM16 WAV decode path —
+    the audio member of the perceptual dedup family. Scan-side decode,
+    one int out per clip; the oracle predicts the fingerprint from the
+    sawtooth-fixture arithmetic."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_fingerprint(media)
+
+
+def q_multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup groups: clips sharing the fingerprint —
+    re-sampled copies of the same signal that byte dedup cannot catch
+    (every fixture group spans multiple sample rates). One combinable
+    groupBy over the 8-byte fingerprint key."""
+    media = multimodal.real_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_fingerprint_dedup(media)
+
+
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM segmentation: decode each WAV's int16 stream and
     emit one integer-exact feature row per fixed 512-frame window —
@@ -3659,6 +3678,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash": q_multimodal_image_dhash,
         "multimodal_image_phash_dedup": q_multimodal_image_phash_dedup,
         "multimodal_image_neardup": q_multimodal_image_neardup,
+        "multimodal_audio_fingerprint": q_multimodal_audio_fingerprint,
+        "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, k-means/BLAS
         # arms, eigh, Viterbi-EM unigram training): not ANSI-SQL
@@ -3968,6 +3989,8 @@ GROUP BY event_type
         "multimodal_image_dhash": multimodal.image_dhash_sql(),
         "multimodal_image_phash_dedup": multimodal.image_dhash_dedup_sql(),
         "multimodal_image_neardup": multimodal.image_hamming_pairs_sql(),
+        "multimodal_audio_fingerprint": multimodal.audio_fingerprint_sql(),
+        "multimodal_audio_fp_dedup": multimodal.audio_fingerprint_dedup_sql(),
         "multimodal_avi_frames": multimodal.avi_frame_stats_sql(every_k=2),
         "stream_windowed_stats": _stream_windows_sql(),
         "stream_sliding_stats": _stream_sliding_sql(),

@@ -2378,6 +2378,130 @@ FROM sized
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual audio fingerprinting — the WAV twin of the image dHash
+# ---------------------------------------------------------------------------
+
+_AFP_WINDOWS = 32  # energy windows per clip → 31 delta-sign bits
+
+
+def _audio_fp(samples) -> int:
+    """Windowed-energy delta-sign fingerprint of a decoded PCM stream
+    (chromaprint-style, radically simplified): split the interleaved
+    int16 stream into 32 equal windows by the integer index map
+    lo_k = (k·total)//32, take sum(|x|) per window, keep only the SIGNS
+    of consecutive energy deltas — 31 bits, packed into an int. Gain
+    changes scale all energies equally and re-encodings perturb them
+    slightly, but the delta signs survive — same robustness argument
+    as the image gradient-sign hash."""
+    import numpy as np
+
+    flat = np.abs(samples.astype(np.int64)).ravel()
+    total = flat.shape[0]
+    bounds = [(k * total) // _AFP_WINDOWS for k in range(_AFP_WINDOWS + 1)]
+    e = [int(flat[bounds[k]:bounds[k + 1]].sum()) for k in range(_AFP_WINDOWS)]
+    fp = 0
+    for k in range(_AFP_WINDOWS - 1):
+        if e[k + 1] > e[k]:
+            fp |= 1 << k
+    return fp
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprint per audio clip: (media_id, sample_rate,
+    n_channels, n_frames, fp) — REAL PCM16 WAV decode inside the scan
+    task, one int fingerprint out; the audio member of the perceptual
+    dedup family next to :func:`image_dhash`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rate, nch, samples = decode_wav_samples(bytes(c))
+                rows.append(
+                    (mid, rate, nch, samples.shape[0], _audio_fp(samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_channels", "n_frames", "fp"],
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, sample_rate int, n_channels int, "
+            "n_frames int, fp long"
+        ),
+    )
+
+
+def audio_fingerprint_dedup(media: DataFrame) -> DataFrame:
+    """Perceptual audio dedup groups: clips sharing the fingerprint —
+    which re-sampled/re-tagged copies of the same signal do while their
+    byte hashes differ. One combinable groupBy over an 8-byte key
+    (exact_dedup's scale shape): (fp, n_clips, n_distinct_rates,
+    canonical_id) for groups of ≥ 2; n_distinct_rates > 1 marks groups
+    that collapse genuinely re-sampled copies."""
+    fps = audio_fingerprint(media)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.countDistinct("sample_rate").alias("n_distinct_rates"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_clips") >= 2)
+    )
+
+
+def audio_fingerprint_sql(table: str = "documents") -> str:
+    """DuckDB oracle for real_media_table → :func:`audio_fingerprint`:
+    the sawtooth fixture's windowed energies in closed form — sample i
+    of the interleaved stream is (i·257) % 32768 − 16384, windows by
+    the same integer index map. The ENGINE decodes real RIFF bytes; the
+    oracle predicts the result from the generator arithmetic."""
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    W = _AFP_WINDOWS
+    # COALESCE: clips shorter than 32 samples leave some windows empty,
+    # and DuckDB's list_sum([]) is NULL where the engine's empty-slice
+    # sum is 0
+    energy = (
+        f"list_transform(range({W}), k -> COALESCE(list_sum(list_transform("
+        f"range((k * total) // {W}, ((k + 1) * total) // {W}), "
+        f"i -> abs((i * 257) % 32768 - 16384))), 0))"
+    )
+    fp = (
+        f"list_sum(list_transform(range({W - 1}), "
+        f"k -> CASE WHEN e[k + 2] > e[k + 1] THEN 1 << k ELSE 0 END))"
+    )
+    return f"""
+WITH params AS (
+  SELECT doc_id AS media_id,
+         CAST(8000 + {h} % {_WAV_RATE_MOD} AS INT) AS sample_rate,
+         CAST(1 + {h} % 2 AS INT) AS n_channels,
+         CAST(16 + ({h} // 7) % {_WAV_N_MOD} AS INT) AS n_frames
+  FROM {table} WHERE doc_id % 2 = 1
+), with_e AS (
+  SELECT media_id, sample_rate, n_channels, n_frames, {energy} AS e
+  FROM (SELECT *, n_frames * n_channels AS total FROM params)
+)
+SELECT media_id, sample_rate, n_channels, n_frames,
+       CAST(COALESCE({fp}, 0) AS BIGINT) AS fp
+FROM with_e
+"""
+
+
+def audio_fingerprint_dedup_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`audio_fingerprint_dedup`."""
+    return f"""
+WITH fps AS ({audio_fingerprint_sql(table)})
+SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(count(DISTINCT sample_rate) AS BIGINT) AS n_distinct_rates,
+       min(media_id) AS canonical_id
+FROM fps GROUP BY fp HAVING count(*) >= 2
+"""
+
+
 def audio_window_features(media: DataFrame, window: int = 512) -> DataFrame:
     """Windowed PCM feature extraction — the audio segmentation shape a
     training pipeline needs (silence trimming, VAD-ish gating, chunked

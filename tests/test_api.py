@@ -344,7 +344,8 @@ def test_registry_contract():
         # r10 newcomers, once registered, are added to NEW_R10 here)
         NEW_R10 = {"multimodal_webm_frame_index",
                    "multimodal_image_dhash", "multimodal_image_phash_dedup",
-                   "multimodal_image_neardup"}
+                   "multimodal_image_neardup",
+                   "multimodal_audio_fingerprint", "multimodal_audio_fp_dedup"}
         missing = [
             n for n in names[50:]
             if n not in gated and n not in ROWS_ONLY and n not in NEW_R10

@@ -779,3 +779,44 @@ def test_image_hamming_pairs_size_guard(spark):
 
     with pytest.raises(ValueError, match="max_rows"):
         M.image_hamming_pairs(media, max_rows=3)
+
+
+def test_audio_fingerprint_matches_oracle_and_groups_resampled(spark, ddb):
+    """The windowed-energy fingerprint over the REAL WAV decode path
+    matches the sawtooth-formula oracle per clip, and the dedup groups
+    collapse re-sampled copies (same signal content at different
+    sample rates)."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.real_media_table(docs)
+    got = sorted(tuple(r) for r in M.audio_fingerprint(media).collect())
+    want = sorted(tuple(t) for t in ddb.execute(M.audio_fingerprint_sql()).fetchall())
+    assert got == want and len(got) > 100
+
+    groups = M.audio_fingerprint_dedup(media).collect()
+    gw = sorted(tuple(r) for r in groups)
+    ww = sorted(
+        tuple(t) for t in ddb.execute(M.audio_fingerprint_dedup_sql()).fetchall()
+    )
+    assert gw == ww
+    assert any(r["n_distinct_rates"] > 1 for r in groups)
+
+
+def test_audio_fingerprint_gain_invariance_and_sensitivity():
+    """The property the fingerprint exists for: scaling the signal
+    (gain change) preserves the delta-sign bits; different content
+    (reversed signal) changes them. Short clips (< 32 samples, empty
+    windows) must not crash or depend on NULL-vs-0 semantics."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    sig = np.array(
+        [(i * 257) % 32768 - 16384 for i in range(300)], dtype=np.int16
+    ).reshape(-1, 1)
+    fp = M._audio_fp(sig)
+    assert M._audio_fp(sig // 2) == fp  # gain-scaled copy
+    assert M._audio_fp(sig[::-1]) != fp  # reversed content
+    short = sig[:20]
+    assert isinstance(M._audio_fp(short), int)  # empty windows ok
