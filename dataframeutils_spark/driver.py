@@ -3476,9 +3476,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r09.json, the 6 rows-only queries gated once in r09
     (kept below the cap from now on), and the rows-only-by-design group
     at the bottom. With this window gated, cumulative external coverage
-    is 177/177 and external-exact coverage is 157/157. In-round r10
-    newcomers/flips are registered below the cap per the rotation
-    protocol and lead the r11 window together with the r7 leftovers.
+    of the 177 pre-r10 queries is 177/177 and their external-exact
+    coverage is 157/157. In-round r10 additions — the unigram trio
+    flipped to exact, the WebM frame index, and the perceptual-dedup
+    family (image dHash ×3, audio fingerprint ×2) — are registered
+    below the cap per the rotation protocol and lead the r11 window
+    together with the 13 r7 leftovers.
     """
     return {
         # --- r10 window leads (positions 1-7): the 7 r6-batch
