@@ -173,6 +173,7 @@ HEADLINE = [
     "multimodal_image_neardup",  # banded Hamming pairs (pigeonhole-complete at d<=3)
     "multimodal_audio_fingerprint",  # windowed-energy delta-sign fingerprint
     "multimodal_audio_fp_dedup",  # resampled-audio duplicate groups
+    "stationarity_kpss",  # closed-form KPSS, exact-gated (ADF stays rows-only)
     "bpe_pack",  # tokenizer-fed pack manifest (now exact-oracled end to end)
     "frequency_domain",  # periodogram argmax (now exact via the DFT oracle)
     "dedup_canonical",  # fuzzy-exact tier: canonical-form hash groups

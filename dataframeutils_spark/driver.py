@@ -193,6 +193,20 @@ def q_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stationarity_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS alone, flipped to an exact-hash gate (r10): unlike ADF
+    (AIC lag selection over multi-regressor OLS fits — genuinely not
+    SQL territory), KPSS is closed-form end to end — demeaning, lag
+    autocovariances, the Hobijn bandwidth, the Bartlett long-run
+    variance, and published-table p interpolation — so the DuckDB
+    oracle (oracles.KPSS_SQL) replays it exactly. The one truncation
+    knife edge is guarded engine-side (stats.kpss
+    guard_bandwidth_eps)."""
+    return round_floats(
+        stat_tests.kpss_stationarity(_melted(spark, sf_dir)), all_dec=True
+    )
+
+
 def q_stationarity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
         stat_tests.stationarity_summary(stat_tests.stationarity_tests(_melted(spark, sf_dir))),
@@ -3683,6 +3697,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_audio_fingerprint": q_multimodal_audio_fingerprint,
         "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
+        # KPSS alone flipped rows-only -> exact (ADF keeps the combined
+        # stationarity query rows-only; oracles.KPSS_SQL)
+        "stationarity_kpss": q_stationarity_kpss,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, k-means/BLAS
         # arms, eigh, Viterbi-EM unigram training): not ANSI-SQL
@@ -3711,6 +3728,7 @@ def all_oracles() -> dict[str, str]:
         "panel_distribution": oracles.DISTRIBUTION_SQL,
         "frequency_domain": oracles.FREQUENCY_SQL,
         "memory_dependence": oracles.MEMORY_DEPENDENCE_SQL,
+        "stationarity_kpss": oracles.KPSS_SQL,
         "panel_dispersion": oracles.DISPERSION_SQL,
         "panel_ar1": oracles.AR1_SQL,
         "memory_acf_hurst": oracles.MEMORY_SQL,

@@ -390,12 +390,19 @@ _KPSS_CRIT = {
 }
 
 
-def kpss(x: np.ndarray, regression: str = "c") -> tuple[float, float, int]:
+def kpss(
+    x: np.ndarray,
+    regression: str = "c",
+    guard_bandwidth_eps: float | None = None,
+) -> tuple[float, float, int]:
     """KPSS stationarity test with Hobijn automatic bandwidth.
 
     Returns (stat, p, nlags). p by linear interpolation in the
     published KPSS critical-value table, clipped to [0.01, 0.1]
-    (statsmodels behavior).
+    (statsmodels behavior). ``guard_bandwidth_eps`` raises a readable
+    error when the automatic bandwidth lands within eps of an integer —
+    the one truncation a cross-engine 1-ulp difference could flip; the
+    exact-gated driver query sets it.
     """
     x = np.asarray(x, dtype=float)
     nobs = len(x)
@@ -431,6 +438,20 @@ def kpss(x: np.ndarray, regression: str = "c") -> tuple[float, float, int]:
     pvals, crits = _KPSS_CRIT[regression]
     p = float(np.interp(stat, crits, pvals))
     p = min(max(p, 0.01), 0.10)
+    if guard_bandwidth_eps is not None:
+        # the ONLY discontinuous step in KPSS is the int() truncation of
+        # the Hobijn bandwidth: a cross-engine 1-ulp difference in
+        # gamma_hat·n^(1/3) flips nlags only when the value sits ON an
+        # integer boundary — fail loudly there instead of letting the
+        # exact gate hash-mismatch (the bpe require_full pattern)
+        raw = gamma_hat * nobs**pwr
+        if abs(raw - round(raw)) < guard_bandwidth_eps and nlags < nobs - 1:
+            raise ValueError(
+                f"kpss: Hobijn bandwidth {raw!r} is within "
+                f"{guard_bandwidth_eps} of an integer; the SQL oracle's "
+                "trunc() could disagree by one lag — not exactly gateable "
+                "on this series"
+            )
     return stat, p, nlags
 
 

@@ -97,6 +97,45 @@ def stationarity_summary(results: DataFrame) -> DataFrame:
     )
 
 
+def kpss_stationarity(long_df: DataFrame, min_len: int = 10) -> DataFrame:
+    """KPSS alone, exact-hash gateable (unlike ADF, whose AIC lag
+    selection over up-to-14-regressor OLS fits keeps the combined
+    stationarity query rows-only): demeaning, the Hobijn automatic
+    bandwidth, the Bartlett long-run variance, and the published-table
+    p interpolation are ALL closed-form — sums, lag dot products and
+    fractional powers — so the DuckDB oracle (oracles.KPSS_SQL)
+    replays them exactly. The one discontinuous step (the int()
+    truncation of the bandwidth) is guarded engine-side with
+    ``guard_bandwidth_eps`` so a knife-edge series fails loudly
+    instead of hash-mismatching.
+
+    Output: (grp, feature, n, nlags, kpss_stat, kpss_p).
+    """
+    gated = _with_min_len(long_df, min_len)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataframeutils_spark.functions import stats as S
+
+        x = pdf.sort_values("date")["value"].to_numpy(dtype=float)
+        stat, p, nlags = S.kpss(x, regression="c", guard_bandwidth_eps=1e-9)
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "feature": [pdf["feature"].iloc[0]],
+                "n": [len(x)],
+                "nlags": [nlags],
+                "kpss_stat": [stat],
+                "kpss_p": [p],
+            }
+        )
+
+    return gated.groupBy("grp", "feature").applyInPandas(
+        kernel,
+        schema="grp string, feature string, n int, nlags int, "
+        "kpss_stat double, kpss_p double",
+    )
+
+
 def ljung_box_p(long_df: DataFrame, lags: int = 10, min_len: int = 12) -> DataFrame:
     """Ljung–Box p at ``lags`` per (grp × feature) — the UDF half of
     reference A4 (``time_series_study.py:327-331``)."""

@@ -264,6 +264,85 @@ FROM lb
 )
 
 
+# kpss_stationarity: KPSS is closed-form end to end — demeaned
+# residuals, lag autocovariance dot products c_i (an idx-offset
+# self-join, O(n²) rows at oracle scale), the Hobijn bandwidth
+# covlags = trunc(n^(2/9)) → s_hat = s1/s0 → nlags =
+# min(trunc(1.1447·(s_hat²)^(1/3)·n^(1/3)), n−1), the Bartlett
+# long-run variance, eta = Σ cumsum(r)² / n², and p by piecewise-linear
+# interpolation in the published critical-value table clipped to
+# [0.01, 0.1] (statsmodels behavior). Multiplication order in the
+# bandwidth expression mirrors the engine; the truncation knife edge
+# is guarded ENGINE-side (stats.kpss guard_bandwidth_eps). Float
+# noise from numpy-dot vs SQL-sum association (~1e-15) is absorbed by
+# the fixed-decimal rounding contract; the interpolation is continuous
+# at the knots, so near-knot stats cannot flip across engines.
+_KPSS_P = (
+    "CASE WHEN stat <= 0.347 THEN 0.10 "
+    "WHEN stat <= 0.463 THEN 0.10 + ((0.05 - 0.10) / (0.463 - 0.347)) * (stat - 0.347) "
+    "WHEN stat <= 0.574 THEN 0.05 + ((0.025 - 0.05) / (0.574 - 0.463)) * (stat - 0.463) "
+    "WHEN stat <= 0.739 THEN 0.025 + ((0.01 - 0.025) / (0.739 - 0.574)) * (stat - 0.574) "
+    "ELSE 0.01 END"
+)
+
+KPSS_SQL = with_panel(
+    f"""
+, s AS (
+  SELECT grp, feature, idx, n,
+         value - avg(value) OVER (PARTITION BY grp, feature) AS r
+  FROM (
+    SELECT grp, feature, value,
+           row_number() OVER (PARTITION BY grp, feature ORDER BY date) - 1 AS idx,
+           count(*) OVER (PARTITION BY grp, feature) AS n
+    FROM melt WHERE value IS NOT NULL
+    QUALIFY n >= 10
+  )
+), base AS (
+  SELECT grp, feature, any_value(n) AS n,
+         sum(r * r) AS rr,
+         sum(cs * cs) AS eta_num
+  FROM (SELECT grp, feature, n, r,
+               sum(r) OVER (PARTITION BY grp, feature ORDER BY idx) AS cs
+        FROM s)
+  GROUP BY grp, feature
+), lagp AS (
+  SELECT a.grp, a.feature, b.idx - a.idx AS i, sum(a.r * b.r) AS cp
+  FROM s a JOIN s b
+    ON a.grp = b.grp AND a.feature = b.feature AND b.idx > a.idx
+  GROUP BY a.grp, a.feature, b.idx - a.idx
+), bw AS (
+  SELECT base.grp, base.feature, base.n, base.rr, base.eta_num,
+         base.rr / base.n
+           + COALESCE(sum(cp / (base.n / 2.0)), 0.0) AS s0,
+         COALESCE(sum(i * (cp / (base.n / 2.0))), 0.0) AS s1
+  FROM base LEFT JOIN lagp
+    ON lagp.grp = base.grp AND lagp.feature = base.feature
+   AND lagp.i <= trunc(pow(base.n, 2.0 / 9.0))
+  GROUP BY base.grp, base.feature, base.n, base.rr, base.eta_num
+), nl AS (
+  SELECT *,
+         least(CAST(trunc(
+             (1.1447 * pow(pow(CASE WHEN s0 <> 0 THEN s1 / s0 ELSE 0.0 END, 2),
+                           1.0 / 3.0)) * pow(n, 1.0 / 3.0)
+         ) AS BIGINT), n - 1) AS nlags
+  FROM bw
+), lrv AS (
+  SELECT nl.grp, nl.feature, nl.n, nl.nlags,
+         (nl.eta_num / (nl.n * nl.n))
+           / ((nl.rr + COALESCE(sum(2.0 * cp * (1.0 - i / (nl.nlags + 1.0))), 0.0))
+              / nl.n) AS stat
+  FROM nl LEFT JOIN lagp
+    ON lagp.grp = nl.grp AND lagp.feature = nl.feature AND lagp.i <= nl.nlags
+  GROUP BY nl.grp, nl.feature, nl.n, nl.nlags, nl.eta_num, nl.rr
+)
+SELECT grp, feature, CAST(n AS INT) AS n, CAST(nlags AS INT) AS nlags,
+       {dec('stat')} AS kpss_stat,
+       {dec(f'least(greatest({_KPSS_P}, 0.01), 0.10)')} AS kpss_p
+FROM lrv
+"""
+)
+
+
 # frequency_domain (reference A5): the periodogram IS SQL-expressible —
 # a DFT is a cos/sin dot product per Fourier frequency, the linear
 # detrend is OLS (regr_slope/regr_intercept), and the density scaling /

@@ -345,7 +345,8 @@ def test_registry_contract():
         NEW_R10 = {"multimodal_webm_frame_index",
                    "multimodal_image_dhash", "multimodal_image_phash_dedup",
                    "multimodal_image_neardup",
-                   "multimodal_audio_fingerprint", "multimodal_audio_fp_dedup"}
+                   "multimodal_audio_fingerprint", "multimodal_audio_fp_dedup",
+                   "stationarity_kpss"}
         missing = [
             n for n in names[50:]
             if n not in gated and n not in ROWS_ONLY and n not in NEW_R10

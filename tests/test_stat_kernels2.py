@@ -435,3 +435,48 @@ def test_stationarity_operator_on_fixture2(spark):
     # preserves per-group ordering and dtypes)
     tau_rw, _, _ = S.adfuller(fixture2_series()["rw"])
     np.testing.assert_allclose(got.loc["rw", "adf_stat"], tau_rw, rtol=1e-12)
+
+
+def test_kpss_bandwidth_guard_raises_on_knife_edge():
+    """guard_bandwidth_eps (the exact-gate protection for
+    stationarity_kpss): a series whose Hobijn bandwidth lands within
+    eps of an integer must fail loudly, not risk a cross-engine
+    trunc() flip. eps=inf-ish forces the trip on any series; a tiny
+    eps passes the same series."""
+    import pytest
+
+    x = fixture2_series()["ar05"]
+    stat, p, nlags = S.kpss(x, regression="c", guard_bandwidth_eps=1e-12)
+    assert 0.01 <= p <= 0.10
+    with pytest.raises(ValueError, match="Hobijn bandwidth"):
+        S.kpss(x, regression="c", guard_bandwidth_eps=0.9)
+
+
+def test_kpss_sql_oracle_matches_engine_kernel(ddb):
+    """oracles.KPSS_SQL must reproduce S.kpss per (grp, feature) series
+    of the standard panel — stat and interpolated p to the rounding
+    contract, n and nlags exactly."""
+    import duckdb
+
+    from dataframeutils_spark import oracles
+
+    con = ddb
+    rows = con.execute(oracles.KPSS_SQL).fetchall()
+    assert len(rows) == 9
+    # rebuild each series exactly as melt does and run the engine kernel
+    panel = con.execute(
+        "SELECT CAST(l_shipdate AS DATE) AS date, l_returnflag AS grp,"
+        " SUM(l_extendedprice) AS f1, AVG(l_discount) AS f2,"
+        " SUM(l_quantity) AS f3 FROM lineitem GROUP BY 1, 2 ORDER BY grp, date"
+    ).fetchdf()
+    feats = {"feature_1": "f1", "feature_2": "f2", "feature_3": "f3"}
+    for grp, feature, n, nlags, stat, p in rows:
+        sub = panel[panel["grp"] == grp].sort_values("date")
+        x = sub[feats[feature]].to_numpy(dtype=float)
+        x = x[~np.isnan(x)]
+        s_stat, s_p, s_nlags = S.kpss(x, regression="c")
+        assert n == len(x) and nlags == s_nlags, (grp, feature)
+        # the oracle column is decround-rounded to 6 places; the gate
+        # rounds the Spark side identically, so |diff| <= 5e-7 here
+        np.testing.assert_allclose(stat, s_stat, atol=5e-7, err_msg=feature)
+        np.testing.assert_allclose(p, s_p, atol=5e-7, err_msg=feature)
