@@ -208,14 +208,20 @@ def main() -> None:
     only_env = os.environ.get("SPARK_GRAFT_ONLY", "")
     headline = HEADLINE
     if only_env:
-        if ":" in only_env and all(
-            p.isdigit() or p == "" for p in only_env.split(":")
-        ):
-            i, j = only_env.split(":")
+        parts = only_env.split(":")
+        if len(parts) == 2 and all(p.isdigit() or p == "" for p in parts):
+            i, j = parts
             headline = HEADLINE[int(i or 0):int(j) if j else len(HEADLINE)]
         else:
             wanted = {n.strip() for n in only_env.split(",") if n.strip()}
             headline = [n for n in HEADLINE if n in wanted]
+            unknown = wanted - set(HEADLINE)
+            if unknown:
+                raise SystemExit(
+                    f"SPARK_GRAFT_ONLY names not in HEADLINE: {sorted(unknown)}"
+                )
+        if not headline:
+            raise SystemExit(f"SPARK_GRAFT_ONLY={only_env!r} selects no queries")
     # scale factor from the directory name (sf0.1 → 0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
     try:

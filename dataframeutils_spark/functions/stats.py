@@ -439,19 +439,22 @@ def kpss(
     p = float(np.interp(stat, crits, pvals))
     p = min(max(p, 0.01), 0.10)
     if guard_bandwidth_eps is not None:
-        # the ONLY discontinuous step in KPSS is the int() truncation of
-        # the Hobijn bandwidth: a cross-engine 1-ulp difference in
-        # gamma_hat·n^(1/3) flips nlags only when the value sits ON an
-        # integer boundary — fail loudly there instead of letting the
+        # the discontinuous steps in KPSS are the two int() truncations
+        # (covlags = n^(2/9) and the Hobijn bandwidth): a cross-engine
+        # 1-ulp pow() difference flips them only when the value sits ON
+        # an integer boundary — fail loudly there instead of letting the
         # exact gate hash-mismatch (the bpe require_full pattern)
-        raw = gamma_hat * nobs**pwr
-        if abs(raw - round(raw)) < guard_bandwidth_eps and nlags < nobs - 1:
-            raise ValueError(
-                f"kpss: Hobijn bandwidth {raw!r} is within "
-                f"{guard_bandwidth_eps} of an integer; the SQL oracle's "
-                "trunc() could disagree by one lag — not exactly gateable "
-                "on this series"
-            )
+        for name, raw, active in (
+            ("covlags n^(2/9)", nobs ** (2.0 / 9.0), True),
+            ("Hobijn bandwidth", gamma_hat * nobs**pwr, nlags < nobs - 1),
+        ):
+            if active and abs(raw - round(raw)) < guard_bandwidth_eps:
+                raise ValueError(
+                    f"kpss: {name} = {raw!r} is within "
+                    f"{guard_bandwidth_eps} of an integer; the SQL "
+                    "oracle's trunc() could disagree by one lag — not "
+                    "exactly gateable on this series"
+                )
     return stat, p, nlags
 
 

@@ -180,12 +180,17 @@ def bpe_encode_stats(
     words = _tokens(F.lower(F.col(text_col)))
     # Reserved-byte guard: NULL (and a no-op) on clean rows, a loud
     # SparkRuntimeException naming the doc on corrupt ones. Folded into
-    # n_words via coalesce so the non-foldable assert is always
-    # evaluated without changing any output value.
+    # BOTH n_words and n_tokens via coalesce so the non-foldable assert
+    # survives Catalyst column pruning for any projection that keeps at
+    # least one count the encode correctness flows through, without
+    # changing any output value.
     guard = F.assert_true(
-        ~(
+        # coalesce: NULL text is not corrupt — let it propagate NULL
+        # downstream as before instead of tripping the assert
+        ~F.coalesce(
             F.col(text_col).contains(_SEP)
-            | F.col(text_col).contains(_BOUND)
+            | F.col(text_col).contains(_BOUND),
+            F.lit(False),
         ),
         F.concat(
             F.lit(
@@ -222,7 +227,7 @@ def bpe_encode_stats(
     n_tokens = (
         (F.length(enc) - F.length(F.replace(enc, F.lit(_SEP), F.lit(""))))
         / F.lit(2)
-    ).cast("int")
+    ).cast("int") + F.coalesce(guard, F.lit(0))
     # pre-merge symbol count = chars + one end-of-word marker per word
     n_symbols = F.coalesce(
         F.aggregate(
@@ -232,10 +237,16 @@ def bpe_encode_stats(
     )
     return docs.select(
         id_col,
-        (F.size(words) + F.coalesce(guard, F.lit(0))).alias("n_words"),
+        # coalesce: size(NULL) is NULL but the oracle models wordless
+        # docs (incl. NULL text) as zero counts
+        (F.coalesce(F.size(words), F.lit(0)) + F.coalesce(guard, F.lit(0))
+         ).alias("n_words"),
         n_symbols.alias("n_symbols"),
         n_tokens.alias("n_tokens"),
-        (n_symbols.cast("double") / n_tokens).alias("compression"),
+        # try_divide: a wordless doc has n_tokens = 0 and must emit a
+        # NULL ratio (as the oracle models), not an ANSI-mode
+        # divide-by-zero error
+        F.try_divide(n_symbols.cast("double"), n_tokens).alias("compression"),
     )
 
 

@@ -526,6 +526,28 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def duplicate_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """The shared near-duplicate label table (doc_id, cluster_id):
+    MinHash-LSH candidate pairs → connected components, min-id label.
+    ONE definition of the duplicate graph, consumed by
+    :func:`dedup_clusters` (which decorates it with sizes/canonical
+    flags) and by leakage-safe splitting (which keys on cluster_id
+    alone) — a change to pair generation propagates to every consumer
+    instead of silently diverging."""
+    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    sigs = minhash_signatures(sh, num_perm=num_perm, portable=portable)
+    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    return connected_components(pairs)
+
+
 def dedup_clusters(
     docs: DataFrame,
     text_col: str = "text",
@@ -548,10 +570,10 @@ def dedup_clusters(
     duplicates (a few % of the corpus), and emitting the ~100 % of
     singleton docs would dwarf it.
     """
-    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
-    sigs = minhash_signatures(sh, num_perm=num_perm, portable=portable)
-    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
-    comp = connected_components(pairs)
+    comp = duplicate_components(
+        docs, text_col=text_col, id_col=id_col, n=n,
+        num_perm=num_perm, bands=bands, portable=portable,
+    )
     size = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return comp.join(size, "cluster_id").select(
         "doc_id",

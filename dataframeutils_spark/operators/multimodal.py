@@ -733,7 +733,10 @@ def image_hamming_pairs(
     would be a scale-killer (``None`` bypasses the guard and its
     count() job), the embedding_dup_pairs contract.
     """
-    hashes = image_dhash(media)
+    # eager localCheckpoint: one narrow row per image, reused by the
+    # size-guard count, the band explode, and BOTH hash-lookup joins —
+    # without it each consumer re-runs the full decode pipeline
+    hashes = image_dhash(media).localCheckpoint()
     if max_rows is not None:
         n = hashes.count()
         if n > max_rows:

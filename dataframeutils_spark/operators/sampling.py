@@ -956,29 +956,19 @@ def leakage_safe_split(
     itself adds one LEFT join of the corpus against that small label
     table and a hash — no new heavy machinery. The label table comes
     straight from :func:`~dataframeutils_spark.operators.dedup.
-    connected_components` rather than :func:`~dataframeutils_spark.
-    operators.dedup.dedup_clusters`: the split keys only on cluster_id,
+    duplicate_components` (the shared pair-graph definition) rather
+    than :func:`~dataframeutils_spark.operators.dedup.dedup_clusters`:
+    the split keys only on cluster_id,
     so dedup_clusters' cluster_size aggregation + decoration join would
     be a discarded exchange (Catalyst cannot prune an aggregation feeding
     an inner join; measured ~0.5 s of the sf0.1 solo wall).
     """
-    from dataframeutils_spark.operators.dedup import (
-        connected_components,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
-    )
+    from dataframeutils_spark.operators.dedup import duplicate_components
 
-    pairs = lsh_candidate_pairs(
-        minhash_signatures(
-            shingles(docs, text_col=text_col, id_col=id_col, n=n),
-            num_perm=num_perm,
-            portable=portable,
-        ),
-        num_perm=num_perm,
-        bands=bands,
+    clusters = duplicate_components(
+        docs, text_col=text_col, id_col=id_col, n=n,
+        num_perm=num_perm, bands=bands, portable=portable,
     )
-    clusters = connected_components(pairs)
     # no broadcast hint: the label table is the duplicate SUBSET (small
     # at test scale, but a few % of a 100 TB corpus is still TBs) — let
     # AQE pick broadcast vs shuffle from the measured size

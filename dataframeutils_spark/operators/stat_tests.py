@@ -109,9 +109,18 @@ def kpss_stationarity(long_df: DataFrame, min_len: int = 10) -> DataFrame:
     ``guard_bandwidth_eps`` so a knife-edge series fails loudly
     instead of hash-mismatching.
 
+    Constant series (min == max — an exact value comparison, so the
+    predicate cannot diverge across engines) are excluded on BOTH
+    sides: their KPSS statistic is 0/0 (every residual is zero), which
+    the sibling kernels map to NULL but which has no principled value
+    to gate on.
+
     Output: (grp, feature, n, nlags, kpss_stat, kpss_p).
     """
-    gated = _with_min_len(long_df, min_len)
+    w = Window.partitionBy("grp", "feature")
+    gated = _with_min_len(long_df, min_len).withColumn(
+        "_const", F.min("value").over(w) == F.max("value").over(w)
+    ).filter(~F.col("_const")).drop("_const")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from dataframeutils_spark.functions import stats as S

@@ -305,9 +305,11 @@ def tokenizer_fertility(
     that language's effective context length and training compute).
 
     One scan per tokenizer (both linear, zero text shuffle), one
-    map-side-combined groupBy each, and a tiny (|groups|) join. Depends
-    on the trained vocabularies → rows-only gate; the per-doc encoders
-    it aggregates are reference-pinned in their own tests.
+    map-side-combined groupBy each, and a tiny (|groups|) join.
+    Exact-hash gated since r10: the oracle (tokenizer_fertility_sql)
+    composes the BPE replace-chain and the unigram recursive-CTE DP in
+    one statement; the per-doc encoders it aggregates are additionally
+    reference-pinned in their own tests.
     """
     uni = unigram_encode_stats(
         docs, unigram_scores, max_piece_len=max_piece_len,

@@ -296,6 +296,8 @@ KPSS_SQL = with_panel(
            count(*) OVER (PARTITION BY grp, feature) AS n
     FROM melt WHERE value IS NOT NULL
     QUALIFY n >= 10
+       AND min(value) OVER (PARTITION BY grp, feature)
+           < max(value) OVER (PARTITION BY grp, feature)
   )
 ), base AS (
   SELECT grp, feature, any_value(n) AS n,

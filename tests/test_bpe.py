@@ -145,6 +145,19 @@ def test_bpe_encode_rejects_reserved_control_bytes(spark):
     )
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         bpe.bpe_encode_stats(dirty2, rules).collect()
+    # the guard must survive Catalyst column pruning: a projection
+    # keeping only n_tokens (n_words pruned away) still trips it
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        bpe.bpe_encode_stats(dirty, rules).select("n_tokens").collect()
+    # and NULL text is not corrupt — it propagates NULL counts as before
+    nulls = spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"
+    )
+    row = bpe.bpe_encode_stats(nulls, rules).collect()[0]
+    # zero counts + NULL ratio — exactly the oracle's wordless-doc model
+    # (pre-r10 this path raised an ANSI divide-by-zero instead)
+    assert (row["n_words"], row["n_symbols"], row["n_tokens"]) == (0, 0, 0)
+    assert row["compression"] is None
 
 
 def test_bpe_pack_manifest_invariants(spark):
