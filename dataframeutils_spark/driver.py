@@ -3492,10 +3492,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at the bottom. With this window gated, cumulative external coverage
     of the 177 pre-r10 queries is 177/177 and their external-exact
     coverage is 157/157. In-round r10 additions — the unigram trio
-    flipped to exact, the WebM frame index, and the perceptual-dedup
-    family (image dHash ×3, audio fingerprint ×2) — are registered
-    below the cap per the rotation protocol and lead the r11 window
-    together with the 13 r7 leftovers.
+    flipped to exact (unigram_train, unigram_encode,
+    tokenizer_fertility), multimodal_webm_frame_index, the
+    perceptual-dedup family (multimodal_image_dhash,
+    multimodal_image_phash_dedup, multimodal_image_neardup,
+    multimodal_audio_fingerprint, multimodal_audio_fp_dedup), and
+    stationarity_kpss — are registered below the cap per the rotation
+    protocol and lead the r11 window together with the 13 r7
+    leftovers (panel_dispersion through similarity_topk).
     """
     return {
         # --- r10 window leads (positions 1-7): the 7 r6-batch
