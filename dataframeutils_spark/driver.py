@@ -23,6 +23,7 @@ from dataframeutils_spark.operators import (
     events as events_ops,
     features,
     layout,
+    linkage,
     memory,
     ml_fits,
     multimodal,
@@ -38,6 +39,7 @@ from dataframeutils_spark.operators import (
     skew,
     stat_tests,
     text,
+    trend,
     unigram,
     weighted_bins,
 )
@@ -3460,6 +3462,111 @@ def q_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(unscaled)
 
 
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection per panel series (operators/trend.py):
+    max-|cumulative-deviation| statistic, Brownian-bridge (Kolmogorov
+    closed-form series) p-value, argmax change point ranked on the
+    decimal-rounded statistic so the discontinuous step is
+    engine-portable. Two window passes over (grp, feature) — no
+    kernel, no collect."""
+    return round_floats(
+        trend.changepoint_cusum(_melted(spark, sf_dir)),
+        dec=("cusum_stat", "p_value"),
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition at period 7
+    (operators/trend.py): centered-MA trend, phase-averaged seasonal
+    (phase = epoch-days mod 7 — calendar builtins disagree on week
+    start across engines), Hyndman seasonal/trend strength. The
+    statsmodels seasonal_decompose algorithm as pure window algebra."""
+    return round_floats(
+        trend.seasonal_decompose(_melted(spark, sf_dir)),
+        dec=("seasonal_strength", "trend_strength"),
+    )
+
+
+def q_panel_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS (feature_3 ~ 1 + feature_1 + feature_2 per grp)
+    via sufficient statistics (operators/trend.py): one map-side
+    combinable aggregate builds the centered normal equations, Cramer
+    solves them closed-form — slopes, standard errors, t stats, R².
+    The shuffle is groups × 10 doubles at any corpus size."""
+    return round_floats(
+        trend.panel_ols(lineitem_panel(spark, sf_dir)),
+        dec=("t_beta1", "t_beta2", "r2"),
+    )
+
+
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per panel series (operators/trend.py):
+    median of pairwise slopes over a deterministic hash-sampled row
+    subset (portable_hash60 predicate, P = ceil(n/320)) — pair count
+    bounded at ~cap²/2 per series at ANY length, vs the textbook
+    O(n²) blow-up. Intercept = median(v − slope·x), the scipy
+    theilslopes(method='joint') estimator."""
+    return round_floats(trend.theilsen_slope(_melted(spark, sf_dir)))
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit (operators/cleaning.py): the
+    attribute-disclosure companion to k_anonymity — same quasi
+    identifiers (event_type, epoch day), sensitive attribute =
+    user_id; classes where too few DISTINCT users hide behind a
+    quasi combination are at risk even when k-anonymous. Two
+    combinable groupBys, never a countDistinct shuffle of row
+    payloads."""
+    ev = _events_normalized(spark, sf_dir)
+    quasi = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "user_id",
+    )
+    return cleaning.l_diversity(quasi, ["event_type", "day"], "user_id", l=3)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    part co-purchase graph (operators/graph.py): parts sharing an
+    order are connected; degree-ORIENTED wedge enumeration (Suri &
+    Vassilvitskii 2011) bounds every out-degree at O(√|E|) so the
+    wedge join survives hub skew at 100 TB. Top-20 nodes by
+    (triangles desc, node asc) — exact integer counting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_counts(edges, top_k=20)
+
+
+def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = linkage.deterministic_corruption(cust, "c_custkey", "c_name")
+    orig = cust.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    return linkage.fuzzy_match_pairs(dirty, orig)
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join (operators/linkage.py): a
+    deterministic 'dirty feed' (one hash-chosen character deleted
+    from each customer name) matched back against the clean table
+    via deletion-neighborhood (FastSS/SymSpell) blocking — complete
+    for edit distance ≤ 1 by construction, immune to the
+    constant-prefix degeneration that kills prefix blocking on
+    'Customer#0000...' identifiers — then one native levenshtein
+    verify per candidate."""
+    return _fuzzy_pairs(spark, sf_dir)
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/linkage.py): connected components
+    over the verified fuzzy-match edges ('L:'/'R:' node namespaces),
+    entity id = min node id — the transitive step that turns pairwise
+    matches into entity assignments (a dirty record matching TWO
+    clean rows merges them into one entity for review). Same bounded
+    pointer-doubling propagation as the dedup family, string labels."""
+    return linkage.resolve_entities(_fuzzy_pairs(spark, sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness rotation.
 
@@ -3704,6 +3811,24 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KPSS alone flipped rows-only -> exact (ADF keeps the combined
         # stationarity query rows-only; oracles.KPSS_SQL)
         "stationarity_kpss": q_stationarity_kpss,
+        # trend & structural-change family (operators/trend.py, r10
+        # in-round): CUSUM change-point, classical seasonal
+        # decomposition, sufficient-statistics OLS, bounded-pair
+        # Theil–Sen — all exact-oracled, all below the cap per the
+        # rotation protocol (r11 window leads)
+        "changepoint_cusum": q_changepoint_cusum,
+        "seasonal_decompose": q_seasonal_decompose,
+        "panel_ols": q_panel_ols,
+        "theilsen_slope": q_theilsen,
+        # privacy audit companion: attribute disclosure (l-diversity)
+        "l_diversity": q_l_diversity,
+        # graph analytics: degree-oriented triangle counting over the
+        # part co-purchase graph
+        "graph_triangles": q_graph_triangles,
+        # record linkage: deletion-neighborhood fuzzy join + entity
+        # resolution over the match graph (operators/linkage.py)
+        "fuzzy_join": q_fuzzy_join,
+        "entity_resolution": q_entity_resolution,
         # --- rows-only by design (iterative fits with p-value
         # distribution tables, xxhash production twins, k-means/BLAS
         # arms, eigh, Viterbi-EM unigram training): not ANSI-SQL
@@ -3733,6 +3858,31 @@ def all_oracles() -> dict[str, str]:
         "frequency_domain": oracles.FREQUENCY_SQL,
         "memory_dependence": oracles.MEMORY_DEPENDENCE_SQL,
         "stationarity_kpss": oracles.KPSS_SQL,
+        "changepoint_cusum": oracles.CUSUM_SQL,
+        "seasonal_decompose": oracles.SEASONAL_SQL,
+        "panel_ols": oracles.OLS_SQL,
+        "theilsen_slope": oracles.THEILSEN_SQL,
+        "l_diversity": cleaning.l_diversity_sql(
+            ["event_type", "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day"],
+            "user_id",
+            l=3,
+            table="events",
+        ),
+        "graph_triangles": graph.triangle_counts_sql(
+            "lineitem", "l_orderkey", "l_partkey", top_k=20
+        ),
+        "fuzzy_join": linkage.fuzzy_match_pairs_sql(
+            linkage.deterministic_corruption_sql("customer", "c_custkey", "c_name"),
+            "SELECT c_custkey AS id, c_name AS name FROM customer",
+        ),
+        "entity_resolution": linkage.resolve_entities_sql(
+            linkage.fuzzy_match_pairs_sql(
+                linkage.deterministic_corruption_sql(
+                    "customer", "c_custkey", "c_name"
+                ),
+                "SELECT c_custkey AS id, c_name AS name FROM customer",
+            )
+        ),
         "panel_dispersion": oracles.DISPERSION_SQL,
         "panel_ar1": oracles.AR1_SQL,
         "memory_acf_hurst": oracles.MEMORY_SQL,

@@ -549,3 +549,81 @@ SELECT CAST({k} AS INT) AS k,
        CAST(max(sz) AS BIGINT) AS max_class_size
 FROM classes
 """
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity release audit (Machanavajjhala et al. 2007): the
+    companion check to :func:`k_anonymity` — a class can be large
+    (k-anonymous) yet still leak if every row in it shares the same
+    SENSITIVE value. Groups rows by quasi-identifier combination and
+    measures the number of DISTINCT sensitive values per class;
+    classes with fewer than ``l`` are at attribute-disclosure risk.
+
+    One row out: (l, n_rows, n_classes, n_classes_below_l,
+    n_rows_at_risk, risk_pct, min_diversity, max_diversity).
+
+    Scale shape: distinct-pair reduction first (groupBy quasi +
+    sensitive — map-side combinable, exchange bounded by distinct
+    pairs), then classes, then one single-row aggregate. The naive
+    countDistinct-per-class plan is the same thing; spelling it as
+    two groupBys keeps every stage partial-aggregatable.
+    """
+    from dataframeutils_spark.schema import decround
+
+    quasi = [F.col(c) for c in quasi_cols]
+    pairs = df.groupBy(*quasi, F.col(sensitive_col)).agg(
+        F.count("*").alias("pair_rows")
+    )
+    classes = pairs.groupBy(*quasi).agg(
+        F.count("*").alias("diversity"),
+        F.sum("pair_rows").alias("sz"),
+    )
+    below = F.col("diversity") < l
+    return classes.agg(
+        F.lit(l).cast("int").alias("l"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.sum(below.cast("long")).alias("n_classes_below_l"),
+        F.sum(F.when(below, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        decround(
+            F.sum(F.when(below, F.col("sz")).otherwise(F.lit(0))) / F.sum("sz")
+        ).alias("risk_pct"),
+        F.min("diversity").cast("long").alias("min_diversity"),
+        F.max("diversity").cast("long").alias("max_diversity"),
+    )
+
+
+def l_diversity_sql(
+    quasi_exprs: list[str], sensitive_expr: str, l: int, table: str
+) -> str:
+    """DuckDB oracle for :func:`l_diversity` — same two-level
+    distinct-pair reduction."""
+    from dataframeutils_spark.schema import decround_sql
+
+    keys = ", ".join(quasi_exprs)
+    # strip AS aliases for the inner grouping reference list
+    names = [e.split(" AS ")[-1].strip() for e in quasi_exprs]
+    risk = decround_sql(
+        f"sum(CASE WHEN diversity < {l} THEN sz ELSE 0 END) * 1.0 / sum(sz)"
+    )
+    return f"""
+WITH pairs AS (
+  SELECT {keys}, {sensitive_expr} AS sens, count(*) AS pair_rows
+  FROM {table} GROUP BY ALL
+), classes AS (
+  SELECT {', '.join(names)}, count(*) AS diversity, sum(pair_rows) AS sz
+  FROM pairs GROUP BY ALL
+)
+SELECT CAST({l} AS INT) AS l,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN diversity < {l} THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below_l,
+       CAST(sum(CASE WHEN diversity < {l} THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       {risk} AS risk_pct,
+       CAST(min(diversity) AS BIGINT) AS min_diversity,
+       CAST(max(diversity) AS BIGINT) AS max_diversity
+FROM classes
+"""

@@ -414,6 +414,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    numeric_ids: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected edge list:
     (doc_id, cluster_id) with cluster_id = min node id in the component.
@@ -444,9 +445,14 @@ def connected_components(
         # max_iter=0 would silently return the fused-init labels
         # unverified — fail loud at the boundary
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    sym = edges.select(
-        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
-    )
+    # min-label propagation is order-generic: numeric ids keep the
+    # historical long cast (8-byte shuffle keys); string ids (e.g. the
+    # linkage module's 'L:<id>'/'R:<id>' nodes) propagate by
+    # lexicographic min, identical in Spark and DuckDB for ASCII.
+    src, dst = F.col(src_col), F.col(dst_col)
+    if numeric_ids:
+        src, dst = src.cast("long"), dst.cast("long")
+    sym = edges.select(src.alias("src"), dst.alias("dst"))
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()  # eager: pay for the upstream pair pipeline ONCE

@@ -1,0 +1,352 @@
+"""Trend & structural-change analytics over the standard panel.
+
+Four classic time-series structure operators the reference's study
+loop (``time_series_study/time_series_study.py``) stops short of,
+each expressed as native window/aggregate plans (no Python kernels)
+so they carry exact DuckDB oracles:
+
+* :func:`changepoint_cusum` — CUSUM mean-shift detection (Page 1954;
+  the max-|cumulative-deviation| form with the Brownian-bridge /
+  Kolmogorov asymptotic p-value).
+* :func:`seasonal_decompose` — additive moving-average seasonal
+  decomposition (the classical statsmodels ``seasonal_decompose``
+  algorithm: centered MA trend, phase-averaged seasonal, Hyndman
+  seasonal/trend strength).
+* :func:`panel_ols` — multiple linear regression per group via
+  SUFFICIENT STATISTICS: one map-side-combinable aggregate produces
+  the centered normal equations, solved closed-form (2 regressors →
+  Cramer on the 2×2 covariance system). The canonical "distributed
+  ML without moving data" pattern — at 100 TB the shuffle is
+  groups × 10 doubles.
+* :func:`theilsen_slope` — Theil–Sen robust trend (median of
+  pairwise slopes) over a DETERMINISTIC hash-sampled row subset, so
+  the pair count is bounded (~cap²/2) at any series length instead
+  of O(n²).
+
+Cross-engine determinism: every discontinuous step (the CUSUM
+argmax, the Theil–Sen sample predicate) operates on values both
+engines compute identically — the argmax ranks the decimal-ROUNDED
+statistic (same pre-ranking round the textrank operator uses), and
+the sample predicate is an exact integer hash comparison
+(portable_hash60). Smooth outputs ride the engine-wide rounding
+contract.
+
+Scale notes (100 TB): every operator here is one or two shuffles on
+(grp, feature) with map-side combine; no operator materializes more
+than groups × bounded-constant rows after aggregation. The
+Theil–Sen pair join is quadratic only in the per-series CAP (default
+320 → ≤ 51k pairs per series regardless of raw length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.dedup import portable_hash60
+from dataframeutils_spark.schema import decround
+
+_EPOCH = "1970-01-01"
+
+
+def _gated(long_df: DataFrame, min_len: int) -> DataFrame:
+    w = Window.partitionBy("grp", "feature")
+    return (
+        long_df.filter(F.col("value").isNotNull())
+        .withColumn("_n", F.count("value").over(w))
+        .filter(F.col("_n") >= min_len)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point
+# ---------------------------------------------------------------------------
+
+
+def changepoint_cusum(long_df: DataFrame, min_len: int = 30) -> DataFrame:
+    """CUSUM mean-shift detection per (grp × feature).
+
+    S_t = Σ_{i≤t} (x_i − x̄); the test statistic is
+    max_t |S_t| / (s·√n) whose null distribution is the supremum of a
+    Brownian bridge — the Kolmogorov distribution, giving the
+    closed-form p-value 2·Σ_k (−1)^{k+1} exp(−2 k² λ²) (truncated at
+    k=5; later terms < 1e-17 for any λ ≥ 0.4).
+
+    The change point is the argmax date. Ranking happens on the
+    decimal-ROUNDED normalized statistic with the date as tiebreak,
+    so a last-ulp aggregation-order difference between engines cannot
+    flip the argmax (same discipline as textrank's pre-ranking
+    round). Returns one row per series:
+    (grp, feature, n, cp_date, cusum_stat, p_value, mean_before,
+    mean_after, shift_detected).
+    """
+    g = _gated(long_df, min_len)
+    w = Window.partitionBy("grp", "feature")
+    wo = w.orderBy("date")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    d = (
+        g.withColumn("_mean", F.avg("value").over(w))
+        .withColumn("_sd", F.stddev_samp("value").over(w))
+        .withColumn("_tot", F.sum("value").over(w))
+        .withColumn("_s", F.sum(F.col("value") - F.col("_mean")).over(run))
+        .withColumn("_psum", F.sum("value").over(run))
+        .withColumn("_pcnt", F.count("value").over(run))
+        .filter(F.col("_sd") > 0)
+        .withColumn(
+            "_stat",
+            decround(F.abs("_s") / (F.col("_sd") * F.sqrt(F.col("_n")))),
+        )
+    )
+    ranked = d.withColumn(
+        "_rk",
+        F.row_number().over(wo.orderBy(F.desc("_stat"), F.asc("date"))),
+    ).filter(F.col("_rk") == 1)
+
+    lam = F.col("_stat")
+    kol_p = F.lit(2.0) * sum(
+        F.lit(float((-1) ** (k + 1))) * F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        for k in range(1, 6)
+    )
+    return ranked.select(
+        "grp",
+        "feature",
+        F.col("_n").alias("n"),
+        F.col("date").alias("cp_date"),
+        F.col("_stat").alias("cusum_stat"),
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), kol_p)).alias("p_value"),
+        (F.col("_psum") / F.col("_pcnt")).alias("mean_before"),
+        F.when(
+            F.col("_n") > F.col("_pcnt"),
+            (F.col("_tot") - F.col("_psum")) / (F.col("_n") - F.col("_pcnt")),
+        ).alias("mean_after"),
+        (F.col("_stat") > 1.358).cast("boolean").alias("shift_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def seasonal_decompose(
+    long_df: DataFrame, period: int = 7, min_len: int = 30
+) -> DataFrame:
+    """Additive moving-average decomposition, summarized per phase.
+
+    The classical algorithm (statsmodels ``seasonal_decompose``, odd
+    period): trend = centered ``period``-row moving average (rows
+    without a full window get NULL trend and are excluded from all
+    variance accounting on BOTH engines); detrended = value − trend;
+    seasonal(phase) = mean of detrended at that phase, centered so
+    the ``period`` seasonal effects sum to zero. Phase is epoch-days
+    mod period — a pure integer both engines compute identically
+    (calendar day-of-week builtins disagree on week start).
+
+    Strengths are Hyndman's: seasonal = max(0, 1 − Var(R)/Var(S+R)),
+    trend = max(0, 1 − Var(R)/Var(T+R)) — computed here as
+    Var(remainder)/Var(detrended) and Var(remainder)/Var(deseasoned).
+
+    Returns (grp, feature, phase, n_obs, seasonal, seasonal_strength,
+    trend_strength): ``period`` rows per series.
+    """
+    if period % 2 == 0:
+        raise ValueError("seasonal_decompose: only odd periods (centered MA)")
+    half = period // 2
+    g = _gated(long_df, min_len)
+    wo = Window.partitionBy("grp", "feature").orderBy("date")
+    win = wo.rowsBetween(-half, half)
+
+    d = (
+        g.withColumn("_wn", F.count("value").over(win))
+        .withColumn(
+            "trend",
+            F.when(F.col("_wn") == period, F.avg("value").over(win)),
+        )
+        .withColumn("detr", F.col("value") - F.col("trend"))
+        .withColumn(
+            "phase",
+            F.pmod(F.datediff(F.col("date"), F.lit(_EPOCH)), F.lit(period)),
+        )
+    )
+    ph = d.groupBy("grp", "feature", "phase").agg(
+        F.avg("detr").alias("_sraw"),
+        F.count("detr").alias("n_obs"),
+    )
+    wgf = Window.partitionBy("grp", "feature")
+    ph = ph.withColumn("seasonal", F.col("_sraw") - F.avg("_sraw").over(wgf))
+
+    rows = d.join(
+        F.broadcast(ph.select("grp", "feature", "phase", "seasonal")),
+        on=["grp", "feature", "phase"],
+    ).filter(F.col("detr").isNotNull())
+    strengths = rows.groupBy("grp", "feature").agg(
+        F.var_samp(F.col("detr") - F.col("seasonal")).alias("_vr"),
+        F.var_samp("detr").alias("_vd"),
+        F.var_samp(F.col("value") - F.col("seasonal")).alias("_vt"),
+    )
+    zero = F.lit(0.0)
+    strengths = strengths.select(
+        "grp",
+        "feature",
+        F.greatest(zero, F.lit(1.0) - F.col("_vr") / F.col("_vd")).alias(
+            "seasonal_strength"
+        ),
+        F.greatest(zero, F.lit(1.0) - F.col("_vr") / F.col("_vt")).alias(
+            "trend_strength"
+        ),
+    )
+    return ph.select("grp", "feature", "phase", "n_obs", "seasonal").join(
+        F.broadcast(strengths), on=["grp", "feature"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed OLS via sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def panel_ols(
+    panel: DataFrame,
+    y_col: str = "feature_3",
+    x1_col: str = "feature_1",
+    x2_col: str = "feature_2",
+) -> DataFrame:
+    """Per-group OLS of ``y ~ 1 + x1 + x2`` from sufficient statistics.
+
+    One aggregate computes the centered second moments (via
+    covar_samp/var_samp — map-side combinable, identical definitions
+    in Spark and DuckDB); the 2×2 normal equations solve closed-form
+    by Cramer's rule, and the intercept follows from the means. Also
+    emits slope standard errors, t statistics and R². The entire
+    computation shuffles groups × ~10 doubles — the pattern that
+    replaces "collect and fit" at 100 TB.
+
+    Returns (grp, n, beta0, beta1, beta2, se_beta1, se_beta2,
+    t_beta1, t_beta2, r2).
+    """
+    y, x1, x2 = F.col("_y"), F.col("_x1"), F.col("_x2")
+    base = panel.select(
+        "grp",
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(x1_col).cast("double").alias("_x1"),
+        F.col(x2_col).cast("double").alias("_x2"),
+    ).dropna()
+    agg = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.avg(y).alias("my"),
+        F.avg(x1).alias("m1"),
+        F.avg(x2).alias("m2"),
+        F.var_samp(x1).alias("v1"),
+        F.var_samp(x2).alias("v2"),
+        F.var_samp(y).alias("vy"),
+        F.covar_samp(x1, x2).alias("c12"),
+        F.covar_samp(x1, y).alias("c1y"),
+        F.covar_samp(x2, y).alias("c2y"),
+    )
+    nm1 = F.col("n") - 1
+    s11, s22, syy = F.col("v1") * nm1, F.col("v2") * nm1, F.col("vy") * nm1
+    s12, s1y, s2y = F.col("c12") * nm1, F.col("c1y") * nm1, F.col("c2y") * nm1
+    det = s11 * s22 - s12 * s12
+
+    sol = agg.filter(F.abs(det) > 0).select(
+        "grp",
+        "n",
+        "my",
+        "m1",
+        "m2",
+        syy.alias("syy"),
+        s1y.alias("s1y"),
+        s2y.alias("s2y"),
+        s11.alias("s11"),
+        s22.alias("s22"),
+        det.alias("det"),
+        ((s1y * s22 - s2y * s12) / det).alias("beta1"),
+        ((s2y * s11 - s1y * s12) / det).alias("beta2"),
+    )
+    sse = F.col("syy") - F.col("beta1") * F.col("s1y") - F.col("beta2") * F.col("s2y")
+    sigma2 = sse / (F.col("n") - 3)
+    se1 = F.sqrt(sigma2 * F.col("s22") / F.col("det"))
+    se2 = F.sqrt(sigma2 * F.col("s11") / F.col("det"))
+    return sol.select(
+        "grp",
+        "n",
+        (
+            F.col("my") - F.col("beta1") * F.col("m1") - F.col("beta2") * F.col("m2")
+        ).alias("beta0"),
+        "beta1",
+        "beta2",
+        se1.alias("se_beta1"),
+        se2.alias("se_beta2"),
+        (F.col("beta1") / se1).alias("t_beta1"),
+        (F.col("beta2") / se2).alias("t_beta2"),
+        (F.lit(1.0) - sse / F.col("syy")).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust slope (bounded pair count)
+# ---------------------------------------------------------------------------
+
+
+def theilsen_slope(
+    long_df: DataFrame, cap: int = 320, min_len: int = 30
+) -> DataFrame:
+    """Theil–Sen robust trend per (grp × feature).
+
+    slope = median over sampled pairs (i<j) of (v_j−v_i)/(x_j−x_i)
+    with x = epoch days; intercept = median(v − slope·x) over the
+    sampled rows (the scipy ``theilslopes(method='joint')``
+    estimator). Rows are kept by the exact integer predicate
+    ``portable_hash60(grp|feature|date) % P == 0`` with
+    P = ⌈n/cap⌉ — deterministic, engine-portable, and bounding the
+    pair join at ~cap²/2 per series whatever the raw length (the
+    full O(n²) pair set is the textbook formulation and the scale
+    trap).
+
+    Returns (grp, feature, n, n_sampled, n_pairs, slope, intercept).
+    """
+    g = _gated(long_df, min_len)
+    p_expr = F.expr(f"(_n + {cap - 1}) div {cap}")
+    sampled = (
+        g.withColumn(
+            "_h",
+            portable_hash60(
+                F.concat_ws("|", F.col("grp"), F.col("feature"), F.col("date").cast("string"))
+            ),
+        )
+        .filter(F.pmod(F.col("_h"), p_expr) == 0)
+        .select(
+            "grp",
+            "feature",
+            "_n",
+            F.datediff(F.col("date"), F.lit(_EPOCH)).cast("double").alias("x"),
+            F.col("value").alias("v"),
+        )
+    )
+    a = sampled.alias("a")
+    b = sampled.select("grp", "feature", "x", "v").alias("b")
+    pairs = a.join(b, on=["grp", "feature"]).filter(F.col("b.x") > F.col("a.x"))
+    slopes = pairs.select(
+        "grp",
+        "feature",
+        F.col("a._n").alias("_n"),
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.x") - F.col("a.x"))).alias("sl"),
+    )
+    med = slopes.groupBy("grp", "feature").agg(
+        F.first("_n").alias("n"),
+        F.count("*").alias("n_pairs"),
+        F.percentile("sl", 0.5).alias("slope"),
+    )
+    joined = sampled.join(
+        F.broadcast(med.select("grp", "feature", "slope")), on=["grp", "feature"]
+    )
+    inter = joined.groupBy("grp", "feature").agg(
+        F.count("*").alias("n_sampled"),
+        F.percentile(F.col("v") - F.col("slope") * F.col("x"), 0.5).alias(
+            "intercept"
+        ),
+    )
+    return med.join(inter, on=["grp", "feature"]).select(
+        "grp", "feature", "n", "n_sampled", "n_pairs", "slope", "intercept"
+    )

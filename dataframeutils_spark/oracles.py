@@ -538,3 +538,183 @@ WHERE value IS NOT NULL
 GROUP BY 1, 2, 3
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# trend & structural-change operators (operators/trend.py)
+# ---------------------------------------------------------------------------
+
+# CUSUM change-point: the argmax ranks the decimal-ROUNDED normalized
+# statistic (identical pre-ranking round on the engine side), date
+# ascending as tiebreak, so a last-ulp aggregation-order difference
+# cannot flip the argmax. The Kolmogorov p-value is the 5-term
+# alternating series (later terms < 1e-17 for any stat >= 0.4).
+_KOL_P = (
+    "2 * (exp(-2*stat*stat) - exp(-8*stat*stat) + exp(-18*stat*stat) "
+    "- exp(-32*stat*stat) + exp(-50*stat*stat))"
+)
+
+CUSUM_SQL = with_panel(
+    f"""
+, d AS (
+  SELECT grp, feature, date, value,
+         avg(value) OVER w AS m,
+         stddev_samp(value) OVER w AS sd,
+         sum(value) OVER w AS tot,
+         count(value) OVER w AS n
+  FROM melt WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY grp, feature)
+  QUALIFY n >= 30 AND sd > 0
+), s AS (
+  SELECT grp, feature, date, n, sd, tot,
+         sum(value - m) OVER wo AS cs,
+         sum(value) OVER wo AS psum,
+         count(value) OVER wo AS pcnt
+  FROM d
+  WINDOW wo AS (PARTITION BY grp, feature ORDER BY date
+                ROWS UNBOUNDED PRECEDING)
+), st AS (
+  SELECT *, {dec('abs(cs) / (sd * sqrt(n))')} AS stat FROM s
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY grp, feature
+                               ORDER BY stat DESC, date ASC) AS rk
+  FROM st
+)
+SELECT grp, feature, n, date AS cp_date,
+       stat AS cusum_stat,
+       {dec(f'greatest(0.0, least(1.0, {_KOL_P}))')} AS p_value,
+       {sig('psum / pcnt')} AS mean_before,
+       CASE WHEN n > pcnt THEN {sig('(tot - psum) / (n - pcnt)')} END AS mean_after,
+       stat > 1.358 AS shift_detected
+FROM rk WHERE rk = 1
+"""
+)
+
+# Classical additive seasonal decomposition, period 7, phase =
+# epoch-days mod 7 (a pure integer both engines compute identically).
+SEASONAL_SQL = with_panel(
+    f"""
+, g AS (
+  SELECT grp, feature, date, value,
+         count(value) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= 30
+), d AS (
+  SELECT grp, feature, date, value,
+         CASE WHEN count(value) OVER win = 7
+              THEN avg(value) OVER win END AS trend,
+         (date - DATE '1970-01-01') % 7 AS phase
+  FROM g
+  WINDOW win AS (PARTITION BY grp, feature ORDER BY date
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dd AS (
+  SELECT *, value - trend AS detr FROM d
+), ph AS (
+  SELECT grp, feature, phase, avg(detr) AS sraw, count(detr) AS n_obs
+  FROM dd GROUP BY grp, feature, phase
+), ph2 AS (
+  SELECT grp, feature, phase, n_obs,
+         sraw - avg(sraw) OVER (PARTITION BY grp, feature) AS seasonal
+  FROM ph
+), rws AS (
+  SELECT dd.grp, dd.feature, dd.detr, dd.value, p.seasonal
+  FROM dd JOIN ph2 p
+    ON p.grp = dd.grp AND p.feature = dd.feature AND p.phase = dd.phase
+  WHERE dd.detr IS NOT NULL
+), st AS (
+  SELECT grp, feature,
+         var_samp(detr - seasonal) AS vr,
+         var_samp(detr) AS vd,
+         var_samp(value - seasonal) AS vt
+  FROM rws GROUP BY grp, feature
+)
+SELECT p.grp, p.feature, p.phase, p.n_obs,
+       {sig('p.seasonal')} AS seasonal,
+       {dec('greatest(0.0, 1.0 - s.vr / s.vd)')} AS seasonal_strength,
+       {dec('greatest(0.0, 1.0 - s.vr / s.vt)')} AS trend_strength
+FROM ph2 p JOIN st s ON s.grp = p.grp AND s.feature = p.feature
+"""
+)
+
+# Distributed OLS via sufficient statistics: centered normal
+# equations from covar_samp/var_samp (identical definitions in both
+# engines), solved by Cramer on the 2x2 covariance system.
+OLS_SQL = f"""
+WITH {PANEL_CTE},
+base AS (
+  SELECT grp, CAST(feature_3 AS DOUBLE) AS y,
+         CAST(feature_1 AS DOUBLE) AS x1, CAST(feature_2 AS DOUBLE) AS x2
+  FROM panel
+  WHERE feature_1 IS NOT NULL AND feature_2 IS NOT NULL AND feature_3 IS NOT NULL
+), agg AS (
+  SELECT grp, count(*) AS n, avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2,
+         var_samp(x1) AS v1, var_samp(x2) AS v2, var_samp(y) AS vy,
+         covar_samp(x1, x2) AS c12, covar_samp(x1, y) AS c1y,
+         covar_samp(x2, y) AS c2y
+  FROM base GROUP BY grp
+), s AS (
+  SELECT grp, n, my, m1, m2,
+         v1 * (n - 1) AS s11, v2 * (n - 1) AS s22, vy * (n - 1) AS syy,
+         c12 * (n - 1) AS s12, c1y * (n - 1) AS s1y, c2y * (n - 1) AS s2y
+  FROM agg
+), sol AS (
+  SELECT *, s11 * s22 - s12 * s12 AS det FROM s
+), b AS (
+  SELECT *,
+         (s1y * s22 - s2y * s12) / det AS beta1,
+         (s2y * s11 - s1y * s12) / det AS beta2
+  FROM sol WHERE abs(det) > 0
+), e AS (
+  SELECT *, syy - beta1 * s1y - beta2 * s2y AS sse FROM b
+), f AS (
+  SELECT *, sse / (n - 3) AS sigma2 FROM e
+)
+SELECT grp, n,
+       {sig('my - beta1 * m1 - beta2 * m2')} AS beta0,
+       {sig('beta1')} AS beta1,
+       {sig('beta2')} AS beta2,
+       {sig('sqrt(sigma2 * s22 / det)')} AS se_beta1,
+       {sig('sqrt(sigma2 * s11 / det)')} AS se_beta2,
+       {dec('beta1 / sqrt(sigma2 * s22 / det)')} AS t_beta1,
+       {dec('beta2 / sqrt(sigma2 * s11 / det)')} AS t_beta2,
+       {dec('1.0 - sse / syy')} AS r2
+FROM f
+"""
+
+# Theil-Sen robust slope over the deterministic hash-sampled subset
+# (portable_hash60 predicate, P = ceil(n/320)); quantile_cont matches
+# Spark percentile()'s (n-1)*q linear interpolation.
+_TS_HASH = (
+    "CAST(concat('0x', substr(md5(grp || '|' || feature || '|' || "
+    "date::VARCHAR), 1, 15)) AS BIGINT)"
+)
+
+THEILSEN_SQL = with_panel(
+    f"""
+, g AS (
+  SELECT grp, feature, date,
+         CAST(date - DATE '1970-01-01' AS DOUBLE) AS x, value AS v,
+         count(value) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= 30
+), samp AS (
+  SELECT * FROM g
+  WHERE {_TS_HASH} % ((n + 319) // 320) = 0
+), med AS (
+  SELECT a.grp, a.feature, any_value(a.n) AS n, count(*) AS n_pairs,
+         quantile_cont((b.v - a.v) / (b.x - a.x), 0.5) AS slope
+  FROM samp a JOIN samp b
+    ON b.grp = a.grp AND b.feature = a.feature AND b.x > a.x
+  GROUP BY a.grp, a.feature
+), inter AS (
+  SELECT s.grp, s.feature, count(*) AS n_sampled,
+         quantile_cont(s.v - m.slope * s.x, 0.5) AS intercept
+  FROM samp s JOIN med m ON m.grp = s.grp AND m.feature = s.feature
+  GROUP BY s.grp, s.feature
+)
+SELECT m.grp, m.feature, m.n, i.n_sampled, m.n_pairs,
+       {sig('m.slope')} AS slope,
+       {sig('i.intercept')} AS intercept
+FROM med m JOIN inter i ON i.grp = m.grp AND i.feature = m.feature
+"""
+)

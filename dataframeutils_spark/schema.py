@@ -178,6 +178,11 @@ def siground_sql(expr: str) -> str:
     half-to-even, a *systematic* tie divergence rather than a 1-ULP
     coincidence one.
     """
+    # The expression is parenthesized before interpolation: a compound
+    # expr like "a - b * c" would otherwise bind wrongly against the
+    # "/ pow(...)" that follows it (precedence bug, caught by the
+    # panel_ols beta0 oracle).
+    expr = f"({expr})"
     exp = f"CAST(floor(log10(abs({expr}))) AS BIGINT)"
     mantissa = (
         f"CAST(round({expr} / pow(10, floor(log10(abs({expr})))) * {_SCALE}) AS BIGINT)"

@@ -1,0 +1,235 @@
+"""Trend & structural-change operators vs independent numpy oracles.
+
+Each test rebuilds the statistic with plain numpy (an independent
+implementation, not the operator's own code path) on a synthetic
+panel and compares the Spark output value-for-value.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataframeutils_spark.operators import trend
+
+EPOCH = dt.date(1970, 1, 1)
+
+
+def _long_df(spark, series: dict[tuple[str, str], np.ndarray], start=dt.date(1995, 1, 1)):
+    rows = []
+    for (grp, feature), vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((grp, feature, start + dt.timedelta(days=i), float(v)))
+    return spark.createDataFrame(rows, "grp string, feature string, date date, value double")
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_detects_known_shift(spark):
+    r = _rng()
+    n = 200
+    x = np.concatenate([r.normal(0.0, 1.0, 120), r.normal(3.0, 1.0, 80)])
+    quiet = r.normal(5.0, 1.0, n)
+    df = _long_df(spark, {("g", "shift"): x, ("g", "quiet"): quiet})
+    out = {row["feature"]: row for row in trend.changepoint_cusum(df).collect()}
+
+    # independent numpy CUSUM
+    s = np.cumsum(x - x.mean())
+    stat = np.max(np.abs(s)) / (x.std(ddof=1) * np.sqrt(n))
+    t = int(np.argmax(np.abs(s)))
+    got = out["shift"]
+    assert got["n"] == n
+    assert abs(got["cusum_stat"] - stat) < 1e-5
+    assert got["cp_date"] == dt.date(1995, 1, 1) + dt.timedelta(days=t)
+    assert got["shift_detected"] is True
+    assert abs(got["mean_before"] - x[: t + 1].mean()) < 1e-4
+    assert abs(got["mean_after"] - x[t + 1 :].mean()) < 1e-4
+    # Kolmogorov p-value: detected shift -> tiny, quiet series -> large
+    assert got["p_value"] < 1e-6
+    q = out["quiet"]
+    assert q["shift_detected"] is False and q["p_value"] > 0.05
+
+
+def test_cusum_p_value_formula(spark):
+    r = _rng(3)
+    x = r.normal(0.0, 1.0, 64)
+    df = _long_df(spark, {("g", "f"): x})
+    row = trend.changepoint_cusum(df).collect()[0]
+    lam = row["cusum_stat"]
+    p = 2.0 * sum((-1) ** (k + 1) * np.exp(-2.0 * k * k * lam * lam) for k in range(1, 6))
+    assert abs(row["p_value"] - min(1.0, max(0.0, p))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def _numpy_decompose(x: np.ndarray, start: dt.date, period=7):
+    """Classical additive decomposition (centered MA, phase averages)."""
+    n = len(x)
+    half = period // 2
+    trend_ = np.full(n, np.nan)
+    for i in range(half, n - half):
+        trend_[i] = x[i - half : i + half + 1].mean()
+    detr = x - trend_
+    phase = (np.array([(start - EPOCH).days + i for i in range(n)])) % period
+    sraw = np.array([np.nanmean(detr[phase == p]) for p in range(period)])
+    seasonal_idx = sraw - sraw.mean()
+    seas = seasonal_idx[phase]
+    mask = ~np.isnan(detr)
+    rem = detr[mask] - seas[mask]
+    vr, vd = np.var(rem, ddof=1), np.var(detr[mask], ddof=1)
+    vt = np.var(x[mask] - seas[mask], ddof=1)
+    s_strength = max(0.0, 1 - vr / vd)
+    t_strength = max(0.0, 1 - vr / vt)
+    return seasonal_idx, s_strength, t_strength
+
+
+def test_seasonal_decompose_vs_numpy(spark):
+    r = _rng(11)
+    n = 140
+    start = dt.date(1995, 1, 1)
+    tdays = np.arange(n)
+    weekly = np.array([5, -3, 0, 2, -1, -4, 1])
+    phase0 = (start - EPOCH).days % 7
+    x = 0.05 * tdays + weekly[(phase0 + tdays) % 7] + r.normal(0, 0.3, n)
+    df = _long_df(spark, {("g", "f"): x}, start=start)
+    out = trend.seasonal_decompose(df).toPandas().sort_values("phase")
+    seasonal_idx, s_str, t_str = _numpy_decompose(x, start)
+    assert len(out) == 7
+    np.testing.assert_allclose(
+        out["seasonal"].to_numpy(), seasonal_idx[out["phase"].to_numpy()], atol=1e-9
+    )
+    np.testing.assert_allclose(out["seasonal_strength"].iloc[0], s_str, atol=1e-9)
+    np.testing.assert_allclose(out["trend_strength"].iloc[0], t_str, atol=1e-9)
+    # a genuinely weekly series must be detected as strongly seasonal
+    assert s_str > 0.95
+    # recovered seasonal effects track the planted weekly pattern:
+    # x[i] adds weekly[(phase0 + i) % 7], i.e. weekly[phase(i)], so the
+    # recovered index at epoch phase p estimates centered weekly[p]
+    planted = weekly - weekly.mean()
+    got = out.set_index("phase")["seasonal"]
+    for p in range(7):
+        assert abs(got[p] - planted[p]) < 0.2
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    with pytest.raises(ValueError):
+        trend.seasonal_decompose(_long_df(spark, {("g", "f"): np.ones(40)}), period=4)
+
+
+# ---------------------------------------------------------------------------
+# sufficient-statistics OLS
+# ---------------------------------------------------------------------------
+
+
+def test_panel_ols_vs_numpy(spark):
+    r = _rng(5)
+    n = 300
+    x1 = r.normal(10, 3, n)
+    x2 = r.normal(-2, 1.5, n)
+    y = 4.0 + 2.5 * x1 - 1.25 * x2 + r.normal(0, 0.8, n)
+    pdf = pd.DataFrame(
+        {"grp": "A", "date": [dt.date(1995, 1, 1)] * n, "feature_1": x1, "feature_2": x2, "feature_3": y}
+    )
+    panel = spark.createDataFrame(pdf)
+    row = trend.panel_ols(panel).collect()[0]
+
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    sse = resid @ resid
+    sigma2 = sse / (n - 3)
+    cov = sigma2 * np.linalg.inv(X.T @ X)
+    se = np.sqrt(np.diag(cov))
+    sst = ((y - y.mean()) ** 2).sum()
+
+    assert row["n"] == n
+    np.testing.assert_allclose(
+        [row["beta0"], row["beta1"], row["beta2"]], beta, rtol=1e-9
+    )
+    np.testing.assert_allclose([row["se_beta1"], row["se_beta2"]], se[1:], rtol=1e-9)
+    np.testing.assert_allclose(
+        [row["t_beta1"], row["t_beta2"]], beta[1:] / se[1:], rtol=1e-9
+    )
+    np.testing.assert_allclose(row["r2"], 1 - sse / sst, rtol=1e-9)
+
+
+def test_panel_ols_collinear_guarded(spark):
+    # x2 = 2*x1 exactly -> det == 0 -> the group is dropped, not NaN'd
+    n = 50
+    x1 = np.arange(n, dtype=float)
+    pdf = pd.DataFrame(
+        {"grp": "A", "feature_1": x1, "feature_2": 2 * x1, "feature_3": x1 + 1}
+    )
+    assert trend.panel_ols(spark.createDataFrame(pdf)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen
+# ---------------------------------------------------------------------------
+
+
+def _portable_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_theilsen_vs_numpy(spark):
+    r = _rng(13)
+    n = 400
+    start = dt.date(1995, 1, 1)
+    x = np.arange(n, dtype=float) + (start - EPOCH).days
+    v = 0.7 * x - 30.0 + r.normal(0, 5.0, n)
+    # plant gross outliers the robust estimator must shrug off
+    v[::50] += 500.0
+    df = _long_df(spark, {("g", "f"): v}, start=start)
+    row = trend.theilsen_slope(df, cap=320).collect()[0]
+
+    # replicate the deterministic sample (P = ceil(n/cap))
+    P = (n + 319) // 320
+    keep = np.array(
+        [
+            _portable_hash60(f"g|f|{(start + dt.timedelta(days=i)).isoformat()}") % P == 0
+            for i in range(n)
+        ]
+    )
+    xs, vs = x[keep], v[keep]
+    slopes = [
+        (vs[j] - vs[i]) / (xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    slope = np.median(slopes)
+    intercept = np.median(vs - slope * xs)
+
+    assert row["n"] == n
+    assert row["n_sampled"] == int(keep.sum())
+    assert row["n_pairs"] == len(slopes)
+    np.testing.assert_allclose(row["slope"], slope, rtol=1e-9)
+    np.testing.assert_allclose(row["intercept"], intercept, rtol=1e-9)
+    # robust to the planted outliers
+    assert abs(row["slope"] - 0.7) < 0.05
+
+
+def test_theilsen_pair_count_bounded(spark):
+    """The sample predicate keeps the pair join ~cap^2/2 regardless of n."""
+    r = _rng(17)
+    n = 2000
+    v = np.arange(n) * 0.1 + r.normal(0, 1, n)
+    df = _long_df(spark, {("g", "f"): v})
+    row = trend.theilsen_slope(df, cap=100).collect()[0]
+    # with P = ceil(2000/100) = 20 the expected sample is ~100 rows
+    assert row["n_sampled"] < 250
+    assert row["n_pairs"] < 250 * 249 / 2
