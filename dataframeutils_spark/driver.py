@@ -3509,6 +3509,33 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(trend.theilsen_slope(_melted(spark, sf_dir)))
 
 
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW alignment distance between z-normalized weekly price and
+    quantity series per grp (operators/trend.py): the elastic-shift
+    similarity lag-correlation can't measure. Numpy DP kernel per
+    group; the DuckDB oracle replays the identical confluent
+    recurrence as an anti-diagonal wavefront recursive CTE — an
+    exact-hash gate on a quadratic DP. Series length is
+    calendar-bounded (weekly grain), so corpus size only grows the
+    one combinable resample aggregate."""
+    return round_floats(
+        trend.dtw_weekly(lineitem_panel(spark, sf_dir)), dec=("dtw_per_step",)
+    )
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate Mahalanobis outlier audit per grp
+    (operators/outliers.py): squared distance against the chi²(3)
+    97.5% cutoff, from ONE sufficient-statistics aggregate + a
+    closed-form 3×3 adjugate inverse + one scoring scan against the
+    broadcast parameter row — the joint-inconsistency detector the
+    univariate zscore/MAD tiers can't see."""
+    return round_floats(
+        outliers.mahalanobis_outliers(lineitem_panel(spark, sf_dir)),
+        dec=("outlier_rate", "mean_md2", "max_md2"),
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity release audit (operators/cleaning.py): the
     attribute-disclosure companion to k_anonymity — same quasi
@@ -3603,10 +3630,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tokenizer_fertility), multimodal_webm_frame_index, the
     perceptual-dedup family (multimodal_image_dhash,
     multimodal_image_phash_dedup, multimodal_image_neardup,
-    multimodal_audio_fingerprint, multimodal_audio_fp_dedup), and
-    stationarity_kpss — are registered below the cap per the rotation
-    protocol and lead the r11 window together with the 13 r7
-    leftovers (panel_dispersion through similarity_topk).
+    multimodal_audio_fingerprint, multimodal_audio_fp_dedup),
+    stationarity_kpss, the trend/structure family
+    (changepoint_cusum, seasonal_decompose, panel_ols,
+    theilsen_slope, dtw_distance), mahalanobis_outliers, l_diversity,
+    graph_triangles, and the record linkage pair (fuzzy_join,
+    entity_resolution) — are registered
+    below the cap per the rotation protocol and lead the r11 window
+    together with the 13 r7 leftovers (panel_dispersion through
+    similarity_topk).
     """
     return {
         # --- r10 window leads (positions 1-7): the 7 r6-batch
@@ -3820,6 +3852,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "panel_ols": q_panel_ols,
         "theilsen_slope": q_theilsen,
+        # multivariate outlier tier above zscore/MAD
+        "mahalanobis_outliers": q_mahalanobis_outliers,
+        # exact-oracled DTW (wavefront recursive-CTE oracle)
+        "dtw_distance": q_dtw_distance,
         # privacy audit companion: attribute disclosure (l-diversity)
         "l_diversity": q_l_diversity,
         # graph analytics: degree-oriented triangle counting over the
@@ -3862,6 +3898,12 @@ def all_oracles() -> dict[str, str]:
         "seasonal_decompose": oracles.SEASONAL_SQL,
         "panel_ols": oracles.OLS_SQL,
         "theilsen_slope": oracles.THEILSEN_SQL,
+        "mahalanobis_outliers": (
+            f"WITH {oracles.PANEL_CTE}" + outliers.mahalanobis_outliers_sql()
+        ),
+        "dtw_distance": (
+            f"WITH RECURSIVE {oracles.PANEL_CTE},\n" + trend.dtw_weekly_sql()
+        ),
         "l_diversity": cleaning.l_diversity_sql(
             ["event_type", "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day"],
             "user_id",

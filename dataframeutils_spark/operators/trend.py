@@ -350,3 +350,148 @@ def theilsen_slope(
     return med.join(inter, on=["grp", "feature"]).select(
         "grp", "feature", "n", "n_sampled", "n_pairs", "slope", "intercept"
     )
+
+
+# ---------------------------------------------------------------------------
+# dynamic time warping (exact-oracled)
+# ---------------------------------------------------------------------------
+
+
+def dtw_weekly(
+    panel: DataFrame,
+    a_col: str = "feature_1",
+    b_col: str = "feature_3",
+    min_len: int = 20,
+) -> DataFrame:
+    """DTW (L1 cost) between two z-normalized weekly-resampled series
+    per group — "do volumes follow prices up to elastic time shifts?",
+    the alignment question lag-correlation (fixed shift) can't answer.
+
+    The classical quadratic DP — dp[i][j] = |a_i − b_j| +
+    min(dp[i−1][j], dp[i][j−1], dp[i−1][j−1]) — runs as a numpy kernel
+    per group. DP evaluation is CONFLUENT (each cell's value is
+    order-independent), so the DuckDB oracle replays the identical
+    recurrence as an anti-diagonal wavefront recursive CTE (no
+    intra-step dependency on a diagonal) and lands on the same
+    doubles; aggregation-ulp noise in the z-normalization stays
+    continuous through min() and is absorbed by the rounding
+    contract.
+
+    Scale notes: the DP is quadratic in SERIES LENGTH, which is
+    calendar-bounded by the weekly grain (≈52·years points), not
+    corpus-bounded — at 100 TB only the resample aggregation grows,
+    and that is one map-side-combinable groupBy. Groups run in
+    parallel as independent Arrow batches.
+
+    Output: (grp, n_weeks, dtw_l1, dtw_per_step).
+    """
+    import numpy as np
+    import pandas as pd
+
+    wk = (
+        panel.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(
+            "grp", F.date_trunc("week", F.col("date")).cast("date").alias("week")
+        )
+        .agg(F.avg(a_col).alias("a"), F.avg(b_col).alias("b"))
+    )
+    w = Window.partitionBy("grp")
+    gated = (
+        wk.withColumn("_n", F.count("*").over(w))
+        .withColumn("_sa", F.stddev_samp("a").over(w))
+        .withColumn("_sb", F.stddev_samp("b").over(w))
+        .filter((F.col("_n") >= min_len) & (F.col("_sa") > 0) & (F.col("_sb") > 0))
+        .drop("_n", "_sa", "_sb")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("week")
+        a = pdf["a"].to_numpy(dtype=float)
+        b = pdf["b"].to_numpy(dtype=float)
+        a = (a - a.mean()) / a.std(ddof=1)
+        b = (b - b.mean()) / b.std(ddof=1)
+        n = len(a)
+        dp = np.full((n + 1, n + 1), np.inf)
+        dp[0, 0] = 0.0
+        for i in range(1, n + 1):
+            cost = np.abs(a[i - 1] - b)
+            row, prev = dp[i], dp[i - 1]
+            for j in range(1, n + 1):
+                row[j] = cost[j - 1] + min(prev[j], row[j - 1], prev[j - 1])
+        d = float(dp[n, n])
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "n_weeks": [n],
+                "dtw_l1": [d],
+                "dtw_per_step": [d / n],
+            }
+        )
+
+    return gated.groupBy("grp").applyInPandas(
+        kernel, schema="grp string, n_weeks int, dtw_l1 double, dtw_per_step double"
+    )
+
+
+def dtw_weekly_sql(
+    a_col: str = "feature_1", b_col: str = "feature_3", min_len: int = 20
+) -> str:
+    """DuckDB oracle for :func:`dtw_weekly`: the same DP as an
+    anti-diagonal wavefront recursive CTE. Diagonal d holds cells
+    (i, d−i); each new diagonal is a list comprehension over i needing
+    only the two previous diagonals — no intra-step dependency, unlike
+    a row sweep. Callers prepend the panel CTE (WITH RECURSIVE)."""
+    from dataframeutils_spark.schema import decround_sql, siground_sql
+
+    inf = "CAST('infinity' AS DOUBLE)"
+    # dp cell (i, j=d-i): cost + min of west/north/northwest from the
+    # prior diagonals; list index out of range -> NULL -> infinity
+    step = f"""[
+        CASE WHEN d.d + 1 - i BETWEEN 1 AND m.n AND i <= m.n
+             THEN abs(m.av[i] - m.bv[d.d + 1 - i])
+                  + CASE WHEN i = 1 AND d.d + 1 - i = 1 THEN 0.0
+                         ELSE least(
+                           coalesce(d.cur[i - 1], {inf}),
+                           coalesce(d.cur[i], {inf}),
+                           coalesce(d.prev[i - 1], {inf})) END
+             ELSE {inf} END
+        for i in range(1, m.n + 1)]"""
+    return f"""
+wk AS (
+  SELECT grp, date_trunc('week', date)::DATE AS week,
+         avg({a_col}) AS a, avg({b_col}) AS b
+  FROM panel
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+  GROUP BY 1, 2
+), meta AS (
+  SELECT grp, count(*) AS n,
+         list(za ORDER BY week) AS av, list(zb ORDER BY week) AS bv
+  FROM (
+    SELECT grp, week,
+           (a - avg(a) OVER (PARTITION BY grp)) / stddev_samp(a) OVER (PARTITION BY grp) AS za,
+           (b - avg(b) OVER (PARTITION BY grp)) / stddev_samp(b) OVER (PARTITION BY grp) AS zb
+    FROM wk
+    QUALIFY count(*) OVER (PARTITION BY grp) >= {min_len}
+        AND stddev_samp(a) OVER (PARTITION BY grp) > 0
+        AND stddev_samp(b) OVER (PARTITION BY grp) > 0
+  )
+  GROUP BY grp
+), dp AS (
+  SELECT grp, 2 AS d,
+         [CASE WHEN i = 1 THEN abs(av[1] - bv[1]) ELSE {inf} END
+          for i in range(1, n + 1)] AS cur,
+         [{inf} for i in range(1, n + 1)] AS prev
+  FROM meta
+  UNION ALL
+  SELECT d.grp, d.d + 1,
+         {step} AS cur,
+         d.cur AS prev
+  FROM dp d JOIN meta m ON m.grp = d.grp
+  WHERE d.d < 2 * m.n
+)
+SELECT dp.grp, CAST(m.n AS INT) AS n_weeks,
+       {siground_sql('dp.cur[m.n]')} AS dtw_l1,
+       {decround_sql('dp.cur[m.n] / m.n')} AS dtw_per_step
+FROM dp JOIN meta m ON m.grp = dp.grp
+WHERE dp.d = 2 * m.n
+"""

@@ -233,3 +233,138 @@ def test_theilsen_pair_count_bounded(spark):
     # with P = ceil(2000/100) = 20 the expected sample is ~100 rows
     assert row["n_sampled"] < 250
     assert row["n_pairs"] < 250 * 249 / 2
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers (sufficient-statistics multivariate tier)
+# ---------------------------------------------------------------------------
+
+
+def test_mahalanobis_vs_numpy(spark):
+    from dataframeutils_spark.operators import outliers
+
+    r = _rng(23)
+    n = 250
+    # correlated features + a few joint-inconsistent rows
+    x1 = r.normal(0, 1, n)
+    x2 = 0.8 * x1 + r.normal(0, 0.6, n)
+    x3 = -0.5 * x1 + 0.3 * x2 + r.normal(0, 0.7, n)
+    # break the correlation structure without extreme marginals
+    for i in (10, 77, 150):
+        x2[i] = -0.8 * x1[i] * 3
+    pdf = pd.DataFrame(
+        {
+            "grp": "A",
+            "date": [dt.date(1995, 1, 1) + dt.timedelta(days=i) for i in range(n)],
+            "feature_1": x1,
+            "feature_2": x2,
+            "feature_3": x3,
+        }
+    )
+    row = outliers.mahalanobis_outliers(spark.createDataFrame(pdf)).collect()[0]
+
+    X = np.column_stack([x1, x2, x3])
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    inv = np.linalg.inv(cov)
+    d = X - mu
+    md2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    thr = outliers.CHI2_3_975
+    assert row["n"] == n
+    assert row["n_outliers"] == int((np.round(md2, 6) > thr).sum())
+    np.testing.assert_allclose(row["mean_md2"], md2.mean(), rtol=1e-6)
+    np.testing.assert_allclose(row["max_md2"], md2.max(), rtol=1e-6)
+    assert row["max_md2_date"] == pdf["date"].iloc[int(np.argmax(md2))]
+    # the planted joint-inconsistent rows are detected
+    assert row["n_outliers"] >= 3
+
+
+def test_mahalanobis_singular_cov_dropped(spark):
+    # feature_2 = 2 * feature_1 exactly -> singular covariance -> dropped
+    from dataframeutils_spark.operators import outliers
+
+    n = 40
+    x = np.arange(n, dtype=float)
+    pdf = pd.DataFrame(
+        {
+            "grp": "A",
+            "date": [dt.date(1995, 1, 1) + dt.timedelta(days=i) for i in range(n)],
+            "feature_1": x,
+            "feature_2": 2 * x,
+            "feature_3": np.sin(x),
+        }
+    )
+    assert outliers.mahalanobis_outliers(spark.createDataFrame(pdf)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# DTW (weekly, exact-oracled)
+# ---------------------------------------------------------------------------
+
+
+def _dtw_ref(a, b):
+    """Independent reference: plain-python memoized recursion."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def d(i, j):
+        if i == 0 and j == 0:
+            return abs(a[0] - b[0])
+        if i < 0 or j < 0:
+            return float("inf")
+        return abs(a[i] - b[j]) + min(d(i - 1, j), d(i, j - 1), d(i - 1, j - 1))
+
+    import sys
+
+    sys.setrecursionlimit(100000)
+    return d(len(a) - 1, len(b) - 1)
+
+
+def _weekly_panel(spark, vals_a, vals_b, grp="A", start=dt.date(1995, 1, 2)):
+    # one row per week (start is a Monday) so weekly resample is 1:1
+    rows = [
+        (grp, start + dt.timedelta(weeks=i), float(va), 0.0, float(vb))
+        for i, (va, vb) in enumerate(zip(vals_a, vals_b))
+    ]
+    return spark.createDataFrame(
+        rows, "grp string, date date, feature_1 double, feature_2 double, feature_3 double"
+    )
+
+
+def test_dtw_vs_reference(spark):
+    r = _rng(31)
+    n = 60
+    a = np.cumsum(r.normal(0, 1, n))
+    b = np.roll(a, 3) + r.normal(0, 0.1, n)  # time-shifted twin
+    df = _weekly_panel(spark, a, b)
+    row = trend.dtw_weekly(df, min_len=20).collect()[0]
+    za = (a - a.mean()) / a.std(ddof=1)
+    zb = (b - b.mean()) / b.std(ddof=1)
+    want = _dtw_ref(tuple(za), tuple(zb))
+    assert row["n_weeks"] == n
+    np.testing.assert_allclose(row["dtw_l1"], want, rtol=1e-9)
+    np.testing.assert_allclose(row["dtw_per_step"], want / n, rtol=1e-9)
+
+
+def test_dtw_identity_and_shift_elasticity(spark):
+    r = _rng(37)
+    n = 52
+    a = np.cumsum(r.normal(0, 1, n))
+    # identical series -> distance 0
+    row = trend.dtw_weekly(_weekly_panel(spark, a, a), min_len=20).collect()[0]
+    assert row["dtw_l1"] == 0.0
+    # a time-shifted copy must be far closer under DTW than under
+    # rigid alignment (the reason DTW exists)
+    b = np.roll(a, 5)
+    za = (a - a.mean()) / a.std(ddof=1)
+    zb = (b - b.mean()) / b.std(ddof=1)
+    rigid = float(np.abs(za - zb).sum())
+    row = trend.dtw_weekly(_weekly_panel(spark, a, b), min_len=20).collect()[0]
+    assert row["dtw_l1"] < 0.5 * rigid
+
+
+def test_dtw_constant_series_gated(spark):
+    # zero variance -> z-normalization undefined -> group dropped
+    a = np.ones(40)
+    b = np.arange(40, dtype=float)
+    assert trend.dtw_weekly(_weekly_panel(spark, a, b), min_len=20).count() == 0

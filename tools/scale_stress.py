@@ -306,6 +306,31 @@ QUERIES = [
     # r10: perceptual-hash dedup — real PNG decode scan-side, 8-byte
     # band keys through the exchange
     "multimodal_image_phash_dedup",
+    # r10 session-2: the trend/structure family reads the lineitem
+    # panel — the aggregated panel stays ~7.5k rows at ANY mult (no
+    # output stress axis) but the panel-build scan grows ×mult, so the
+    # walls must track the scan; theilsen additionally proves the
+    # bounded-pair sample (P = ceil(n/cap)) keeps the pair join flat
+    "changepoint_cusum",
+    "seasonal_decompose",
+    "panel_ols",
+    "theilsen_slope",
+    "mahalanobis_outliers",
+    # l-diversity over the replicated event log: both groupBys stay
+    # map-side-combinable, exchange ≤ distinct (class, user) pairs
+    "l_diversity",
+    # triangle counting over replicated lineitem: every replica order
+    # repeats its source basket, so the raw pair stream grows ×mult
+    # while DISTINCT collapses it back to the SOURCE edge set — the
+    # adversarial case for the pre-join distinct; the wedge join then
+    # runs on the same graph at any mult
+    "graph_triangles",
+    # record linkage reads the customer DIM (fixed at any mult by
+    # design — fixed dims vs growing facts); included to pin the
+    # deletion-neighborhood blocking wall at the 15k-name sf0.1 table
+    # (10× the correctness-gate table)
+    "fuzzy_join",
+    "entity_resolution",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
