@@ -3509,6 +3509,52 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(trend.theilsen_slope(_melted(spark, sf_dir)))
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets
+    (operators/graph.py): support/confidence/lift for the top-100
+    most frequent co-purchased part pairs, both directions. Top-k by
+    (pair_count, lift, names) is the scale-stable contract — an
+    absolute count threshold admits 2.4M noise rules at the 10×
+    stress, a relative one goes EMPTY when the catalog grows with the
+    corpus. All statistics are integer-count ratios; pair generation
+    is the bounded per-basket self-join."""
+    return round_floats(
+        graph.association_rules(
+            load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        ),
+        dec=("support", "confidence", "lift"),
+    )
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over extended prices
+    (operators/cleaning.py): observed vs log10(1+1/d) share per digit
+    + the chi² statistic — the fabricated-data / ETL-corruption
+    screen. Digit extraction happens in the integer-string domain
+    (float log10/pow could flip a digit at an exact power of 10);
+    exchange = 9 digit rows at any corpus size."""
+    return cleaning.benford_audit(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/text.py):
+    the BM25 token arm and the char-trigram Jaccard arm (typo-robust)
+    fused as Σ 1/(60+rank) — rank-only fusion, so the fused score is
+    a sum of exact rationals of integer ranks. The RAG-pipeline
+    retrieval pattern as one query."""
+    return round_floats(
+        text.hybrid_search_rrf(
+            load_table(spark, sf_dir, "documents"),
+            query_terms=("join", "scan", "slow"),
+            query_string="join scan slow",
+            k=15,
+        ),
+        dec=("rrf_score",),
+    )
+
+
 def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW alignment distance between z-normalized weekly price and
     quantity series per grp (operators/trend.py): the elastic-shift
@@ -3634,8 +3680,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stationarity_kpss, the trend/structure family
     (changepoint_cusum, seasonal_decompose, panel_ols,
     theilsen_slope, dtw_distance), mahalanobis_outliers, l_diversity,
-    graph_triangles, and the record linkage pair (fuzzy_join,
-    entity_resolution) — are registered
+    graph_triangles, association_rules, benford_audit, hybrid_search,
+    and the record linkage pair (fuzzy_join, entity_resolution) — are
+    registered
     below the cap per the rotation protocol and lead the r11 window
     together with the 13 r7 leftovers (panel_dispersion through
     similarity_topk).
@@ -3856,6 +3903,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_outliers": q_mahalanobis_outliers,
         # exact-oracled DTW (wavefront recursive-CTE oracle)
         "dtw_distance": q_dtw_distance,
+        # market-basket rules, data-forensics audit, hybrid retrieval
+        "association_rules": q_association_rules,
+        "benford_audit": q_benford_audit,
+        "hybrid_search": q_hybrid_search,
         # privacy audit companion: attribute disclosure (l-diversity)
         "l_diversity": q_l_diversity,
         # graph analytics: degree-oriented triangle counting over the
@@ -3903,6 +3954,19 @@ def all_oracles() -> dict[str, str]:
         ),
         "dtw_distance": (
             f"WITH RECURSIVE {oracles.PANEL_CTE},\n" + trend.dtw_weekly_sql()
+        ),
+        "association_rules": _round_oracle_cols(
+            graph.association_rules_sql(
+                "lineitem", "l_orderkey", "l_partkey"
+            ),
+            ["support", "confidence", "lift"],
+        ),
+        "benford_audit": cleaning.benford_audit_sql("lineitem", "l_extendedprice"),
+        "hybrid_search": _round_oracle_cols(
+            text.hybrid_search_rrf_sql(
+                ("join", "scan", "slow"), "join scan slow", k=15
+            ),
+            ["rrf_score"],
         ),
         "l_diversity": cleaning.l_diversity_sql(
             ["event_type", "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day"],

@@ -627,3 +627,96 @@ SELECT CAST({l} AS INT) AS l,
        CAST(max(diversity) AS BIGINT) AS max_diversity
 FROM classes
 """
+
+
+def benford_audit(
+    df: DataFrame, amount_col: str, cents: bool = True
+) -> DataFrame:
+    """Benford first-digit audit over a monetary column — the classic
+    fabricated-data / ETL-corruption screen (Benford 1938, Nigrini's
+    forensic usage): natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d); a synthetic or truncated feed doesn't.
+
+    First-digit extraction avoids float log10/pow entirely (a 1-ulp
+    divergence at an exact power of 10 would flip the digit): the
+    amount is fixed-pointed to integer cents and the digit is the
+    first character of its DECIMAL STRING — integer formatting is
+    exact and identical in both engines. Per digit: observed share
+    (a pure integer ratio), Benford share, deviation; the overall
+    chi-square statistic rides along on every row.
+
+    One combinable groupBy over 9 digit classes — the exchange is 9
+    rows at any corpus size.
+
+    Output: (digit, n_obs, obs_share, benford_share, deviation, chi2).
+    """
+    from pyspark.sql import Window
+
+    from dataframeutils_spark.schema import decround
+
+    amt = F.col(amount_col)
+    ints = (
+        F.round(amt * 100).cast("long") if cents else F.round(amt).cast("long")
+    )
+    d = (
+        df.filter(amt > 0)
+        .select(F.substring(ints.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n_obs").over(w)
+    exp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    scored = d.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs") / tot).alias("obs_share"),
+        exp.alias("_exp"),
+        tot.alias("_tot"),
+    )
+    chi2 = F.sum(
+        (F.col("obs_share") - F.col("_exp"))
+        * (F.col("obs_share") - F.col("_exp"))
+        / F.col("_exp")
+        * F.col("_tot")
+    ).over(w)
+    return scored.select(
+        "digit",
+        "n_obs",
+        decround(F.col("obs_share")).alias("obs_share"),
+        decround(F.col("_exp")).alias("benford_share"),
+        decround(F.col("obs_share") - F.col("_exp")).alias("deviation"),
+        decround(chi2).alias("chi2"),
+    )
+
+
+def benford_audit_sql(table: str, amount_expr: str, cents: bool = True) -> str:
+    """DuckDB oracle for :func:`benford_audit` — same string-domain
+    digit extraction and integer-ratio shares."""
+    from dataframeutils_spark.schema import decround_sql
+
+    ints = (
+        f"CAST(round(({amount_expr}) * 100) AS BIGINT)"
+        if cents
+        else f"CAST(round({amount_expr}) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST({ints} AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM {table} WHERE ({amount_expr}) > 0
+  GROUP BY 1
+), s AS (
+  SELECT digit, n_obs,
+         n_obs / sum(n_obs) OVER () AS obs_share,
+         ln(1.0 + 1.0 / digit) / ln(10.0) AS expd,
+         sum(n_obs) OVER () AS tot
+  FROM d
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       {decround_sql('obs_share')} AS obs_share,
+       {decround_sql('expd')} AS benford_share,
+       {decround_sql('obs_share - expd')} AS deviation,
+       {decround_sql('sum((obs_share - expd) * (obs_share - expd) / expd * tot) OVER ()')} AS chi2
+FROM s
+"""

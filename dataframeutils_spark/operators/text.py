@@ -886,3 +886,154 @@ SELECT p.bucket,
          AS vocab_cum
 FROM per_bucket p LEFT JOIN new_terms USING (bucket)
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval (character-gram arm + reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+
+def _chargrams(s: str, n: int = 3) -> list[str]:
+    s = s.lower()
+    return sorted({s[i : i + n] for i in range(len(s) - n + 1)})
+
+
+def chargram_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character n-gram Jaccard retrieval — the typo-robust lexical
+    arm (a misspelled query still shares most of its trigrams with
+    the right documents, where token-level BM25 scores zero).
+
+    The query's gram set is a DRIVER-SIDE literal (both engines see
+    the same list); each document's distinct grams are computed
+    scan-side and the Jaccard is a pure INTEGER ratio
+    |∩| / (|doc| + |q| − |∩|) — deterministic without rounding.
+    Output: (doc_id, rank, score), rank by (score desc, doc_id).
+    """
+    qgrams = _chargrams(query, n)
+    txt = F.lower(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(0))),
+            lambda p: F.substring(txt, p, n),
+        )
+    )
+    qlit = F.array(*[F.lit(g) for g in qgrams])
+    inter = F.size(F.array_intersect(grams, qlit))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            inter
+            / (F.size(grams) + F.lit(len(qgrams)) - inter).cast("double")
+        ).alias("score"),
+    ).filter(F.col("score") > 0)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id", F.row_number().over(w).alias("rank"), "score"
+    ).filter(F.col("rank") <= k)
+
+
+def chargram_search_sql(
+    query: str, k: int = 10, n: int = 3, table: str = "documents"
+) -> str:
+    qgrams = _chargrams(query, n)
+    qlist = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in qgrams) + "]"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), p, {n})
+                        for p in range(1, greatest(length(text) - {n - 2}, 1))]) AS dg
+  FROM {table}
+), s AS (
+  SELECT doc_id,
+         len(list_filter(dg, x -> list_contains({qlist}, x))) AS inter,
+         len(dg) AS nd
+  FROM g
+), sc AS (
+  SELECT doc_id,
+         inter / CAST(nd + {len(qgrams)} - inter AS DOUBLE) AS score
+  FROM s WHERE inter > 0
+)
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    query_string: str,
+    k: int = 10,
+    arm_k: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): fuse the BM25 token arm and the char-gram Jaccard arm as
+    RRF(d) = Σ_arms 1/(rrf_k + rank_arm(d)) — rank-only fusion, so
+    incomparable score scales never matter and the fused score is a
+    sum of exact rationals of INTEGER ranks (identical doubles in
+    both engines). The retrieval-augmented-pipeline pattern: every
+    arm is an independent top-``arm_k`` query; fusion is one
+    broadcast-sized full outer join.
+
+    Output: (doc_id, rrf_score, bm25_rank, chargram_rank), top ``k``
+    by (rrf_score desc, doc_id).
+    """
+    b = bm25_search(docs, query_terms, k=arm_k).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    c = chargram_search(docs, query_string, k=arm_k).select(
+        "doc_id", F.col("rank").alias("chargram_rank")
+    )
+    fused = b.join(c, on="doc_id", how="full").select(
+        "doc_id",
+        "bm25_rank",
+        "chargram_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("chargram_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("doc_id", "rrf_score", "bm25_rank", "chargram_rank")
+    )
+
+
+def hybrid_search_rrf_sql(
+    query_terms: tuple[str, ...],
+    query_string: str,
+    k: int = 10,
+    arm_k: int = 50,
+    rrf_k: int = 60,
+    table: str = "documents",
+) -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id, rank AS bm25_rank FROM ({bm25_search_sql(query_terms, k=arm_k, table=table)})
+), c AS (
+  SELECT doc_id, rank AS chargram_rank FROM ({chargram_search_sql(query_string, k=arm_k, table=table)})
+), fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         b.bm25_rank, c.chargram_rank,
+         COALESCE(1.0 / ({rrf_k} + b.bm25_rank), 0.0)
+           + COALESCE(1.0 / ({rrf_k} + c.chargram_rank), 0.0) AS rrf_score
+  FROM b FULL OUTER JOIN c ON c.doc_id = b.doc_id
+)
+SELECT doc_id, rrf_score, bm25_rank, chargram_rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fr
+  FROM fused
+) WHERE fr <= {k}
+"""

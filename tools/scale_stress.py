@@ -331,6 +331,14 @@ QUERIES = [
     # (10× the correctness-gate table)
     "fuzzy_join",
     "entity_resolution",
+    # market-basket rules over replicated baskets: pair counts scale
+    # ×mult but the surviving rule set is count-thresholded; Benford
+    # digits are a 9-row exchange at any size; hybrid retrieval runs
+    # both arms over the 10× corpus (the chargram arm is scan-side
+    # per-doc gram sets, the fusion join is arm_k-bounded)
+    "association_rules",
+    "benford_audit",
+    "hybrid_search",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
