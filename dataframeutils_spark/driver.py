@@ -3509,6 +3509,28 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(trend.theilsen_slope(_melted(spark, sf_dir)))
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-next-event survival per cohort
+    (operators/events.py): for each event, hours until the user's
+    next action, right-CENSORED at study end (a user-lifetime framing
+    is vacuous on this log — 67 events/user over 30 days means nobody
+    churns, caught as a 0-row gate at the 10× stress). Cohort = type
+    of the gap's left event. S(t) as a cumulative ln/exp product over
+    integer-count hazard factors; the raw events shuffle once."""
+    return events_ops.survival_km(
+        events_ops.event_gap_durations(_events_normalized(spark, sf_dir))
+    )
+
+
+def q_embedding_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class ROC-AUC of cosine-to-centroid (operators/similarity.py):
+    the threshold-free class-separability number, Mann-Whitney
+    formulation with average-rank ties over the pre-rounded score.
+    Centroids = one (label × dim) combinable aggregate broadcast back
+    over the scan."""
+    return similarity.embedding_auc(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets
     (operators/graph.py): support/confidence/lift for the top-100
@@ -3681,8 +3703,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (changepoint_cusum, seasonal_decompose, panel_ols,
     theilsen_slope, dtw_distance), mahalanobis_outliers, l_diversity,
     graph_triangles, association_rules, benford_audit, hybrid_search,
-    and the record linkage pair (fuzzy_join, entity_resolution) — are
-    registered
+    survival_km, embedding_auc, and the record linkage pair
+    (fuzzy_join, entity_resolution) — are registered
     below the cap per the rotation protocol and lead the r11 window
     together with the 13 r7 leftovers (panel_dispersion through
     similarity_topk).
@@ -3907,6 +3929,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "benford_audit": q_benford_audit,
         "hybrid_search": q_hybrid_search,
+        # censored churn curves + threshold-free class separability
+        "survival_km": q_survival_km,
+        "embedding_auc": q_embedding_auc,
         # privacy audit companion: attribute disclosure (l-diversity)
         "l_diversity": q_l_diversity,
         # graph analytics: degree-oriented triangle counting over the
@@ -3962,6 +3987,8 @@ def all_oracles() -> dict[str, str]:
             ["support", "confidence", "lift"],
         ),
         "benford_audit": cleaning.benford_audit_sql("lineitem", "l_extendedprice"),
+        "survival_km": events_ops.survival_km_sql(),
+        "embedding_auc": similarity.embedding_auc_sql(),
         "hybrid_search": _round_oracle_cols(
             text.hybrid_search_rrf_sql(
                 ("join", "scan", "slow"), "join scan slow", k=15

@@ -646,3 +646,160 @@ SELECT event_type, count(*) AS n,
   {siground_sql("quantile_cont(late_secs, 0.99)")} AS p99_late_secs
 FROM lat GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (time-to-next-event, right-censored)
+# ---------------------------------------------------------------------------
+
+
+def event_gap_durations(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-next-event durations per user: for every event, the
+    whole HOURS until that user's next event; the final gap of each
+    user (last event → study end) is right-CENSORED — the user's next
+    event simply hasn't happened yet, which is exactly what censoring
+    models (dropping those gaps would bias hazard down, counting them
+    as observed would bias it up).
+
+    Cohort = the type of the gap's LEFT event ("how long until the
+    next action after a view vs after a purchase"). Durations are
+    exact integer hour differences (floor of epoch-hour), so every
+    downstream count is engine-portable.
+
+    Returns (cohort, dur, censored); one row per event.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    hrs = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)).cast("long")
+    nxt = F.lead(hrs).over(w)
+    end = events.agg(
+        F.floor(F.unix_micros(F.max(F.col(ts_col))) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("end_h")
+    )
+    return events.crossJoin(F.broadcast(end)).select(
+        F.col(type_col).alias("cohort"),
+        F.coalesce(nxt, F.col("end_h")).alias("_next"),
+        hrs.alias("_cur"),
+        nxt.isNull().alias("censored"),
+    ).select(
+        "cohort", (F.col("_next") - F.col("_cur")).alias("dur"), "censored"
+    )
+
+
+def survival_km(
+    durations: DataFrame,
+    cohort_col: str = "cohort",
+    dur_col: str = "dur",
+    censored_col: str = "censored",
+) -> DataFrame:
+    """Kaplan-Meier survival curve per cohort over right-censored
+    durations (Kaplan & Meier 1958).
+
+    S(t) = Π_{tᵢ ≤ t, dᵢ>0} (1 − dᵢ/nᵢ) with nᵢ = #(dur ≥ tᵢ),
+    computed as exp(Σ ln(1 − dᵢ/nᵢ)) over a cumulative window, with
+    an explicit zero flag once a factor hits 0 (Spark's ln(0) is NULL
+    while DuckDB's is -inf — the flag keeps both engines on the same
+    closed-form path). dᵢ/nᵢ are ratios of integer counts, so every
+    factor is an identical double in both engines; the ln/exp
+    round-trip rides the rounding contract.
+
+    Scale shape: one (cohort × duration) combinable aggregate, then
+    windows over that tiny table — the raw durations never shuffle
+    twice. Output at event times only:
+    (cohort, t, n_risk, n_events, n_censored, survival).
+    """
+    from dataframeutils_spark.schema import decround
+
+    tab = durations.groupBy(
+        F.col(cohort_col).alias("cohort"), F.col(dur_col).alias("dur")
+    ).agg(
+        F.count(F.when(~F.col(censored_col), F.lit(1))).alias("d"),
+        F.count(F.when(F.col(censored_col), F.lit(1))).alias("c"),
+    )
+    wo = Window.partitionBy("cohort").orderBy("dur")
+    wrev = (
+        Window.partitionBy("cohort")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = (
+        tab.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(wrev))
+        .withColumn(
+            "_ln",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_dead", F.max((F.col("d") == F.col("n_risk")).cast("int")).over(run)
+        )
+        .withColumn("_cumln", F.sum("_ln").over(run))
+    )
+    return scored.filter(F.col("d") > 0).select(
+        "cohort",
+        F.col("dur").cast("long").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        decround(
+            F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(F.exp(F.col("_cumln")))
+        ).alias("survival"),
+    )
+
+
+def survival_km_sql(table: str = "events") -> str:
+    """DuckDB oracle: identical integer hour gaps, censor flags and
+    ln/exp product over the time-to-next-event durations."""
+    from dataframeutils_spark.schema import decround_sql
+
+    return f"""
+WITH hrs AS (
+  SELECT user_id, event_type AS cohort,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         lead(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nh
+  FROM {table}
+), study AS (
+  SELECT CAST(floor(epoch_us(max(ts)) / 3600000000) AS BIGINT) AS end_h FROM {table}
+), durs AS (
+  SELECT cohort,
+         COALESCE(nh, study.end_h) - h AS dur,
+         nh IS NULL AS censored
+  FROM hrs CROSS JOIN study
+), tab AS (
+  SELECT cohort, dur,
+         count(*) FILTER (WHERE NOT censored) AS d,
+         count(*) FILTER (WHERE censored) AS c
+  FROM durs GROUP BY cohort, dur
+), scored AS (
+  SELECT cohort, dur, d, c,
+         sum(d + c) OVER (PARTITION BY cohort ORDER BY dur DESC
+                          ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM tab
+), lns AS (
+  SELECT *,
+         CASE WHEN d < n_risk THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END AS lnf,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS deadf
+  FROM scored
+), cum AS (
+  SELECT *,
+         sum(lnf) OVER w AS cumln,
+         max(deadf) OVER w AS dead
+  FROM lns
+  WINDOW w AS (PARTITION BY cohort ORDER BY dur ROWS UNBOUNDED PRECEDING)
+)
+SELECT cohort, CAST(dur AS BIGINT) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       {decround_sql('CASE WHEN dead = 1 THEN 0.0 ELSE exp(cumln) END')} AS survival
+FROM cum WHERE d > 0
+"""

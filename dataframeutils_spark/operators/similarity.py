@@ -1729,3 +1729,133 @@ SELECT i.label, i.n,
             ELSE {siground_sql('inter_dist / intra_raw')} END AS separation
 FROM intra i JOIN nearest nr ON nr.label = i.label AND nr.r = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of centroid similarity (class separability as one number)
+# ---------------------------------------------------------------------------
+
+
+def embedding_auc(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class ROC-AUC of cosine-to-own-centroid as a classifier
+    score — the rank-based (Mann-Whitney) formulation: does distance
+    to the class centroid actually separate the class from the rest?
+    The one-number companion to label_agreement / class-stats: AUC is
+    threshold-free and insensitive to score calibration.
+
+    AUC_c = (Σ_{i∈c} rank(s_i) − n_c(n_c+1)/2) / (n_c · (N − n_c))
+    over scores s = cos(v, centroid_c), ranked ASCENDING with
+    AVERAGE ranks on ties. Scores are decimal-ROUNDED before ranking
+    (centroid means carry aggregation-order ulp noise; ranking must
+    not see it), and the average-rank formula (min-rank + (tie−1)/2)
+    makes ties engine-independent.
+
+    Scale shape: centroids via one (label × dim) map-side-combinable
+    aggregate (exchange = labels × D partials); scoring is one scan
+    against the broadcast 10-row centroid table; the per-class rank
+    is a window over (class) — the one global-ish sort, standard for
+    exact AUC (a histogram-bucketed AUC is the approximate scale-out
+    when N per class exceeds a task).
+
+    Output: (class, n_pos, n_neg, auc).
+    """
+    from dataframeutils_spark.schema import decround
+
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lab"),
+    )
+    cent = (
+        base.select("lab", F.posexplode(F.col("v")).alias("pos", "x"))
+        .groupBy("lab", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy(F.col("lab").alias("cls"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_sm")
+        )
+        .select("cls", F.transform(F.col("_sm"), lambda s: s.m).alias("cvec"))
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "cls",
+        "vid",
+        (F.col("lab") == F.col("cls")).alias("is_pos"),
+        decround(
+            _dot(F.col("v"), F.col("cvec")) / (_norm(F.col("v")) * _norm(F.col("cvec")))
+        ).alias("s"),
+    )
+    wc = Window.partitionBy("cls").orderBy("s")
+    tie = Window.partitionBy("cls", "s")
+    ranked = scored.withColumn(
+        "avg_rank",
+        F.rank().over(wc) + (F.count("*").over(tie) - F.lit(1)) / F.lit(2.0),
+    )
+    agg = ranked.groupBy("cls").agg(
+        F.count(F.when(F.col("is_pos"), F.lit(1))).alias("n_pos"),
+        F.count(F.when(~F.col("is_pos"), F.lit(1))).alias("n_neg"),
+        F.sum(F.when(F.col("is_pos"), F.col("avg_rank"))).alias("rsum"),
+    )
+    return agg.select(
+        F.col("cls").alias("class"),
+        "n_pos",
+        "n_neg",
+        decround(
+            (F.col("rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+def embedding_auc_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`embedding_auc` — same sequential-fold
+    cosine, pre-rank decimal rounding and average-rank tie formula."""
+    from dataframeutils_spark.schema import decround_sql
+
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * c.cvec[i])), (a, b) -> a + b)"
+    )
+    nrm_v = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, "
+        "x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+    )
+    nrm_c = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(c.cvec, "
+        "x -> x * x)), (a, b) -> a + b))"
+    )
+    return f"""
+WITH dims AS (
+  SELECT label AS lab, i.i AS pos, avg(embedding[i.i]::DOUBLE) AS m
+  FROM {table}
+  CROSS JOIN (SELECT unnest(range(1, len((SELECT embedding FROM {table} LIMIT 1)) + 1)) AS i) i
+  GROUP BY label, i.i
+), cent AS (
+  SELECT lab AS cls, list(m ORDER BY pos) AS cvec FROM dims GROUP BY lab
+), scored AS (
+  SELECT c.cls, e.vec_id AS vid, e.label = c.cls AS is_pos,
+         {decround_sql(f"{dot} / ({nrm_v} * {nrm_c})")} AS s
+  FROM {table} e CROSS JOIN cent c
+), ranked AS (
+  SELECT *,
+         rank() OVER (PARTITION BY cls ORDER BY s)
+           + (count(*) OVER (PARTITION BY cls, s) - 1) / 2.0 AS avg_rank
+  FROM scored
+)
+SELECT cls AS class,
+       CAST(count(*) FILTER (WHERE is_pos) AS BIGINT) AS n_pos,
+       CAST(count(*) FILTER (WHERE NOT is_pos) AS BIGINT) AS n_neg,
+       {decround_sql(
+           "(sum(CASE WHEN is_pos THEN avg_rank END) "
+           "- count(*) FILTER (WHERE is_pos) * (count(*) FILTER (WHERE is_pos) + 1) / 2.0) "
+           "/ (CAST(count(*) FILTER (WHERE is_pos) AS DOUBLE) * count(*) FILTER (WHERE NOT is_pos))"
+       )} AS auc
+FROM ranked
+GROUP BY cls
+"""

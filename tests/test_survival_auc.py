@@ -1,0 +1,140 @@
+"""Kaplan-Meier survival and centroid ROC-AUC vs brute force."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from dataframeutils_spark.operators import events as events_ops
+from dataframeutils_spark.operators import similarity
+
+
+def _km_ref(durations, censored):
+    """Independent KM: dict duration -> (n_risk, d, c, S(t)) at event times."""
+    import collections
+
+    tab = collections.defaultdict(lambda: [0, 0])
+    for dur, cen in zip(durations, censored):
+        tab[dur][1 if cen else 0] += 1
+    out, s, at_risk = {}, 1.0, len(durations)
+    for t in sorted(tab):
+        d, c = tab[t]
+        if d > 0:
+            s *= 1.0 - d / at_risk
+            out[t] = (at_risk, d, c, s)
+        at_risk -= d + c
+    return out
+
+
+def test_survival_km_vs_reference(spark):
+    rng = np.random.default_rng(19)
+    durations = [int(x) for x in rng.integers(0, 40, 500)]
+    censored = [bool(x) for x in rng.random(500) < 0.25]
+    df = spark.createDataFrame(
+        list(zip(["g"] * 500, durations, censored)),
+        "cohort string, dur long, censored boolean",
+    )
+    got = {r["t"]: r for r in events_ops.survival_km(df).collect()}
+    want = _km_ref(durations, censored)
+    assert set(got) == set(want)
+    for t, (n_risk, d, c, s) in want.items():
+        r = got[t]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (n_risk, d, c)
+        np.testing.assert_allclose(r["survival"], s, atol=1e-6)
+    ts = sorted(got)
+    surv = [got[t]["survival"] for t in ts]
+    assert all(a >= b - 1e-12 for a, b in zip(surv, surv[1:]))
+
+
+def test_survival_km_all_events_at_last_time(spark):
+    # every subject dies at t=7 -> survival hits exactly 0 (the
+    # ln(0)-vs-NULL engine divergence path)
+    rows = [("g", 7, False)] * 20 + [("g", 3, False)] * 5
+    df = spark.createDataFrame(rows, "cohort string, dur long, censored boolean")
+    out = {r["t"]: r["survival"] for r in events_ops.survival_km(df).collect()}
+    assert out[7] == 0.0 and 0 < out[3] < 1
+
+
+def test_event_gap_durations(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10, "view"),
+        (2, base + dt.timedelta(hours=5), 10, "purchase"),
+        (3, base + dt.timedelta(hours=12), 10, "view"),
+        (4, base + dt.timedelta(hours=20), 20, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = sorted(
+        (r["cohort"], r["dur"], r["censored"])
+        for r in events_ops.event_gap_durations(df).collect()
+    )
+    # study end = hour 20. user 10: view->+5h, purchase->+7h,
+    # view->censored 8h; user 20: view->censored 0h
+    assert got == [
+        ("purchase", 7, False),
+        ("view", 0, True),
+        ("view", 5, False),
+        ("view", 8, True),
+    ]
+
+
+def _auc_ref(scores, labels):
+    order = np.argsort(scores, kind="mergesort")
+    s = np.asarray(scores)[order]
+    y = np.asarray(labels)[order]
+    n = len(s)
+    ranks = np.empty(n)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and s[j] == s[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0
+        i = j
+    npos = int(y.sum())
+    nneg = n - npos
+    return (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+
+
+def test_embedding_auc_vs_reference(spark):
+    rng = np.random.default_rng(23)
+    dim, per_class = 8, 60
+    rows = []
+    vecs, labs = [], []
+    for c in range(3):
+        center = rng.normal(0, 1, dim)
+        for i in range(per_class):
+            v = center + rng.normal(0, 0.9, dim)
+            rows.append((c * per_class + i, [float(x) for x in v], c))
+            vecs.append(v)
+            labs.append(c)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["class"]: r for r in similarity.embedding_auc(df).collect()}
+
+    V = np.array([np.array(v, dtype=np.float32).astype(float) for v in vecs])
+    L = np.array(labs)
+    for c in range(3):
+        cent = V[L == c].mean(axis=0)
+        scores = np.round(
+            (V @ cent) / (np.linalg.norm(V, axis=1) * np.linalg.norm(cent)), 6
+        )
+        want = _auc_ref(scores, (L == c).astype(int))
+        r = got[c]
+        assert r["n_pos"] == per_class and r["n_neg"] == 2 * per_class
+        np.testing.assert_allclose(r["auc"], want, atol=2e-6)
+        # clustered data must separate well
+        assert r["auc"] > 0.8
+
+
+def test_embedding_auc_random_labels_near_half(spark):
+    rng = np.random.default_rng(29)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)], int(rng.integers(0, 2)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    for r in similarity.embedding_auc(df).collect():
+        assert 0.35 < r["auc"] < 0.65

@@ -339,6 +339,12 @@ QUERIES = [
     "association_rules",
     "benford_audit",
     "hybrid_search",
+    # censored churn curves over the replicated event log (user grain
+    # grows ×mult; the KM table stays |cohorts × distinct durations|);
+    # per-class AUC over the replicated embeddings (rank window per
+    # class is the documented exact-AUC cost)
+    "survival_km",
+    "embedding_auc",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
