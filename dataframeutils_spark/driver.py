@@ -3509,6 +3509,33 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(trend.theilsen_slope(_melted(spark, sf_dir)))
 
 
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer revenue concentration (operators/skew.py):
+    Gini coefficient + top-10% share over customer order totals — the
+    winner-take-all profile per market. Ranking on the pre-rounded
+    totals; windows over the entity-total table, never raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    amounts = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == c["c_custkey"],
+    )
+    return skew.concentration_report(
+        amounts, "c_nationkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife CI for the mean event value per type
+    (operators/features.py): 50 deterministic hash blocks, one
+    combinable (group × block) aggregate, closed-form SE — the
+    distributed uncertainty quantification a bootstrap can't do
+    deterministically."""
+    return features.jackknife_ci(
+        _events_normalized(spark, sf_dir), "event_type", "value", "event_id"
+    )
+
+
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-next-event survival per cohort
     (operators/events.py): for each event, hours until the user's
@@ -3703,8 +3730,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (changepoint_cusum, seasonal_decompose, panel_ols,
     theilsen_slope, dtw_distance), mahalanobis_outliers, l_diversity,
     graph_triangles, association_rules, benford_audit, hybrid_search,
-    survival_km, embedding_auc, and the record linkage pair
-    (fuzzy_join, entity_resolution) — are registered
+    survival_km, embedding_auc, revenue_concentration, jackknife_ci,
+    and the record linkage pair (fuzzy_join, entity_resolution) — are
+    registered
     below the cap per the rotation protocol and lead the r11 window
     together with the 13 r7 leftovers (panel_dispersion through
     similarity_topk).
@@ -3932,6 +3960,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # censored churn curves + threshold-free class separability
         "survival_km": q_survival_km,
         "embedding_auc": q_embedding_auc,
+        # value-concentration profile + jackknife uncertainty
+        "revenue_concentration": q_revenue_concentration,
+        "jackknife_ci": q_jackknife_ci,
         # privacy audit companion: attribute disclosure (l-diversity)
         "l_diversity": q_l_diversity,
         # graph analytics: degree-oriented triangle counting over the
@@ -3989,6 +4020,15 @@ def all_oracles() -> dict[str, str]:
         "benford_audit": cleaning.benford_audit_sql("lineitem", "l_extendedprice"),
         "survival_km": events_ops.survival_km_sql(),
         "embedding_auc": similarity.embedding_auc_sql(),
+        "revenue_concentration": skew.concentration_report_sql(
+            "orders JOIN customer ON c_custkey = o_custkey",
+            "c_nationkey",
+            "o_custkey",
+            "o_totalprice",
+        ),
+        "jackknife_ci": features.jackknife_ci_sql(
+            "events", "event_type", "value", "event_id"
+        ),
         "hybrid_search": _round_oracle_cols(
             text.hybrid_search_rrf_sql(
                 ("join", "scan", "slow"), "join scan slow", k=15

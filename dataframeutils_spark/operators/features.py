@@ -396,3 +396,137 @@ FROM {table} JOIN bounds ON {type_col} = b_type
 WHERE {value_col} IS NOT NULL
 GROUP BY {type_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# jackknife uncertainty (delete-one-block over deterministic hash blocks)
+# ---------------------------------------------------------------------------
+
+
+def jackknife_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_blocks: int = 50,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delete-one-block jackknife confidence interval for the mean per
+    group (Quenouille/Tukey; the blocked form is the standard
+    distributed-data variant — Efron & Stein 1981): rows land in one
+    of ``n_blocks`` DETERMINISTIC hash blocks, θ₍ₖ₎ = mean with block
+    k removed, SE² = (K−1)/K · Σ (θ₍ₖ₎ − θ̄)².
+
+    Why not a bootstrap: resampling needs per-replicate randomness
+    that is either non-deterministic (rand()) or an inverse-CDF loop;
+    the blocked jackknife is closed-form, one pass, and its block
+    assignment is the same portable integer hash every sampler in
+    this repo uses — bit-identical in both engines.
+
+    Scale shape: ONE combinable (group × block) aggregate (exchange =
+    groups × K rows), then the K-row jackknife algebra per group —
+    the raw rows never shuffle anywhere else.
+
+    Output: (grp, n, mean, se_jack, ci_lo, ci_hi).
+    """
+    from dataframeutils_spark.operators.dedup import portable_hash60
+    from dataframeutils_spark.schema import decround, siground
+
+    blk = F.pmod(
+        portable_hash60(F.concat(F.lit("jk:"), F.col(id_col).cast("string"))),
+        F.lit(n_blocks),
+    )
+    per_block = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+            blk.alias("b"),
+        )
+        .groupBy("grp", "b")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+    )
+    # NB: Spark column resolution is case-insensitive by default and so
+    # is DuckDB's — a window alias "S" next to a column "s" silently
+    # shadows it in BOTH engines (found as an all-zero-theta jackknife).
+    # Every derived name here is therefore case-distinct from "s"/"c".
+    w = Window.partitionBy("grp")
+    loo = (
+        per_block.withColumn("tot_s", F.sum("s").over(w))
+        .withColumn("tot_c", F.sum("c").over(w))
+        .withColumn("kb", F.count("*").over(w))
+        .withColumn(
+            "theta",
+            (F.col("tot_s") - F.col("s")) / (F.col("tot_c") - F.col("c")),
+        )
+    )
+    agg = loo.groupBy("grp").agg(
+        F.first("tot_c").alias("n"),
+        F.first("kb").alias("k"),
+        (F.first("tot_s") / F.first("tot_c")).alias("mean"),
+        F.avg("theta").alias("tbar"),
+        F.sum(F.col("theta") * F.col("theta")).alias("t2"),
+    )
+    var_j = (
+        (F.col("k") - F.lit(1.0))
+        / F.col("k")
+        * (F.col("t2") - F.col("k") * F.col("tbar") * F.col("tbar"))
+    )
+    se = F.sqrt(F.greatest(F.lit(0.0), var_j))
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        siground(F.col("mean")).alias("mean"),
+        decround(se).alias("se_jack"),
+        siground(F.col("mean") - F.lit(z) * se).alias("ci_lo"),
+        siground(F.col("mean") + F.lit(z) * se).alias("ci_hi"),
+    )
+
+
+def jackknife_ci_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    id_expr: str,
+    n_blocks: int = 50,
+    z: float = 1.959963984540054,
+) -> str:
+    """DuckDB oracle for :func:`jackknife_ci` — same hash blocks and
+    delete-one-block algebra."""
+    from dataframeutils_spark.operators.dedup import portable_hash60_sql
+    from dataframeutils_spark.schema import decround_sql, siground_sql
+
+    h = portable_hash60_sql(f"('jk:' || CAST({id_expr} AS VARCHAR))")
+    return f"""
+WITH pb AS (
+  SELECT {group_expr} AS grp, {h} % {n_blocks} AS b,
+         sum(CAST({value_expr} AS DOUBLE)) AS s, count(*) AS c
+  FROM {table} GROUP BY 1, 2
+), loo AS (
+  SELECT grp, s, c,
+         sum(s) OVER (PARTITION BY grp) AS tot_s,
+         sum(c) OVER (PARTITION BY grp) AS tot_c,
+         count(*) OVER (PARTITION BY grp) AS kb
+  FROM pb
+), th AS (
+  SELECT grp, tot_s, tot_c, kb,
+         (tot_s - s) / (tot_c - c) AS theta
+  FROM loo
+), agg AS (
+  SELECT grp, any_value(tot_c) AS n, any_value(kb) AS k,
+         any_value(tot_s) / any_value(tot_c) AS mean,
+         avg(theta) AS tbar,
+         sum(theta * theta) AS t2
+  FROM th GROUP BY grp
+), fin AS (
+  SELECT *,
+         sqrt(greatest(0.0,
+           (k - 1.0) / k * (t2 - k * tbar * tbar))) AS se
+  FROM agg
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       {siground_sql('mean')} AS mean,
+       {decround_sql('se')} AS se_jack,
+       {siground_sql(f'mean - {z} * se')} AS ci_lo,
+       {siground_sql(f'mean + {z} * se')} AS ci_hi
+FROM fin
+"""

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataframeutils_spark.operators.dedup import fast_hash64, portable_hash60
@@ -163,4 +163,109 @@ SELECT key, n, n_keys, {share} AS share, {cum} AS cum_share,
        {ratio} AS ratio_to_median
 FROM counts, stats
 ORDER BY n DESC, key NULLS LAST LIMIT {top_k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# concentration profiling: Gini / Lorenz shares
+# ---------------------------------------------------------------------------
+
+
+def concentration_report(
+    amounts: DataFrame,
+    group_col: str,
+    entity_col: str,
+    amount_col: str,
+    top_frac: float = 0.1,
+) -> DataFrame:
+    """Revenue-concentration profile per market: Gini coefficient and
+    the share held by the top ``top_frac`` of entities — the
+    distributional companion to :func:`skew_report` (that one profiles
+    JOIN-KEY skew for the planner; this one profiles VALUE
+    concentration for the analyst — "is this market winner-take-all").
+
+    Gini via the rank formulation over entity totals x₍₁₎≤…≤x₍ₙ₎:
+    G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n. Entity totals are aggregates
+    (cross-engine ulp noise), so ranking happens on the
+    decimal-ROUNDED total with the entity id as tiebreak — the same
+    pre-ranking round every discontinuous step in this repo uses; the
+    smooth outputs ride the rounding contract.
+
+    Scale shape: one combinable (group × entity) aggregate, then
+    windows over the entity-total table (exchange = entities, never
+    raw rows); the final report is one row per group.
+
+    Output: (grp, n_entities, total, gini, top_n, top_share).
+    """
+    from dataframeutils_spark.schema import decround
+
+    totals = amounts.groupBy(
+        F.col(group_col).alias("grp"), F.col(entity_col).alias("ent")
+    ).agg(F.sum(F.col(amount_col).cast("double")).alias("x"))
+    totals = totals.withColumn("rx", decround(F.col("x")))
+    w = Window.partitionBy("grp")
+    wo = w.orderBy(F.asc("rx"), F.asc("ent"))
+    ranked = (
+        totals.withColumn("i", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("tot", F.sum("x").over(w))
+    )
+    top_n = F.ceil(F.lit(top_frac) * F.col("n")).cast("long")
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.first("n").alias("n_entities"),
+            F.first("tot").alias("total"),
+            F.sum(F.col("i") * F.col("x")).alias("_ix"),
+            F.first(top_n).alias("top_n"),
+            F.sum(
+                F.when(F.col("i") > F.col("n") - top_n, F.col("x")).otherwise(0.0)
+            ).alias("_topsum"),
+        )
+        .select(
+            "grp",
+            F.col("n_entities").cast("long").alias("n_entities"),
+            decround(F.col("total")).alias("total"),
+            decround(
+                F.lit(2.0) * F.col("_ix") / (F.col("n_entities") * F.col("total"))
+                - (F.col("n_entities") + F.lit(1.0)) / F.col("n_entities")
+            ).alias("gini"),
+            "top_n",
+            decround(F.col("_topsum") / F.col("total")).alias("top_share"),
+        )
+    )
+
+
+def concentration_report_sql(
+    table: str,
+    group_expr: str,
+    entity_expr: str,
+    amount_expr: str,
+    top_frac: float = 0.1,
+) -> str:
+    """DuckDB oracle for :func:`concentration_report` — identical
+    pre-rounded ranking and rank-formulation Gini."""
+    from dataframeutils_spark.schema import decround_sql
+
+    rx = decround_sql("x")
+    return f"""
+WITH totals AS (
+  SELECT {group_expr} AS grp, {entity_expr} AS ent,
+         sum(CAST({amount_expr} AS DOUBLE)) AS x
+  FROM {table} GROUP BY 1, 2
+), ranked AS (
+  SELECT grp, ent, x,
+         row_number() OVER (PARTITION BY grp ORDER BY {rx} ASC, ent ASC) AS i,
+         count(*) OVER (PARTITION BY grp) AS n,
+         sum(x) OVER (PARTITION BY grp) AS tot
+  FROM totals
+)
+SELECT grp,
+       CAST(any_value(n) AS BIGINT) AS n_entities,
+       {decround_sql('any_value(tot)')} AS total,
+       {decround_sql('2.0 * sum(i * x) / (any_value(n) * any_value(tot)) - (any_value(n) + 1.0) / any_value(n)')} AS gini,
+       CAST(ceil({top_frac} * any_value(n)) AS BIGINT) AS top_n,
+       {decround_sql(f'sum(CASE WHEN i > n - ceil({top_frac} * n) THEN x ELSE 0.0 END) / any_value(tot)')} AS top_share
+FROM ranked
+GROUP BY grp
 """

@@ -135,3 +135,83 @@ def test_chargram_search_typo_robust(spark):
     ranks = {r["doc_id"]: r["rank"] for r in out}
     assert ranks[1] == 1  # exact phrasing wins
     assert ranks.get(2) == 2  # typo'd twin still retrieved second
+
+
+# ---------------------------------------------------------------------------
+# concentration (Gini) and jackknife CI
+# ---------------------------------------------------------------------------
+
+
+def _gini_ref(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    tot = sum(xs)
+    return 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (n + 1) / n
+
+
+def test_concentration_vs_reference(spark):
+    from dataframeutils_spark.operators import skew
+
+    rng = random.Random(31)
+    rows = []
+    vals = {}
+    for g, shape in (("equal", "flat"), ("skewed", "pareto")):
+        xs = []
+        for e in range(80):
+            amt = 100.0 if shape == "flat" else 100.0 / (e + 1)
+            # several orders per entity; flat group gets a FIXED order
+            # count so entity totals are exactly equal (gini == 0)
+            n_orders = 2 if shape == "flat" else rng.randint(1, 3)
+            for k in range(n_orders):
+                part = amt / n_orders
+                rows.append((g, e, part))
+                xs.append(part)
+        vals[g] = {}
+        for gg, e, a in rows:
+            if gg == g:
+                vals[g][e] = vals[g].get(e, 0.0) + a
+    df = spark.createDataFrame(rows, "grp string, ent int, amt double")
+    got = {
+        r["grp"]: r
+        for r in skew.concentration_report(df, "grp", "ent", "amt").collect()
+    }
+    for g in ("equal", "skewed"):
+        totals = list(vals[g].values())
+        assert got[g]["n_entities"] == 80
+        assert abs(got[g]["gini"] - _gini_ref(totals)) < 1e-6
+        top = sorted(totals)[-8:]  # ceil(0.1 * 80)
+        assert got[g]["top_n"] == 8
+        assert abs(got[g]["top_share"] - sum(top) / sum(totals)) < 1e-6
+    assert got["equal"]["gini"] < 0.2 < 0.5 < got["skewed"]["gini"]
+
+
+def test_jackknife_ci_vs_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from dataframeutils_spark.operators import features
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    vals = rng.normal(10.0, 3.0, n)
+    rows = [(int(i), "g", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    row = features.jackknife_ci(df, "grp", "value", "event_id", n_blocks=50).collect()[0]
+
+    blocks = np.array(
+        [int(hashlib.md5(f"jk:{i}".encode()).hexdigest()[:15], 16) % 50 for i in range(n)]
+    )
+    S, N = vals.sum(), n
+    thetas = np.array(
+        [(S - vals[blocks == k].sum()) / (N - (blocks == k).sum()) for k in range(50)]
+    )
+    k = 50
+    var_j = (k - 1) / k * ((thetas**2).sum() - k * thetas.mean() ** 2)
+    se = np.sqrt(max(0.0, var_j))
+    assert row["n"] == n
+    np.testing.assert_allclose(row["mean"], vals.mean(), rtol=1e-6)
+    np.testing.assert_allclose(row["se_jack"], se, atol=2e-6)
+    # jackknife SE of the mean ~ sigma/sqrt(n)
+    assert 0.5 * 3 / np.sqrt(n) < row["se_jack"] < 2.0 * 3 / np.sqrt(n)
+    assert row["ci_lo"] < 10.0 < row["ci_hi"]

@@ -345,6 +345,11 @@ QUERIES = [
     # class is the documented exact-AUC cost)
     "survival_km",
     "embedding_auc",
+    # Gini over replicated orders (entity totals ×mult, same windows
+    # over the entity table); jackknife over the replicated event log
+    # (exchange = groups × 50 blocks at any size)
+    "revenue_concentration",
+    "jackknife_ci",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
