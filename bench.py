@@ -178,6 +178,24 @@ HEADLINE = [
     "frequency_domain",  # periodogram argmax (now exact via the DFT oracle)
     "dedup_canonical",  # fuzzy-exact tier: canonical-form hash groups
     "k_anonymity",  # re-identification audit, |classes|-bounded exchange
+    # r10 session-2 additions
+    "changepoint_cusum",  # CUSUM mean-shift, pre-rounded argmax
+    "seasonal_decompose",  # classical MA decomposition as window algebra
+    "panel_ols",  # sufficient-statistics OLS, groups x 10 doubles
+    "theilsen_slope",  # robust trend, bounded-pair hash sample
+    "mahalanobis_outliers",  # multivariate tier, closed-form 3x3 inverse
+    "dtw_distance",  # quadratic DP, calendar-bounded series length
+    "l_diversity",  # attribute-disclosure audit, combinable two-level groupBy
+    "graph_triangles",  # degree-oriented wedge join over co-purchase graph
+    "fuzzy_join",  # deletion-neighborhood (FastSS) blocking + levenshtein
+    "entity_resolution",  # components over the match graph, string labels
+    "association_rules",  # top-K market-basket rules (scale-stable contract)
+    "benford_audit",  # first-digit forensics, 9-row exchange
+    "hybrid_search",  # BM25 + chargram arms fused by reciprocal rank
+    "survival_km",  # right-censored Kaplan-Meier time-to-next-event
+    "embedding_auc",  # per-class centroid ROC-AUC, average-rank ties
+    "revenue_concentration",  # per-market Gini + top-share
+    "jackknife_ci",  # delete-one-block jackknife over hash blocks
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.
