@@ -196,6 +196,8 @@ HEADLINE = [
     "embedding_auc",  # per-class centroid ROC-AUC, average-rank ties
     "revenue_concentration",  # per-market Gini + top-share
     "jackknife_ci",  # delete-one-block jackknife over hash blocks
+    "ks_drift",  # two-sample KS, pre-rounded ECDF steps
+    "chi2_independence",  # contingency chi2, even-dof closed-form p
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

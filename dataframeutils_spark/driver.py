@@ -3509,6 +3509,24 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(trend.theilsen_slope(_melted(spark, sf_dir)))
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift test per panel series (operators/trend.py):
+    D = max ECDF gap between the first and second half of the window,
+    Stephens-corrected Kolmogorov p — the distribution-level
+    complement to changepoint_cusum. Values pre-rounded before
+    grouping so the tie structure is engine-identical."""
+    return trend.ks_two_sample(_melted(spark, sf_dir))
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi² independence of event type × day-of-week
+    (operators/events.py): per-cell observed/expected/std-residual +
+    table-level χ², even-dof closed-form p (12-term series at dof
+    24 — the memory_dependence precedent) and Cramér's V. One
+    combinable contingency aggregate; exchange = r·c cells."""
+    return events_ops.chi2_independence(_events_normalized(spark, sf_dir))
+
+
 def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation customer revenue concentration (operators/skew.py):
     Gini coefficient + top-10% share over customer order totals — the
@@ -3731,8 +3749,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     theilsen_slope, dtw_distance), mahalanobis_outliers, l_diversity,
     graph_triangles, association_rules, benford_audit, hybrid_search,
     survival_km, embedding_auc, revenue_concentration, jackknife_ci,
-    and the record linkage pair (fuzzy_join, entity_resolution) — are
-    registered
+    ks_drift, chi2_independence, and the record linkage pair
+    (fuzzy_join, entity_resolution) — are registered
     below the cap per the rotation protocol and lead the r11 window
     together with the 13 r7 leftovers (panel_dispersion through
     similarity_topk).
@@ -3963,6 +3981,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-concentration profile + jackknife uncertainty
         "revenue_concentration": q_revenue_concentration,
         "jackknife_ci": q_jackknife_ci,
+        # hypothesis tests: distribution drift + categorical independence
+        "ks_drift": q_ks_drift,
+        "chi2_independence": q_chi2_independence,
         # privacy audit companion: attribute disclosure (l-diversity)
         "l_diversity": q_l_diversity,
         # graph analytics: degree-oriented triangle counting over the
@@ -4029,6 +4050,8 @@ def all_oracles() -> dict[str, str]:
         "jackknife_ci": features.jackknife_ci_sql(
             "events", "event_type", "value", "event_id"
         ),
+        "ks_drift": oracles.KS_TWO_SAMPLE_SQL,
+        "chi2_independence": events_ops.chi2_independence_sql(),
         "hybrid_search": _round_oracle_cols(
             text.hybrid_search_rrf_sql(
                 ("join", "scan", "slow"), "join scan slow", k=15

@@ -803,3 +803,125 @@ SELECT cohort, CAST(dur AS BIGINT) AS t,
        {decround_sql('CASE WHEN dead = 1 THEN 0.0 ELSE exp(cumln) END')} AS survival
 FROM cum WHERE d > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence (event_type x day-of-week)
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(
+    events: DataFrame,
+    row_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week (phase = epoch-days mod 7, the engine-portable
+    weekday) — "is traffic mix stable across the week", the
+    categorical complement to mutual_info.
+
+    Per-cell output (observed, expected, standardized residual — the
+    cell-level "which combination deviates") with the table-level
+    χ², dof, Cramér's V and p on every row. The p-value uses the
+    EVEN-dof closed-form survival exp(−x/2)·Σ_{i<dof/2}(x/2)^i/i!
+    (the memory_dependence precedent, here 12 terms for dof 24);
+    a table with odd dof yields NULL p by contract — the closed form
+    only exists at even dof.
+
+    Scale shape: one combinable (row × col) contingency aggregate
+    (exchange = r·c cells), margins via windows over the cell table.
+    """
+    from dataframeutils_spark.schema import decround
+
+    dow = F.pmod(
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01")), F.lit(7)
+    )
+    cells = events.groupBy(
+        F.col(row_col).alias("rk"), dow.alias("ck")
+    ).agg(F.count("*").alias("obs"))
+    w = Window.partitionBy()
+    wr = Window.partitionBy("rk")
+    wc = Window.partitionBy("ck")
+    d = (
+        cells.withColumn("rt", F.sum("obs").over(wr))
+        .withColumn("ct", F.sum("obs").over(wc))
+        .withColumn("n", F.sum("obs").over(w))
+        .withColumn("r", F.size(F.collect_set("rk").over(w)))
+        .withColumn("c", F.size(F.collect_set("ck").over(w)))
+        .withColumn("exp", F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+    )
+    chi2 = F.sum(
+        (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")
+    ).over(w)
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    d = d.withColumn("chi2", chi2).withColumn("dof", dof.cast("long"))
+    # even-dof closed form at dof = 24 (12 series terms); NULL otherwise
+    x2 = F.col("chi2") / 2.0
+    series = sum(
+        F.pow(x2, F.lit(float(i))) / F.lit(float(__import__("math").factorial(i)))
+        for i in range(12)
+    )
+    p = F.when(F.col("dof") == 24, F.exp(-x2) * series)
+    vee = F.sqrt(
+        F.col("chi2")
+        / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"))
+    )
+    return d.select(
+        F.col("rk").alias(row_col),
+        F.col("ck").cast("int").alias("dow"),
+        F.col("obs").cast("long").alias("observed"),
+        decround(F.col("exp")).alias("expected"),
+        decround(
+            (F.col("obs") - F.col("exp")) / F.sqrt(F.col("exp"))
+        ).alias("std_residual"),
+        decround(F.col("chi2")).alias("chi2"),
+        "dof",
+        decround(p).alias("p_value"),
+        decround(vee).alias("cramers_v"),
+    )
+
+
+def chi2_independence_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`chi2_independence` — identical margins,
+    even-dof series and residuals."""
+    import math
+
+    from dataframeutils_spark.schema import decround_sql
+
+    series = " + ".join(
+        f"pow(chi2 / 2.0, {float(i)}) / {float(math.factorial(i))}"
+        for i in range(12)
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type AS rk,
+         (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS ck,
+         count(*) AS obs
+  FROM {table} GROUP BY 1, 2
+), rc AS (
+  SELECT count(DISTINCT rk) AS r, count(DISTINCT ck) AS c FROM cells
+), d AS (
+  SELECT cells.*,
+         sum(obs) OVER (PARTITION BY rk) AS rt,
+         sum(obs) OVER (PARTITION BY ck) AS ct,
+         sum(obs) OVER () AS n,
+         rc.r, rc.c
+  FROM cells CROSS JOIN rc
+), e AS (
+  SELECT *, CAST(rt AS DOUBLE) * ct / n AS expd FROM d
+), f AS (
+  SELECT *,
+         sum((obs - expd) * (obs - expd) / expd) OVER () AS chi2,
+         (r - 1) * (c - 1) AS dof
+  FROM e
+)
+SELECT rk AS event_type, CAST(ck AS INT) AS dow,
+       CAST(obs AS BIGINT) AS observed,
+       {decround_sql('expd')} AS expected,
+       {decround_sql('(obs - expd) / sqrt(expd)')} AS std_residual,
+       {decround_sql('chi2')} AS chi2,
+       CAST(dof AS BIGINT) AS dof,
+       {decround_sql(f'CASE WHEN dof = 24 THEN exp(-chi2 / 2.0) * ({series}) END')} AS p_value,
+       {decround_sql('sqrt(chi2 / (n * CAST(least(r - 1, c - 1) AS DOUBLE)))')} AS cramers_v
+FROM f
+"""

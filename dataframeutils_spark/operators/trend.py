@@ -495,3 +495,80 @@ SELECT dp.grp, CAST(m.n AS INT) AS n_weeks,
 FROM dp JOIN meta m ON m.grp = dp.grp
 WHERE dp.d = 2 * m.n
 """
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov (distribution drift)
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample(long_df: DataFrame, min_len: int = 40) -> DataFrame:
+    """Two-sample KS test per series: did the distribution DRIFT
+    between the first and second half of the observation window? The
+    distribution-level complement to :func:`changepoint_cusum` (which
+    only sees the mean).
+
+    Split at the integer midpoint epoch-day; D = max |F₁(x) − F₂(x)|
+    over the pooled sample, built from per-distinct-value cumulative
+    counts. Values are decimal-ROUNDED before grouping so the tie
+    structure (which exact doubles collapse into one ECDF step) is
+    identical in both engines — without it, a 1-ulp aggregation
+    difference could merge two steps in one engine only and shift D
+    by 1/n. The p-value is the Kolmogorov series at the
+    finite-sample-corrected λ = (√nₑ + 0.12 + 0.11/√nₑ)·D
+    (Stephens 1970), the same 5-term closed form the CUSUM operator
+    uses.
+
+    Scale shape: one (series × distinct-value) combinable aggregate,
+    then windows over the value table — raw rows shuffle once.
+
+    Output: (grp, feature, n1, n2, ks_stat, p_value, drift_detected).
+    """
+    g = _gated(long_df, min_len)
+    w = Window.partitionBy("grp", "feature")
+    day = F.datediff(F.col("date"), F.lit(_EPOCH))
+    g = g.withColumn(
+        "_side",
+        (day * 2 < F.min(day).over(w) + F.max(day).over(w)).cast("int"),
+    ).withColumn("_rv", decround(F.col("value")))
+    cell = g.groupBy("grp", "feature", "_rv").agg(
+        F.sum("_side").alias("c1"),
+        F.sum(F.lit(1) - F.col("_side")).alias("c2"),
+    )
+    wv = (
+        Window.partitionBy("grp", "feature")
+        .orderBy("_rv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("grp", "feature")
+    scored = (
+        cell.withColumn("n1", F.sum("c1").over(wg))
+        .withColumn("n2", F.sum("c2").over(wg))
+        .withColumn("f1", F.sum("c1").over(wv) / F.col("n1"))
+        .withColumn("f2", F.sum("c2").over(wv) / F.col("n2"))
+    )
+    agg = (
+        scored.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("grp", "feature")
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            decround(F.max(F.abs(F.col("f1") - F.col("f2")))).alias("ks_stat"),
+        )
+    )
+    ne = F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("ks_stat")
+    kol_p = F.lit(2.0) * sum(
+        F.lit(float((-1) ** (k + 1))) * F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        for k in range(1, 6)
+    )
+    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), kol_p))
+    return agg.select(
+        "grp",
+        "feature",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "ks_stat",
+        decround(p).alias("p_value"),
+        (decround(p) < 0.05).alias("drift_detected"),
+    )

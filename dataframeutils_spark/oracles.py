@@ -718,3 +718,58 @@ SELECT m.grp, m.feature, m.n, i.n_sampled, m.n_pairs,
 FROM med m JOIN inter i ON i.grp = m.grp AND i.feature = m.feature
 """
 )
+
+
+# Two-sample KS drift test (operators/trend.py ks_two_sample): values
+# decimal-rounded BEFORE grouping (tie structure engine-identical),
+# Stephens finite-sample lambda, 5-term Kolmogorov series.
+_KS_P = (
+    "2 * (exp(-2*lam*lam) - exp(-8*lam*lam) + exp(-18*lam*lam) "
+    "- exp(-32*lam*lam) + exp(-50*lam*lam))"
+)
+
+KS_TWO_SAMPLE_SQL = with_panel(
+    f"""
+, g AS (
+  SELECT grp, feature, value,
+         (date - DATE '1970-01-01') AS day,
+         count(value) OVER (PARTITION BY grp, feature) AS n,
+         min(date - DATE '1970-01-01') OVER (PARTITION BY grp, feature)
+           + max(date - DATE '1970-01-01') OVER (PARTITION BY grp, feature) AS mm
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= 40
+), sided AS (
+  SELECT grp, feature,
+         CASE WHEN day * 2 < mm THEN 1 ELSE 0 END AS side,
+         {dec('value')} AS rv
+  FROM g
+), cell AS (
+  SELECT grp, feature, rv,
+         sum(side) AS c1, sum(1 - side) AS c2
+  FROM sided GROUP BY grp, feature, rv
+), scored AS (
+  SELECT grp, feature,
+         sum(c1) OVER wg AS n1, sum(c2) OVER wg AS n2,
+         sum(c1) OVER wv AS cum1, sum(c2) OVER wv AS cum2
+  FROM cell
+  WINDOW wg AS (PARTITION BY grp, feature),
+         wv AS (PARTITION BY grp, feature ORDER BY rv
+                ROWS UNBOUNDED PRECEDING)
+), agg AS (
+  SELECT grp, feature, any_value(n1) AS n1, any_value(n2) AS n2,
+         {dec('max(abs(cum1 / CAST(n1 AS DOUBLE) - cum2 / CAST(n2 AS DOUBLE)))')} AS ks_stat
+  FROM scored WHERE n1 > 0 AND n2 > 0
+  GROUP BY grp, feature
+), lamt AS (
+  SELECT *,
+         (sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)) + 0.12
+          + 0.11 / sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2))) * ks_stat AS lam
+  FROM agg
+), pt AS (
+  SELECT *, {dec(f'greatest(0.0, least(1.0, {_KS_P}))')} AS p_value FROM lamt
+)
+SELECT grp, feature, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ks_stat, p_value, p_value < 0.05 AS drift_detected
+FROM pt
+"""
+)

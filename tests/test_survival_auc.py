@@ -138,3 +138,89 @@ def test_embedding_auc_random_labels_near_half(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     for r in similarity.embedding_auc(df).collect():
         assert 0.35 < r["auc"] < 0.65
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_vs_reference(spark):
+    import math
+
+    rng = np.random.default_rng(53)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # planted dependence: type 'a' concentrates on phase 0
+    types = ["a", "b", "c", "d", "e"]
+    eid = 0
+    for _ in range(6000):
+        t = types[int(rng.integers(0, 5))]
+        day = int(rng.integers(0, 28))
+        if t == "a" and rng.random() < 0.5:
+            day = (day // 7) * 7  # snap to phase of day 0
+        rows.append((eid, base + dt.timedelta(days=day), eid % 97, t))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = events_ops.chi2_independence(df).collect()
+    assert len(out) == 35  # 5 types x 7 phases
+
+    # brute-force contingency
+    from collections import Counter
+
+    phase0 = (base.date() - dt.date(1970, 1, 1)).days % 7
+    cnt = Counter()
+    for _, ts, _, t in rows:
+        cnt[(t, (ts.date() - dt.date(1970, 1, 1)).days % 7)] += 1
+    n = sum(cnt.values())
+    rt = Counter()
+    ct = Counter()
+    for (t, p), c in cnt.items():
+        rt[t] += c
+        ct[p] += c
+    chi2 = sum(
+        (cnt[(t, p)] - rt[t] * ct[p] / n) ** 2 / (rt[t] * ct[p] / n)
+        for t in types
+        for p in range(7)
+    )
+    x2 = chi2 / 2
+    p_ref = math.exp(-x2) * sum(x2**i / math.factorial(i) for i in range(12))
+    v_ref = math.sqrt(chi2 / (n * 4))
+
+    r0 = out[0]
+    np.testing.assert_allclose(r0["chi2"], chi2, rtol=1e-6)
+    assert r0["dof"] == 24
+    np.testing.assert_allclose(r0["p_value"], p_ref, atol=1e-6)
+    np.testing.assert_allclose(r0["cramers_v"], v_ref, atol=1e-6)
+    # dependence is detected and localized to the planted cell
+    assert r0["p_value"] < 0.01
+    cell = {(r["event_type"], r["dow"]): r for r in out}
+    assert cell[("a", phase0)]["std_residual"] > 3
+    for r in out:
+        np.testing.assert_allclose(
+            r["expected"], rt[r["event_type"]] * ct[r["dow"]] / n, rtol=1e-6
+        )
+        assert r["observed"] == cnt[(r["event_type"], r["dow"])]
+
+
+def test_chi2_independence_null_case(spark):
+    rng = np.random.default_rng(59)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(days=int(rng.integers(0, 28))),
+            i % 31,
+            "abcde"[int(rng.integers(0, 5))],
+        )
+        for i in range(8000)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r0 = events_ops.chi2_independence(df).collect()[0]
+    # independent by construction -> p not extreme
+    assert r0["p_value"] > 0.001
+    assert r0["cramers_v"] < 0.05

@@ -368,3 +368,48 @@ def test_dtw_constant_series_gated(spark):
     a = np.ones(40)
     b = np.arange(40, dtype=float)
     assert trend.dtw_weekly(_weekly_panel(spark, a, b), min_len=20).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# two-sample KS drift
+# ---------------------------------------------------------------------------
+
+
+def _ks_ref(x1, x2):
+    xs = np.unique(np.round(np.concatenate([x1, x2]), 6))
+    f1 = np.searchsorted(np.sort(np.round(x1, 6)), xs, side="right") / len(x1)
+    f2 = np.searchsorted(np.sort(np.round(x2, 6)), xs, side="right") / len(x2)
+    return np.max(np.abs(f1 - f2))
+
+
+def test_ks_drift_vs_reference(spark):
+    r = _rng(43)
+    n = 200
+    drifted = np.concatenate([r.normal(0, 1, n // 2), r.normal(1.5, 1, n // 2)])
+    stable = r.normal(3, 1, n)
+    df = _long_df(spark, {("g", "drift"): drifted, ("g", "stable"): stable})
+    out = {row["feature"]: row for row in trend.ks_two_sample(df).collect()}
+
+    for name, series in (("drift", drifted), ("stable", stable)):
+        row = out[name]
+        # engine splits at the integer midpoint day; replicate exactly
+        days = np.arange(n) + (dt.date(1995, 1, 1) - EPOCH).days
+        side1 = days * 2 < days.min() + days.max()
+        d = _ks_ref(series[side1], series[~side1])
+        assert row["n1"] == side1.sum() and row["n2"] == (~side1).sum()
+        np.testing.assert_allclose(row["ks_stat"], d, atol=1e-6)
+    assert out["drift"]["drift_detected"] is True
+    assert out["drift"]["p_value"] < 1e-6
+    assert out["stable"]["drift_detected"] is False
+    assert out["stable"]["p_value"] > 0.05
+
+
+def test_ks_kolmogorov_p_formula(spark):
+    r = _rng(47)
+    x = r.normal(0, 1, 100)
+    df = _long_df(spark, {("g", "f"): x})
+    row = trend.ks_two_sample(df).collect()[0]
+    ne = row["n1"] * row["n2"] / (row["n1"] + row["n2"])
+    lam = (np.sqrt(ne) + 0.12 + 0.11 / np.sqrt(ne)) * row["ks_stat"]
+    p = 2 * sum((-1) ** (k + 1) * np.exp(-2 * k * k * lam * lam) for k in range(1, 6))
+    np.testing.assert_allclose(row["p_value"], min(1.0, max(0.0, p)), atol=1e-6)

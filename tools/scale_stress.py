@@ -350,6 +350,10 @@ QUERIES = [
     # (exchange = groups × 50 blocks at any size)
     "revenue_concentration",
     "jackknife_ci",
+    # KS over the mult-times-longer panel-build scan; chi2 over the
+    # replicated event log (contingency exchange fixed at r*c cells)
+    "ks_drift",
+    "chi2_independence",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
