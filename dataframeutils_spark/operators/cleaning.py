@@ -659,7 +659,10 @@ def benford_audit(
         F.round(amt * 100).cast("long") if cents else F.round(amt).cast("long")
     )
     d = (
-        df.filter(amt > 0)
+        # ints >= 1, not amt > 0: an amount in (0, half-a-cent) rounds
+        # to integer 0 whose "first digit" is 0 — log(1 + 1/0) would
+        # crash Spark's ANSI side while the oracle NULLs the row
+        df.filter(ints >= 1)
         .select(F.substring(ints.cast("string"), 1, 1).cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n_obs"))
@@ -704,7 +707,7 @@ def benford_audit_sql(table: str, amount_expr: str, cents: bool = True) -> str:
 WITH d AS (
   SELECT CAST(substr(CAST({ints} AS VARCHAR), 1, 1) AS INT) AS digit,
          count(*) AS n_obs
-  FROM {table} WHERE ({amount_expr}) > 0
+  FROM {table} WHERE {ints} >= 1
   GROUP BY 1
 ), s AS (
   SELECT digit, n_obs,

@@ -857,14 +857,20 @@ def chi2_independence(
     d = d.withColumn("chi2", chi2).withColumn("dof", dof.cast("long"))
     # even-dof closed form at dof = 24 (12 series terms); NULL otherwise
     x2 = F.col("chi2") / 2.0
+    import math
+
     series = sum(
-        F.pow(x2, F.lit(float(i))) / F.lit(float(__import__("math").factorial(i)))
+        F.pow(x2, F.lit(float(i))) / F.lit(float(math.factorial(i)))
         for i in range(12)
     )
     p = F.when(F.col("dof") == 24, F.exp(-x2) * series)
+    # try_divide: a single-category table (r == 1 or c == 1) must NULL
+    # out like the oracle, not crash under Spark's ANSI default
     vee = F.sqrt(
-        F.col("chi2")
-        / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"))
+        F.try_divide(
+            F.col("chi2"),
+            F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"),
+        )
     )
     return d.select(
         F.col("rk").alias(row_col),
@@ -895,7 +901,7 @@ def chi2_independence_sql(table: str = "events") -> str:
     return f"""
 WITH cells AS (
   SELECT event_type AS rk,
-         (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS ck,
+         ((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) % 7 AS ck,
          count(*) AS obs
   FROM {table} GROUP BY 1, 2
 ), rc AS (

@@ -442,6 +442,9 @@ def jackknife_ci(
             F.col(value_col).cast("double").alias("v"),
             blk.alias("b"),
         )
+        # NULL values would inflate count(*) denominators while sum()
+        # skips them — filter first so n counts exactly the summed rows
+        .filter(F.col("v").isNotNull())
         .groupBy("grp", "b")
         .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
     )
@@ -456,7 +459,11 @@ def jackknife_ci(
         .withColumn("kb", F.count("*").over(w))
         .withColumn(
             "theta",
-            (F.col("tot_s") - F.col("s")) / (F.col("tot_c") - F.col("c")),
+            # try_divide: a group whose rows all hash to ONE block has
+            # tot_c - c == 0; DuckDB NULLs, Spark ANSI would throw
+            F.try_divide(
+                F.col("tot_s") - F.col("s"), F.col("tot_c") - F.col("c")
+            ),
         )
     )
     agg = loo.groupBy("grp").agg(
@@ -500,7 +507,7 @@ def jackknife_ci_sql(
 WITH pb AS (
   SELECT {group_expr} AS grp, {h} % {n_blocks} AS b,
          sum(CAST({value_expr} AS DOUBLE)) AS s, count(*) AS c
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY 1, 2
 ), loo AS (
   SELECT grp, s, c,
          sum(s) OVER (PARTITION BY grp) AS tot_s,

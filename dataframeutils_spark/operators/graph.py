@@ -389,10 +389,15 @@ def association_rules(
     broadcast the item table; the final rank is a TakeOrdered over
     the surviving pairs, never a global sort.
     """
+    # lazy checkpoint (materialized at first action, reused by the
+    # three consumers) + the basket total as a broadcast 1-row
+    # aggregate: no eager Spark action fires at plan-construction time
     it = items.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("p")
-    ).distinct().localCheckpoint()
-    n_baskets = it.select("g").distinct().count()
+    ).distinct().localCheckpoint(eager=False)
+    nbdf = it.agg(
+        F.count_distinct(F.col("g")).cast("double").alias("nb")
+    )
     item_cnt = it.groupBy(F.col("p").alias("item")).agg(F.count("*").alias("ic"))
     b = it.select(F.col("g"), F.col("p").alias("v"))
     pairs = (
@@ -407,9 +412,10 @@ def association_rules(
     )
     ia = item_cnt.select(F.col("item").alias("u"), F.col("ic").alias("ca"))
     ib = item_cnt.select(F.col("item").alias("v"), F.col("ic").alias("cb"))
-    nb = F.lit(float(n_baskets))
+    nb = F.col("nb")
     rules = (
-        both.join(F.broadcast(ia), on="u")
+        both.crossJoin(F.broadcast(nbdf))
+        .join(F.broadcast(ia), on="u")
         .join(F.broadcast(ib), on="v")
         .select(
             F.col("u").alias("antecedent"),

@@ -1783,6 +1783,11 @@ def embedding_auc(
         )
         .select("cls", F.transform(F.col("_sm"), lambda s: s.m).alias("cvec"))
     )
+    # zero-norm vectors/centroids are filtered on BOTH sides rather
+    # than try_divided: a NULL score would rank NULLS FIRST in Spark
+    # but NULLS LAST in DuckDB, silently skewing every rank
+    cent = cent.filter(_norm(F.col("cvec")) > 0)
+    base = base.filter(_norm(F.col("v")) > 0)
     scored = base.crossJoin(F.broadcast(cent)).select(
         "cls",
         "vid",
@@ -1807,8 +1812,10 @@ def embedding_auc(
         "n_pos",
         "n_neg",
         decround(
-            (F.col("rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
-            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+            F.try_divide(
+                F.col("rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0),
+                F.col("n_pos").cast("double") * F.col("n_neg"),
+            )
         ).alias("auc"),
     )
 
@@ -1842,6 +1849,7 @@ WITH dims AS (
   SELECT c.cls, e.vec_id AS vid, e.label = c.cls AS is_pos,
          {decround_sql(f"{dot} / ({nrm_v} * {nrm_c})")} AS s
   FROM {table} e CROSS JOIN cent c
+  WHERE sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) > 0 AND sqrt(list_reduce(list_prepend(0.0, list_transform(c.cvec, x -> x * x)), (a, b) -> a + b)) > 0
 ), ranked AS (
   SELECT *,
          rank() OVER (PARTITION BY cls ORDER BY s)

@@ -186,15 +186,19 @@ def seasonal_decompose(
         F.var_samp(F.col("value") - F.col("seasonal")).alias("_vt"),
     )
     zero = F.lit(0.0)
+    # try_divide, not /: a flat-lined series has Var(detrended) == 0,
+    # which DuckDB degrades to NULL but Spark 4's ANSI default THROWS
+    # on; greatest() then ignores the NULL identically in both engines
+    # (both treat greatest(0.0, NULL) as 0.0)
     strengths = strengths.select(
         "grp",
         "feature",
-        F.greatest(zero, F.lit(1.0) - F.col("_vr") / F.col("_vd")).alias(
-            "seasonal_strength"
-        ),
-        F.greatest(zero, F.lit(1.0) - F.col("_vr") / F.col("_vt")).alias(
-            "trend_strength"
-        ),
+        F.greatest(
+            zero, F.lit(1.0) - F.try_divide(F.col("_vr"), F.col("_vd"))
+        ).alias("seasonal_strength"),
+        F.greatest(
+            zero, F.lit(1.0) - F.try_divide(F.col("_vr"), F.col("_vt"))
+        ).alias("trend_strength"),
     )
     return ph.select("grp", "feature", "phase", "n_obs", "seasonal").join(
         F.broadcast(strengths), on=["grp", "feature"]
@@ -249,7 +253,9 @@ def panel_ols(
     s12, s1y, s2y = F.col("c12") * nm1, F.col("c1y") * nm1, F.col("c2y") * nm1
     det = s11 * s22 - s12 * s12
 
-    sol = agg.filter(F.abs(det) > 0).select(
+    # n > 3: sigma2 divides by n - 3 (a 3-row group would hit ANSI
+    # divide-by-zero on the Spark side while the oracle NULLs out)
+    sol = agg.filter((F.abs(det) > 0) & (F.col("n") > 3)).select(
         "grp",
         "n",
         "my",
@@ -278,9 +284,11 @@ def panel_ols(
         "beta2",
         se1.alias("se_beta1"),
         se2.alias("se_beta2"),
-        (F.col("beta1") / se1).alias("t_beta1"),
-        (F.col("beta2") / se2).alias("t_beta2"),
-        (F.lit(1.0) - sse / F.col("syy")).alias("r2"),
+        # try_divide: a perfect fit (se == 0) or constant y (syy == 0)
+        # must yield NULL like the oracle, not an ANSI crash
+        F.try_divide(F.col("beta1"), se1).alias("t_beta1"),
+        F.try_divide(F.col("beta2"), se2).alias("t_beta2"),
+        (F.lit(1.0) - F.try_divide(sse, F.col("syy"))).alias("r2"),
     )
 
 

@@ -603,7 +603,7 @@ SEASONAL_SQL = with_panel(
   SELECT grp, feature, date, value,
          CASE WHEN count(value) OVER win = 7
               THEN avg(value) OVER win END AS trend,
-         (date - DATE '1970-01-01') % 7 AS phase
+         ((date - DATE '1970-01-01') % 7 + 7) % 7 AS phase
   FROM g
   WINDOW win AS (PARTITION BY grp, feature ORDER BY date
                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
@@ -663,7 +663,7 @@ base AS (
   SELECT *,
          (s1y * s22 - s2y * s12) / det AS beta1,
          (s2y * s11 - s1y * s12) / det AS beta2
-  FROM sol WHERE abs(det) > 0
+  FROM sol WHERE abs(det) > 0 AND n > 3
 ), e AS (
   SELECT *, syy - beta1 * s1y - beta2 * s2y AS sse FROM b
 ), f AS (

@@ -215,3 +215,99 @@ def test_jackknife_ci_vs_reference(spark):
     # jackknife SE of the mean ~ sigma/sqrt(n)
     assert 0.5 * 3 / np.sqrt(n) < row["se_jack"] < 2.0 * 3 / np.sqrt(n)
     assert row["ci_lo"] < 10.0 < row["ci_hi"]
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input guards (ANSI divide-by-zero review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_benford_subcent_amounts_excluded(spark):
+    from dataframeutils_spark.operators import cleaning
+
+    # 0.004 rounds to integer cents 0 -> "first digit 0" must be
+    # excluded, not crash log(1 + 1/0) under ANSI
+    rows = [(0.004,), (0.0001,), (1.25,)]
+    out = cleaning.benford_audit(
+        spark.createDataFrame(rows, "amt double"), "amt"
+    ).collect()
+    assert len(out) == 1 and out[0]["digit"] == 1 and out[0]["n_obs"] == 1
+
+
+def test_jackknife_null_values_excluded(spark):
+    from dataframeutils_spark.operators import features
+
+    rows = [(i, "g", 10.0) for i in range(100)] + [
+        (i + 100, "g", None) for i in range(20)
+    ]
+    row = features.jackknife_ci(
+        spark.createDataFrame(rows, "event_id long, grp string, value double"),
+        "grp", "value", "event_id",
+    ).collect()[0]
+    # NULLs must not inflate the denominator: mean is exactly 10
+    assert row["n"] == 100 and row["mean"] == 10.0
+
+
+def test_embedding_auc_zero_norm_filtered(spark):
+    from dataframeutils_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1),
+            (4, [0.1, 0.9], 1), (5, [0.0, 0.0], 0)]  # zero vector
+    out = similarity.embedding_auc(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    ).collect()
+    # no crash; the zero vector is excluded from every class's ranking
+    assert {r["class"] for r in out} == {0, 1}
+    for r in out:
+        assert r["n_pos"] + r["n_neg"] == 4
+
+
+def test_chi2_single_category_nulls_not_crash(spark):
+    import datetime as dt
+
+    from dataframeutils_spark.operators import events as events_ops
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(days=i % 14), i, "only") for i in range(50)]
+    out = events_ops.chi2_independence(
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+    ).collect()
+    # r == 1: chi2 == 0, dof == 0, V is NULL (0/0), p NULL (dof != 24)
+    assert all(r["dof"] == 0 for r in out)
+    assert all(r["cramers_v"] is None for r in out)
+    assert all(r["p_value"] is None for r in out)
+
+
+def test_panel_ols_tiny_group_dropped(spark):
+    import pandas as pd
+
+    from dataframeutils_spark.operators import trend
+
+    pdf = pd.DataFrame(
+        {"grp": "A", "feature_1": [1.0, 2.0, 4.0], "feature_2": [3.0, 1.0, 2.0],
+         "feature_3": [2.0, 5.0, 9.0]}
+    )
+    # n == 3 -> sigma2 would divide by zero; the group must be dropped
+    assert trend.panel_ols(spark.createDataFrame(pdf)).count() == 0
+
+
+def test_seasonal_decompose_constant_series_survives(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from dataframeutils_spark.operators import trend
+
+    rows = [
+        ("g", "f", dt.date(1995, 1, 1) + dt.timedelta(days=i), 5.0)
+        for i in range(60)
+    ]
+    out = spark.createDataFrame(
+        rows, "grp string, feature string, date date, value double"
+    )
+    res = trend.seasonal_decompose(out).collect()
+    # flat series: no crash; strengths degrade to 0.0 (greatest(0, NULL))
+    assert len(res) == 7
+    assert all(r["seasonal_strength"] == 0.0 and r["trend_strength"] == 0.0 for r in res)
