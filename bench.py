@@ -198,6 +198,7 @@ HEADLINE = [
     "jackknife_ci",  # delete-one-block jackknife over hash blocks
     "ks_drift",  # two-sample KS, pre-rounded ECDF steps
     "chi2_independence",  # contingency chi2, even-dof closed-form p
+    "ab_test",  # deterministic-arm experiment readout (A/A calibration)
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

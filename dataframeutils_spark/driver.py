@@ -3509,6 +3509,17 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(trend.theilsen_slope(_melted(spark, sf_dir)))
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event-type slice
+    (operators/events.py): deterministic hash-bucketed arms, Welch
+    z-test on the metric mean, Cohen's d effect size — the
+    experimentation-system readout as one combinable (slice × arm)
+    aggregate. The synthetic arms are null by construction, so the
+    expected readout is 'no significant lift' — the calibration check
+    a real experiment pipeline runs first (an A/A test)."""
+    return events_ops.ab_test_report(_events_normalized(spark, sf_dir))
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift test per panel series (operators/trend.py):
     D = max ECDF gap between the first and second half of the window,
@@ -3749,7 +3760,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     theilsen_slope, dtw_distance), mahalanobis_outliers, l_diversity,
     graph_triangles, association_rules, benford_audit, hybrid_search,
     survival_km, embedding_auc, revenue_concentration, jackknife_ci,
-    ks_drift, chi2_independence, and the record linkage pair
+    ks_drift, chi2_independence, ab_test, and the record linkage pair
     (fuzzy_join, entity_resolution) — are registered
     below the cap per the rotation protocol and lead the r11 window
     together with the 13 r7 leftovers (panel_dispersion through
@@ -3984,6 +3995,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hypothesis tests: distribution drift + categorical independence
         "ks_drift": q_ks_drift,
         "chi2_independence": q_chi2_independence,
+        # experiment readout (A/A calibration on deterministic arms)
+        "ab_test": q_ab_test,
         # privacy audit companion: attribute disclosure (l-diversity)
         "l_diversity": q_l_diversity,
         # graph analytics: degree-oriented triangle counting over the
@@ -4051,6 +4064,7 @@ def all_oracles() -> dict[str, str]:
             "events", "event_type", "value", "event_id"
         ),
         "ks_drift": oracles.KS_TWO_SAMPLE_SQL,
+        "ab_test": events_ops.ab_test_report_sql(),
         "chi2_independence": events_ops.chi2_independence_sql(),
         "hybrid_search": _round_oracle_cols(
             text.hybrid_search_rrf_sql(

@@ -931,3 +931,130 @@ SELECT rk AS event_type, CAST(ck AS INT) AS dow,
        {decround_sql('sqrt(chi2 / (n * CAST(least(r - 1, c - 1) AS DOUBLE)))')} AS cramers_v
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (two-sample z-test per metric slice)
+# ---------------------------------------------------------------------------
+
+
+def ab_test_report(
+    events: DataFrame,
+    metric_col: str = "value",
+    slice_col: str = "event_type",
+    user_col: str = "user_id",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Experiment readout per metric slice: users land in arm A/B by a
+    DETERMINISTIC portable hash of (salt, user) — the reproducible
+    bucketing a real experimentation system uses (re-runs, backfills
+    and the oracle all agree on every assignment) — and each slice
+    gets the two-sample z-test on the per-event metric mean.
+
+    z = (m_B − m_A)/√(s²_A/n_A + s²_B/n_B) (Welch form; at
+    experiment-scale n the normal reference is standard). Effect size
+    = Cohen's d with the pooled sd. try_divide guards the
+    zero-variance / empty-arm edges (DuckDB NULLs where ANSI Spark
+    would throw), and 'significant' compares the decimal-ROUNDED |z|
+    to 1.96 so both engines decide identically.
+
+    Scale shape: ONE map-side-combinable (slice × arm) aggregate over
+    the event scan; everything after runs on slices × 2 rows.
+
+    Output: (slice, n_a, n_b, mean_a, mean_b, diff, z, cohens_d,
+    significant).
+    """
+    from dataframeutils_spark.operators.dedup import portable_hash60
+    from dataframeutils_spark.schema import decround, siground
+
+    arm = F.pmod(
+        portable_hash60(
+            F.concat(F.lit(salt + ":"), F.col(user_col).cast("string"))
+        ),
+        F.lit(2),
+    )
+    base = events.select(
+        F.col(slice_col).alias("slice"),
+        arm.alias("arm"),
+        F.col(metric_col).cast("double").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    agg = base.groupBy("slice", "arm").agg(
+        F.count("*").alias("n"),
+        F.avg("m").alias("mean"),
+        F.var_samp("m").alias("var"),
+    )
+    a = agg.filter(F.col("arm") == 0).select(
+        "slice",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = agg.filter(F.col("arm") == 1).select(
+        "slice",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    j = a.join(b, on="slice")
+    se = F.sqrt(
+        F.try_divide(F.col("var_a"), F.col("n_a"))
+        + F.try_divide(F.col("var_b"), F.col("n_b"))
+    )
+    pooled = F.sqrt(
+        F.try_divide(
+            (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b"),
+            F.col("n_a") + F.col("n_b") - 2,
+        )
+    )
+    diff = F.col("mean_b") - F.col("mean_a")
+    z = decround(F.try_divide(diff, se))
+    return j.select(
+        "slice",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        siground(F.col("mean_a")).alias("mean_a"),
+        siground(F.col("mean_b")).alias("mean_b"),
+        siground(diff).alias("diff"),
+        z.alias("z"),
+        decround(F.try_divide(diff, pooled)).alias("cohens_d"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+def ab_test_report_sql(table: str = "events", salt: str = "exp1") -> str:
+    """DuckDB oracle for :func:`ab_test_report` — identical hash arms
+    and z algebra."""
+    from dataframeutils_spark.operators.dedup import portable_hash60_sql
+    from dataframeutils_spark.schema import decround_sql, siground_sql
+
+    h = portable_hash60_sql(f"('{salt}:' || CAST(user_id AS VARCHAR))")
+    return f"""
+WITH base AS (
+  SELECT event_type AS slc, {h} % 2 AS arm, CAST(value AS DOUBLE) AS m
+  FROM {table} WHERE value IS NOT NULL
+), agg AS (
+  SELECT slc, arm, count(*) AS n, avg(m) AS mean, var_samp(m) AS var
+  FROM base GROUP BY slc, arm
+), j AS (
+  SELECT a.slc, a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+         b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+  FROM agg a JOIN agg b ON b.slc = a.slc AND a.arm = 0 AND b.arm = 1
+), s AS (
+  SELECT *,
+         mean_b - mean_a AS diff,
+         sqrt(var_a / n_a + var_b / n_b) AS se,
+         sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+              / (n_a + n_b - 2)) AS pooled
+  FROM j
+), z AS (
+  SELECT *, {decround_sql('diff / se')} AS zval FROM s
+)
+SELECT slc AS slice, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {siground_sql('mean_a')} AS mean_a,
+       {siground_sql('mean_b')} AS mean_b,
+       {siground_sql('diff')} AS diff,
+       zval AS z,
+       {decround_sql('diff / pooled')} AS cohens_d,
+       abs(zval) > 1.96 AS significant
+FROM z
+"""

@@ -224,3 +224,50 @@ def test_chi2_independence_null_case(spark):
     # independent by construction -> p not extreme
     assert r0["p_value"] > 0.001
     assert r0["cramers_v"] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# A/B test readout
+# ---------------------------------------------------------------------------
+
+
+def test_ab_test_vs_reference(spark):
+    import hashlib
+
+    rng = np.random.default_rng(61)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # planted lift: users in arm 1 (hash-determined) get +2 on 'treat'
+    def arm_of(uid):
+        return int(hashlib.md5(f"exp1:{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    vals = {"treat": ([], []), "flat": ([], [])}
+    for i in range(4000):
+        uid = i % 400
+        a = arm_of(uid)
+        for t in ("treat", "flat"):
+            v = float(rng.normal(10, 2)) + (2.0 if (t == "treat" and a == 1) else 0.0)
+            rows.append((len(rows), base, uid, t, v))
+            vals[t][a].append(v)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["slice"]: r for r in events_ops.ab_test_report(df).collect()}
+
+    for t in ("treat", "flat"):
+        va, vb = np.array(vals[t][0]), np.array(vals[t][1])
+        r = out[t]
+        assert r["n_a"] == len(va) and r["n_b"] == len(vb)
+        np.testing.assert_allclose(r["mean_a"], va.mean(), rtol=1e-5)
+        np.testing.assert_allclose(r["mean_b"], vb.mean(), rtol=1e-5)
+        se = np.sqrt(va.var(ddof=1) / len(va) + vb.var(ddof=1) / len(vb))
+        np.testing.assert_allclose(r["z"], (vb.mean() - va.mean()) / se, atol=1e-4)
+        pooled = np.sqrt(
+            ((len(va) - 1) * va.var(ddof=1) + (len(vb) - 1) * vb.var(ddof=1))
+            / (len(va) + len(vb) - 2)
+        )
+        np.testing.assert_allclose(
+            r["cohens_d"], (vb.mean() - va.mean()) / pooled, atol=1e-4
+        )
+    assert out["treat"]["significant"] is True and out["treat"]["z"] > 10
+    assert out["flat"]["significant"] is False

@@ -354,6 +354,9 @@ QUERIES = [
     # replicated event log (contingency exchange fixed at r*c cells)
     "ks_drift",
     "chi2_independence",
+    # experiment readout over the replicated log: one (slice x arm)
+    # combinable aggregate, wall tracks the scan
+    "ab_test",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
