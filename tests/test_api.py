@@ -346,7 +346,15 @@ def test_registry_contract():
                    "multimodal_image_dhash", "multimodal_image_phash_dedup",
                    "multimodal_image_neardup",
                    "multimodal_audio_fingerprint", "multimodal_audio_fp_dedup",
-                   "stationarity_kpss"}
+                   "stationarity_kpss",
+                   # r10 session-2 additions (all exact-mode, r11 leads)
+                   "changepoint_cusum", "seasonal_decompose", "panel_ols",
+                   "theilsen_slope", "mahalanobis_outliers", "dtw_distance",
+                   "l_diversity", "graph_triangles", "fuzzy_join",
+                   "entity_resolution", "association_rules", "benford_audit",
+                   "hybrid_search", "survival_km", "embedding_auc",
+                   "revenue_concentration", "jackknife_ci", "ks_drift",
+                   "chi2_independence", "ab_test"}
         missing = [
             n for n in names[50:]
             if n not in gated and n not in ROWS_ONLY and n not in NEW_R10
