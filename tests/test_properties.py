@@ -653,3 +653,126 @@ def test_curriculum_matches_reference(spark, rows, n_stages):
         for pos, i in enumerate(sorted(ids, key=lambda i: (h60(i), i)), start=1):
             want[i] = (stage, pos)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r10 session-2 invariance properties
+# ---------------------------------------------------------------------------
+
+
+def _series_df(spark, vals):
+    import datetime as dt
+
+    rows = [
+        ("g", "f", dt.date(1995, 1, 1) + dt.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "grp string, feature string, date date, value double"
+    )
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=35, max_size=60
+    ),
+    scale=st.floats(min_value=0.1, max_value=50, allow_nan=False),
+    shift=st.floats(min_value=-500, max_value=500, allow_nan=False),
+)
+@settings(**SETTINGS)
+def test_cusum_stat_is_affine_invariant(spark, vals, scale, shift):
+    """max|S_t|/(s·√n) is invariant under x -> a·x + b (a > 0): the
+    statistic is scale-free by construction, so any affine data
+    re-expression must keep the SAME change point and statistic."""
+    from dataframeutils_spark.operators import trend
+
+    base = trend.changepoint_cusum(_series_df(spark, vals)).collect()
+    if not base:  # constant series gated out
+        return
+    aff = trend.changepoint_cusum(
+        _series_df(spark, [scale * v + shift for v in vals])
+    ).collect()
+    assert len(aff) == 1
+    # rounded statistic may differ in the last decimal place; cp_date
+    # may only differ if two near-equal maxima swap under rounding
+    assert abs(base[0]["cusum_stat"] - aff[0]["cusum_stat"]) < 1e-4
+    assert base[0]["n"] == aff[0]["n"]
+
+
+@given(
+    amounts=st.lists(
+        st.tuples(st.integers(0, 15), st.floats(min_value=0.01, max_value=1000)),
+        min_size=10,
+        max_size=60,
+    ),
+    scale=st.floats(min_value=0.5, max_value=20),
+)
+@settings(**SETTINGS)
+def test_gini_scale_invariant_and_bounded(spark, amounts, scale):
+    """Gini is invariant under amount scaling and lives in [0, 1);
+    the top-share is likewise scale-invariant."""
+    from dataframeutils_spark.operators import skew
+
+    rows = [("g", e, a) for e, a in amounts]
+    df = spark.createDataFrame(rows, "grp string, ent int, amt double")
+    base = skew.concentration_report(df, "grp", "ent", "amt").collect()[0]
+    df2 = spark.createDataFrame(
+        [("g", e, a * scale) for e, a in amounts], "grp string, ent int, amt double"
+    )
+    scaled = skew.concentration_report(df2, "grp", "ent", "amt").collect()[0]
+    assert 0.0 <= base["gini"] < 1.0
+    assert abs(base["gini"] - scaled["gini"]) < 1e-4
+    assert abs(base["top_share"] - scaled["top_share"]) < 1e-4
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=60, max_size=120
+    ),
+    shift=st.floats(min_value=-100, max_value=100, allow_nan=False),
+)
+@settings(**SETTINGS)
+def test_jackknife_mean_shift_equivariant(spark, vals, shift):
+    """Shifting every value by b shifts mean/ci_lo/ci_hi by exactly b
+    and leaves the jackknife SE unchanged (same hash blocks, same
+    deviations)."""
+    from dataframeutils_spark.operators import features
+
+    mk = lambda vs: spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vs)],
+        "event_id long, grp string, value double",
+    )
+    a = features.jackknife_ci(mk(vals), "grp", "value", "event_id").collect()[0]
+    b = features.jackknife_ci(
+        mk([v + shift for v in vals]), "grp", "value", "event_id"
+    ).collect()[0]
+    assert abs((b["mean"] - a["mean"]) - shift) < 1e-3
+    assert abs(a["se_jack"] - b["se_jack"]) < 1e-4
+    assert abs((b["ci_lo"] - a["ci_lo"]) - shift) < 1e-3
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=45, max_size=90
+    ),
+)
+@settings(**SETTINGS)
+def test_ks_bounds_and_self_consistency(spark, vals):
+    """0 <= D <= 1 always; p in [0, 1]; and a series concatenated with
+    an exact copy of its own first half (so both halves share the
+    distribution) never reports drift at p < 0.001."""
+    from dataframeutils_spark.operators import trend
+
+    out = trend.ks_two_sample(_series_df(spark, vals)).collect()
+    if out:
+        r = out[0]
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert 0.0 <= r["p_value"] <= 1.0
+    # identical halves -> D == 0 exactly
+    half = vals[: len(vals) // 2]
+    dup = trend.ks_two_sample(
+        _series_df(spark, half + half), min_len=len(half) * 2
+    ).collect()
+    if dup:
+        assert dup[0]["ks_stat"] == 0.0
+        assert dup[0]["drift_detected"] is False

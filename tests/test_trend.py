@@ -303,21 +303,19 @@ def test_mahalanobis_singular_cov_dropped(spark):
 
 
 def _dtw_ref(a, b):
-    """Independent reference: plain-python memoized recursion."""
-    import functools
-
-    @functools.lru_cache(maxsize=None)
-    def d(i, j):
-        if i == 0 and j == 0:
-            return abs(a[0] - b[0])
-        if i < 0 or j < 0:
-            return float("inf")
-        return abs(a[i] - b[j]) + min(d(i - 1, j), d(i, j - 1), d(i - 1, j - 1))
-
-    import sys
-
-    sys.setrecursionlimit(100000)
-    return d(len(a) - 1, len(b) - 1)
+    """Independent reference: plain-python iterative DP (no recursion —
+    a raised recursion limit leaks into other tests and trips
+    hypothesis's cross-thread check)."""
+    n, m = len(a), len(b)
+    inf = float("inf")
+    prev = [inf] * (m + 1)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = [inf] * (m + 1)
+        for j in range(1, m + 1):
+            cur[j] = abs(a[i - 1] - b[j - 1]) + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[m]
 
 
 def _weekly_panel(spark, vals_a, vals_b, grp="A", start=dt.date(1995, 1, 2)):
