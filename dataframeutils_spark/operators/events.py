@@ -824,8 +824,10 @@ def chi2_independence(
     cell-level "which combination deviates") with the table-level
     χ², dof, Cramér's V and p on every row. The p-value uses the
     EVEN-dof closed-form survival exp(−x/2)·Σ_{i<dof/2}(x/2)^i/i!
-    (the memory_dependence precedent, here 12 terms for dof 24);
-    a table with odd dof yields NULL p by contract — the closed form
+    (the memory_dependence precedent), with the term count built at
+    RUNTIME from dof/2 — any even dof ≤ 42 gets a p-value (the bound
+    is factorial(20), the largest exact long factorial, shared by
+    both engines); odd dof yields NULL by contract — the closed form
     only exists at even dof.
 
     Scale shape: one combinable (row × col) contingency aggregate
@@ -855,15 +857,21 @@ def chi2_independence(
     ).over(w)
     dof = (F.col("r") - 1) * (F.col("c") - 1)
     d = d.withColumn("chi2", chi2).withColumn("dof", dof.cast("long"))
-    # even-dof closed form at dof = 24 (12 series terms); NULL otherwise
+    # even-dof closed form with the term count built from dof/2 at
+    # runtime (left-to-right fold, ascending i — same order as the
+    # oracle's list_sum so the doubles agree bit-for-bit); dof ≤ 42
+    # keeps factorial() inside the exact long range in both engines
     x2 = F.col("chi2") / 2.0
-    import math
-
-    series = sum(
-        F.pow(x2, F.lit(float(i))) / F.lit(float(math.factorial(i)))
-        for i in range(12)
+    n_terms = (F.col("dof") / F.lit(2)).cast("int")
+    series = F.aggregate(
+        F.sequence(F.lit(0), n_terms - F.lit(1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.pow(x2, i.cast("double")) / F.factorial(i).cast("double"),
     )
-    p = F.when(F.col("dof") == 24, F.exp(-x2) * series)
+    p = F.when(
+        (F.col("dof") % 2 == 0) & (F.col("dof") <= 42), F.exp(-x2) * series
+    )
     # try_divide: a single-category table (r == 1 or c == 1) must NULL
     # out like the oracle, not crash under Spark's ANSI default
     vee = F.sqrt(
@@ -889,14 +897,14 @@ def chi2_independence(
 
 def chi2_independence_sql(table: str = "events") -> str:
     """DuckDB oracle for :func:`chi2_independence` — identical margins,
-    even-dof series and residuals."""
-    import math
-
+    runtime even-dof series (term count = dof/2, ascending-i left fold
+    like the Spark aggregate) and residuals."""
     from dataframeutils_spark.schema import decround_sql
 
-    series = " + ".join(
-        f"pow(chi2 / 2.0, {float(i)}) / {float(math.factorial(i))}"
-        for i in range(12)
+    series = (
+        "list_sum(list_transform(range(0, dof // 2), i -> "
+        "pow(chi2 / 2.0, CAST(i AS DOUBLE)) "
+        "/ CAST(factorial(CAST(i AS INTEGER)) AS DOUBLE)))"
     )
     return f"""
 WITH cells AS (
@@ -927,7 +935,7 @@ SELECT rk AS event_type, CAST(ck AS INT) AS dow,
        {decround_sql('(obs - expd) / sqrt(expd)')} AS std_residual,
        {decround_sql('chi2')} AS chi2,
        CAST(dof AS BIGINT) AS dof,
-       {decround_sql(f'CASE WHEN dof = 24 THEN exp(-chi2 / 2.0) * ({series}) END')} AS p_value,
+       {decround_sql(f'CASE WHEN dof % 2 = 0 AND dof <= 42 THEN exp(-chi2 / 2.0) * ({series}) END')} AS p_value,
        {decround_sql('sqrt(chi2 / (n * CAST(least(r - 1, c - 1) AS DOUBLE)))')} AS cramers_v
 FROM f
 """

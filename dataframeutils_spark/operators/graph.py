@@ -26,10 +26,10 @@ cross-engine order can't flip on a last-ulp sum difference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataframeutils_spark.operators.text import _tokens
+from dataframeutils_spark.operators.text import _tokens, ranked_topk
 
 
 def pagerank(
@@ -135,11 +135,10 @@ def textrank_keywords(
     scored = ranks.select(
         F.col("node").alias("term"), siground(F.col("rank")).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("term"))
-    return (
-        scored.select("term", F.row_number().over(w).alias("rank"), "score")
-        .filter(F.col("rank") <= k)
-    )
+    # TakeOrderedAndProject over the vocabulary — never a global
+    # single-task window (the vocab is corpus-sized at 100 TB).
+    order = [F.col("score").desc(), F.col("term")]
+    return ranked_topk(scored, k, order).select("term", "rank", "score")
 
 
 def textrank_keywords_sql(
@@ -429,14 +428,13 @@ def association_rules(
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(
+    # TakeOrderedAndProject — every task keeps a top_k heap; no single
+    # task ever sorts the full surviving-pair table (2.4M rows at the
+    # 10× stress). Total order (names break all ties) ⇒ deterministic
+    # cut, identical to the global-window ranks it replaces.
+    return rules.orderBy(
         F.desc("pair_count"), F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
-    )
-    return (
-        rules.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_k)
-        .drop("_rk")
-    )
+    ).limit(top_k)
 
 
 def association_rules_sql(

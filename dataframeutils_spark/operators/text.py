@@ -680,11 +680,8 @@ def bm25_search(
         .groupBy("doc_id")
         .agg(siground(F.sum(idf * tfpart)).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.select("doc_id", F.row_number().over(w).alias("rank"), "score")
-        .filter(F.col("rank") <= k)
-    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    return ranked_topk(scored, k, order).select("doc_id", "rank", "score")
 
 
 def bm25_search_sql(
@@ -893,6 +890,30 @@ FROM per_bucket p LEFT JOIN new_terms USING (bucket)
 # ---------------------------------------------------------------------------
 
 
+def ranked_topk(
+    scored: DataFrame,
+    k: int,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed top-k with an explicit rank column.
+
+    ``orderBy(...).limit(k)`` plans as ``TakeOrderedAndProject`` —
+    every task keeps only a k-row heap and the driver merges heaps —
+    so no single task ever sorts the full candidate set. (The
+    unpartitioned ``row_number()`` window this replaces funnels ALL
+    candidates through ONE task: for the chargram arm that is
+    effectively the whole corpus.) The rank column is then recomputed
+    by the same total ordering over the ≤k surviving rows — a k-row
+    window, constant work at any corpus size. ``order_cols`` must be
+    a total order (ties broken by a unique id) so the k-row cut is
+    deterministic and identical to the old global-window ranks.
+    """
+    top = scored.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
 def _chargrams(s: str, n: int = 3) -> list[str]:
     s = s.lower()
     return sorted({s[i : i + n] for i in range(len(s) - n + 1)})
@@ -915,28 +936,55 @@ def chargram_search(
     scan-side and the Jaccard is a pure INTEGER ratio
     |∩| / (|doc| + |q| − |∩|) — deterministic without rounding.
     Output: (doc_id, rank, score), rank by (score desc, doc_id).
+
+    Implementation is explode → two-level groupBy, NOT a higher-order
+    ``transform``/``array_distinct`` fold: HOF lambdas evaluate
+    interpreted (outside whole-stage codegen) and measured 4× slower
+    than the exploded pipeline at sf0.1 even after parallelizing; the
+    exploded form stays fully codegen'd, combines map-side, and
+    shuffles only (doc_id, 3-char gram) pairs. Texts shorter than
+    ``n`` carry no grams (the length filter — matching the oracle's
+    empty ``range``; Spark's ``sequence(1, 0)`` would otherwise count
+    DOWN and emit phantom sub-n grams).
     """
     qgrams = _chargrams(query, n)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     txt = F.lower(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(0))),
-            lambda p: F.substring(txt, p, n),
+    g = (
+        docs.repartition(par, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), txt.alias("_t"))
+        .filter(F.length("_t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (n - 1))
+            ).alias("_p"),
+            "_t",
+        )
+        .select("doc_id", F.substring(F.col("_t"), F.col("_p"), n).alias("gm"))
+    )
+    # distinct gram set per doc (first groupBy), then one combinable
+    # aggregate for both |doc grams| and |∩ query grams|
+    agg = (
+        g.groupBy("doc_id", "gm")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nd"),
+            F.sum(
+                F.when(F.col("gm").isin(qgrams), 1).otherwise(0)
+            ).alias("_inter"),
         )
     )
-    qlit = F.array(*[F.lit(g) for g in qgrams])
-    inter = F.size(F.array_intersect(grams, qlit))
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
+    scored = agg.filter(F.col("_inter") > 0).select(
+        "doc_id",
         (
-            inter
-            / (F.size(grams) + F.lit(len(qgrams)) - inter).cast("double")
+            F.col("_inter")
+            / (F.col("_nd") + F.lit(len(qgrams)) - F.col("_inter")).cast("double")
         ).alias("score"),
-    ).filter(F.col("score") > 0)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return scored.select(
-        "doc_id", F.row_number().over(w).alias("rank"), "score"
-    ).filter(F.col("rank") <= k)
+    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    return ranked_topk(scored, k, order).select("doc_id", "rank", "score")
 
 
 def chargram_search_sql(
@@ -1004,10 +1052,11 @@ def hybrid_search_rrf(
             )
         ).alias("rrf_score"),
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    # Fusion input is ≤ 2·arm_k rows, but keep the distributed top-k
+    # shape anyway (TakeOrderedAndProject, never a global window).
     return (
-        fused.withColumn("fused_rank", F.row_number().over(w))
-        .filter(F.col("fused_rank") <= k)
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(k)
         .select("doc_id", "rrf_score", "bm25_rank", "chargram_rank")
     )
 

@@ -270,7 +270,13 @@ def panel_ols(
         ((s1y * s22 - s2y * s12) / det).alias("beta1"),
         ((s2y * s11 - s1y * s12) / det).alias("beta2"),
     )
-    sse = F.col("syy") - F.col("beta1") * F.col("s1y") - F.col("beta2") * F.col("s2y")
+    # clamp: on a near-perfect fit fp rounding can land sse a hair
+    # below 0 — sqrt(negative) is NaN in Spark but an ERROR in DuckDB,
+    # so BOTH sides clamp to 0 (se → 0 → try_divide/NULL t-stats)
+    sse = F.greatest(
+        F.lit(0.0),
+        F.col("syy") - F.col("beta1") * F.col("s1y") - F.col("beta2") * F.col("s2y"),
+    )
     sigma2 = sse / (F.col("n") - 3)
     se1 = F.sqrt(sigma2 * F.col("s22") / F.col("det"))
     se2 = F.sqrt(sigma2 * F.col("s11") / F.col("det"))

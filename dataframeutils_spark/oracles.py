@@ -665,20 +665,25 @@ base AS (
          (s2y * s11 - s1y * s12) / det AS beta2
   FROM sol WHERE abs(det) > 0 AND n > 3
 ), e AS (
-  SELECT *, syy - beta1 * s1y - beta2 * s2y AS sse FROM b
+  -- clamp mirrors the Spark side: near-perfect fits can round sse a
+  -- hair below 0, and DuckDB sqrt(negative) ERRORS where Spark NaNs
+  SELECT *, greatest(0.0, syy - beta1 * s1y - beta2 * s2y) AS sse FROM b
 ), f AS (
   SELECT *, sse / (n - 3) AS sigma2 FROM e
+), g2 AS (
+  SELECT *, sqrt(sigma2 * s22 / det) AS se1, sqrt(sigma2 * s11 / det) AS se2
+  FROM f
 )
 SELECT grp, n,
        {sig('my - beta1 * m1 - beta2 * m2')} AS beta0,
        {sig('beta1')} AS beta1,
        {sig('beta2')} AS beta2,
-       {sig('sqrt(sigma2 * s22 / det)')} AS se_beta1,
-       {sig('sqrt(sigma2 * s11 / det)')} AS se_beta2,
-       {dec('beta1 / sqrt(sigma2 * s22 / det)')} AS t_beta1,
-       {dec('beta2 / sqrt(sigma2 * s11 / det)')} AS t_beta2,
+       {sig('se1')} AS se_beta1,
+       {sig('se2')} AS se_beta2,
+       {dec('CASE WHEN se1 > 0 THEN beta1 / se1 END')} AS t_beta1,
+       {dec('CASE WHEN se2 > 0 THEN beta2 / se2 END')} AS t_beta2,
        {dec('1.0 - sse / syy')} AS r2
-FROM f
+FROM g2
 """
 
 # Theil-Sen robust slope over the deterministic hash-sampled subset
