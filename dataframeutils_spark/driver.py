@@ -33,6 +33,7 @@ from dataframeutils_spark.operators import (
     panel_stats,
     pca,
     pipeline,
+    rankstats,
     sampling,
     similarity,
     sketches,
@@ -41,6 +42,7 @@ from dataframeutils_spark.operators import (
     text,
     trend,
     unigram,
+    winnow,
     weighted_bins,
 )
 from dataframeutils_spark.streaming import joins as stream_joins
@@ -3557,6 +3559,93 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.ks_two_sample(_melted(spark, sf_dir))
 
 
+def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per panel series (operators/trend.py):
+    sequential fold s_i = 0.2x_i + 0.8s_{i-1} with time-varying
+    limits, as one in-plan aggregate over the date-sorted series —
+    the (1-lam)^(2i) term is CARRIED by multiplication (never pow,
+    whose libm rounding differs across engines) and the violation
+    predicate compares the decimal-rounded margin; the oracle replays
+    the identical fold as a recursive CTE (DTW/Viterbi precedent)."""
+    return trend.ewma_control(_melted(spark, sf_dir))
+
+
+def q_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection audit per document
+    (operators/winnow.py — Schleimer et al. 2003/MOSS): k-gram window
+    minima with the rightmost-tie rule encoded as one integer min per
+    frame; density vs the 2/(w+1) theorem value. Scan-side windows per
+    doc, one exchange keyed by doc_id."""
+    return winnow.winnow_profile(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-copy near-duplicate pairs via shared winnowing
+    fingerprints (operators/winnow.py): any shared substring of
+    length >= kgram+window-1 structurally forces a shared selected
+    fingerprint (the winnowing guarantee, vs MinHash's probabilistic
+    bag recall); fingerprints in > 64 docs are dropped first — the
+    boilerplate occupancy cap bounding pair fan-out at any corpus
+    size (DEFAULT_BUCKET_CAP analog)."""
+    return winnow.winnow_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy / type-token ratio
+    (operators/text.py): the information-density quality signal that
+    catches degenerate repetition the length/punct heuristics miss.
+    One exploded count groupBy + one doc aggregate; shuffles
+    (doc_id, count) pairs, never text."""
+    return text.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (operators/text.py):
+    the phrase detector run before multi-word vocab merges; min_count
+    5 suppresses the hapax-pair failure mode, score rounded before
+    the (pmi desc, names) TakeOrdered rank."""
+    return text.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per grp × feature pair
+    (operators/rankstats.py): Pearson on tie-averaged ranks of the
+    decimal-rounded values — the robust complement to lagged_corr's
+    Pearson matrix. Ranks are integers/half-integers (exact in both
+    engines); tie structure is engine-identical because ranking runs
+    on pre-rounded values (the ks_two_sample precedent)."""
+    return rankstats.spearman_corr(lineitem_panel(spark, sf_dir))
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum drift test per panel series
+    (operators/rankstats.py): first vs second half of the window (the
+    ks_drift split), U from average ranks over per-distinct-value
+    cells, tie-corrected σ, drift flag on the rounded |z|. Rank
+    windows run on the bounded cell table, never raw rows."""
+    return rankstats.mann_whitney_drift(_melted(spark, sf_dir))
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per panel series
+    (operators/rankstats.py): exact integer S over the SAME
+    deterministic hash-sampled subset theilsen_slope uses (pair join
+    bounded at ~cap²/2 at any length), tie-corrected variance,
+    continuity-corrected z."""
+    return rankstats.mann_kendall_trend(_melted(spark, sf_dir))
+
+
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator per event type
+    (operators/rankstats.py): α from the k=100 largest positive
+    values (order statistics by (value desc, event_id) — raw stored
+    doubles, engine-identical bytes). The heavy-tail dial that says
+    whether mean-based monitoring of a metric is even meaningful."""
+    return rankstats.hill_tail_index(
+        _events_normalized(spark, sf_dir), k=100
+    )
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi² independence of event type × day-of-week
     (operators/events.py): per-cell observed/expected/std-residual +
@@ -3978,6 +4067,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_spectrum": q_embedding_pca,
         "join_size_estimate_fast": q_join_size_estimate_fast,
         "similarity_recall_production": q_similarity_recall_production,
+        # --- r11 in-round newcomers (below the cap per the rotation
+        # protocol; they lead the r12 window): rank-based statistics —
+        # Spearman ρ, Mann–Whitney drift, Mann–Kendall trend, Hill
+        # tail index (operators/rankstats.py) ---
+        "ewma_control": q_ewma_control,
+        "winnow_profile": q_winnow_profile,
+        "winnow_neardup": q_winnow_neardup,
+        "token_entropy": q_token_entropy,
+        "pmi_collocations": q_pmi_collocations,
+        "spearman_corr": q_spearman_corr,
+        "mann_whitney": q_mann_whitney,
+        "mann_kendall": q_mann_kendall,
+        "hill_tail": q_hill_tail,
         "stationarity": q_stationarity,
         "stationarity_summary": q_stationarity_summary,
         "cointegration": q_cointegration,
@@ -4033,6 +4135,15 @@ def all_oracles() -> dict[str, str]:
         "ks_drift": oracles.KS_TWO_SAMPLE_SQL,
         "ab_test": events_ops.ab_test_report_sql(),
         "chi2_independence": events_ops.chi2_independence_sql(),
+        "ewma_control": trend.ewma_control_sql(),
+        "winnow_profile": winnow.winnow_profile_sql(),
+        "winnow_neardup": winnow.winnow_neardup_sql(),
+        "token_entropy": text.token_entropy_sql(),
+        "pmi_collocations": text.pmi_collocations_sql(),
+        "spearman_corr": rankstats.spearman_corr_sql(),
+        "mann_whitney": rankstats.mann_whitney_drift_sql(),
+        "mann_kendall": rankstats.mann_kendall_trend_sql(),
+        "hill_tail": rankstats.hill_tail_index_sql(k=100),
         "hybrid_search": _round_oracle_cols(
             text.hybrid_search_rrf_sql(
                 ("join", "scan", "slow"), "join scan slow", k=15

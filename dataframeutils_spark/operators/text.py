@@ -890,6 +890,195 @@ FROM per_bucket p LEFT JOIN new_terms USING (bucket)
 # ---------------------------------------------------------------------------
 
 
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token Shannon entropy + type/token ratio — the
+    information-density quality signal (near-zero entropy = degenerate
+    repetition that slips past length/punctuation heuristics; a
+    CCNet/Gopher-style filter input).
+
+    H = ln(n) − Σ c·ln(c)/n over within-doc token counts (exact
+    integer counts; the two-term form needs ONE combinable aggregate
+    per doc). norm_entropy = H/ln(n_types) ∈ [0,1] (1 = uniform use
+    of the doc's vocabulary). ttr = n_types/n_tokens.
+
+    Scale: explode → one (doc, term) groupBy with map-side combine →
+    one doc-level aggregate; shuffles (doc_id, term-count) pairs only,
+    never text. Wordless docs are absent from the output.
+    """
+    from dataframeutils_spark.schema import siground
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    cnt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "_clnc"
+        ),
+    )
+    n = F.col("n_tokens").cast("double")
+    h = F.log(n) - F.col("_clnc") / n
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        siground(h).alias("entropy"),
+        # try_divide: a single-type doc has ln(n_types)=0 → NULL (the
+        # oracle's NULL-division path), not an ANSI error
+        siground(
+            F.try_divide(h, F.log(F.col("n_types").cast("double")))
+        ).alias("norm_entropy"),
+        siground(F.col("n_types") / n).alias("ttr"),
+    )
+
+
+def token_entropy_sql(table: str = "documents") -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    h = "ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE)"
+    norm = (
+        f"CASE WHEN ln(CAST(n_types AS DOUBLE)) <> 0 "
+        f"THEN ({h}) / ln(CAST(n_types AS DOUBLE)) END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+), cnt AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+), agg AS (
+  SELECT doc_id,
+         sum(c) AS n_tokens, count(*) AS n_types,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       {siground_sql(h)} AS entropy,
+       {siground_sql(norm)} AS norm_entropy,
+       {siground_sql('n_types / CAST(n_tokens AS DOUBLE)')} AS ttr
+FROM agg
+"""
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information — PMI = ln(P(w1w2)/(P(w1)P(w2))) with
+    P(w1w2) = c₁₂/N_bi, P(w) = c_w/N_tok (Church & Hanks 1990). The
+    phrase detector a tokenizer/vocab pipeline runs before merging
+    multi-word units.
+
+    ``min_count`` keeps rare-pair noise out (PMI's classic failure
+    mode: hapax pairs score highest); score is rounded to significant
+    digits BEFORE ranking, ties by (w1, w2) — deterministic rank in
+    both engines.
+
+    Scale: two combinable count groupBys over the exploded stream; the
+    unigram join runs AFTER the min_count filter, so only surviving
+    pairs join; the final rank is a distributed TakeOrdered, never a
+    global window.
+
+    Output: (w1, w2, pair_count, pmi, rank).
+    """
+    from dataframeutils_spark.schema import siground
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par)
+    toks = _tokens(F.lower(F.col(text_col)))
+    m = F.size(toks) - 1
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = docs.filter(F.size(toks) >= 2).select(F.explode(pairs).alias("pr")).select(
+        "pr.w1", "pr.w2"
+    )
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    nbi = bi.groupBy().agg(F.count("*").cast("double").alias("nb"))
+    ntok = uni.groupBy().agg(F.sum("cu").cast("double").alias("nt"))
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    scored = (
+        cb.join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nbi))
+        .crossJoin(F.broadcast(ntok))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            siground(
+                F.log(
+                    (F.col("pair_count") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nt")) * (F.col("c2") / F.col("nt")))
+                )
+            ).alias("pmi"),
+        )
+    )
+    order = [F.col("pmi").desc(), F.col("w1"), F.col("w2")]
+    return ranked_topk(scored, k, order).select(
+        "w1", "w2", "pair_count", "pmi", "rank"
+    )
+
+
+def pmi_collocations_sql(
+    k: int = 50, min_count: int = 5, table: str = "documents"
+) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    pmi = "ln((pair_count / nb) / ((a.cu / nt) * (b.cu / nt)))"
+    return f"""
+WITH tok AS (
+  SELECT {toks} AS toks FROM {table}
+), bi AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tok WHERE len(toks) >= 2
+), uni AS (
+  SELECT unnest(toks) AS w FROM tok
+), cu AS (
+  SELECT w, count(*) AS cu FROM uni GROUP BY w
+), nbi AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi
+), ntok AS (
+  SELECT CAST(sum(cu) AS DOUBLE) AS nt FROM cu
+), cb AS (
+  SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY w1, w2
+  HAVING count(*) >= {min_count}
+), scored AS (
+  SELECT w1, w2, pair_count,
+         {siground_sql(pmi)} AS pmi
+  FROM cb
+  JOIN cu a ON a.w = cb.w1
+  JOIN cu b ON b.w = cb.w2
+  CROSS JOIN nbi CROSS JOIN ntok
+)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def ranked_topk(
     scored: DataFrame,
     k: int,

@@ -586,3 +586,155 @@ def ks_two_sample(long_df: DataFrame, min_len: int = 40) -> DataFrame:
         decround(p).alias("p_value"),
         (decround(p) < 0.05).alias("drift_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart (exact-oracled sequential fold)
+# ---------------------------------------------------------------------------
+
+
+def ewma_control(
+    long_df: DataFrame,
+    lam: float = 0.2,
+    limit_l: float = 3.0,
+    min_len: int = 30,
+) -> DataFrame:
+    """EWMA control chart per series (Roberts 1959; the SPC standard
+    for detecting SMALL sustained shifts CUSUM's single change-point
+    frame doesn't report): s_i = λx_i + (1−λ)s_{i−1}, s_0 = x̄, with
+    time-varying limits x̄ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2i})).
+
+    The recursion is a genuine sequential fold — expressed as ONE
+    in-plan ``aggregate`` over the date-sorted value array per series
+    (bounded: the panel is calendar-bounded), mirrored exactly by a
+    recursive-CTE in the oracle (the DTW/Viterbi precedent). Two
+    determinism choices make the fold engine-exact: (1−λ)^{2i} is
+    CARRIED in the accumulator by sequential multiplication (never
+    ``pow``, whose libm rounding differs across engines), and the
+    out-of-control predicate compares the decimal-ROUNDED margin
+    |s_i − x̄| − limit_i (round-before-compare, the engine contract
+    for every discontinuous step).
+
+    Scale: one groupBy collecting each series once (series are
+    calendar-bounded; the 100 TB axis is #series, not length) — the
+    same shape as every panel fit here; state per series is four
+    numbers.
+
+    Output: (grp, feature, n, n_violations, first_violation,
+    last_ewma) — first_violation is the 1-based index, 0 if none.
+    """
+    g = _gated(long_df, min_len)
+    om = 1.0 - lam
+    om2 = om * om
+    ratio = lam / (2.0 - lam)
+    base = g.groupBy("grp", "feature").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mu"),
+        F.coalesce(F.stddev_samp("value"), F.lit(0.0)).alias("sd"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("date").alias("d"), F.col("value").alias("v")))
+        ).alias("seq"),
+    )
+
+    def step(acc, x):
+        s_new = F.lit(lam) * x["v"] + F.lit(om) * acc["s"]
+        pw_new = acc["pw"] * F.lit(om2)
+        lim = (
+            F.lit(limit_l)
+            * F.col("sd")
+            * F.sqrt(F.lit(ratio) * (F.lit(1.0) - pw_new))
+        )
+        margin = decround(F.abs(s_new - F.col("mu")) - lim)
+        flag = F.when(margin > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        i_new = acc["i"] + F.lit(1).cast("long")
+        return F.struct(
+            i_new.alias("i"),
+            s_new.alias("s"),
+            pw_new.alias("pw"),
+            (acc["viol"] + flag).alias("viol"),
+            F.when(acc["fv"] > 0, acc["fv"])
+            .otherwise(F.when(flag == 1, i_new).otherwise(F.lit(0).cast("long")))
+            .alias("fv"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"),
+        F.col("mu").alias("s"),
+        F.lit(1.0).alias("pw"),
+        F.lit(0).cast("long").alias("viol"),
+        F.lit(0).cast("long").alias("fv"),
+    )
+    acc = F.aggregate(F.col("seq"), init, step)
+    return base.select(
+        "grp",
+        "feature",
+        F.col("n").cast("long").alias("n"),
+        acc["viol"].alias("n_violations"),
+        acc["fv"].alias("first_violation"),
+        decround(acc["s"]).alias("last_ewma"),
+    )
+
+
+def ewma_control_sql(
+    lam: float = 0.2, limit_l: float = 3.0, min_len: int = 30
+) -> str:
+    from dataframeutils_spark.oracles import with_panel
+    from dataframeutils_spark.schema import decround_sql
+
+    om = 1.0 - lam
+    om2 = om * om
+    ratio = lam / (2.0 - lam)
+    # Two single-pass APPEND-folds (s-sequence, pw-sequence), then one
+    # element-wise transform for the violation flags. NOT a recursive
+    # CTE (DuckDB re-evaluates the joined source CTE every iteration —
+    # measured 50 s vs sub-second here) and NOT a struct-accumulator
+    # list_reduce: DuckDB 1.0 inlines cross-field ``acc.x`` references
+    # inside a struct-literal lambda to the NEW field expressions
+    # (measured: a later field reading an earlier field sees it
+    # post-update, and a kept "first index" field silently tracks the
+    # running index), so the only reliable accumulator reference is
+    # the accumulator ITSELF — hence lists, where acc[len(acc)] is
+    # exact. Each fold's arithmetic is the identical sequential
+    # expression Spark's aggregate() evaluates, in the same order; the
+    # (1-lam)^(2i) term is CARRIED by multiplication (never pow, whose
+    # libm rounding differs across engines). Pinned against an
+    # independent Python replay in tests/test_rank_winnow_ewma.py.
+    margin = decround_sql(
+        f"abs(slist[i + 1] - mu) - "
+        f"{limit_l!r} * sd * sqrt({ratio!r} * (1.0 - pwl[i + 1]))"
+    )
+    return with_panel(f"""
+, gated AS (
+  SELECT grp, feature, date, value,
+         count(value) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= {min_len}
+), ser AS (
+  SELECT grp, feature, count(*) AS n, avg(value) AS mu,
+         COALESCE(stddev_samp(value), 0.0) AS sd,
+         list(CAST(value AS DOUBLE) ORDER BY date) AS vl
+  FROM gated GROUP BY grp, feature
+), folded AS (
+  SELECT grp, feature, n, mu, sd,
+         list_reduce(list_prepend([mu], [[v] for v in vl]),
+           (acc, e) -> list_append(acc, {lam!r} * e[1] + {om!r} * acc[len(acc)])
+         ) AS slist,
+         list_reduce(list_prepend([CAST(1.0 AS DOUBLE)], [[CAST(0.0 AS DOUBLE)] for v in vl]),
+           (acc, e) -> list_append(acc, acc[len(acc)] * {om2!r})
+         ) AS pwl
+  FROM ser
+), flagged AS (
+  SELECT grp, feature, n, slist,
+         list_filter(
+           list_transform(range(1, n + 1),
+             i -> CASE WHEN {margin} > 0 THEN i ELSE CAST(0 AS BIGINT) END),
+           x -> x > 0) AS viols
+  FROM folded
+)
+SELECT grp, feature, CAST(n AS BIGINT) AS n,
+       CAST(len(viols) AS BIGINT) AS n_violations,
+       CAST(CASE WHEN len(viols) > 0 THEN viols[1] ELSE 0 END AS BIGINT)
+         AS first_violation,
+       {decround_sql('slist[n + 1]')} AS last_ewma
+FROM flagged
+""")

@@ -1,0 +1,252 @@
+"""Unit + oracle-parity tests for the r11 operator families:
+rank statistics (operators/rankstats.py), winnowing fingerprints
+(operators/winnow.py), EWMA control chart (operators/trend.py),
+token entropy / PMI collocations (operators/text.py).
+
+The EWMA test additionally pins the DuckDB list-append-fold oracle
+against an INDEPENDENT Python replay of the recursion — the oracle
+deliberately avoids struct-accumulator list_reduce (DuckDB 1.0
+inlines cross-field acc references; see ewma_control_sql), and this
+test is the tripwire if a DuckDB upgrade changes fold semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from dataframeutils_spark.operators import rankstats, text, winnow
+from dataframeutils_spark.operators.trend import ewma_control, ewma_control_sql
+from dataframeutils_spark.schema import PanelSchema, melt_panel
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+# ---------------------------------------------------------------------------
+# rank statistics — closed-form sanity on constructed data
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_monotone_invariance(spark):
+    """Spearman is rank-only: any strictly monotone transform of a
+    feature leaves rho at exactly 1 against itself-transformed."""
+    rows = [("g", float(i), math.exp(i / 7.0), -(i**3)) for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["grp", "feature_1", "feature_2", "feature_3"])
+    out = rankstats.spearman_corr(spark.createDataFrame(pdf)).toPandas()
+    by = {r["pair"]: r["rho"] for _, r in out.iterrows()}
+    assert by["feature_1|feature_2"] == pytest.approx(1.0)  # increasing
+    assert by["feature_1|feature_3"] == pytest.approx(-1.0)  # decreasing
+    assert by["feature_2|feature_3"] == pytest.approx(-1.0)
+
+
+def test_mann_kendall_strictly_increasing(spark):
+    """A strictly increasing series has S = m(m-1)/2 (every pair
+    concordant), trend +1, and no tie correction."""
+    import datetime as dt
+
+    rows = [
+        ("g", "f", dt.date(2020, 1, 1) + dt.timedelta(days=i), float(i))
+        for i in range(60)
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "feature", "date", "value"])
+    out = rankstats.mann_kendall_trend(
+        spark.createDataFrame(pdf), cap=320
+    ).toPandas()
+    assert len(out) == 1
+    m = int(out["n_sampled"].iloc[0])
+    assert int(out["s_stat"].iloc[0]) == m * (m - 1) // 2
+    assert int(out["trend"].iloc[0]) == 1
+    assert float(out["z"].iloc[0]) > 1.96
+
+
+def test_mann_whitney_shifted_halves(spark):
+    """Second half shifted far above the first → |z| large, drifted."""
+    import datetime as dt
+
+    rows = [
+        ("g", "f", dt.date(2020, 1, 1) + dt.timedelta(days=i),
+         float(i % 7) + (100.0 if i >= 30 else 0.0))
+        for i in range(60)
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "feature", "date", "value"])
+    out = rankstats.mann_whitney_drift(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 1
+    assert int(out["n1"].iloc[0]) == 30 and int(out["n2"].iloc[0]) == 30
+    # side 1 (first half) holds the SMALL values → U1 = 0 exactly
+    assert float(out["u_stat"].iloc[0]) == 0.0
+    assert bool(out["drifted"].iloc[0])
+
+
+def test_hill_exact_pareto(spark):
+    """On x_(i) = C·(k+1 over i)^(1/a) order statistics the Hill
+    estimator recovers 1/a exactly: ln(x_i/x_(k+1)) = ln((k+1)/i)/a."""
+    a = 2.5
+    k = 20
+    n = 200
+    rows = [
+        (i, "t", float(((n + 1) / i) ** (1.0 / a))) for i in range(1, n + 1)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    out = rankstats.hill_tail_index(
+        spark.createDataFrame(pdf), k=k
+    ).toPandas()
+    want = sum(math.log(((n + 1) / i) ** (1 / a) / ((n + 1) / (k + 1)) ** (1 / a)) for i in range(1, k + 1)) / k
+    assert float(out["hill"].iloc[0]) == pytest.approx(want, rel=1e-5)
+    assert float(out["alpha"].iloc[0]) == pytest.approx(1 / want, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# winnowing — the SIGMOD-03 guarantee and the density theorem
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Any shared substring of length ≥ kgram + window − 1 forces at
+    least one shared selected fingerprint (the winnowing theorem) —
+    structural recall, checked on docs sharing ONE long passage."""
+    passage = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "AAAA xyzzy " + passage + " padding end one",
+                    "BBBB totally different prefix " + passage + " qq",
+                    "no shared passage here at all whatsoever okay",
+                ],
+            }
+        )
+    )
+    pairs = winnow.winnow_neardup_pairs(
+        docs, kgram=5, window=4, min_shared=1, max_df=64
+    ).toPandas()
+    got = {(int(r["doc_a"]), int(r["doc_b"])) for _, r in pairs.iterrows()}
+    assert (1, 2) in got
+
+
+def test_winnow_density_near_theorem(spark):
+    """Expected selected density on random-ish text ≈ 2/(w+1); assert
+    a generous band around it (and > 0 everywhere)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prof = winnow.winnow_profile(docs).toPandas()
+    assert (prof["n_fingerprints"] > 0).all()
+    med = prof["density"].median()
+    assert 0.15 < med < 0.75  # 2/(4+1) = 0.4 nominal
+
+
+def test_winnow_profile_matches_oracle(spark, ddb):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert_matches_oracle(
+        winnow.winnow_profile(docs), ddb, winnow.winnow_profile_sql()
+    )
+
+
+def test_winnow_neardup_matches_oracle(spark, ddb):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert_matches_oracle(
+        winnow.winnow_neardup_pairs(docs), ddb, winnow.winnow_neardup_sql()
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — engine == oracle == independent Python replay
+# ---------------------------------------------------------------------------
+
+PANEL = PanelSchema(date_col="date", group_cols=["grp"])
+
+
+def _python_ewma(vals, lam=0.2, limit_l=3.0):
+    om, om2, ratio = 1.0 - lam, (1.0 - lam) ** 2, lam / (2.0 - lam)
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (n - 1))
+    s, pw, viol, fv = mu, 1.0, 0, 0
+    for i, v in enumerate(vals, 1):
+        s = lam * v + om * s
+        pw = pw * om2
+        lim = limit_l * sd * math.sqrt(ratio * (1.0 - pw))
+        if round(abs(s - mu) - lim, 6) > 0:
+            viol += 1
+            if fv == 0:
+                fv = i
+    return viol, fv, s
+
+
+def test_ewma_matches_python_replay(spark, ddb):
+    """Engine fold == DuckDB list-append-fold oracle == independent
+    Python recursion on the real panel — the tripwire for any DuckDB
+    lambda-semantics change AND for the Spark aggregate() path."""
+    import duckdb  # noqa: F401
+
+    from dataframeutils_spark.sources.testdata import lineitem_panel
+
+    long_df = melt_panel(
+        lineitem_panel(spark, SF_DIR), _panel_schema()
+    )
+    eng = ewma_control(long_df).toPandas()
+    ora = ddb.execute(ewma_control_sql()).fetchdf()
+    # replay one series independently in Python
+    ser = (
+        long_df.filter("feature = 'feature_1'")
+        .toPandas()
+        .dropna(subset=["value"])
+    )
+    grp = sorted(ser["grp"].unique())[0]
+    vals = list(
+        ser[ser["grp"] == grp].sort_values("date")["value"].astype(float)
+    )
+    viol, fv, s = _python_ewma(vals)
+    for df in (eng, ora):
+        row = df[(df["grp"] == grp) & (df["feature"] == "feature_1")].iloc[0]
+        assert int(row["n_violations"]) == viol
+        assert int(row["first_violation"]) == fv
+        assert float(row["last_ewma"]) == pytest.approx(s, rel=1e-9)
+
+
+def _panel_schema():
+    from dataframeutils_spark.driver import PANEL_SCHEMA
+
+    return PANEL_SCHEMA
+
+
+def test_ewma_oracle_parity(spark, ddb):
+    from dataframeutils_spark.sources.testdata import lineitem_panel
+
+    long_df = melt_panel(lineitem_panel(spark, SF_DIR), _panel_schema())
+    assert_matches_oracle(ewma_control(long_df), ddb, ewma_control_sql())
+
+
+# ---------------------------------------------------------------------------
+# token entropy / PMI
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["a b c d", "x x x x"],
+            }
+        )
+    )
+    out = text.token_entropy(docs).toPandas().set_index("doc_id")
+    assert float(out.loc[1, "entropy"]) == pytest.approx(math.log(4), rel=1e-5)
+    assert float(out.loc[1, "norm_entropy"]) == pytest.approx(1.0, rel=1e-5)
+    assert float(out.loc[2, "entropy"]) == pytest.approx(0.0, abs=1e-9)
+    assert out.loc[2, "norm_entropy"] != out.loc[2, "norm_entropy"] or out.loc[
+        2, "norm_entropy"
+    ] is None or pd.isna(out.loc[2, "norm_entropy"])  # NULL by contract
+
+
+def test_pmi_perfect_collocation(spark):
+    """A bigram that always co-occurs scores ln(N_bi·c12/(c1·c2)) with
+    c12 = c1 = c2 — positive and ranked first."""
+    rows = [(i, "alpha beta " + " ".join(f"w{j}{i}" for j in range(6))) for i in range(10)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = text.pmi_collocations(docs, k=5, min_count=5).toPandas()
+    top = out[out["rank"] == 1].iloc[0]
+    assert (top["w1"], top["w2"]) == ("alpha", "beta")
+    assert float(top["pmi"]) > 0
