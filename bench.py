@@ -199,6 +199,22 @@ HEADLINE = [
     "ks_drift",  # two-sample KS, pre-rounded ECDF steps
     "chi2_independence",  # contingency chi2, even-dof closed-form p
     "ab_test",  # deterministic-arm experiment readout (A/A calibration)
+    # r11 additions: rank statistics, winnowing, EWMA, entropy/PMI
+    "spearman_corr",  # tie-averaged ranks, Pearson on exact half-integers
+    "mann_whitney",  # rank-sum drift over per-distinct-value cells
+    "mann_kendall",  # hash-capped pair set (theilsen precedent)
+    "hill_tail",  # per-type top-(k+1) order stats, constant-k heap work
+    "token_entropy",  # one count groupBy + one doc aggregate
+    "pmi_collocations",  # two count groupBys + TakeOrdered rank
+    "winnow_profile",  # per-doc window minima, scan-side
+    "winnow_neardup",  # fingerprint-banded pair join, df-capped
+    "ewma_control",  # sequential fold as one in-plan aggregate
+    "cohort_ltv",  # one user exchange + cohort x age cells
+    "event_transitions",  # lead window + combinable type-pair count
+    "interarrival_stats",  # integer-microsecond gaps, one moment aggregate
+    "extreme_value",  # block maxima + closed-form Gumbel MoM
+    "doc_kl",  # shared exploded stream, term-keyed join
+    "zipf_fit",  # TakeOrdered top-1000 + sufficient-stats OLS
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

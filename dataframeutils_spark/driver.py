@@ -3559,6 +3559,69 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.ks_two_sample(_melted(spark, sf_dir))
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-value (LTV) curves per acquisition cohort
+    (operators/events.py): the monetization companion to
+    events_retention on the same grid-anchored integer epoch-day
+    cohorting — active users, period value, cumulative value and
+    LTV-per-cohort-user per (cohort x age) cell. One exchange by
+    user; the cumulative window runs over cohort x age cells only."""
+    return events_ops.cohort_ltv(_events_normalized(spark, sf_dir))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (operators/events.py):
+    the empirical Markov kernel behind event_paths — per (cur, next)
+    pair the count and conditional probability, ties on identical
+    timestamps broken by event_id. One exchange by user, then a
+    combinable type-pair count."""
+    return round_floats(
+        events_ops.event_transitions(_events_normalized(spark, sf_dir)),
+        all_dec=True,
+    )
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival / burstiness profile per event type
+    (operators/events.py): pooled per-user consecutive gaps as exact
+    integer microsecond differences, then mean/sd/CV and Goh-Barabasi
+    burstiness (sigma-mu)/(sigma+mu) - the traffic-shape dial behind
+    watermark and session-gap settings."""
+    return events_ops.interarrival_stats(_events_normalized(spark, sf_dir))
+
+
+def q_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel block-maxima fit per event type (operators/events.py):
+    closed-form method-of-moments parameters (beta = s*sqrt(6)/pi,
+    mu = m - gamma*beta) over integer epoch-day blocks + 12/60-block
+    return levels - the beyond-observed-range capacity number a p99
+    cannot give. Method of moments keeps the fit exactly
+    oracle-checkable (the panel_ols sufficient-statistics
+    discipline). Registered with block_days=2: the synthetic event
+    log spans 30 days, so 30-day blocks yield < 3 blocks and an EMPTY
+    (vacuously-passing) gate - the survival_km lesson; 2-day blocks
+    give ~15 maxima per type at any sf."""
+    return events_ops.extreme_value_gumbel(
+        _events_normalized(spark, sf_dir), block_days=2
+    )
+
+
+def q_doc_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KL divergence from the corpus unigram distribution
+    (operators/text.py): the distribution-level outlier score (high =
+    off-topic/degenerate, near-zero = boilerplate). Exact integer
+    count ratios; one exploded stream feeds all three aggregates."""
+    return text.doc_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary
+    (operators/text.py): OLS of ln(count) on ln(rank) over the
+    TakeOrdered top-1000 terms via sufficient statistics - the
+    corpus-health one-liner (natural text has slope ~ -1)."""
+    return text.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
 def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart per panel series (operators/trend.py):
     sequential fold s_i = 0.2x_i + 0.8s_{i-1} with time-varying
@@ -4071,6 +4134,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol; they lead the r12 window): rank-based statistics —
         # Spearman ρ, Mann–Whitney drift, Mann–Kendall trend, Hill
         # tail index (operators/rankstats.py) ---
+        "cohort_ltv": q_cohort_ltv,
+        "event_transitions": q_event_transitions,
+        "interarrival_stats": q_interarrival_stats,
+        "extreme_value": q_extreme_value,
+        "doc_kl": q_doc_kl,
+        "zipf_fit": q_zipf_fit,
         "ewma_control": q_ewma_control,
         "winnow_profile": q_winnow_profile,
         "winnow_neardup": q_winnow_neardup,
@@ -4135,6 +4204,14 @@ def all_oracles() -> dict[str, str]:
         "ks_drift": oracles.KS_TWO_SAMPLE_SQL,
         "ab_test": events_ops.ab_test_report_sql(),
         "chi2_independence": events_ops.chi2_independence_sql(),
+        "cohort_ltv": events_ops.cohort_ltv_sql(),
+        "event_transitions": _round_oracle_cols(
+            events_ops.event_transitions_sql(), ["prob"]
+        ),
+        "interarrival_stats": events_ops.interarrival_stats_sql(),
+        "extreme_value": events_ops.extreme_value_gumbel_sql(block_days=2),
+        "doc_kl": text.doc_kl_divergence_sql(),
+        "zipf_fit": text.zipf_fit_sql(),
         "ewma_control": trend.ewma_control_sql(),
         "winnow_profile": winnow.winnow_profile_sql(),
         "winnow_neardup": winnow.winnow_neardup_sql(),

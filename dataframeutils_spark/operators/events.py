@@ -1066,3 +1066,374 @@ SELECT slc AS slice, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        abs(zval) > 1.96 AS significant
 FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curves (cumulative value per cohort age)
+# ---------------------------------------------------------------------------
+
+
+def cohort_ltv(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cumulative-value (LTV) curves per acquisition cohort: for each
+    (cohort week × age-in-weeks) cell — active users, period value,
+    cumulative value, and cumulative value PER COHORT USER (the curve
+    a growth team actually reads). The monetization companion to
+    :func:`retention_cohorts` (same grid-anchored integer epoch-day
+    cohorting, so the two reports line up row-for-row).
+
+    Scale: one exchange by user (first-day window), then one
+    combinable (cohort × age) aggregate; the cumulative window runs
+    over cohorts × ages cells, never raw events.
+    """
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
+    w = Window.partitionBy(by)
+    base = events.select(
+        F.col(by), day.alias("day"), F.col(value_col).alias("v")
+    ).withColumn("first_day", F.min("day").over(w))
+    cohort_day = (
+        F.floor(F.col("first_day") / period_days).cast("long") * period_days
+    )
+    cells = (
+        base.select(
+            F.col(by),
+            cohort_day.alias("cohort_day"),
+            F.floor((F.col("day") - cohort_day) / period_days)
+            .cast("long")
+            .alias("age"),
+            "v",
+        )
+        .groupBy("cohort_day", "age")
+        .agg(
+            F.count_distinct(F.col(by)).alias("n_active"),
+            F.sum("v").alias("period_value"),
+        )
+    )
+    wc = Window.partitionBy("cohort_day").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("cohort_day")
+    from dataframeutils_spark.schema import siground
+
+    out = (
+        cells.withColumn("cum_value", F.sum("period_value").over(wc))
+        .withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("age") == 0, F.col("n_active"))).over(wall),
+        )
+    )
+    return out.select(
+        F.date_from_unix_date(F.col("cohort_day").cast("int")).alias("cohort_date"),
+        "age",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        siground(F.col("period_value")).alias("period_value"),
+        siground(F.col("cum_value")).alias("cum_value"),
+        siground(F.col("cum_value") / F.col("cohort_size")).alias("ltv_per_user"),
+    )
+
+
+def cohort_ltv_sql(
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_days: int = 7,
+) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    return f"""
+WITH base AS (
+  SELECT {by}, CAST(epoch_us({ts_col}) // {MICROS_PER_DAY} AS BIGINT) AS day,
+         {value_col} AS v
+  FROM {table}
+), wf AS (
+  SELECT *, min(day) OVER (PARTITION BY {by}) AS first_day FROM base
+), cells AS (
+  SELECT CAST(first_day // {period_days} AS BIGINT) * {period_days} AS cohort_day,
+         CAST((day - CAST(first_day // {period_days} AS BIGINT) * {period_days})
+              // {period_days} AS BIGINT) AS age,
+         count(DISTINCT {by}) AS n_active,
+         sum(v) AS period_value
+  FROM wf GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         sum(period_value) OVER (PARTITION BY cohort_day ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value,
+         max(CASE WHEN age = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_day) AS cohort_size
+  FROM cells
+)
+SELECT DATE '1970-01-01' + CAST(cohort_day AS INTEGER) AS cohort_date,
+       age, CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       {siground_sql('period_value')} AS period_value,
+       {siground_sql('cum_value')} AS cum_value,
+       {siground_sql('cum_value / cohort_size')} AS ltv_per_user
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over each user's event stream:
+    (cur_type, next_type, n, prob) with prob = n / Σ_next n — the
+    empirical Markov kernel behind :func:`event_paths` (paths show
+    the top journeys; this is the full conditional distribution a
+    simulation or anomaly monitor consumes).
+
+    Ordering ties on identical timestamps break by ``event_id`` (the
+    event_paths contract). One exchange by user for the lead window,
+    then a combinable (cur, next) count; the probability join is a
+    window over type² cells.
+    """
+    wu = Window.partitionBy(by).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = events.select(
+        F.col(type_col).alias("cur_type"),
+        F.lead(F.col(type_col)).over(wu).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("cur_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("cur_type")
+    return counts.select(
+        "cur_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.sum("n").over(wt).cast("double")).alias("prob"),
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT {type_col} AS cur_type,
+         lead({type_col}) OVER (PARTITION BY {by}
+           ORDER BY {ts_col}, {id_col}) AS next_type
+  FROM {table}
+), counts AS (
+  SELECT cur_type, next_type, count(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur_type, next_type, CAST(n AS BIGINT) AS n,
+       n / CAST(sum(n) OVER (PARTITION BY cur_type) AS DOUBLE) AS prob
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival / burstiness profile
+# ---------------------------------------------------------------------------
+
+
+def interarrival_stats(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival-time profile per event type: gaps between a
+    user's CONSECUTIVE events of that type, pooled across users —
+    (event_type, n_gaps, mean_secs, sd_secs, cv, burstiness) with
+    burstiness B = (σ−μ)/(σ+μ) (Goh & Barabási 2008): −1 periodic,
+    0 Poisson, →1 bursty. The traffic-shape dial that decides
+    watermark and session-gap settings.
+
+    Gaps are exact INTEGER microsecond differences (identical in both
+    engines); only the summary moments are doubles under the rounding
+    contract. One exchange by (user, type) for the lag window, one
+    combinable moment aggregate.
+    """
+    from dataframeutils_spark.schema import siground
+
+    wu = Window.partitionBy(by, type_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (us - F.lag(us).over(wu)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", (F.col("gap_us") / F.lit(1_000_000.0)).alias("gap"))
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.avg("gap").alias("mu"),
+        F.coalesce(F.stddev_samp("gap"), F.lit(0.0)).alias("sd"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        siground(F.col("mu")).alias("mean_secs"),
+        siground(F.col("sd")).alias("sd_secs"),
+        siground(F.try_divide(F.col("sd"), F.col("mu"))).alias("cv"),
+        siground(
+            F.try_divide(F.col("sd") - F.col("mu"), F.col("sd") + F.col("mu"))
+        ).alias("burstiness"),
+    )
+
+
+def interarrival_stats_sql(
+    table: str = "events",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    return f"""
+WITH gaps AS (
+  SELECT {type_col} AS event_type,
+         (epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER (
+            PARTITION BY {by}, {type_col} ORDER BY {ts_col}, {id_col}))
+           / 1000000.0 AS gap
+  FROM {table}
+), g AS (
+  SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n_gaps, avg(gap) AS mu,
+         COALESCE(stddev_samp(gap), 0.0) AS sd
+  FROM g GROUP BY event_type
+)
+SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+       {siground_sql('mu')} AS mean_secs,
+       {siground_sql('sd')} AS sd_secs,
+       {siground_sql('CASE WHEN mu <> 0 THEN sd / mu END')} AS cv,
+       {siground_sql('CASE WHEN sd + mu <> 0 THEN (sd - mu) / (sd + mu) END')} AS burstiness
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# extreme-value (Gumbel) block-maxima fit
+# ---------------------------------------------------------------------------
+
+EULER_GAMMA = 0.57721566490153286
+PI = 3.141592653589793
+
+
+def extreme_value_gumbel(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    block_days: int = 30,
+) -> DataFrame:
+    """Gumbel (EV-I) fit to per-type block maxima with closed-form
+    method-of-moments parameters: β = s·√6/π, μ = m − γ·β (γ = Euler–
+    Mascheroni), plus the T-block return levels
+    x_T = μ − β·ln(−ln(1−1/T)) for T = 12 and 60 — "what value should
+    we expect to be exceeded once a year / once in five years", the
+    capacity-planning number a p99 quantile cannot give because it
+    says nothing beyond the observed range.
+
+    Method of moments (not MLE) keeps the fit CLOSED-FORM and
+    therefore exactly oracle-checkable — the same sufficient-
+    statistics discipline as panel_ols. Blocks are integer epoch-day
+    // block_days (engine-portable; calendar months are not). The
+    block-maxima moments m and s are decimal-ROUNDED before the
+    parameter chain: they carry ~1-ulp aggregation-order noise, and
+    feeding them raw through three multiplications put one measured
+    return level exactly on a significant-digit rounding boundary
+    (268.9225) — round-the-inputs makes every downstream IEEE op
+    bit-identical across engines instead.
+
+    Output: (event_type, n_blocks, block_max_mean, mu, beta,
+    return_level_12, return_level_60).
+    """
+    import math
+
+    from dataframeutils_spark.schema import decround, siground
+
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(MICROS_PER_DAY)).cast("long")
+    blocks = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.floor(day / block_days).cast("long").alias("block"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("event_type", "block")
+        .agg(F.max("v").alias("bmax"))
+    )
+    agg = blocks.groupBy("event_type").agg(
+        F.count("*").alias("n_blocks"),
+        decround(F.avg("bmax")).alias("m"),
+        decround(F.stddev_samp("bmax")).alias("s"),
+    )
+    beta = F.col("s") * F.lit(math.sqrt(6.0)) / F.lit(PI)
+    mu = F.col("m") - F.lit(EULER_GAMMA) * beta
+    def rl(t: int):
+        return mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / t)))
+    return agg.filter(F.col("n_blocks") >= 3).select(
+        "event_type",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        siground(F.col("m")).alias("block_max_mean"),
+        siground(mu).alias("mu"),
+        siground(beta).alias("beta"),
+        siground(rl(12)).alias("return_level_12"),
+        siground(rl(60)).alias("return_level_60"),
+    )
+
+
+def extreme_value_gumbel_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    block_days: int = 30,
+) -> str:
+    import math
+
+    from dataframeutils_spark.schema import decround_sql, siground_sql
+
+    beta = f"s * {math.sqrt(6.0)!r} / {PI!r}"
+    mu = f"m - {EULER_GAMMA!r} * ({beta})"
+
+    def rl(t: int) -> str:
+        return f"({mu}) - ({beta}) * {math.log(-math.log(1.0 - 1.0 / t))!r}"
+
+    return f"""
+WITH blocks AS (
+  SELECT {type_col} AS event_type,
+         CAST(epoch_us({ts_col}) // {MICROS_PER_DAY} AS BIGINT) // {block_days}
+           AS block,
+         max({value_col}) AS bmax
+  FROM {table} GROUP BY 1, 2
+), agg0 AS (
+  SELECT event_type, count(*) AS n_blocks, avg(bmax) AS m0,
+         stddev_samp(bmax) AS s0
+  FROM blocks GROUP BY event_type
+), agg AS (
+  SELECT event_type, n_blocks, {decround_sql('m0')} AS m,
+         {decround_sql('s0')} AS s
+  FROM agg0
+)
+SELECT event_type, CAST(n_blocks AS BIGINT) AS n_blocks,
+       {siground_sql('m')} AS block_max_mean,
+       {siground_sql(mu)} AS mu,
+       {siground_sql(beta)} AS beta,
+       {siground_sql(rl(12))} AS return_level_12,
+       {siground_sql(rl(60))} AS return_level_60
+FROM agg WHERE n_blocks >= 3
+"""

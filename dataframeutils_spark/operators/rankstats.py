@@ -77,13 +77,20 @@ def spearman_corr(panel: DataFrame, min_len: int = 30) -> DataFrame:
 
     Output: (grp, pair, n, rho).
     """
+    # lazy checkpoint: the panel is itself an aggregate over the raw
+    # fact table — without it each of the 3 pair arms re-runs that
+    # aggregation (measured 9.6 s → ~3 s at the 10× stress)
+    feats = sorted({c for p in PAIRS for c in p})
+    base = panel.select(
+        "grp", *[decround(F.col(c).cast("double")).alias(c) for c in feats]
+    ).localCheckpoint(eager=False)
     outs = []
     for fa, fb in PAIRS:
         d = (
-            panel.select(
+            base.select(
                 "grp",
-                decround(F.col(fa).cast("double")).alias("_a"),
-                decround(F.col(fb).cast("double")).alias("_b"),
+                F.col(fa).alias("_a"),
+                F.col(fb).alias("_b"),
             )
             .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
             .withColumn("pair", F.lit(f"{fa}|{fb}"))

@@ -1275,3 +1275,167 @@ SELECT doc_id, rrf_score, bm25_rank, chargram_rank FROM (
   FROM fused
 ) WHERE fr <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-relative document KL divergence + Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def doc_kl_divergence(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document KL divergence from the corpus unigram distribution:
+    KL(doc ‖ corpus) = Σ_w (c_w/n_d)·ln((c_w/n_d)/(C_w/N)) — the
+    distribution-level outlier score (high = off-topic or degenerate,
+    near-zero = boilerplate indistinguishable from the corpus prior);
+    the per-document companion to :func:`ngram_lm_score` that needs no
+    smoothing because every doc term is by construction in the corpus
+    table.
+
+    All probabilities are ratios of exact integer counts; the ln-sum
+    rides the rounding contract. Scale: the same exploded count stream
+    feeds both groupBys (map-side combinable); the doc×term ⋈ corpus
+    term join is keyed on term, and only (term, count) pairs shuffle —
+    never text.
+
+    Output: (doc_id, n_tokens, n_types, kl).
+    """
+    from dataframeutils_spark.schema import siground
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    cc = toks.groupBy("term").agg(F.count("*").alias("cw"))
+    ntot = toks.groupBy().agg(F.count("*").cast("double").alias("nt"))
+    dn = dc.groupBy("doc_id").agg(
+        F.sum("c").alias("nd"), F.count("*").alias("n_types")
+    )
+    j = (
+        dc.join(cc, "term")
+        .join(dn, "doc_id")
+        .crossJoin(F.broadcast(ntot))
+    )
+    term_kl = (F.col("c") / F.col("nd")) * F.log(
+        (F.col("c") / F.col("nd")) / (F.col("cw") / F.col("nt"))
+    )
+    out = j.groupBy("doc_id").agg(
+        F.first("nd").alias("n_tokens"),
+        F.first("n_types").alias("n_types"),
+        F.sum(term_kl).alias("_kl"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        siground(F.col("_kl")).alias("kl"),
+    )
+
+
+def doc_kl_divergence_sql(table: str = "documents") -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+), dc AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+), cc AS (
+  SELECT term, count(*) AS cw FROM tok GROUP BY term
+), nt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nt FROM tok
+), dn AS (
+  SELECT doc_id, sum(c) AS nd, count(*) AS n_types FROM dc GROUP BY doc_id
+), j AS (
+  SELECT dc.doc_id, dn.nd, dn.n_types,
+         (dc.c / CAST(dn.nd AS DOUBLE))
+           * ln((dc.c / CAST(dn.nd AS DOUBLE)) / (cc.cw / nt.nt)) AS tkl
+  FROM dc JOIN cc USING (term) JOIN dn USING (doc_id) CROSS JOIN nt
+)
+SELECT doc_id, CAST(any_value(nd) AS BIGINT) AS n_tokens,
+       CAST(any_value(n_types) AS BIGINT) AS n_types,
+       {siground_sql('sum(tkl)')} AS kl
+FROM j GROUP BY doc_id
+"""
+
+
+def zipf_fit(
+    docs: DataFrame, top_r: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank–frequency curve: OLS of
+    ln(count) on ln(rank) over the top ``top_r`` terms —
+    (n_terms_used, slope, intercept, r2). A healthy natural-language
+    corpus has slope ≈ −1; a flat slope means templated/synthetic
+    text, a cliff means a truncated vocabulary. The corpus-health
+    one-liner next to :func:`vocab_growth`.
+
+    Ranks are deterministic ((count desc, term) via the distributed
+    TakeOrdered top-k); the OLS solves from sufficient statistics on
+    the ≤ top_r surviving rows (the panel_ols discipline, 1 regressor)
+    with the same sse clamp and NULL-guards.
+    """
+    from dataframeutils_spark.schema import siground
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    cnt = (
+        docs.repartition(par)
+        .select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    order = [F.col("c").desc(), F.col("term")]
+    top = ranked_topk(cnt, top_r, order).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = top.groupBy().agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    slope = F.try_divide(F.col("cxy"), F.col("vx"))
+    intercept = F.col("my") - slope * F.col("mx")
+    r2 = F.try_divide(F.col("cxy") * F.col("cxy"), F.col("vx") * F.col("vy"))
+    return agg.filter(F.col("n") >= 10).select(
+        F.col("n").cast("long").alias("n_terms_used"),
+        siground(slope).alias("slope"),
+        siground(intercept).alias("intercept"),
+        siground(r2).alias("r2"),
+    )
+
+
+def zipf_fit_sql(top_r: int = 1000, table: str = "documents") -> str:
+    from dataframeutils_spark.schema import siground_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    return f"""
+WITH cnt AS (
+  SELECT term, count(*) AS c FROM (
+    SELECT unnest({toks}) AS term FROM {table}
+  ) GROUP BY term
+), top AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM (
+    SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank FROM cnt
+  ) WHERE rank <= {top_r}
+), agg AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         var_samp(x) AS vx, var_samp(y) AS vy, covar_samp(x, y) AS cxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_terms_used,
+       {siground_sql('CASE WHEN vx <> 0 THEN cxy / vx END')} AS slope,
+       {siground_sql('my - (CASE WHEN vx <> 0 THEN cxy / vx END) * mx')} AS intercept,
+       {siground_sql('CASE WHEN vx * vy <> 0 THEN cxy * cxy / (vx * vy) END')} AS r2
+FROM agg WHERE n >= 10
+"""
