@@ -271,12 +271,12 @@ def test_event_study_facade(spark):
 def test_registry_contract():
     """Driver-contract invariants the external gate depends on: every
     oracle belongs to a registered query, every registry entry is
-    callable, and the round-10 rotation holds — positions 1-16 are the
-    7 r6 leftovers plus the 9 r9 entries never externally gated as
-    exact (all 16 exact-mode: the zero-`err` window hygiene rule is
-    back after r9's one-shot relaxation), positions 17-50 the first 34
-    of the r7-verified batch, and everything below the cap either
-    carries a driver row from r6/r7/r8/r9 or is documented
+    callable, and the round-11 rotation holds — positions 1-30 are the
+    30 entries never externally gated as exact (the unigram trio +
+    the 27 r10 in-round additions), positions 31-43 the 13 r7-batch
+    leftovers, positions 44-50 the 7 oldest r8-batch rows (all 50
+    exact-mode: zero-`err` window hygiene), and everything below the
+    cap either carries a driver row from r6..r10 or is documented
     rows-only-by-design at the bottom of the registry."""
     import json
     import os as _os
@@ -289,31 +289,32 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # r10 window leads: 7 r6 leftovers (oldest external rows;
-    # similarity_recall never gated in its 3-exact-arm form) + the 9
-    # r9 entries never externally gated AS EXACT
-    assert names[:16] == [
-        "apply_changes", "weighted_sample", "stream_apply_changes",
-        "similarity_ivfadc", "similarity_recall", "similarity_ivf",
-        "weighted_bins",
-        "bpe_train", "bpe_encode", "bpe_pack",
-        "frequency_domain", "memory_dependence",
-        "similarity_ann_multiprobe_capped", "multimodal_mp4_frame_index",
-        "dedup_canonical", "k_anonymity",
+    # r11 window leads (1-30): never externally gated AS EXACT —
+    # the unigram trio + the 27 r10 in-round additions
+    assert names[:30] == [
+        "unigram_train", "unigram_encode", "tokenizer_fertility",
+        "multimodal_webm_frame_index",
+        "multimodal_image_dhash", "multimodal_image_phash_dedup",
+        "multimodal_image_neardup", "multimodal_audio_fingerprint",
+        "multimodal_audio_fp_dedup",
+        "stationarity_kpss",
+        "changepoint_cusum", "seasonal_decompose", "panel_ols",
+        "theilsen_slope", "mahalanobis_outliers", "dtw_distance",
+        "ks_drift", "chi2_independence", "ab_test",
+        "association_rules", "benford_audit", "hybrid_search",
+        "survival_km", "embedding_auc", "revenue_concentration",
+        "jackknife_ci", "l_diversity", "graph_triangles",
+        "fuzzy_join", "entity_resolution",
     ]
-    # positions 17-50: first 34 of the r7-verified batch
-    assert names[16:50] == [
-        "mad_outliers", "psi_drift", "compaction_plan", "dsir_select",
-        "feature_matrix", "lsh_tuning", "quantile_bin", "salted_join",
-        "zorder_layout", "multimodal_meta", "multimodal_frames",
-        "embedding_quantize", "embedding_dim_stats", "events_props",
-        "multimodal_jpeg_pixels", "multimodal_wav_samples",
-        "multimodal_audio_windows", "multimodal_mp4_meta",
-        "tpch_q1", "tpch_q18", "hll_distinct", "stream_distinct_users",
-        "hist_quantiles", "corpus_overlap", "tpch_q4", "asof_profile",
-        "asof_profile_forward", "sales_by_nation", "sales_rollup",
-        "range_attribution", "dataset_split", "dedup_clusters",
-        "dedup_exact", "panel_distribution",
+    # positions 31-43: the 13 r7-batch leftovers; 44-50: the 7 oldest
+    # r8-batch rows (re-gate fill)
+    assert names[30:50] == [
+        "panel_dispersion", "panel_ar1", "lagged_corr", "mutual_info",
+        "zscore_outliers", "rolling_corr", "topk_terms", "tfidf_topterms",
+        "text_stats", "language_id", "dedup_minhash_lsh", "dedup_simhash",
+        "similarity_topk",
+        "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+        "tpch_q10", "tpch_q11",
     ]
     # zero-`err` hygiene: EVERY query inside the 50-entry window
     # carries an exact DuckDB oracle
@@ -340,24 +341,23 @@ def test_registry_contract():
     if len(rounds) == 4:
         gated = set().union(*rounds.values())
         # everything below the cap must carry a driver row from
-        # r6/r7/r8/r9 or be documented rows-only-by-design (in-round
-        # r10 newcomers, once registered, are added to NEW_R10 here)
-        NEW_R10 = {"multimodal_webm_frame_index",
-                   "multimodal_image_dhash", "multimodal_image_phash_dedup",
-                   "multimodal_image_neardup",
-                   "multimodal_audio_fingerprint", "multimodal_audio_fp_dedup",
-                   "stationarity_kpss",
-                   # r10 session-2 additions (all exact-mode, r11 leads)
-                   "changepoint_cusum", "seasonal_decompose", "panel_ols",
-                   "theilsen_slope", "mahalanobis_outliers", "dtw_distance",
-                   "l_diversity", "graph_triangles", "fuzzy_join",
-                   "entity_resolution", "association_rules", "benford_audit",
-                   "hybrid_search", "survival_km", "embedding_auc",
-                   "revenue_concentration", "jackknife_ci", "ks_drift",
-                   "chi2_independence", "ab_test"}
+        # r6..r10 or be documented rows-only-by-design (in-round r11
+        # newcomers, once registered, are added to NEW_R11 here)
+        rounds_r10 = {}
+        p10 = _os.path.join(here, "..", "CORRECTNESS_r10.json")
+        if _os.path.exists(p10):
+            with open(p10) as fh:
+                rounds_r10 = json.load(fh)
+        gated |= set(rounds_r10)
+        NEW_R11 = {"spearman_corr", "mann_whitney", "mann_kendall",
+                   "hill_tail", "token_entropy", "pmi_collocations",
+                   "winnow_profile", "winnow_neardup", "ewma_control",
+                   # r11 session-2 additions (all exact-mode, r12 leads)
+                   "cohort_ltv", "event_transitions", "interarrival_stats",
+                   "extreme_value", "doc_kl", "zipf_fit"}
         missing = [
             n for n in names[50:]
-            if n not in gated and n not in ROWS_ONLY and n not in NEW_R10
+            if n not in gated and n not in ROWS_ONLY and n not in NEW_R11
         ]
         assert missing == [], missing
         # and the r9 window itself was fully green: 44 exact hashes +
