@@ -3925,9 +3925,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cumulative external coverage reaches 204/204 registered queries.
     Below the cap, prior groups keep their relative order: the 50
     entries gated green in CORRECTNESS_r10.json, the remaining r8/r9
-    batches, and the rows-only-by-design group at the bottom. r11
-    in-round additions are registered below the cap per the rotation
-    protocol and lead the r12 window.
+    batches, and the rows-only-by-design group at the bottom. The 15
+    r11 in-round additions — rank statistics (spearman_corr,
+    mann_whitney, mann_kendall, hill_tail), winnowing
+    (winnow_profile, winnow_neardup), ewma_control, text quality
+    (token_entropy, pmi_collocations, doc_kl, zipf_fit) and event
+    analytics (cohort_ltv, event_transitions, interarrival_stats,
+    extreme_value) — are registered below the cap per the rotation
+    protocol and lead the r12 window, followed by any of the 20
+    r10-window re-gates that rotation displaces.
     """
     return {
         # --- r11 window leads (positions 1-30): every entry never
