@@ -215,6 +215,10 @@ HEADLINE = [
     "extreme_value",  # block maxima + closed-form Gumbel MoM
     "doc_kl",  # shared exploded stream, term-keyed join
     "zipf_fit",  # TakeOrdered top-1000 + sufficient-stats OLS
+    "winnow_clusters",  # components over the df-capped winnow pair graph
+    "js_drift",  # binned symmetric divergence, series x bins cells
+    "rank_transform",  # tie-averaged percentile transform per series
+    "dedup_containment",  # asymmetric containment verify over LSH candidates
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

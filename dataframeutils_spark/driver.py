@@ -3559,6 +3559,51 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.ks_two_sample(_melted(spark, sf_dir))
 
 
+def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive contiguous-copy clusters (operators/winnow.py):
+    connected components over the winnowing near-dup pair graph, the
+    dedup_clusters contract (doc_id, cluster_id, cluster_size,
+    is_canonical) - quote chains resolve into one provenance cluster
+    even when the chain's endpoints share almost nothing."""
+    return winnow.winnow_clusters(load_table(spark, sf_dir, "documents"))
+
+
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift per panel series (operators/trend.py):
+    the symmetric always-finite complement to PSI (explodes on empty
+    bins) and KS (sees only the largest single gap) - 20 equal-width
+    bins of the rounded series range, all downstream arithmetic
+    identical IEEE ops on identical inputs."""
+    return trend.js_drift(_melted(spark, sf_dir))
+
+
+def q_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile (rank) feature transform per series
+    (operators/features.py): every observation mapped to its
+    empirical percentile via tie-averaged ranks over rounded values -
+    the distribution-free scaling that makes fat-tailed features
+    model-comparable. One exchange per series, one row out per
+    observation."""
+    return round_floats(
+        features.rank_transform(_melted(spark, sf_dir)), dec=("pct",)
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py): Broder's
+    containment coefficient |A-int-B|/min(|A|,|B|) over RARE-shingle
+    blocked candidates (df <= 8) - the quote-extraction case
+    Jaccard-LSH structurally misses: an embedded quote's band
+    collision probability ~ J^r ~ 0, so MinHash never proposes the
+    pair, while the quote shares ALL its shingles (including rare
+    ones) with its container. Relation labels compare exact integer
+    ratios, so they cannot flip cross-engine."""
+    return round_floats(
+        dedup.containment_pairs(load_table(spark, sf_dir, "documents")),
+        all_dec=True,
+    )
+
+
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative-value (LTV) curves per acquisition cohort
     (operators/events.py): the monetization companion to
@@ -4140,6 +4185,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol; they lead the r12 window): rank-based statistics —
         # Spearman ρ, Mann–Whitney drift, Mann–Kendall trend, Hill
         # tail index (operators/rankstats.py) ---
+        "winnow_clusters": q_winnow_clusters,
+        "js_drift": q_js_drift,
+        "rank_transform": q_rank_transform,
+        "dedup_containment": q_dedup_containment,
         "cohort_ltv": q_cohort_ltv,
         "event_transitions": q_event_transitions,
         "interarrival_stats": q_interarrival_stats,
@@ -4210,6 +4259,14 @@ def all_oracles() -> dict[str, str]:
         "ks_drift": oracles.KS_TWO_SAMPLE_SQL,
         "ab_test": events_ops.ab_test_report_sql(),
         "chi2_independence": events_ops.chi2_independence_sql(),
+        "winnow_clusters": winnow.winnow_clusters_sql(),
+        "js_drift": trend.js_drift_sql(),
+        "rank_transform": _round_oracle_cols(
+            features.rank_transform_sql(), ["pct"]
+        ),
+        "dedup_containment": _round_oracle_cols(
+            dedup.containment_pairs_sql(), ["jaccard", "containment"]
+        ),
         "cohort_ltv": events_ops.cohort_ltv_sql(),
         "event_transitions": _round_oracle_cols(
             events_ops.event_transitions_sql(), ["prob"]

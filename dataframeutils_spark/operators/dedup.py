@@ -1683,3 +1683,133 @@ SELECT src_a, src_b,
        CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
 FROM sides GROUP BY 1, 2
 """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    block_df: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT scores over rare-shingle-blocked pairs:
+    (doc_a, doc_b, n_inter, n_a, n_b, jaccard, containment, relation)
+    with containment = |A∩B| / min(|A|,|B|) (Broder's containment
+    coefficient). The quote-extraction case Jaccard-LSH structurally
+    misses: a short doc fully embedded in a long one has tiny Jaccard
+    (the union is dominated by the size mismatch), so its band
+    collision probability ≈ J^r ≈ 0 — MinHash banding never even
+    PROPOSES the pair. Containment therefore needs its own candidate
+    generation: pairs sharing at least one RARE shingle (corpus
+    document frequency ≤ ``block_df``). An embedded quote shares ALL
+    its shingles with its container — including its rare ones — so
+    recall for quotes of ≥ n+block-length tokens is structural, while
+    the df cap bounds pair fan-out at block_df² per shingle at ANY
+    corpus size (the occupancy-cap discipline; deterministic integer
+    filter, identically applied by the oracle).
+
+    ``relation`` labels each surviving pair on the exact INTEGER
+    ratios (comparisons cannot flip cross-engine): 'duplicate' when
+    jaccard ≥ 0.8, else 'contains' when containment ≥ 0.8, else
+    'related'.
+
+    Scale: only 8-byte shingle hashes shuffle; the verify join
+    touches candidate × shingle rows with candidates df-bounded.
+    """
+    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    hashed = sh.select(
+        "doc_id", portable_hash60(F.col("shingle")).alias("sh_h")
+    ).localCheckpoint(eager=False)
+    counts = hashed.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        hashed.groupBy("sh_h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= block_df)
+        .select("sh_h")
+    )
+    blocked = hashed.join(rare, "sh_h")
+    ba = blocked.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    bb = blocked.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    cand = (
+        ba.join(bb, "sh_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh_h").alias("ha"))
+    sb = hashed.select(F.col("doc_id").alias("b_id"), F.col("sh_h").alias("hb"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("ha") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    cont = F.col("n_inter") / F.least("n_a", "n_b").cast("double")
+    out = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            jac.alias("jaccard"),
+            cont.alias("containment"),
+            F.when(jac >= 0.8, F.lit("duplicate"))
+            .when(cont >= 0.8, F.lit("contains"))
+            .otherwise(F.lit("related"))
+            .alias("relation"),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    n: int = 3,
+    block_df: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    h = portable_hash60_sql("shingle")
+    return f"""
+WITH {_shingle_cte(table, n)}, hsh AS (
+  SELECT doc_id, {h} AS sh_h FROM sh
+), rare AS (
+  SELECT sh_h FROM hsh GROUP BY sh_h HAVING count(*) <= {block_df}
+), blocked AS (
+  SELECT hsh.doc_id, hsh.sh_h FROM hsh JOIN rare USING (sh_h)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+), cnt AS (
+  SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN hsh a ON a.doc_id = c.doc_a
+  JOIN hsh b ON b.doc_id = c.doc_b AND b.sh_h = a.sh_h
+  GROUP BY c.doc_a, c.doc_b
+), scored AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS BIGINT) AS n_inter,
+         CAST(ca.n_sh AS BIGINT) AS n_a,
+         CAST(cb.n_sh AS BIGINT) AS n_b,
+         n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard,
+         n_inter / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE) AS containment
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.doc_a
+  JOIN cnt cb ON cb.doc_id = inter.doc_b
+)
+SELECT *, CASE WHEN jaccard >= 0.8 THEN 'duplicate'
+               WHEN containment >= 0.8 THEN 'contains'
+               ELSE 'related' END AS relation
+FROM scored WHERE containment >= {threshold}
+"""

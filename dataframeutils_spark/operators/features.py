@@ -537,3 +537,69 @@ SELECT grp, CAST(n AS BIGINT) AS n,
        {siground_sql(f'mean + {z} * se')} AS ci_hi
 FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# rank / percentile transform (distribution-free feature scaling)
+# ---------------------------------------------------------------------------
+
+
+def rank_transform(long_df: DataFrame, min_len: int = 10) -> DataFrame:
+    """Percentile (rank) transform per series: every observation
+    mapped to its empirical percentile pct = (avg_rank − 1)/(n − 1)
+    ∈ [0, 1] — the distribution-free scaling that makes fat-tailed
+    features comparable for downstream models (quantile scaling /
+    "rank-gauss without the gauss"), robust where z-scores are not.
+
+    Ranks are tie-AVERAGED over the decimal-ROUNDED value (the
+    engine-wide tie discipline: rank arithmetic stays on exact
+    half-integers, tie structure is engine-identical). One exchange
+    per series; output is one row per input observation.
+
+    Output: (grp, feature, date, value, pct).
+    """
+    from dataframeutils_spark.schema import decround
+
+    w = Window.partitionBy("grp", "feature")
+    g = (
+        long_df.filter(F.col("value").isNotNull())
+        .withColumn("_n", F.count("value").over(w))
+        .filter(F.col("_n") >= min_len)
+        .withColumn("_rv", decround(F.col("value")))
+    )
+    wr = Window.partitionBy("grp", "feature").orderBy("_rv")
+    wt = Window.partitionBy("grp", "feature", "_rv")
+    avg_rank = F.rank().over(wr) + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0)
+    return g.select(
+        "grp",
+        "feature",
+        "date",
+        siground(F.col("value")).alias("value"),
+        ((avg_rank - F.lit(1.0)) / (F.col("_n") - F.lit(1)).cast("double")).alias(
+            "pct"
+        ),
+    )
+
+
+def rank_transform_sql(min_len: int = 10) -> str:
+    from dataframeutils_spark.oracles import with_panel
+    from dataframeutils_spark.schema import decround_sql
+
+    return with_panel(f"""
+, g AS (
+  SELECT grp, feature, date, value, {decround_sql('value')} AS rv,
+         count(value) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= {min_len}
+), rk AS (
+  SELECT grp, feature, date, value, n,
+         rank() OVER (PARTITION BY grp, feature ORDER BY rv)
+           + (count(*) OVER (PARTITION BY grp, feature, rv) - 1) / 2.0
+           AS avg_rank
+  FROM g
+)
+SELECT grp, feature, date,
+       {siground_sql('value')} AS value,
+       (avg_rank - 1.0) / CAST(n - 1 AS DOUBLE) AS pct
+FROM rk
+""")

@@ -738,3 +738,149 @@ SELECT grp, feature, CAST(n AS BIGINT) AS n,
        {decround_sql('slist[n + 1]')} AS last_ewma
 FROM flagged
 """)
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon drift (binned, bounded, symmetric)
+# ---------------------------------------------------------------------------
+
+
+def js_drift(
+    long_df: DataFrame, n_bins: int = 20, min_len: int = 40
+) -> DataFrame:
+    """Jensen–Shannon drift per series between the first and second
+    half of the window (the ks_two_sample split): the SYMMETRIC,
+    always-finite complement to PSI (which explodes on empty bins)
+    and KS (which only sees the single largest ECDF gap — JS
+    integrates mass movement everywhere).
+
+    Values are decimal-ROUNDED first (identical doubles in both
+    engines), then binned into ``n_bins`` equal-width buckets of the
+    series' rounded [min, max] — every arithmetic step downstream of
+    the rounding is the same IEEE expression on the same inputs, so
+    bin membership is engine-exact. JS = ½Σp·ln(p/m) + ½Σq·ln(q/m)
+    with m = (p+q)/2 (zero-mass terms contribute 0 by the CASE
+    guard); ``js_dist`` = √(JS/ln 2) ∈ [0,1] is the metric form.
+
+    Scale: one (series × bin) combinable aggregate after the
+    side/bin projection — bins are a constant, so the post-shuffle
+    table is series × n_bins rows at any corpus size.
+
+    Output: (grp, feature, n1, n2, js_div, js_dist, drifted).
+    """
+    g = _gated(long_df, min_len)
+    w = Window.partitionBy("grp", "feature")
+    day = F.datediff(F.col("date"), F.lit(_EPOCH))
+    g = (
+        g.withColumn(
+            "_side",
+            (day * 2 < F.min(day).over(w) + F.max(day).over(w)).cast("int"),
+        )
+        .withColumn("_rv", decround(F.col("value")))
+        .withColumn("_mn", F.min("_rv").over(w))
+        .withColumn("_mx", F.max("_rv").over(w))
+        .filter(F.col("_mx") > F.col("_mn"))
+    )
+    bin_ = F.least(
+        F.floor(
+            (F.col("_rv") - F.col("_mn"))
+            / (F.col("_mx") - F.col("_mn"))
+            * n_bins
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    cell = g.groupBy("grp", "feature", bin_.alias("bin")).agg(
+        F.sum("_side").alias("c1"),
+        F.sum(F.lit(1) - F.col("_side")).alias("c2"),
+    )
+    wg = Window.partitionBy("grp", "feature")
+    cell = (
+        cell.withColumn("n1", F.sum("c1").over(wg))
+        .withColumn("n2", F.sum("c2").over(wg))
+        .withColumn("p", F.col("c1") / F.col("n1").cast("double"))
+        .withColumn("q", F.col("c2") / F.col("n2").cast("double"))
+        .withColumn("m", (F.col("p") + F.col("q")) / F.lit(2.0))
+    )
+    term = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / F.col("m"))).otherwise(
+        F.lit(0.0)
+    ) * F.lit(0.5) + F.when(
+        F.col("q") > 0, F.col("q") * F.log(F.col("q") / F.col("m"))
+    ).otherwise(F.lit(0.0)) * F.lit(0.5)
+    agg = (
+        cell.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("grp", "feature")
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.sum(term).alias("_js"),
+        )
+    )
+    js = decround(F.greatest(F.lit(0.0), F.col("_js")))
+    import math
+
+    return agg.select(
+        "grp",
+        "feature",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        js.alias("js_div"),
+        decround(F.sqrt(js / F.lit(math.log(2.0)))).alias("js_dist"),
+        (js > 0.05).alias("drifted"),
+    )
+
+
+def js_drift_sql(n_bins: int = 20, min_len: int = 40) -> str:
+    import math
+
+    from dataframeutils_spark.oracles import with_panel
+    from dataframeutils_spark.schema import decround_sql
+
+    rv = decround_sql("value")
+    term = (
+        "0.5 * CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END"
+        " + 0.5 * CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END"
+    )
+    js = decround_sql("greatest(0.0, js0)")
+    return with_panel(f"""
+, g AS (
+  SELECT grp, feature, {rv} AS rv,
+         CASE WHEN (date - DATE '{_EPOCH}') * 2 <
+                   min(date - DATE '{_EPOCH}') OVER (PARTITION BY grp, feature)
+                 + max(date - DATE '{_EPOCH}') OVER (PARTITION BY grp, feature)
+              THEN 1 ELSE 0 END AS side,
+         count(value) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= {min_len}
+), bounded AS (
+  SELECT *, min(rv) OVER (PARTITION BY grp, feature) AS mn,
+            max(rv) OVER (PARTITION BY grp, feature) AS mx
+  FROM g
+  QUALIFY mx > mn
+), cell AS (
+  SELECT grp, feature,
+         CAST(least(floor((rv - mn) / (mx - mn) * {n_bins}),
+                    {n_bins - 1}) AS INTEGER) AS bin,
+         sum(side) AS c1, sum(1 - side) AS c2
+  FROM bounded GROUP BY 1, 2, 3
+), probs AS (
+  SELECT grp, feature, c1, c2,
+         sum(c1) OVER (PARTITION BY grp, feature) AS n1,
+         sum(c2) OVER (PARTITION BY grp, feature) AS n2
+  FROM cell
+), pq AS (
+  SELECT grp, feature, n1, n2,
+         c1 / CAST(n1 AS DOUBLE) AS p,
+         c2 / CAST(n2 AS DOUBLE) AS q,
+         (c1 / CAST(n1 AS DOUBLE) + c2 / CAST(n2 AS DOUBLE)) / 2.0 AS m
+  FROM probs WHERE n1 > 0 AND n2 > 0
+), agg AS (
+  SELECT grp, feature, any_value(n1) AS n1, any_value(n2) AS n2,
+         sum({term}) AS js0
+  FROM pq GROUP BY grp, feature
+)
+SELECT grp, feature, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       {js} AS js_div,
+       {decround_sql(f'sqrt({js} / {math.log(2.0)!r})')} AS js_dist,
+       {js} > 0.05 AS drifted
+FROM agg
+""")

@@ -161,9 +161,16 @@ def winnow_neardup_pairs(
     LSH DEFAULT_BUCKET_CAP analog; deterministic, an exact count
     filter, so the oracle applies the identical cap).
     """
-    fps = winnow_fingerprints(docs, kgram, window, text_col, id_col).select(
-        "doc_id", "fp"
-    ).distinct()
+    # lazy checkpoint: the fingerprint pipeline (explode + window-min
+    # + distinct over corpus grams) feeds THREE consumers below (df
+    # count + both join sides) — without it each one re-runs the scan
+    # (measured 3× the fingerprint cost at the 10× stress)
+    fps = (
+        winnow_fingerprints(docs, kgram, window, text_col, id_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     df_ok = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -246,4 +253,71 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def winnow_clusters(
+    docs: DataFrame,
+    kgram: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive contiguous-copy clusters: connected components over
+    the :func:`winnow_neardup_pairs` edge graph, one row per clustered
+    doc — (doc_id, cluster_id, cluster_size, is_canonical), canonical
+    = min doc_id (the dedup_clusters contract, so the two dedup tiers
+    read identically downstream). Completes the winnowing tier to the
+    same pair → cluster → keep/drop pipeline as the MinHash tier: the
+    bag-similarity family catches shuffled near-copies, this one
+    catches quote chains (A quotes B quotes C ⇒ one provenance
+    cluster even though A∩C may be tiny).
+
+    Scale: same bounded pointer-doubling label propagation as every
+    components consumer; the edge table is already df-capped.
+    """
+    from dataframeutils_spark.operators.dedup import connected_components
+
+    pairs = winnow_neardup_pairs(
+        docs, kgram, window, min_shared, max_df, text_col, id_col
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    size = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(size, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def winnow_clusters_sql(
+    table: str = "documents",
+    kgram: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> str:
+    """DuckDB oracle: recursive-CTE transitive closure over the winnow
+    pair graph (the dedup_clusters oracle pattern)."""
+    return f"""
+WITH RECURSIVE pairs AS ({winnow_neardup_sql(table, kgram, window, min_shared, max_df)}),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+),
+lab AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab
 """

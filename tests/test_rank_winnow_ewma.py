@@ -250,3 +250,91 @@ def test_pmi_perfect_collocation(spark):
     top = out[out["rank"] == 1].iloc[0]
     assert (top["w1"], top["w2"]) == ("alpha", "beta")
     assert float(top["pmi"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# slate 3: winnow clusters / JS drift / rank transform / containment
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_clusters_transitive_chain(spark):
+    """A quotes B quotes C (A and C share nothing) → ONE cluster."""
+    p1 = "the quick brown fox jumps over the lazy dog today"
+    p2 = "pack my box with five dozen liquor jugs tonight ok"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "prefix one " + p1 + " suffix alpha beta gamma",
+                    "mid " + p1 + " and also " + p2 + " more words",
+                    "totally different opener " + p2 + " closer words",
+                    "unrelated text with no shared passages anywhere",
+                ],
+            }
+        )
+    )
+    out = winnow.winnow_clusters(docs, min_shared=1).toPandas()
+    lab = {int(r["doc_id"]): int(r["cluster_id"]) for _, r in out.iterrows()}
+    assert lab[1] == lab[2] == lab[3] == 1
+    assert 4 not in lab  # singleton excluded
+    assert out[out["doc_id"] == 1]["is_canonical"].iloc[0]
+
+
+def test_containment_catches_embedded_quote(spark):
+    """A short doc fully contained in a long one: jaccard low,
+    containment 1.0, relation 'contains'."""
+    from dataframeutils_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [quote, quote + " " + filler],
+            }
+        )
+    )
+    out = dedup.containment_pairs(docs, threshold=0.5).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert float(r["containment"]) == pytest.approx(1.0)
+    assert float(r["jaccard"]) < 0.2
+    assert r["relation"] == "contains"
+
+
+def test_js_drift_shifted_halves(spark):
+    import datetime as dt
+
+    from dataframeutils_spark.operators.trend import js_drift
+
+    rows = [
+        ("g", "f", dt.date(2020, 1, 1) + dt.timedelta(days=i),
+         float(i % 10) + (50.0 if i >= 40 else 0.0))
+        for i in range(80)
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "feature", "date", "value"])
+    out = js_drift(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 1
+    # disjoint supports → JS = ln 2, js_dist = 1
+    assert float(out["js_div"].iloc[0]) == pytest.approx(math.log(2), rel=1e-4)
+    assert float(out["js_dist"].iloc[0]) == pytest.approx(1.0, rel=1e-4)
+    assert bool(out["drifted"].iloc[0])
+
+
+def test_rank_transform_endpoints(spark):
+    import datetime as dt
+
+    from dataframeutils_spark.operators.features import rank_transform
+
+    rows = [
+        ("g", "f", dt.date(2020, 1, 1) + dt.timedelta(days=i), float(i * i))
+        for i in range(11)
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "feature", "date", "value"])
+    out = rank_transform(spark.createDataFrame(pdf)).toPandas()
+    by_val = out.sort_values("value")["pct"].tolist()
+    assert by_val[0] == 0.0 and by_val[-1] == 1.0
+    # strictly increasing values → pct is the uniform grid
+    assert by_val == pytest.approx([i / 10 for i in range(11)])
