@@ -219,6 +219,7 @@ HEADLINE = [
     "js_drift",  # binned symmetric divergence, series x bins cells
     "rank_transform",  # tie-averaged percentile transform per series
     "dedup_containment",  # asymmetric containment verify over LSH candidates
+    "drift_fdr",  # BH step-up over the battery table (tests x series rows)
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

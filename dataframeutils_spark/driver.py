@@ -1027,11 +1027,15 @@ def q_similarity_ann_multiprobe_capped(
     (similarity.DEFAULT_BUCKET_CAP=64, r9 verdict item 6); this query
     pins it explicitly. Same deterministic hash sample in both engines
     → exact oracle; recall floor under the cap pinned in
-    tests/test_northstar.py."""
+    tests/test_northstar.py. Since r11 the registered query scores
+    candidates with the Arrow cogrouped re-rank (the similarity_ivf
+    stroke: 26.6 s → single digits at the sf1 suite wall, same
+    argmax/tie rules, oracle unchanged)."""
     return round_floats(
         similarity.ann_topk_multiprobe(
             load_table(spark, sf_dir, "embeddings"),
             k=5, bits=32, bands=4, dim=EMB_DIM, bucket_cap=64,
+            arrow_rerank=True,
         ),
         all_dec=True,
     )
@@ -3559,6 +3563,27 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.ks_two_sample(_melted(spark, sf_dir))
 
 
+def q_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the drift-test battery
+    (operators/rankstats.py): the CUSUM, two-sample-KS and KPSS
+    p-values for every panel series stacked into one hypothesis table,
+    ranked battery-wide, q-values from the published step-up suffix
+    min - the paged-on report of a monitoring deployment (which series
+    ACTUALLY moved at a controlled false-discovery rate). Every window
+    runs over the post-aggregate battery (tests x series rows), never
+    raw data; inputs carry the same rounding as their registered
+    standalone queries, so rank order cannot flip cross-engine."""
+    m = _melted(spark, sf_dir)
+    cusum = round_floats(
+        trend.changepoint_cusum(m), dec=("cusum_stat", "p_value")
+    )
+    ks = trend.ks_two_sample(m)
+    kpss = round_floats(stat_tests.kpss_stationarity(m), all_dec=True)
+    return round_floats(
+        rankstats.panel_drift_fdr(cusum, ks, kpss), all_dec=True
+    )
+
+
 def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive contiguous-copy clusters (operators/winnow.py):
     connected components over the winnowing near-dup pair graph, the
@@ -4185,6 +4210,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol; they lead the r12 window): rank-based statistics —
         # Spearman ρ, Mann–Whitney drift, Mann–Kendall trend, Hill
         # tail index (operators/rankstats.py) ---
+        "drift_fdr": q_drift_fdr,
         "winnow_clusters": q_winnow_clusters,
         "js_drift": q_js_drift,
         "rank_transform": q_rank_transform,
@@ -4259,6 +4285,9 @@ def all_oracles() -> dict[str, str]:
         "ks_drift": oracles.KS_TWO_SAMPLE_SQL,
         "ab_test": events_ops.ab_test_report_sql(),
         "chi2_independence": events_ops.chi2_independence_sql(),
+        "drift_fdr": _round_oracle_cols(
+            rankstats.panel_drift_fdr_sql(), ["p_value", "q_value"]
+        ),
         "winnow_clusters": winnow.winnow_clusters_sql(),
         "js_drift": trend.js_drift_sql(),
         "rank_transform": _round_oracle_cols(

@@ -338,3 +338,29 @@ def test_rank_transform_endpoints(spark):
     assert by_val[0] == 0.0 and by_val[-1] == 1.0
     # strictly increasing values → pct is the uniform grid
     assert by_val == pytest.approx([i / 10 for i in range(11)])
+
+
+def test_bh_fdr_textbook_example(spark):
+    """m=10 p-values, α=0.25 — q-values must equal the published
+    step-up formula q_i = min_{j≥i} p_(j)·m/j exactly, and the
+    rejection set must be its level set (here the first 5 sorted
+    hypotheses: q_(5) = 0.11·10/5 = 0.22 ≤ α)."""
+    ps = [0.001, 0.019, 0.03, 0.069, 0.11, 0.21, 0.29, 0.34, 0.48, 0.62]
+    pdf = pd.DataFrame(
+        {
+            "test": ["t"] * 10,
+            "grp": [f"g{i}" for i in range(10)],
+            "feature": ["f"] * 10,
+            "p_value": ps,
+        }
+    )
+    out = rankstats.bh_fdr(
+        spark.createDataFrame(pdf), alpha=0.25
+    ).toPandas().sort_values("bh_rank")
+    # q_i = min_{j>=i} p_j * 10 / j
+    m = 10
+    qs = [min(ps[j] * m / (j + 1) for j in range(i, m)) for i in range(m)]
+    for i in range(m):
+        assert float(out.iloc[i]["q_value"]) == pytest.approx(qs[i], abs=1e-6)
+    assert out["rejected"].tolist() == [q <= 0.25 for q in qs]
+    assert sum(out["rejected"]) == 5
