@@ -354,7 +354,10 @@ def test_registry_contract():
                    "winnow_profile", "winnow_neardup", "ewma_control",
                    # r11 session-2 additions (all exact-mode, r12 leads)
                    "cohort_ltv", "event_transitions", "interarrival_stats",
-                   "extreme_value", "doc_kl", "zipf_fit"}
+                   "extreme_value", "doc_kl", "zipf_fit",
+                   # r11 session-3 additions (all exact-mode, r12 leads)
+                   "winnow_clusters", "js_drift", "rank_transform",
+                   "dedup_containment", "drift_fdr"}
         missing = [
             n for n in names[50:]
             if n not in gated and n not in ROWS_ONLY and n not in NEW_R11
