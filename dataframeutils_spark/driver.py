@@ -1027,15 +1027,16 @@ def q_similarity_ann_multiprobe_capped(
     (similarity.DEFAULT_BUCKET_CAP=64, r9 verdict item 6); this query
     pins it explicitly. Same deterministic hash sample in both engines
     → exact oracle; recall floor under the cap pinned in
-    tests/test_northstar.py. Since r11 the registered query scores
-    candidates with the Arrow cogrouped re-rank (the similarity_ivf
-    stroke: 26.6 s → single digits at the sf1 suite wall, same
-    argmax/tie rules, oracle unchanged)."""
+    tests/test_northstar.py. r11 measured the Arrow re-rank HERE and
+    kept the JVM fold: unlike similarity_ivf (whose candidates grow
+    ~N^1.5 and whose re-rank dominates), the capped multiprobe's cost
+    is the (1+r)x probe join + candidate distinct, already bounded by
+    the cap — Arrow scoring only added Python-worker overhead
+    (26.6 s fold vs 35.2 s Arrow at the sf1 suite wall)."""
     return round_floats(
         similarity.ann_topk_multiprobe(
             load_table(spark, sf_dir, "embeddings"),
             k=5, bits=32, bands=4, dim=EMB_DIM, bucket_cap=64,
-            arrow_rerank=True,
         ),
         all_dec=True,
     )
