@@ -3979,94 +3979,141 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/driver_sim.py, the same vanilla-session + DuckDB-oracle
     compare the driver runs) covers ALL queries at HEAD every round.
 
-    Round 11 ordering (executes the rotation promised in the round-10
-    docstring and the r10 verdict's item 1): positions 1-30 are the 30
-    registry entries that have NEVER been externally gated as exact —
-    the unigram trio (flipped rows-only → exact in r10 via the
-    recursive-CTE Viterbi oracle) plus the 27 r10 in-round additions
-    (WebM frame index, the perceptual image/audio dedup five, KPSS,
-    the trend/structure family, Mahalanobis, DTW, KS drift, χ²
-    independence, A/B readout, association rules, Benford, hybrid RRF,
-    survival, ROC-AUC, Gini concentration, jackknife, l-diversity,
-    triangles, and the record-linkage pair). Positions 31-43 are the
-    13 r7-batch leftovers (the oldest external rows — last gated in
-    CORRECTNESS_r07.json). Positions 44-50 re-gate the 7 oldest rows
-    of the r8 batch (tpch_q2..tpch_q11). All 50 are exact-mode: the
-    zero-`err` window hygiene rule holds. With this window gated,
-    cumulative external coverage reaches 204/204 registered queries.
-    Below the cap, prior groups keep their relative order: the 50
-    entries gated green in CORRECTNESS_r10.json, the remaining r8/r9
-    batches, and the rows-only-by-design group at the bottom. The 15
-    r11 in-round additions — rank statistics (spearman_corr,
-    mann_whitney, mann_kendall, hill_tail), winnowing
-    (winnow_profile, winnow_neardup), ewma_control, text quality
-    (token_entropy, pmi_collocations, doc_kl, zipf_fit) and event
-    analytics (cohort_ltv, event_transitions, interarrival_stats,
-    extreme_value) — are registered below the cap per the rotation
-    protocol and lead the r12 window, followed by any of the 20
-    r10-window re-gates that rotation displaces.
+    Round 12 ordering (executes the rotation promised in the round-11
+    docstring and the r11 verdict's item 1): positions 1-20 are the 20
+    registry entries that have NEVER been externally gated — exactly
+    the r11 in-round additions (rank statistics, winnowing fingerprint
+    dedup, EWMA control, JS drift, BH-FDR battery, cohort LTV, Markov
+    transitions, inter-arrival burstiness, Gumbel EVT, token entropy,
+    PMI collocations, doc-KL, Zipf fit, rank transform, containment
+    dedup). With this window gated green, cumulative external coverage
+    reaches 224/224 registered queries for the first time. Positions
+    21-50 re-gate the 30 OLDEST previously-gated rows — the head of the
+    r8 batch (last gated in CORRECTNESS_r08.json): tpch_q12..q22, the
+    AVI frame decode, and the sampling/maintenance/dedup family through
+    lm_quality. All 50 are exact-mode: the zero-`err` window hygiene
+    rule holds. Below the cap, prior groups keep their relative order:
+    the r8 leftovers, the r9 batch, the r10 batch, the 50 entries gated
+    green in CORRECTNESS_r11.json, and the rows-only-by-design group at
+    the bottom. Round-13 window should lead with any r12 in-round
+    additions, then continue the r8-leftover/r9 re-gates.
     """
     return {
-        # --- r11 window leads (positions 1-30): every entry never
-        # externally gated AS EXACT — the unigram trio (exact since
-        # r10) + the 27 r10 in-round additions ---
-        "unigram_train": q_unigram_train,
-        "unigram_encode": q_unigram_encode,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "multimodal_webm_frame_index": q_multimodal_webm_frame_index,
-        "multimodal_image_dhash": q_multimodal_image_dhash,
-        "multimodal_image_phash_dedup": q_multimodal_image_phash_dedup,
-        "multimodal_image_neardup": q_multimodal_image_neardup,
-        "multimodal_audio_fingerprint": q_multimodal_audio_fingerprint,
-        "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
-        "stationarity_kpss": q_stationarity_kpss,
-        "changepoint_cusum": q_changepoint_cusum,
-        "seasonal_decompose": q_seasonal_decompose,
-        "panel_ols": q_panel_ols,
-        "theilsen_slope": q_theilsen,
-        "mahalanobis_outliers": q_mahalanobis_outliers,
-        "dtw_distance": q_dtw_distance,
-        "ks_drift": q_ks_drift,
-        "chi2_independence": q_chi2_independence,
-        "ab_test": q_ab_test,
-        "association_rules": q_association_rules,
-        "benford_audit": q_benford_audit,
-        "hybrid_search": q_hybrid_search,
-        "survival_km": q_survival_km,
-        "embedding_auc": q_embedding_auc,
-        "revenue_concentration": q_revenue_concentration,
-        "jackknife_ci": q_jackknife_ci,
-        "l_diversity": q_l_diversity,
-        "graph_triangles": q_graph_triangles,
-        "fuzzy_join": q_fuzzy_join,
-        "entity_resolution": q_entity_resolution,
-        # --- positions 31-43: the 13 r7-batch leftovers (oldest
-        # external rows, last gated in CORRECTNESS_r07.json) ---
-        "panel_dispersion": q_panel_dispersion,
-        "panel_ar1": q_panel_ar1,
-        "lagged_corr": q_lagged_corr,
-        "mutual_info": q_mutual_info,
-        "zscore_outliers": q_zscore_outliers,
-        "rolling_corr": q_rolling_corr,
-        "topk_terms": q_topk_terms,
-        "tfidf_topterms": q_tfidf_topterms,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "similarity_topk": q_similarity_topk,
-        # --- positions 44-50: re-gate fill — the 7 oldest rows of
-        # the r8 batch ---
-        "tpch_q2": q_tpch_q2,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        # --- below the cap: previously gated groups in prior
-        # relative order (r10 window, r8/r9 batches, then the
-        # rows-only-by-design group at the bottom) ---
+        # --- r12 window positions 1-20: the 20 never-externally-gated r11 additions ---
+        "drift_fdr": q_drift_fdr,
+        "winnow_clusters": q_winnow_clusters,
+        "js_drift": q_js_drift,
+        "rank_transform": q_rank_transform,
+        "dedup_containment": q_dedup_containment,
+        "cohort_ltv": q_cohort_ltv,
+        "event_transitions": q_event_transitions,
+        "interarrival_stats": q_interarrival_stats,
+        "extreme_value": q_extreme_value,
+        "doc_kl": q_doc_kl,
+        "zipf_fit": q_zipf_fit,
+        "ewma_control": q_ewma_control,
+        "winnow_profile": q_winnow_profile,
+        "winnow_neardup": q_winnow_neardup,
+        "token_entropy": q_token_entropy,
+        "pmi_collocations": q_pmi_collocations,
+        "spearman_corr": q_spearman_corr,
+        "mann_whitney": q_mann_whitney,
+        "mann_kendall": q_mann_kendall,
+        "hill_tail": q_hill_tail,
+        # --- positions 21-50: re-gate fill — the 30 oldest external rows (r8 batch head) ---
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "multimodal_avi_frames": q_multimodal_avi_frames,
+        "quota_sample": q_quota_sample,
+        "hard_negatives": q_hard_negatives,
+        "snapshot_diff": q_snapshot_diff,
+        "curriculum": q_curriculum,
+        "boilerplate_scrub": q_boilerplate_scrub,
+        "decayed_value": q_decayed_value,
+        "winsorize": q_winsorize,
+        "sales_cube": q_sales_cube,
+        "skew_report": q_skew_report,
+        "embedding_covariance": q_embedding_covariance,
+        "join_size_estimate": q_join_size_estimate,
+        "domain_cap": q_domain_cap,
+        "late_data_audit": q_late_data_audit,
+        "similarity_ann": q_similarity_ann,
+        "hash_sample": q_hash_sample,
+        "data_mixture": q_data_mixture,
+        "pipeline_prepare": q_pipeline_prepare,
+        "text_repetition": q_text_repetition,
+        "lm_quality": q_lm_quality,
+        # --- below the cap: r8-batch leftovers (oldest ungated-this-window) ---
+        "dedup_shared_spans": q_dedup_shared_spans,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "memory_acf_hurst": q_memory_acf_hurst,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "fingerprint": q_fingerprint,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "active_users": q_active_users,
+        "event_paths": q_event_paths,
+        "events_attribution": q_events_attribution,
+        "fuzzy_terms": q_fuzzy_terms,
+        # --- r9 batch ---
+        "bloom_skipping": q_bloom_skipping,
+        "scd2_history": q_scd2_history,
+        "semdedup": q_semdedup,
+        "bloom_membership": q_bloom_membership,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
+        "session_overlap": q_session_overlap,
+        "stream_join": q_stream_join,
+        "events_value_profile": q_events_value_profile,
+        "multimodal_real_meta": q_multimodal_real_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_sliding_stats": q_stream_sliding_stats,
+        "stream_sessionized": q_stream_sessionized,
+        "stream_user_profile": q_stream_user_profile,
+        "stream_dedup": q_stream_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "quality_rules": q_quality_rules,
+        "countmin_profile": q_countmin_profile,
+        "textrank": q_textrank,
+        "bm25_search": q_bm25_search,
+        "pack_sequences": q_pack_sequences,
+        "dataset_card": q_dataset_card,
+        "inverted_index": q_inverted_index,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
+        "shard_manifest": q_shard_manifest,
+        "mixture_temperature": q_mixture_temperature,
+        "embedding_pq": q_embedding_pq,
+        "pq_topk": q_pq_topk,
+        "chunk_documents": q_chunk_documents,
+        "panel_ffill": q_panel_ffill,
+        "panel_resample": q_panel_resample,
+        "multimodal_features": q_multimodal_features,
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "vocab_growth": q_vocab_growth,
+        "length_buckets": q_length_buckets,
+        "leakage_safe_split": q_leakage_safe_split,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "dup_matrix": q_dup_matrix,
+        "label_agreement": q_label_agreement,
+        "embedding_class_stats": q_embedding_class_stats,
+        "embedding_pca_spectrum": q_embedding_pca,
+        "join_size_estimate_fast": q_join_size_estimate_fast,
+        "similarity_recall_production": q_similarity_recall_production,
+        # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
         "stream_apply_changes": q_stream_apply_changes,
@@ -4117,120 +4164,58 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "panel_distribution": q_panel_distribution,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "multimodal_avi_frames": q_multimodal_avi_frames,
-        "quota_sample": q_quota_sample,
-        "hard_negatives": q_hard_negatives,
-        "snapshot_diff": q_snapshot_diff,
-        "curriculum": q_curriculum,
-        "boilerplate_scrub": q_boilerplate_scrub,
-        "decayed_value": q_decayed_value,
-        "winsorize": q_winsorize,
-        "sales_cube": q_sales_cube,
-        "skew_report": q_skew_report,
-        "embedding_covariance": q_embedding_covariance,
-        "join_size_estimate": q_join_size_estimate,
-        "domain_cap": q_domain_cap,
-        "late_data_audit": q_late_data_audit,
-        "similarity_ann": q_similarity_ann,
-        "hash_sample": q_hash_sample,
-        "data_mixture": q_data_mixture,
-        "pipeline_prepare": q_pipeline_prepare,
-        "text_repetition": q_text_repetition,
-        "lm_quality": q_lm_quality,
-        "dedup_shared_spans": q_dedup_shared_spans,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "memory_acf_hurst": q_memory_acf_hurst,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "fingerprint": q_fingerprint,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "active_users": q_active_users,
-        "event_paths": q_event_paths,
-        "events_attribution": q_events_attribution,
-        "fuzzy_terms": q_fuzzy_terms,
-        "bloom_skipping": q_bloom_skipping,
-        "scd2_history": q_scd2_history,
-        "semdedup": q_semdedup,
-        "bloom_membership": q_bloom_membership,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "multimodal_gif_frames": q_multimodal_gif_frames,
-        "session_overlap": q_session_overlap,
-        "stream_join": q_stream_join,
-        "events_value_profile": q_events_value_profile,
-        "multimodal_real_meta": q_multimodal_real_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "stream_sliding_stats": q_stream_sliding_stats,
-        "stream_sessionized": q_stream_sessionized,
-        "stream_user_profile": q_stream_user_profile,
-        "stream_dedup": q_stream_dedup,
-        "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
-        "quality_rules": q_quality_rules,
-        "countmin_profile": q_countmin_profile,
-        "textrank": q_textrank,
-        "bm25_search": q_bm25_search,
-        "pack_sequences": q_pack_sequences,
-        "dataset_card": q_dataset_card,
-        "inverted_index": q_inverted_index,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_keep_best": q_dedup_keep_best,
-        "shard_manifest": q_shard_manifest,
-        "mixture_temperature": q_mixture_temperature,
-        "embedding_pq": q_embedding_pq,
-        "pq_topk": q_pq_topk,
-        "chunk_documents": q_chunk_documents,
-        "panel_ffill": q_panel_ffill,
-        "panel_resample": q_panel_resample,
-        "multimodal_features": q_multimodal_features,
-        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-        "vocab_growth": q_vocab_growth,
-        "length_buckets": q_length_buckets,
-        "leakage_safe_split": q_leakage_safe_split,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "dup_matrix": q_dup_matrix,
-        "label_agreement": q_label_agreement,
-        "embedding_class_stats": q_embedding_class_stats,
-        "embedding_pca_spectrum": q_embedding_pca,
-        "join_size_estimate_fast": q_join_size_estimate_fast,
-        "similarity_recall_production": q_similarity_recall_production,
-        # --- r11 in-round newcomers (below the cap per the rotation
-        # protocol; they lead the r12 window): rank-based statistics —
-        # Spearman ρ, Mann–Whitney drift, Mann–Kendall trend, Hill
-        # tail index (operators/rankstats.py) ---
-        "drift_fdr": q_drift_fdr,
-        "winnow_clusters": q_winnow_clusters,
-        "js_drift": q_js_drift,
-        "rank_transform": q_rank_transform,
-        "dedup_containment": q_dedup_containment,
-        "cohort_ltv": q_cohort_ltv,
-        "event_transitions": q_event_transitions,
-        "interarrival_stats": q_interarrival_stats,
-        "extreme_value": q_extreme_value,
-        "doc_kl": q_doc_kl,
-        "zipf_fit": q_zipf_fit,
-        "ewma_control": q_ewma_control,
-        "winnow_profile": q_winnow_profile,
-        "winnow_neardup": q_winnow_neardup,
-        "token_entropy": q_token_entropy,
-        "pmi_collocations": q_pmi_collocations,
-        "spearman_corr": q_spearman_corr,
-        "mann_whitney": q_mann_whitney,
-        "mann_kendall": q_mann_kendall,
-        "hill_tail": q_hill_tail,
+        # --- r11 window (gated green in CORRECTNESS_r11.json) ---
+        "unigram_train": q_unigram_train,
+        "unigram_encode": q_unigram_encode,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "multimodal_webm_frame_index": q_multimodal_webm_frame_index,
+        "multimodal_image_dhash": q_multimodal_image_dhash,
+        "multimodal_image_phash_dedup": q_multimodal_image_phash_dedup,
+        "multimodal_image_neardup": q_multimodal_image_neardup,
+        "multimodal_audio_fingerprint": q_multimodal_audio_fingerprint,
+        "multimodal_audio_fp_dedup": q_multimodal_audio_fp_dedup,
+        "stationarity_kpss": q_stationarity_kpss,
+        "changepoint_cusum": q_changepoint_cusum,
+        "seasonal_decompose": q_seasonal_decompose,
+        "panel_ols": q_panel_ols,
+        "theilsen_slope": q_theilsen,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
+        "dtw_distance": q_dtw_distance,
+        "ks_drift": q_ks_drift,
+        "chi2_independence": q_chi2_independence,
+        "ab_test": q_ab_test,
+        "association_rules": q_association_rules,
+        "benford_audit": q_benford_audit,
+        "hybrid_search": q_hybrid_search,
+        "survival_km": q_survival_km,
+        "embedding_auc": q_embedding_auc,
+        "revenue_concentration": q_revenue_concentration,
+        "jackknife_ci": q_jackknife_ci,
+        "l_diversity": q_l_diversity,
+        "graph_triangles": q_graph_triangles,
+        "fuzzy_join": q_fuzzy_join,
+        "entity_resolution": q_entity_resolution,
+        "panel_dispersion": q_panel_dispersion,
+        "panel_ar1": q_panel_ar1,
+        "lagged_corr": q_lagged_corr,
+        "mutual_info": q_mutual_info,
+        "zscore_outliers": q_zscore_outliers,
+        "rolling_corr": q_rolling_corr,
+        "topk_terms": q_topk_terms,
+        "tfidf_topterms": q_tfidf_topterms,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        # --- rows-only-by-design group ---
         "stationarity": q_stationarity,
         "stationarity_summary": q_stationarity_summary,
         "cointegration": q_cointegration,

@@ -37,12 +37,27 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from dataframeutils_spark.operators.dedup import (
+    portable_hash60,
+    portable_hash60_sql,
+)
 
 # deterministic-fake dimension ranges (documented contract of the stub)
 _DIM_MOD = 577
 _FRAME_MOD = 24
+
+# Hot-bucket occupancy cap for the perceptual Hamming-near band join —
+# the same 100×-scale bound the text-LSH path applies engine-wide
+# (similarity.DEFAULT_BUCKET_CAP): a visually near-identical corpus
+# puts a large fraction of images into one dHash band bucket and would
+# make the band self-join quadratic; with the cap, candidates per
+# bucket are bounded at cap²/2 at ANY corpus size. Deterministic
+# (portable-hash order) in both engines → the capped path stays
+# exactly oracle-checkable.
+DEFAULT_IMG_BUCKET_CAP = 64
 
 METADATA_SCHEMA = (
     "media_id long, media_type string, n_bytes long, content_md5 string, "
@@ -709,7 +724,10 @@ FROM dims
 
 
 def image_hamming_pairs(
-    media: DataFrame, max_dist: int = 3, max_rows: int | None = 100_000
+    media: DataFrame,
+    max_dist: int = 3,
+    bucket_cap: int | None = DEFAULT_IMG_BUCKET_CAP,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Hamming-NEAR perceptual duplicates: (img_a, img_b, hamming) for
     image pairs whose 64-bit dHashes differ in ≤ ``max_dist`` bits —
@@ -721,17 +739,25 @@ def image_hamming_pairs(
     16-bit bands, so any pair within Hamming distance ≤ 3 < 4 agrees
     exactly on ≥ 1 band and is FOUND by the band equi-join — for
     ``max_dist`` ≤ 3 this subquadratic path returns provably the same
-    pairs as the brute-force cross join (pinned in pytest). Above 3
-    the band join becomes a recall-bounded candidate generator (the
-    standard multi-index Hamming trade).
+    pairs as the brute-force cross join whenever no band bucket
+    overflows ``bucket_cap`` (pinned in pytest). Above 3 the band join
+    becomes a recall-bounded candidate generator (the standard
+    multi-index Hamming trade).
 
-    Scale note: band-bucket occupancy bounds the join output the same
-    way it does in MinHash-LSH; on real corpora dHashes are diverse
-    and buckets stay small, but a corpus of visually near-identical
-    images (this repo's gradient FIXTURES are exactly that) degrades
-    toward all-pairs — ``max_rows`` refuses inputs where that join
-    would be a scale-killer (``None`` bypasses the guard and its
-    count() job), the embedding_dup_pairs contract.
+    ``bucket_cap`` is the 100×-scale knob, ported from the text-LSH
+    path (similarity.DEFAULT_BUCKET_CAP): at most ``bucket_cap``
+    hash-ordered entries survive per (band, bucket), so a corpus of
+    visually near-identical images (hot dHash buckets — this repo's
+    gradient FIXTURES are exactly that) degrades to a BOUNDED
+    candidate set (≤ 4 × cap²/2 pairs per hot bucket group) instead of
+    going quadratic or refusing. The cap is a deterministic
+    portable-hash order, identical in both engines, so the capped path
+    stays exactly oracle-checkable (:func:`image_hamming_pairs_sql`
+    mirrors it). ``bucket_cap=None`` opts in to exact-bucket
+    semantics; the legacy ``max_rows`` guard remains available for
+    that uncapped path only (refuses inputs where the uncapped join
+    would be a scale-killer; ``None`` skips the guard and its count()
+    job).
     """
     # eager localCheckpoint: one narrow row per image, reused by the
     # size-guard count, the band explode, and BOTH hash-lookup joins —
@@ -742,13 +768,29 @@ def image_hamming_pairs(
         if n > max_rows:
             raise ValueError(
                 f"image_hamming_pairs: {n} images > max_rows={max_rows}; "
-                "near-identical corpora make the band join quadratic — "
-                "raise max_rows explicitly if that cost is intended"
+                "near-identical corpora make the uncapped band join "
+                "quadratic — raise max_rows explicitly or use the "
+                "default bucket_cap"
             )
     bands = hashes.select(
         "media_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
     )
+    if bucket_cap is not None:
+        # occupancy cap (similarity._bucketed_topk_from_sigs pattern):
+        # deterministic hash-ordered sample of ≤ bucket_cap entries per
+        # (band, bucket); the window partitions on the join keys, so
+        # its exchange is the same hash partitioning the self-join
+        # needs — no extra shuffle shape.
+        order = portable_hash60(
+            F.concat(F.lit("icap:"), F.col("media_id").cast("string"))
+        )
+        w_cap = Window.partitionBy("band", "bv").orderBy(order, "media_id")
+        bands = (
+            bands.withColumn("_rn", F.row_number().over(w_cap))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     cand = (
         bands.alias("a")
         .join(
@@ -783,20 +825,55 @@ def image_hamming_pairs(
     )
 
 
-def image_hamming_pairs_sql(table: str = "documents", max_dist: int = 3) -> str:
-    """DuckDB oracle for :func:`image_hamming_pairs` — brute-force
-    threshold join over the fixture-formula hashes. For max_dist ≤ 3
-    the engine's banded path must return EXACTLY this set (pigeonhole:
-    ≤ 3 differing bits across 4 bands leaves one band equal)."""
+def image_hamming_pairs_sql(
+    table: str = "documents",
+    max_dist: int = 3,
+    bucket_cap: int | None = DEFAULT_IMG_BUCKET_CAP,
+) -> str:
+    """DuckDB oracle for :func:`image_hamming_pairs` over the
+    fixture-formula hashes. Mirrors the engine's banded path INCLUDING
+    the deterministic occupancy cap (same portable-hash order), so the
+    capped scale path is exactly oracle-checkable at any bucket
+    occupancy. With ``bucket_cap=None`` it reduces to the brute-force
+    threshold join, which for max_dist ≤ 3 the uncapped banded engine
+    path must match EXACTLY (pigeonhole: ≤ 3 differing bits across 4
+    bands leaves one band equal)."""
     ham = " + ".join(
         f"bit_count(xor(CAST(a.b{k} AS BIGINT), CAST(b.b{k} AS BIGINT)))"
         for k in range(4)
     )
-    return f"""
+    if bucket_cap is None:
+        return f"""
 WITH hashes AS ({image_dhash_sql(table)})
 SELECT a.media_id AS img_a, b.media_id AS img_b,
        CAST({ham} AS INT) AS hamming
 FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE {ham} <= {max_dist}
+"""
+    caph = portable_hash60_sql("('icap:' || media_id::VARCHAR)")
+    return f"""
+WITH hashes AS ({image_dhash_sql(table)}),
+bands AS (
+  SELECT media_id, f.band,
+         CASE f.band WHEN 0 THEN b0 WHEN 1 THEN b1
+                     WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM hashes, range(0, 4) f(band)
+),
+capped AS (
+  SELECT media_id, band, bv FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, bv
+                             ORDER BY {caph}, media_id) <= {bucket_cap}
+),
+cand AS (
+  SELECT DISTINCT ca.media_id AS img_a, cb.media_id AS img_b
+  FROM capped ca JOIN capped cb
+    ON ca.band = cb.band AND ca.bv = cb.bv
+   AND ca.media_id < cb.media_id
+)
+SELECT c.img_a, c.img_b, CAST({ham} AS INT) AS hamming
+FROM cand c
+JOIN hashes a ON a.media_id = c.img_a
+JOIN hashes b ON b.media_id = c.img_b
 WHERE {ham} <= {max_dist}
 """
 

@@ -748,9 +748,29 @@ def test_image_hamming_pairs_pigeonhole_completeness(spark, ddb):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     media = M.real_media_table(docs)
-    got = sorted(tuple(r) for r in M.image_hamming_pairs(media, max_dist=3).collect())
-    want = sorted(tuple(t) for t in ddb.execute(M.image_hamming_pairs_sql()).fetchall())
+    # uncapped engine path ≡ brute-force oracle (the pigeonhole claim)
+    got = sorted(
+        tuple(r)
+        for r in M.image_hamming_pairs(media, max_dist=3, bucket_cap=None).collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in ddb.execute(M.image_hamming_pairs_sql(bucket_cap=None)).fetchall()
+    )
     assert got == want and len(got) > 0
+    # default (capped) engine path ≡ capped oracle EXACTLY — even
+    # though this gradient fixture's hot buckets (max occupancy 100)
+    # overflow DEFAULT_IMG_BUCKET_CAP=64, the deterministic hash-order
+    # cap keeps the same entries in both engines; the capped set is a
+    # strict, bounded subset of brute force (graceful recall trade)
+    got_cap = sorted(
+        tuple(r) for r in M.image_hamming_pairs(media, max_dist=3).collect()
+    )
+    want_cap = sorted(
+        tuple(t) for t in ddb.execute(M.image_hamming_pairs_sql()).fetchall()
+    )
+    assert got_cap == want_cap
+    assert set(got_cap) < set(got)
     # negative control: at distance 4 the guarantee genuinely breaks —
     # a pair with exactly one differing bit per band shares no band,
     # so the band join misses it while brute force finds it
@@ -771,6 +791,8 @@ def test_image_hamming_pairs_pigeonhole_completeness(spark, ddb):
 
 
 def test_image_hamming_pairs_size_guard(spark):
+    """The legacy max_rows refusal is still available (opt-in) for the
+    uncapped path; the DEFAULT path no longer needs or runs it."""
     from dataframeutils_spark.operators import multimodal as M
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -778,7 +800,58 @@ def test_image_hamming_pairs_size_guard(spark):
     import pytest
 
     with pytest.raises(ValueError, match="max_rows"):
-        M.image_hamming_pairs(media, max_rows=3)
+        M.image_hamming_pairs(media, bucket_cap=None, max_rows=3)
+
+
+def test_image_hamming_pairs_occupancy_cap_degrades_gracefully(spark, ddb):
+    """Replica-clique corpus (the hot-bucket pathology): every image
+    duplicated 3× lands whole cliques in one dHash bucket per band.
+    The capped path must (a) run without refusing, (b) return a
+    BOUNDED subset of the uncapped pair set, and (c) match the capped
+    DuckDB oracle exactly — the cap is a deterministic portable-hash
+    order, not a random sample."""
+    from dataframeutils_spark.operators import multimodal as M
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 20")
+    )
+    # same text → same md5 → identical synthesized PNG; keep id parity
+    # (even ids are images) so each even doc becomes a clique of 3
+    dup = (
+        docs.union(docs.selectExpr("doc_id + 1000 AS doc_id", "text"))
+        .union(docs.selectExpr("doc_id + 2000 AS doc_id", "text"))
+    )
+    media = M.real_media_table(dup)
+    capped = sorted(
+        tuple(r)
+        for r in M.image_hamming_pairs(media, max_dist=3, bucket_cap=2).collect()
+    )
+    uncapped = sorted(
+        tuple(r)
+        for r in M.image_hamming_pairs(
+            media, max_dist=3, bucket_cap=None
+        ).collect()
+    )
+    ddb.execute(
+        "CREATE OR REPLACE VIEW docs_dup AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id < 20 "
+        "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20 "
+        "UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id < 20"
+    )
+    want = sorted(
+        tuple(t)
+        for t in ddb.execute(
+            M.image_hamming_pairs_sql(table="docs_dup", bucket_cap=2)
+        ).fetchall()
+    )
+    assert capped == want
+    # every clique of 3 identical hashes collapses to the ≤ cap²/2 = 1
+    # surviving pair — strictly fewer pairs than the uncapped join, and
+    # a strict subset of it (recall bounded, never wrong pairs)
+    assert 0 < len(capped) < len(uncapped)
+    assert set(capped) <= set(uncapped)
 
 
 def test_audio_fingerprint_matches_oracle_and_groups_resampled(spark, ddb):
