@@ -1032,11 +1032,21 @@ def q_similarity_ann_multiprobe_capped(
     ~N^1.5 and whose re-rank dominates), the capped multiprobe's cost
     is the (1+r)x probe join + candidate distinct, already bounded by
     the cap — Arrow scoring only added Python-worker overhead
-    (26.6 s fold vs 35.2 s Arrow at the sf1 suite wall)."""
+    (26.6 s fold vs 35.2 s Arrow at the sf1 suite wall). r12 attacks
+    the probe join itself (the r11 verdict's watch item 1: 28.8 s,
+    the largest sf1 line): probe_limit=2 keeps each query's own
+    bucket plus only the 2 lowest-occupancy non-empty Hamming-1
+    buckets — ranked against a broadcast occupancy map bounded by
+    geometry at bands × 2^r rows — cutting the probe side from
+    (1+r)=9× to 3× the query count. Deterministic (occupancy, bucket)
+    order in both engines keeps the exact gate; the probe-limited
+    recall floor is pinned next to the capped one in
+    tests/test_northstar.py."""
     return round_floats(
         similarity.ann_topk_multiprobe(
             load_table(spark, sf_dir, "embeddings"),
             k=5, bits=32, bands=4, dim=EMB_DIM, bucket_cap=64,
+            probe_limit=2,
         ),
         all_dec=True,
     )
@@ -3780,6 +3790,33 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# retrieval-quality eval set: a fixed literal, exactly like
+# bm25_search's query — one clean multi-term query, one two-term
+# query, one with a typo'd chargram string (exercises the fusion
+# arm's robustness and drags its nDCG off the ceiling)
+RETRIEVAL_EVAL_QUERIES = (
+    ("q_join", ("join", "scan", "slow"), "join scan slow"),
+    ("q_agg", ("agg", "window"), "agg window group"),
+    ("q_cust", ("customer", "query", "vector"), "custmer query vector"),
+)
+
+
+def q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit (operators/text.py): nDCG@10 and MRR@10
+    of the BM25 arm and the hybrid-RRF arm against a deterministic
+    graded-relevance oracle (rel = capped query-term tf — a FORMULA,
+    so the judge set is hash-derived-oracle exact, the
+    similarity_recall discipline applied to text retrieval). Gains
+    are integer bit-shifts; only log2 rides the rounding contract.
+    Each arm is the production retrieval plan itself; metrics touch
+    k rows per arm plus a Σ df-bounded relevance table."""
+    return text.retrieval_quality(
+        load_table(spark, sf_dir, "documents"),
+        RETRIEVAL_EVAL_QUERIES,
+        k=10,
+    )
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi² independence of event type × day-of-week
     (operators/events.py): per-cell observed/expected/std-residual +
@@ -4113,6 +4150,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_spectrum": q_embedding_pca,
         "join_size_estimate_fast": q_join_size_estimate_fast,
         "similarity_recall_production": q_similarity_recall_production,
+        # --- r12 in-round newcomers (below the cap per the rotation
+        # protocol; they lead the r13 window) ---
+        "retrieval_quality": q_retrieval_quality,
         # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
@@ -4271,6 +4311,9 @@ def all_oracles() -> dict[str, str]:
         "ks_drift": oracles.KS_TWO_SAMPLE_SQL,
         "ab_test": events_ops.ab_test_report_sql(),
         "chi2_independence": events_ops.chi2_independence_sql(),
+        "retrieval_quality": text.retrieval_quality_sql(
+            RETRIEVAL_EVAL_QUERIES, k=10
+        ),
         "drift_fdr": _round_oracle_cols(
             rankstats.panel_drift_fdr_sql(), ["p_value", "q_value"]
         ),
@@ -4501,7 +4544,7 @@ def all_oracles() -> dict[str, str]:
         "similarity_ann_multiprobe_capped": _round_oracle_cols(
             similarity.ann_topk_sql(
                 k=5, bits=32, bands=4, dim=EMB_DIM, multiprobe=True,
-                bucket_cap=64,
+                bucket_cap=64, probe_limit=2,
             ),
             ["cos_sim"],
         ),

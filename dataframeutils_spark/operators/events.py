@@ -869,8 +869,14 @@ def chi2_independence(
         lambda acc, i: acc
         + F.pow(x2, i.cast("double")) / F.factorial(i).cast("double"),
     )
+    # dof >= 2 makes the empty-battery case explicit: at dof = 0
+    # (single-category table) n_terms = 0 and sequence(0, -1) yields a
+    # DESCENDING [0, -1], not an empty array — the NULL p previously
+    # emerged only because factorial(-1) is NULL, a fragile
+    # NULL-propagation coincidence with DuckDB's list_sum(empty)=NULL
     p = F.when(
-        (F.col("dof") % 2 == 0) & (F.col("dof") <= 42), F.exp(-x2) * series
+        (F.col("dof") >= 2) & (F.col("dof") % 2 == 0) & (F.col("dof") <= 42),
+        F.exp(-x2) * series,
     )
     # try_divide: a single-category table (r == 1 or c == 1) must NULL
     # out like the oracle, not crash under Spark's ANSI default
@@ -935,7 +941,7 @@ SELECT rk AS event_type, CAST(ck AS INT) AS dow,
        {decround_sql('(obs - expd) / sqrt(expd)')} AS std_residual,
        {decround_sql('chi2')} AS chi2,
        CAST(dof AS BIGINT) AS dof,
-       {decround_sql(f'CASE WHEN dof % 2 = 0 AND dof <= 42 THEN exp(-chi2 / 2.0) * ({series}) END')} AS p_value,
+       {decround_sql(f'CASE WHEN dof >= 2 AND dof % 2 = 0 AND dof <= 42 THEN exp(-chi2 / 2.0) * ({series}) END')} AS p_value,
        {decround_sql('sqrt(chi2 / (n * CAST(least(r - 1, c - 1) AS DOUBLE)))')} AS cramers_v
 FROM f
 """

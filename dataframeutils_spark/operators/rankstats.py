@@ -45,6 +45,12 @@ from dataframeutils_spark.schema import decround, siground
 
 _EPOCH = "1970-01-01"
 
+# bh_fdr two-phase rank: p ∈ [0,1] range-bucketed into this many
+# contiguous buckets; battery rows per window task ≈ m / _N_BUCKETS
+# (3M-row battery → ~3k rows/bucket), ledger windows bounded at
+# _N_BUCKETS rows at ANY battery size.
+_N_BUCKETS = 1024
+
 
 def _gated(long_df: DataFrame, min_len: int) -> DataFrame:
     w = Window.partitionBy("grp", "feature")
@@ -498,35 +504,86 @@ def bh_fdr(
     p-values (a test that abstained) are dropped from the battery —
     they never count toward m.
 
-    Scale shape: every window here runs over the BATTERY table — one
-    row per hypothesis, i.e. per (test × series), the POST-aggregate
-    cardinality that is already ~6 orders of magnitude below the raw
-    corpus (a million series × 3 tests = 3M tiny rows). The global
-    rank is the price of the procedure's definition (q_i depends on
-    the battery-wide order); for battery sizes beyond a single task's
-    comfort the two-phase bounded-rank pattern (quota_sample) applies
-    unchanged.
+    Scale shape (two-phase bounded rank, the pack_sequences /
+    quota_sample pattern — r11 verdict item 4): the motivating
+    deployment is 3 tests × a million series = 3M hypothesis rows,
+    too many to funnel through ONE task's global window. p ∈ [0, 1]
+    is range-bucketed into ``_N_BUCKETS`` contiguous buckets; buckets
+    are contiguous rank ranges because the bucket is a monotone
+    function of the leading sort key, so (1) battery-wide rank =
+    hash-partitioned rank WITHIN the bucket + the broadcast prefix
+    count of earlier buckets, (2) m = the ledger total, and (3) the
+    battery-wide suffix min of p·m/rank decomposes into the
+    within-bucket suffix min (partitioned window) combined with the
+    broadcast min over strictly-later buckets. The only unpartitioned
+    windows left run over the ≤ ``_N_BUCKETS``-row ledger — the
+    "tiny block-totals window" of the two-phase prefix sum. Provably
+    equal to the naive global-rank formulation (pinned in
+    tests/test_rank_winnow_ewma.py); the DuckDB oracle keeps the
+    naive form — single-node, it IS one task.
+
+    Worst-case note: all buckets degenerate to one only if the whole
+    battery shares one rounded p-value; then every q is identical by
+    definition anyway.
     """
     from dataframeutils_spark.schema import decround
 
     m_df = pvals.filter(F.col(p_col).isNotNull())
-    base = [F.col(p_col)] + [F.col(c) for c in key_cols]
-    w_rank = Window.orderBy(*[c.asc() for c in base])
-    w_all = Window.partitionBy()
-    # suffix min over (p*m/rank) from the current row to the LARGEST
-    # rank = running min over rank-DESCENDING order
-    w_suffix = Window.orderBy(*[c.desc() for c in base]).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    order_asc = [F.col(p_col).asc()] + [F.col(c).asc() for c in key_cols]
+    order_desc = [F.col(p_col).desc()] + [F.col(c).desc() for c in key_cols]
+    d = m_df.withColumn(
+        "_bk",
+        F.least(
+            F.lit(_N_BUCKETS - 1),
+            F.floor(F.col(p_col) * _N_BUCKETS).cast("int"),
+        ),
     )
+    # phase A ledger: bucket counts → exclusive prefix (rank offset)
+    # and battery size m; ≤ _N_BUCKETS rows through the tiny window
+    ledger = d.groupBy("_bk").agg(F.count("*").alias("_cnt"))
+    w_pre = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ledger = ledger.select(
+        "_bk",
+        F.coalesce(F.sum("_cnt").over(w_pre), F.lit(0)).alias("_ofs"),
+        F.sum("_cnt").over(w_tot).alias("_m"),
+    )
+    # phase B: rank within bucket (hash-partitioned window) + offset
+    w_rank = Window.partitionBy("_bk").orderBy(*order_asc)
     d = (
-        m_df.withColumn("_m", F.count("*").over(w_all))
-        .withColumn("bh_rank", F.row_number().over(w_rank))
+        d.join(F.broadcast(ledger), "_bk")
+        .withColumn(
+            "bh_rank", F.col("_ofs") + F.row_number().over(w_rank)
+        )
         .withColumn(
             "_qraw",
             F.col(p_col) * F.col("_m") / F.col("bh_rank").cast("double"),
         )
     )
-    q = F.least(F.lit(1.0), F.min("_qraw").over(w_suffix))
+    # phase C: battery-wide suffix min of _qraw = within-bucket suffix
+    # min ∧ (broadcast min over strictly later buckets)
+    w_suffix = (
+        Window.partitionBy("_bk")
+        .orderBy(*order_desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qmins = d.groupBy("_bk").agg(F.min("_qraw").alias("_bmin"))
+    w_later = Window.orderBy(F.col("_bk").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    qmins = qmins.select(
+        "_bk", F.min("_bmin").over(w_later).alias("_later_min")
+    )
+    d = d.join(F.broadcast(qmins), "_bk")
+    sfx = F.min("_qraw").over(w_suffix)
+    q = F.least(
+        F.lit(1.0),
+        F.when(
+            F.col("_later_min").isNull(), sfx
+        ).otherwise(F.least(sfx, F.col("_later_min"))),
+    )
     return d.select(
         *key_cols,
         F.col(p_col),

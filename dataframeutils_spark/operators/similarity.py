@@ -411,6 +411,7 @@ def ann_topk_multiprobe(
     dim: int | None = None,
     arrow_rerank: bool = False,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    probe_limit: int | None = None,
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., VLDB'07 idea on sign LSH):
     each query probes its own band bucket PLUS the r = bits/bands
@@ -433,11 +434,26 @@ def ann_topk_multiprobe(
     clustered data in tests/test_northstar.py) for a hard join-output
     bound. Capping is the DEFAULT (``DEFAULT_BUCKET_CAP``) — the only
     100×-safe shape on skewed corpora; pass ``bucket_cap=None`` to opt
-    in to exact bucket semantics."""
+    in to exact bucket semantics.
+
+    ``probe_limit`` bounds the PROBE fan-out (the other half of the
+    cost — ``bucket_cap`` bounds candidates per probe, but the probe
+    side of the equi-join is still (1+r)× the query count by
+    construction). With a limit q < r, each query keeps its own
+    bucket plus only the q LOWEST-OCCUPANCY non-empty Hamming-1
+    buckets — ranked against a broadcast occupancy map of the (capped)
+    index, which is bounded by geometry at bands × 2^r rows at ANY
+    corpus size. Probes into empty buckets are pruned outright (they
+    can contribute no candidate), and hot-bucket probes — the
+    expensive ones — are deprioritized. The selection is a
+    deterministic (occupancy, bucket) order, identical in both
+    engines, so the limited path stays exactly oracle-checkable
+    (:func:`ann_topk_sql` mirrors it). ``None`` keeps the full
+    (1+r)× probe set."""
     sigs = hyperplane_signatures(corpus, bits, id_col, vec_col, dim=dim)
     return _bucketed_topk_from_sigs(
         sigs, corpus, k, bits, bands, id_col, vec_col, dim, arrow_rerank,
-        multiprobe=True, bucket_cap=bucket_cap,
+        multiprobe=True, bucket_cap=bucket_cap, probe_limit=probe_limit,
     )
 
 
@@ -453,6 +469,7 @@ def _bucketed_topk_from_sigs(
     arrow_rerank: bool = False,
     multiprobe: bool = False,
     bucket_cap: int | None = None,
+    probe_limit: int | None = None,
 ) -> DataFrame:
     rows_per_band = bits // bands
     band_hash = (
@@ -490,18 +507,52 @@ def _bucketed_topk_from_sigs(
         # per (vec, band). The index side stays unchanged, so the join
         # is the same 8-byte-key equi-join with a (1+r)x probe side —
         # candidates remain bucket-occupancy-bounded.
-        probe_bh = F.explode(
-            F.array(
-                F.col("bh"),
-                *[
-                    F.col("bh").bitwiseXOR(F.lit(1 << j))
-                    for j in range(rows_per_band)
-                ],
+        if probe_limit is not None:
+            # probe fan-out bound: rank each query's r Hamming-1 probes
+            # by the occupancy of the (capped) index bucket they would
+            # hit — a broadcast map bounded by GEOMETRY at
+            # bands × 2^r rows regardless of corpus size — and keep
+            # only the probe_limit lowest-occupancy NON-EMPTY buckets
+            # (inner join prunes empty-bucket probes for free: they
+            # can contribute no candidate). Hot buckets, the probes
+            # whose join output actually costs, lose first. (occ, bh)
+            # order is deterministic in both engines → exact oracle.
+            occ = b.groupBy("band", "bh").agg(F.count("*").alias("occ"))
+            flips = band_hash.select(
+                F.col("vec_id").alias("qid"),
+                "band",
+                F.explode(
+                    F.array(
+                        *[
+                            F.col("bh").bitwiseXOR(F.lit(1 << j))
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                ).alias("bh"),
             )
-        )
-        a = band_hash.select(
-            F.col("vec_id").alias("qid"), "band", probe_bh.alias("bh")
-        )
+            w_probe = Window.partitionBy("qid", "band").orderBy("occ", "bh")
+            sel = (
+                flips.join(F.broadcast(occ), ["band", "bh"])
+                .withColumn("_pn", F.row_number().over(w_probe))
+                .filter(F.col("_pn") <= probe_limit)
+                .select("qid", "band", "bh")
+            )
+            a = band_hash.select(
+                F.col("vec_id").alias("qid"), "band", "bh"
+            ).unionByName(sel)
+        else:
+            probe_bh = F.explode(
+                F.array(
+                    F.col("bh"),
+                    *[
+                        F.col("bh").bitwiseXOR(F.lit(1 << j))
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            a = band_hash.select(
+                F.col("vec_id").alias("qid"), "band", probe_bh.alias("bh")
+            )
     else:
         a = band_hash.select(F.col("vec_id").alias("qid"), "band", "bh")
     cand = (
@@ -606,6 +657,7 @@ def ann_topk_sql(
     dim: int = 64,
     multiprobe: bool = False,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    probe_limit: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`ann_topk` — same hash-derived
     hyperplanes, bands and re-rank, in plain SQL.
@@ -617,20 +669,12 @@ def ann_topk_sql(
     adds the r Hamming-distance-1 buckets per (vec, band).
     ``bucket_cap`` mirrors the occupancy cap: same hash-ordered
     row_number sample of the index side, so the capped scale path is
-    exactly oracle-checkable too.
+    exactly oracle-checkable too. ``probe_limit`` mirrors the probe
+    fan-out bound: each query keeps its own bucket plus only the
+    probe_limit lowest-occupancy NON-EMPTY Hamming-1 buckets, ranked
+    by the same (occupancy, bucket) order as the engine.
     """
     rows_per_band = bits // bands
-    if multiprobe:
-        probe_cte = f""", probe AS (
-  SELECT vec_id, band, bh FROM bh
-  UNION ALL
-  SELECT vec_id, band, xor(bh, CAST(pow(2.0, f.f) AS BIGINT)) AS bh
-  FROM bh, range(0, {rows_per_band}) f(f)
-)"""
-        probe_src = "probe"
-    else:
-        probe_cte = ""
-        probe_src = "bh"
     if bucket_cap is not None:
         caph = portable_hash60_sql("('cap:' || vec_id::VARCHAR)")
         idx_cte = f""", idx AS (
@@ -642,6 +686,34 @@ def ann_topk_sql(
     else:
         idx_cte = ""
         idx_src = "bh"
+    if multiprobe and probe_limit is not None:
+        probe_cte = f""", occ AS (
+  SELECT band, bh, count(*) AS occ FROM {idx_src} GROUP BY band, bh
+), flips AS (
+  SELECT vec_id, band, xor(bh, CAST(pow(2.0, f.f) AS BIGINT)) AS bh
+  FROM bh, range(0, {rows_per_band}) f(f)
+), sel AS (
+  SELECT fl.vec_id, fl.band, fl.bh
+  FROM flips fl JOIN occ o ON fl.band = o.band AND fl.bh = o.bh
+  QUALIFY row_number() OVER (PARTITION BY fl.vec_id, fl.band
+                             ORDER BY o.occ, fl.bh) <= {probe_limit}
+), probe AS (
+  SELECT vec_id, band, bh FROM bh
+  UNION ALL
+  SELECT vec_id, band, bh FROM sel
+)"""
+        probe_src = "probe"
+    elif multiprobe:
+        probe_cte = f""", probe AS (
+  SELECT vec_id, band, bh FROM bh
+  UNION ALL
+  SELECT vec_id, band, xor(bh, CAST(pow(2.0, f.f) AS BIGINT)) AS bh
+  FROM bh, range(0, {rows_per_band}) f(f)
+)"""
+        probe_src = "probe"
+    else:
+        probe_cte = ""
+        probe_src = "bh"
     u = portable_hash60_sql("(plane::VARCHAR || ':' || (d - 1)::VARCHAR)")
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
@@ -667,7 +739,7 @@ WITH proj AS (
   SELECT vec_id, plane // {rows_per_band} AS band,
          sum(bit * CAST(pow(2.0, plane % {rows_per_band}) AS BIGINT)) AS bh
   FROM sig GROUP BY vec_id, band
-){probe_cte}{idx_cte}, cand AS (
+){idx_cte}{probe_cte}, cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
   FROM {probe_src} a JOIN {idx_src} b ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
 ), scored AS (

@@ -1439,3 +1439,186 @@ SELECT CAST(n AS BIGINT) AS n_terms_used,
        {siground_sql('CASE WHEN vx * vy <> 0 THEN cxy * cxy / (vx * vy) END')} AS r2
 FROM agg WHERE n >= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality audit: nDCG@k / MRR over the retrieval arms
+# ---------------------------------------------------------------------------
+
+
+def _graded_relevance(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    rel_cap: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic graded relevance for one query: rel(d) =
+    min(rel_cap, Σ_t tf(t, d)) over the query's terms — an exact
+    integer grade derivable in both engines from the same token
+    pipeline BM25 itself uses (the hash-derived-oracle discipline:
+    the judge set is a FORMULA, not human labels, so the audit is
+    exactly checkable). Only docs containing ≥ 1 query term get a
+    row, so the table is bounded by Σ_t df(t), never the corpus."""
+    qt = [t.lower() for t in query_terms]
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    return (
+        toks.filter(F.col("term").isin(qt))
+        .groupBy("doc_id")
+        .agg(F.least(F.lit(rel_cap), F.count("*")).cast("int").alias("rel"))
+    )
+
+
+def retrieval_quality(
+    docs: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...], str], ...],
+    k: int = 10,
+    arm_k: int = 50,
+    rel_cap: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-quality audit: nDCG@k and MRR@k of the engine's two
+    retrieval arms (BM25 tokens, hybrid RRF fusion) against the
+    deterministic graded-relevance oracle — the quality dial that
+    completes bm25_search/hybrid_search the way similarity_recall
+    completes the ANN paths (an exactly-checked NUMBER for "is the
+    ranking any good", not just "does it run").
+
+    ``queries`` is a literal tuple of (query_id, terms, query_string)
+    — a fixed evaluation set, exactly like bm25_search's literal
+    query. Per (query, arm):
+
+    * DCG@k  = Σ_{r≤k} (2^rel(d_r) − 1) / log2(r + 1) — gains are
+      INTEGER bit-shifts (engine-exact), only the log2 rides the
+      rounding contract;
+    * IDCG@k = the same sum over the ideal ordering (rel desc, id) —
+      distributed TakeOrdered over the Σ df-bounded relevance table;
+    * nDCG   = DCG / IDCG (NULL when no relevant doc exists);
+    * MRR@k  = 1 / min{r ≤ k : rel(d_r) ≥ 1} (NULL when the arm
+      retrieved nothing relevant in the top k).
+
+    Scale shape: each arm is the production retrieval plan itself
+    (TakeOrderedAndProject top-k, query-term-filtered tf — see
+    bm25_search); the metric join touches k rows per arm and the
+    relevance table is bounded by Σ_t df(t). The eval set is a small
+    literal constant, so the union over queries adds a constant
+    number of subplans, not a data-dependent fan-out.
+
+    Output: (query_id, arm, k, n_relevant, dcg, idcg, ndcg, mrr),
+    floats decimal-rounded.
+    """
+    from dataframeutils_spark.schema import decround
+
+    spark = docs.sparkSession
+    out = None
+    for qid, terms, qstring in queries:
+        rel = _graded_relevance(
+            docs, terms, rel_cap, text_col, id_col
+        ).localCheckpoint(eager=False)
+        arms = {
+            "bm25": bm25_search(
+                docs, terms, k=k, text_col=text_col, id_col=id_col
+            ).select("doc_id", "rank"),
+            "rrf": hybrid_search_rrf(docs, terms, qstring, k=k, arm_k=arm_k)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+                .alias("rank"),
+            ),
+        }
+        # ideal top-k: TakeOrdered over the bounded relevance table
+        ideal = ranked_topk(
+            rel, k, [F.col("rel").desc(), F.col("doc_id")]
+        ).select("rel", "rank")
+        gain = F.expr("shiftleft(1, rel) - 1")
+        dgain = gain.cast("double") / F.log2(F.col("rank") + F.lit(1.0))
+        idcg_df = ideal.agg(F.sum(dgain).alias("idcg"))
+        nrel_df = rel.filter(F.col("rel") >= 1).agg(
+            F.count("*").alias("n_relevant")
+        )
+        for arm, ranked in arms.items():
+            j = ranked.join(rel, "doc_id", "left").withColumn(
+                "rel", F.coalesce(F.col("rel"), F.lit(0))
+            )
+            m = j.agg(
+                F.sum(dgain).alias("dcg"),
+                F.min(F.when(F.col("rel") >= 1, F.col("rank"))).alias("_fr"),
+            )
+            row = (
+                m.crossJoin(idcg_df)
+                .crossJoin(nrel_df)
+                .select(
+                    F.lit(qid).alias("query_id"),
+                    F.lit(arm).alias("arm"),
+                    F.lit(k).cast("int").alias("k"),
+                    F.col("n_relevant").cast("long").alias("n_relevant"),
+                    decround(F.col("dcg")).alias("dcg"),
+                    decround(F.col("idcg")).alias("idcg"),
+                    decround(F.try_divide(F.col("dcg"), F.col("idcg"))).alias(
+                        "ndcg"
+                    ),
+                    decround(
+                        F.lit(1.0) / F.col("_fr").cast("double")
+                    ).alias("mrr"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retrieval_quality_sql(
+    queries: tuple[tuple[str, tuple[str, ...], str], ...],
+    k: int = 10,
+    arm_k: int = 50,
+    rel_cap: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`retrieval_quality` — replays the same
+    arms (bm25_search_sql / hybrid_search_rrf_sql), the same graded
+    relevance formula, and the same metric algebra per query."""
+    from dataframeutils_spark.schema import decround_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    parts = []
+    for qid, terms, qstring in queries:
+        qlist = ", ".join(f"'{t.lower()}'" for t in terms)
+        rel_cte = f"""
+  SELECT doc_id, least({rel_cap}, count(*))::INT AS rel
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM {table})
+  WHERE term IN ({qlist}) GROUP BY doc_id"""
+        gain = "((1 << rel) - 1)"
+        dgain = f"{gain}::DOUBLE / log2(rank + 1.0)"
+        for arm in ("bm25", "rrf"):
+            if arm == "bm25":
+                arm_sql = f"SELECT doc_id, rank FROM ({bm25_search_sql(terms, k=k, table=table)})"
+            else:
+                arm_sql = f"""SELECT doc_id,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+FROM ({hybrid_search_rrf_sql(terms, qstring, k=k, arm_k=arm_k, table=table)})"""
+            parts.append(f"""
+SELECT '{qid}' AS query_id, '{arm}' AS arm, CAST({k} AS INT) AS k,
+       (SELECT count(*) FROM ({rel_cte}) WHERE rel >= 1)::BIGINT AS n_relevant,
+       {decround_sql('m.dcg')} AS dcg,
+       {decround_sql('i.idcg')} AS idcg,
+       {decround_sql('m.dcg / NULLIF(i.idcg, 0)')} AS ndcg,
+       {decround_sql('1.0 / m.first_rel')} AS mrr
+FROM (
+  SELECT sum({dgain}) AS dcg,
+         min(CASE WHEN rel >= 1 THEN rank END) AS first_rel
+  FROM (
+    SELECT a.rank, COALESCE(r.rel, 0) AS rel
+    FROM ({arm_sql}) a LEFT JOIN ({rel_cte}) r USING (doc_id)
+  )
+) m CROSS JOIN (
+  SELECT sum({dgain}) AS idcg FROM (
+    SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+    FROM ({rel_cte}) QUALIFY rank <= {k}
+  )
+) i""")
+    return "\nUNION ALL\n".join(parts)

@@ -193,9 +193,12 @@ def _winnow_cte(table: str, kgram: int, window: int) -> str:
     h60 = portable_hash60_sql(f"substr(t, p, {kgram})")
     return f"""
 pos AS (
-  SELECT doc_id, unnest(range(1, length(text) - {kgram - 2})) AS p,
+  -- length of the LOWERCASED text, matching the engine (a Unicode
+  -- char whose lowercase form changes string length must move the
+  -- position range identically in both engines)
+  SELECT doc_id, unnest(range(1, length(lower(text)) - {kgram - 2})) AS p,
          lower(text) AS t
-  FROM {table} WHERE length(text) >= {kgram}
+  FROM {table} WHERE length(lower(text)) >= {kgram}
 ), keyed AS (
   SELECT doc_id, p,
          ({h60} % {_HBITS}) * {_PBITS}
@@ -223,8 +226,9 @@ def winnow_profile_sql(
 WITH {_winnow_cte(table, kgram, window)}, agg AS (
   SELECT doc_id, count(*) AS n_fingerprints FROM fp GROUP BY doc_id
 ), np AS (
-  SELECT doc_id, length(text) - {kgram - 1} AS n_positions FROM {table}
-  WHERE length(text) - {kgram - 1} >= {window}
+  SELECT doc_id, length(lower(text)) - {kgram - 1} AS n_positions
+  FROM {table}
+  WHERE length(lower(text)) - {kgram - 1} >= {window}
 )
 SELECT np.doc_id,
        CAST(n_positions AS BIGINT) AS n_positions,

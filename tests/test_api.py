@@ -271,12 +271,12 @@ def test_event_study_facade(spark):
 def test_registry_contract():
     """Driver-contract invariants the external gate depends on: every
     oracle belongs to a registered query, every registry entry is
-    callable, and the round-11 rotation holds — positions 1-30 are the
-    30 entries never externally gated as exact (the unigram trio +
-    the 27 r10 in-round additions), positions 31-43 the 13 r7-batch
-    leftovers, positions 44-50 the 7 oldest r8-batch rows (all 50
-    exact-mode: zero-`err` window hygiene), and everything below the
-    cap either carries a driver row from r6..r10 or is documented
+    callable, and the round-12 rotation holds — positions 1-20 are the
+    20 entries never externally gated (the r11 in-round additions),
+    positions 21-50 the 30 oldest previously-gated rows (the r8-batch
+    head; all 50 exact-mode: zero-`err` window hygiene), and
+    everything below the cap either carries a driver row from a prior
+    gate, is a registered in-round newcomer, or is documented
     rows-only-by-design at the bottom of the registry."""
     import json
     import os as _os
@@ -289,32 +289,28 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # r11 window leads (1-30): never externally gated AS EXACT —
-    # the unigram trio + the 27 r10 in-round additions
-    assert names[:30] == [
-        "unigram_train", "unigram_encode", "tokenizer_fertility",
-        "multimodal_webm_frame_index",
-        "multimodal_image_dhash", "multimodal_image_phash_dedup",
-        "multimodal_image_neardup", "multimodal_audio_fingerprint",
-        "multimodal_audio_fp_dedup",
-        "stationarity_kpss",
-        "changepoint_cusum", "seasonal_decompose", "panel_ols",
-        "theilsen_slope", "mahalanobis_outliers", "dtw_distance",
-        "ks_drift", "chi2_independence", "ab_test",
-        "association_rules", "benford_audit", "hybrid_search",
-        "survival_km", "embedding_auc", "revenue_concentration",
-        "jackknife_ci", "l_diversity", "graph_triangles",
-        "fuzzy_join", "entity_resolution",
+    # r12 window leads (1-20): the 20 never-externally-gated r11
+    # in-round additions
+    assert names[:20] == [
+        "drift_fdr", "winnow_clusters", "js_drift", "rank_transform",
+        "dedup_containment", "cohort_ltv", "event_transitions",
+        "interarrival_stats", "extreme_value", "doc_kl", "zipf_fit",
+        "ewma_control", "winnow_profile", "winnow_neardup",
+        "token_entropy", "pmi_collocations", "spearman_corr",
+        "mann_whitney", "mann_kendall", "hill_tail",
     ]
-    # positions 31-43: the 13 r7-batch leftovers; 44-50: the 7 oldest
-    # r8-batch rows (re-gate fill)
-    assert names[30:50] == [
-        "panel_dispersion", "panel_ar1", "lagged_corr", "mutual_info",
-        "zscore_outliers", "rolling_corr", "topk_terms", "tfidf_topterms",
-        "text_stats", "language_id", "dedup_minhash_lsh", "dedup_simhash",
-        "similarity_topk",
-        "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-        "tpch_q10", "tpch_q11",
+    # positions 21-50: the 30 oldest previously-gated rows (r8 batch
+    # head — last gated in CORRECTNESS_r08.json)
+    assert names[20:50] == [
+        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+        "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+        "multimodal_avi_frames", "quota_sample", "hard_negatives",
+        "snapshot_diff", "curriculum", "boilerplate_scrub",
+        "decayed_value", "winsorize", "sales_cube", "skew_report",
+        "embedding_covariance", "join_size_estimate", "domain_cap",
+        "late_data_audit", "similarity_ann", "hash_sample",
+        "data_mixture", "pipeline_prepare", "text_repetition",
+        "lm_quality",
     ]
     # zero-`err` hygiene: EVERY query inside the 50-entry window
     # carries an exact DuckDB oracle
@@ -343,24 +339,16 @@ def test_registry_contract():
         # everything below the cap must carry a driver row from
         # r6..r10 or be documented rows-only-by-design (in-round r11
         # newcomers, once registered, are added to NEW_R11 here)
-        rounds_r10 = {}
-        p10 = _os.path.join(here, "..", "CORRECTNESS_r10.json")
-        if _os.path.exists(p10):
-            with open(p10) as fh:
-                rounds_r10 = json.load(fh)
-        gated |= set(rounds_r10)
-        NEW_R11 = {"spearman_corr", "mann_whitney", "mann_kendall",
-                   "hill_tail", "token_entropy", "pmi_collocations",
-                   "winnow_profile", "winnow_neardup", "ewma_control",
-                   # r11 session-2 additions (all exact-mode, r12 leads)
-                   "cohort_ltv", "event_transitions", "interarrival_stats",
-                   "extreme_value", "doc_kl", "zipf_fit",
-                   # r11 session-3 additions (all exact-mode, r12 leads)
-                   "winnow_clusters", "js_drift", "rank_transform",
-                   "dedup_containment", "drift_fdr"}
+        for rn in ("r10", "r11"):
+            p = _os.path.join(here, "..", f"CORRECTNESS_{rn}.json")
+            if _os.path.exists(p):
+                with open(p) as fh:
+                    gated |= set(json.load(fh))
+        # r12 in-round newcomers (all exact-mode, r13 leads)
+        NEW_R12 = {"retrieval_quality"}
         missing = [
             n for n in names[50:]
-            if n not in gated and n not in ROWS_ONLY and n not in NEW_R11
+            if n not in gated and n not in ROWS_ONLY and n not in NEW_R12
         ]
         assert missing == [], missing
         # and the r9 window itself was fully green: 44 exact hashes +

@@ -364,3 +364,50 @@ def test_bh_fdr_textbook_example(spark):
         assert float(out.iloc[i]["q_value"]) == pytest.approx(qs[i], abs=1e-6)
     assert out["rejected"].tolist() == [q <= 0.25 for q in qs]
     assert sum(out["rejected"]) == 5
+
+
+def test_bh_fdr_two_phase_equals_naive_global_rank(spark):
+    """The two-phase bounded rank (range buckets + broadcast prefix
+    offsets + within-bucket suffix min ∧ later-bucket min) must equal
+    the naive single-window BH formulation row for row — including
+    tied p-values within one bucket, p-values straddling bucket
+    boundaries, and the p=0.0 / p=1.0 clamp edges."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 500
+    # adversarial battery: heavy ties (2-decimal grid → many rows per
+    # bucket), exact 0/1 edges, and a dense plateau in one bucket
+    ps = np.round(rng.beta(0.5, 3.0, n), 2)
+    ps[:5] = 0.0
+    ps[5:10] = 1.0
+    ps[10:60] = 0.25  # one hot bucket with 50 tied rows
+    pdf = pd.DataFrame(
+        {
+            "test": ["t%d" % (i % 3) for i in range(n)],
+            "grp": ["g%04d" % i for i in range(n)],
+            "feature": ["f%d" % (i % 7) for i in range(n)],
+            "p_value": ps,
+        }
+    )
+    got = (
+        rankstats.bh_fdr(spark.createDataFrame(pdf), alpha=0.05)
+        .toPandas()
+        .sort_values(["bh_rank"])
+        .reset_index(drop=True)
+    )
+    # naive reference: global sort by (p, test, grp, feature)
+    ref = pdf.sort_values(["p_value", "test", "grp", "feature"]).reset_index(
+        drop=True
+    )
+    m = len(ref)
+    qraw = ref["p_value"].to_numpy() * m / np.arange(1, m + 1)
+    qs = np.minimum(1.0, np.minimum.accumulate(qraw[::-1])[::-1])
+    assert got["bh_rank"].tolist() == list(range(1, m + 1))
+    assert got["grp"].tolist() == ref["grp"].tolist()
+    # the operator decimal-rounds q (decround, SIG_DIGITS places);
+    # compare at that grain — the two-phase plumbing must not move q
+    # by even one rounding quantum
+    for i in range(m):
+        assert float(got["q_value"][i]) == pytest.approx(qs[i], abs=5.1e-7), i
+    assert got["rejected"].tolist() == [q <= 0.05 for q in qs]
