@@ -42,6 +42,7 @@ from dataframeutils_spark.operators import (
     text,
     trend,
     unigram,
+    web,
     winnow,
     weighted_bins,
 )
@@ -3801,6 +3802,45 @@ RETRIEVAL_EVAL_QUERIES = (
 )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.py): lowercase scheme/host,
+    strip www./default ports/fragments/trailing slashes/tracking
+    params (utm_*, gclid, fbclid, ref), sort surviving query params,
+    and derive the registrable domain (multi-part-TLD aware) — one
+    native projection, zero shuffle, RE2∩Java regex subset. The
+    fixture synthesizes deterministic messy URLs from doc_id (the
+    real_media_table pattern), so the whole pipeline is exactly
+    oracle-checkable."""
+    return web.url_normalize(
+        web.url_table(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL duplicate groups (operators/web.py): docs whose
+    URLs normalize to one canonical form (re-crawls via tracking
+    links, www/default-port/trailing-slash variants) — the URL-keyed
+    sibling of dedup_canonical, one combinable groupBy over the
+    8-byte canonical hash (exact_dedup's scale shape). The fixture
+    points every 3 consecutive docs at one resource with per-doc
+    crawl mess, so groups are guaranteed and exactly checkable."""
+    return web.url_dedup(
+        web.url_table(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs per registrable domain with corpus share (operators/
+    web.py): the domain_cap pre-flight on web corpora — which domains
+    dominate the crawl, counted on the suffix-aware registrable
+    domain so host shards (a.example.com / b.example.com) roll up.
+    One combinable groupBy (exchange = |domains|) + a 1-row total
+    broadcast."""
+    return web.domain_report(
+        web.url_table(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality audit (operators/text.py): nDCG@10 and MRR@10
     of the BM25 arm and the hybrid-RRF arm against a deterministic
@@ -4153,6 +4193,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r12 in-round newcomers (below the cap per the rotation
         # protocol; they lead the r13 window) ---
         "retrieval_quality": q_retrieval_quality,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "domain_report": q_domain_report,
         # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
@@ -4314,6 +4357,9 @@ def all_oracles() -> dict[str, str]:
         "retrieval_quality": text.retrieval_quality_sql(
             RETRIEVAL_EVAL_QUERIES, k=10
         ),
+        "url_normalize": web.url_normalize_sql(),
+        "url_dedup": web.url_dedup_sql(),
+        "domain_report": web.domain_report_sql(),
         "drift_fdr": _round_oracle_cols(
             rankstats.panel_drift_fdr_sql(), ["p_value", "q_value"]
         ),

@@ -167,6 +167,54 @@ def test_panel_ols_vs_numpy(spark):
     np.testing.assert_allclose(row["r2"], 1 - sse / sst, rtol=1e-9)
 
 
+def test_panel_ols_perfect_fit_guard(spark, ddb):
+    """Degenerate perfect-fit group (y EXACTLY linear in x1, x2):
+    fp rounding can land sse a hair below zero, where DuckDB's
+    sqrt(negative) ERRORS while Spark NaNs — both sides clamp with
+    greatest(0.0, sse). Pin the guard in BOTH engines: the group
+    survives, se == 0, t-stats NULL, r2 == 1, and neither engine
+    raises."""
+    import numpy as np
+
+    from dataframeutils_spark import oracles
+
+    r = _rng(13)
+    n = 120
+    x1 = r.normal(10, 3, n)
+    x2 = r.normal(-2, 1.5, n)
+    y = 4.0 + 2.5 * x1 - 1.25 * x2  # zero residual by construction
+    pdf = pd.DataFrame(
+        {
+            "grp": "A",
+            "date": [dt.date(1995, 1, 1)] * n,
+            "feature_1": x1,
+            "feature_2": x2,
+            "feature_3": y,
+        }
+    )
+    row = trend.panel_ols(spark.createDataFrame(pdf)).collect()[0]
+    assert row["se_beta1"] == 0.0 and row["se_beta2"] == 0.0
+    assert row["t_beta1"] is None and row["t_beta2"] is None
+    np.testing.assert_allclose(
+        [row["beta0"], row["beta1"], row["beta2"]], [4.0, 2.5, -1.25],
+        rtol=1e-9,
+    )
+    assert row["r2"] == pytest.approx(1.0, abs=1e-12)
+    # oracle side: swap the lineitem-derived panel for the fixture and
+    # run the SAME guarded SQL — must not raise, must agree
+    ddb.register("fit_panel", pdf)
+    sql = oracles.OLS_SQL.replace(
+        oracles.PANEL_CTE, "panel AS (SELECT * FROM fit_panel)"
+    )
+    orow = ddb.execute(sql).fetchdf().iloc[0]
+    assert float(orow["se_beta1"]) == 0.0
+    assert pd.isna(orow["t_beta1"]) and pd.isna(orow["t_beta2"])
+    np.testing.assert_allclose(
+        [orow["beta0"], orow["beta1"], orow["beta2"]], [4.0, 2.5, -1.25],
+        rtol=1e-6,
+    )
+
+
 def test_panel_ols_collinear_guarded(spark):
     # x2 = 2*x1 exactly -> det == 0 -> the group is dropped, not NaN'd
     n = 50

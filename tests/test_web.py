@@ -1,0 +1,74 @@
+"""Unit tests for the web-corpus URL operators (operators/web.py):
+normalization rules, registrable-domain suffix handling, canonical
+dedup grouping, and the cross-engine oracles."""
+
+from __future__ import annotations
+
+from dataframeutils_spark.operators import web
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    return web.url_normalize(df).collect()[0]
+
+
+def test_url_normalize_rules(spark):
+    r = _norm(
+        spark,
+        "HTTP://WWW.Shop.Example.COM:80/a/b/?utm_source=x&id=9&ref=tw#frag",
+    )
+    # scheme+host lowercased, www stripped, default port stripped,
+    # trailing slash stripped, tracking params dropped, fragment gone
+    assert r["norm_url"] == "http://shop.example.com/a/b?id=9"
+    assert r["host"] == "shop.example.com"
+    assert r["domain"] == "example.com"
+    assert r["n_params_kept"] == 1 and r["n_params_dropped"] == 2
+
+
+def test_url_normalize_keeps_explicit_port_and_sorts_params(spark):
+    r = _norm(spark, "https://api.data.io:8080/v1?z=2&a=1")
+    assert r["norm_url"] == "https://api.data.io:8080/v1?a=1&z=2"
+    # :443 on https IS a default and goes away
+    r2 = _norm(spark, "https://api.data.io:443/v1")
+    assert r2["norm_url"] == "https://api.data.io/v1"
+
+
+def test_url_registrable_domain_multipart_tld(spark):
+    assert _norm(spark, "http://news.bbc.co.uk/x")["domain"] == "bbc.co.uk"
+    assert _norm(spark, "http://a.b.shop.com.au/x")["domain"] == "shop.com.au"
+    # bare two-label host is its own registrable domain
+    assert _norm(spark, "http://data.io/x")["domain"] == "data.io"
+
+
+def test_url_dedup_groups_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.example.com/p?id=1&utm_source=a"),
+            (2, "HTTP://EXAMPLE.COM:80/p/?id=1"),
+            (3, "http://example.com/p?id=1#frag"),
+            (4, "http://example.com/p?id=2"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = web.url_dedup(df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 3 and g["keep_doc_id"] == 1
+    assert g["n_distinct_raw"] == 3
+    assert g["norm_url"] == "http://example.com/p?id=1"
+
+
+def test_url_pipeline_matches_oracle(spark, ddb):
+    """Fixture + normalize + dedup + domain report all byte-exact vs
+    the DuckDB oracle at sf0.001, and the fixture guarantees dup
+    groups (every 3 consecutive docs share one resource)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    u = web.url_table(docs)
+    got = sorted(tuple(r) for r in web.url_normalize(u).collect())
+    want = sorted(
+        tuple(t) for t in ddb.execute(web.url_normalize_sql()).fetchall()
+    )
+    assert got == want and len(got) > 0
+    gd = sorted(tuple(r) for r in web.url_dedup(u).collect())
+    wd = sorted(tuple(t) for t in ddb.execute(web.url_dedup_sql()).fetchall())
+    assert gd == wd and len(gd) > 0
