@@ -3802,6 +3802,38 @@ RETRIEVAL_EVAL_QUERIES = (
 )
 
 
+def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift between two corpus snapshots
+    (operators/pipeline.py): card deltas (docs/tokens/quality-pass/
+    dup rates) + a PSI over the quality-score distribution per source
+    — the release-over-release report a data team reads before
+    publishing, composing dataset_card with the psi_drift discipline.
+    Runs on the SAME deterministic snapshot views as snapshot_diff
+    (old = doc_id % 10 ≠ 0; new = doc_id % 7 ≠ 0 with ' v2' text
+    edits on multiples of 5), so the two reports line up."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "text", "source"
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    return pipeline.source_quality_drift(old, new)
+
+
+QDRIFT_OLD_SQL = (
+    "(SELECT doc_id, text, source FROM documents WHERE doc_id % 10 <> 0)"
+)
+QDRIFT_NEW_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+    "ELSE text END AS text, source FROM documents WHERE doc_id % 7 <> 0)"
+)
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/web.py): lowercase scheme/host,
     strip www./default ports/fragments/trailing slashes/tracking
@@ -4196,6 +4228,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "domain_report": q_domain_report,
+        "source_quality_drift": q_source_quality_drift,
         # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
@@ -4360,6 +4393,9 @@ def all_oracles() -> dict[str, str]:
         "url_normalize": web.url_normalize_sql(),
         "url_dedup": web.url_dedup_sql(),
         "domain_report": web.domain_report_sql(),
+        "source_quality_drift": pipeline.source_quality_drift_sql(
+            QDRIFT_OLD_SQL, QDRIFT_NEW_SQL
+        ),
         "drift_fdr": _round_oracle_cols(
             rankstats.panel_drift_fdr_sql(), ["p_value", "q_value"]
         ),

@@ -460,3 +460,201 @@ SELECT coalesce(_id, _nid) AS {id_col},
        old_hash, new_hash
 FROM o FULL OUTER JOIN n ON _id = _nid
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source quality drift: the release-over-release corpus report
+# ---------------------------------------------------------------------------
+
+
+def source_quality_drift(
+    old: DataFrame,
+    new: DataFrame,
+    min_quality: float = 0.3,
+    n_bins: int = 10,
+    psi_alarm: float = 0.2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quality drift between two corpus snapshots — the
+    release-over-release diff a data team actually reads before
+    publishing: for every source, the card deltas (docs, tokens,
+    quality-pass rate, exact-dup rate) PLUS a population-stability
+    index over the quality-score distribution (did the source's
+    quality DISTRIBUTION move, not just its mean). Composes
+    :func:`dataset_card`'s per-source card with the psi_drift
+    discipline (ε-smoothed shares, > ``psi_alarm`` = conventional
+    drift alarm).
+
+    Determinism: quality is rounded to ``QUALITY_DECIMALS`` before
+    binning (js_drift's round-before-bucket rule), bins are fixed
+    equal-width over [0, 1] (quality is bounded by construction), and
+    the PSI sum is decimal-rounded — engine-exact.
+
+    Scale shape: one scan projection per snapshot evaluates quality +
+    the content hash; shuffles are two combinable aggregates per
+    snapshot (per-source card: exchange = |sources|; bin cells:
+    exchange = |sources| × n_bins) joined on the tiny source key.
+    Nothing is quadratic in docs; text never leaves the scan.
+
+    Output: (source, n_docs_ref, n_docs_cur, docs_delta_pct,
+    tokens_ref, tokens_cur, qpass_rate_ref, qpass_rate_cur,
+    dup_rate_ref, dup_rate_cur, quality_psi, drifted).
+    """
+    from dataframeutils_spark.operators.features import PSI_EPS
+    from dataframeutils_spark.schema import decround
+
+    def enrich(df: DataFrame) -> DataFrame:
+        stats = text_stat_columns(text_col)
+        q = F.round(stats["quality"], QUALITY_DECIMALS)
+        return df.select(
+            F.col(source_col).alias("source"),
+            q.alias("q"),
+            stats["n_tokens"].alias("n_tokens"),
+            F.md5(F.col(text_col)).alias("h"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(F.greatest(F.lit(0.0), q) * n_bins),
+            ).cast("int").alias("bin"),
+        )
+
+    def card(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").alias(f"n_docs_{tag}"),
+            F.sum("n_tokens").alias(f"tokens_{tag}"),
+            F.avg((F.col("q") >= min_quality).cast("double")).alias(
+                f"qpass_rate_{tag}"
+            ),
+            (
+                (F.count("*") - F.count_distinct(F.col("h")))
+                / F.count("*").cast("double")
+            ).alias(f"dup_rate_{tag}"),
+        )
+
+    def cells(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("source", "bin").agg(
+            F.count("*").alias(f"c_{tag}")
+        )
+
+    o, n = enrich(old), enrich(new)
+    co, cn = card(o, "ref"), card(n, "cur")
+    # bin shares, ε-smoothed; full outer join keeps one-sided bins
+    j = cells(o, "ref").join(cells(n, "cur"), ["source", "bin"], "full")
+    j = (
+        j.join(co.select("source", "n_docs_ref"), "source")
+        .join(cn.select("source", "n_docs_cur"), "source")
+        .select(
+            "source",
+            (
+                F.coalesce(F.col("c_ref"), F.lit(0)) / F.col("n_docs_ref")
+                + F.lit(PSI_EPS)
+            ).alias("pr"),
+            (
+                F.coalesce(F.col("c_cur"), F.lit(0)) / F.col("n_docs_cur")
+                + F.lit(PSI_EPS)
+            ).alias("pc"),
+        )
+    )
+    psi = j.groupBy("source").agg(
+        F.sum(
+            (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))
+        ).alias("_psi")
+    )
+    out = co.join(cn, "source", "full").join(psi, "source", "left")
+    qpsi = decround(F.col("_psi"))
+    return out.select(
+        "source",
+        "n_docs_ref",
+        "n_docs_cur",
+        decround(
+            (F.col("n_docs_cur") - F.col("n_docs_ref"))
+            / F.col("n_docs_ref").cast("double")
+        ).alias("docs_delta_pct"),
+        "tokens_ref",
+        "tokens_cur",
+        decround(F.col("qpass_rate_ref")).alias("qpass_rate_ref"),
+        decround(F.col("qpass_rate_cur")).alias("qpass_rate_cur"),
+        decround(F.col("dup_rate_ref")).alias("dup_rate_ref"),
+        decround(F.col("dup_rate_cur")).alias("dup_rate_cur"),
+        qpsi.alias("quality_psi"),
+        # a source present in only one snapshot has no distribution to
+        # compare — report it as not-drifted (its NULL deltas already
+        # flag it as new/removed), keeping the boolean non-NULL for
+        # the cross-engine hash
+        F.coalesce(qpsi > psi_alarm, F.lit(False)).alias("drifted"),
+    )
+
+
+def source_quality_drift_sql(
+    old_rel: str,
+    new_rel: str,
+    min_quality: float = 0.3,
+    n_bins: int = 10,
+    psi_alarm: float = 0.2,
+) -> str:
+    """DuckDB oracle for :func:`source_quality_drift`. ``old_rel`` /
+    ``new_rel`` are UNALIASED parenthesized subqueries (or table
+    names) with (doc_id, text, source)."""
+    from dataframeutils_spark.operators.features import PSI_EPS
+    from dataframeutils_spark.operators.text import text_stats_sql
+    from dataframeutils_spark.schema import decround_sql
+
+    def enrich(rel: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT s.source, round(ts.quality, {QUALITY_DECIMALS}) AS q,
+         ts.n_tokens, md5(s.text) AS h,
+         least({n_bins - 1},
+               CAST(floor(greatest(0.0, round(ts.quality,
+                 {QUALITY_DECIMALS})) * {n_bins}) AS INT)) AS bin
+  FROM {rel} AS s
+  JOIN ({text_stats_sql(rel + " AS tsq")}) ts USING (doc_id)
+)"""
+
+    def card(name: str, tag: str) -> str:
+        return f"""card_{tag} AS (
+  SELECT source, count(*) AS n_docs_{tag},
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_{tag},
+         avg(CASE WHEN q >= {min_quality} THEN 1.0 ELSE 0.0 END)
+           AS qpass_rate_{tag},
+         (count(*) - count(DISTINCT h)) / count(*)::DOUBLE
+           AS dup_rate_{tag}
+  FROM {name} GROUP BY source
+)"""
+
+    return f"""
+WITH {enrich(old_rel, 'e_ref')}, {enrich(new_rel, 'e_cur')},
+{card('e_ref', 'ref')}, {card('e_cur', 'cur')},
+cells AS (
+  SELECT COALESCE(r.source, c.source) AS source,
+         COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(r.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+  FROM (SELECT source, bin, count(*) AS c_ref FROM e_ref GROUP BY 1, 2) r
+  FULL OUTER JOIN
+       (SELECT source, bin, count(*) AS c_cur FROM e_cur GROUP BY 1, 2) c
+    ON r.source = c.source AND r.bin = c.bin
+), psi AS (
+  SELECT ce.source,
+         sum((ce.c_cur / cc.n_docs_cur::DOUBLE + {PSI_EPS}
+              - ce.c_ref / cr.n_docs_ref::DOUBLE - {PSI_EPS})
+             * ln((ce.c_cur / cc.n_docs_cur::DOUBLE + {PSI_EPS})
+                  / (ce.c_ref / cr.n_docs_ref::DOUBLE + {PSI_EPS})))
+           AS _psi
+  FROM cells ce JOIN card_ref cr USING (source)
+                JOIN card_cur cc USING (source)
+  GROUP BY ce.source
+)
+SELECT COALESCE(r.source, c.source) AS source,
+       r.n_docs_ref, c.n_docs_cur,
+       {decround_sql('(c.n_docs_cur - r.n_docs_ref) / r.n_docs_ref::DOUBLE')}
+         AS docs_delta_pct,
+       r.tokens_ref, c.tokens_cur,
+       {decround_sql('r.qpass_rate_ref')} AS qpass_rate_ref,
+       {decround_sql('c.qpass_rate_cur')} AS qpass_rate_cur,
+       {decround_sql('r.dup_rate_ref')} AS dup_rate_ref,
+       {decround_sql('c.dup_rate_cur')} AS dup_rate_cur,
+       {decround_sql('p._psi')} AS quality_psi,
+       COALESCE({decround_sql('p._psi')} > {psi_alarm}, FALSE) AS drifted
+FROM card_ref r
+FULL OUTER JOIN card_cur c ON c.source = r.source
+LEFT JOIN psi p ON p.source = COALESCE(r.source, c.source)
+"""

@@ -72,3 +72,34 @@ def test_url_pipeline_matches_oracle(spark, ddb):
     gd = sorted(tuple(r) for r in web.url_dedup(u).collect())
     wd = sorted(tuple(t) for t in ddb.execute(web.url_dedup_sql()).fetchall())
     assert gd == wd and len(gd) > 0
+
+
+def test_source_quality_drift_detects_planted_degradation(spark):
+    """Plant one source whose quality DISTRIBUTION collapses in the
+    new snapshot (good prose → punctuation soup): its PSI must alarm
+    while an unchanged source stays quiet; a source present only in
+    the new snapshot reports NULL ref fields and drifted=False."""
+    from dataframeutils_spark.operators import pipeline as P
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    bad = "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!"
+    old_rows = [(i, good, "stable") for i in range(30)] + [
+        (100 + i, good, "degrading") for i in range(30)
+    ]
+    new_rows = (
+        [(i, good, "stable") for i in range(30)]
+        + [(100 + i, bad, "degrading") for i in range(30)]
+        + [(200 + i, good, "brand_new") for i in range(10)]
+    )
+    old = spark.createDataFrame(old_rows, "doc_id long, text string, source string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in P.source_quality_drift(old, new).collect()}
+    assert out["degrading"]["drifted"] is True
+    assert out["degrading"]["quality_psi"] > 0.2
+    assert out["stable"]["drifted"] is False
+    assert abs(out["stable"]["quality_psi"]) < 1e-6
+    nb = out["brand_new"]
+    assert nb["n_docs_ref"] is None and nb["n_docs_cur"] == 10
+    assert nb["drifted"] is False and nb["quality_psi"] is None
+    # quality-pass rates reflect the collapse
+    assert out["degrading"]["qpass_rate_ref"] > out["degrading"]["qpass_rate_cur"]
