@@ -220,6 +220,13 @@ HEADLINE = [
     "rank_transform",  # tie-averaged percentile transform per series
     "dedup_containment",  # asymmetric containment verify over LSH candidates
     "drift_fdr",  # BH step-up over the battery table (tests x series rows)
+    # r12 additions: retrieval quality, URL family, quality drift
+    "retrieval_quality",  # nDCG@10/MRR@10 of BM25 + RRF arms vs graded oracle
+    "url_normalize",  # one scan-side canonicalization projection
+    "url_dedup",  # canonical-URL hash groups (exact_dedup scale shape)
+    "domain_report",  # registrable-domain shares, |domains| exchange
+    "source_quality_drift",  # per-source card deltas + quality-score PSI
+    "embedding_drift",  # per-label centroid cosine/shift between snapshots
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

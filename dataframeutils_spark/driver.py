@@ -3834,6 +3834,41 @@ QDRIFT_NEW_SQL = (
 )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space drift between snapshots
+    (operators/similarity.py): centroid cosine + L2 shift + norms —
+    the vector-side companion to source_quality_drift (did a class's
+    centroid MOVE, e.g. a re-embedding model change). Snapshots follow
+    the snapshot_diff convention; the new side plants a +0.5 per-dim
+    shift on label 2 (engine: transform, oracle: list_transform — same
+    floats). cos_alarm=0.5 here because the synthetic embeddings are
+    near-uniform: their class centroids are small noise vectors whose
+    direction is unstable under ANY resample (cos ≈ 0.8-0.9 between
+    random halves), so only the planted shift (cos ≈ 0.13) is real
+    drift — production data with meaningful class structure would run
+    the 0.98 default. Scale: per-(label, dim) sufficient sums inside
+    the scan, exchange = labels × dims rows, vectors never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 7 != 0).select(
+        "vec_id",
+        F.when(
+            F.col("label") == 2,
+            F.transform(F.col("embedding"), lambda x: x + F.lit(0.5)),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    return similarity.embedding_drift(old, new, cos_alarm=0.5)
+
+
+EDRIFT_OLD_SQL = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)"
+EDRIFT_NEW_SQL = (
+    "(SELECT vec_id, CASE WHEN label = 2 THEN "
+    "list_transform(embedding, x -> x + 0.5) ELSE embedding END AS "
+    "embedding, label FROM embeddings WHERE vec_id % 7 <> 0)"
+)
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/web.py): lowercase scheme/host,
     strip www./default ports/fragments/trailing slashes/tracking
@@ -4229,6 +4264,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_report": q_domain_report,
         "source_quality_drift": q_source_quality_drift,
+        "embedding_drift": q_embedding_drift,
         # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
@@ -4395,6 +4431,9 @@ def all_oracles() -> dict[str, str]:
         "domain_report": web.domain_report_sql(),
         "source_quality_drift": pipeline.source_quality_drift_sql(
             QDRIFT_OLD_SQL, QDRIFT_NEW_SQL
+        ),
+        "embedding_drift": similarity.embedding_drift_sql(
+            EDRIFT_OLD_SQL, EDRIFT_NEW_SQL, cos_alarm=0.5
         ),
         "drift_fdr": _round_oracle_cols(
             rankstats.panel_drift_fdr_sql(), ["p_value", "q_value"]

@@ -531,13 +531,18 @@ def bh_fdr(
     m_df = pvals.filter(F.col(p_col).isNotNull())
     order_asc = [F.col(p_col).asc()] + [F.col(c).asc() for c in key_cols]
     order_desc = [F.col(p_col).desc()] + [F.col(c).desc() for c in key_cols]
+    # the bucketed battery feeds THREE consumers (ledger, rank join,
+    # bucket-min table); without truncation each re-runs the upstream
+    # battery pipeline — for panel_drift_fdr that is the whole
+    # CUSUM+KS+KPSS computation, three times (winnow_clusters
+    # precedent)
     d = m_df.withColumn(
         "_bk",
         F.least(
             F.lit(_N_BUCKETS - 1),
             F.floor(F.col(p_col) * _N_BUCKETS).cast("int"),
         ),
-    )
+    ).localCheckpoint(eager=False)
     # phase A ledger: bucket counts → exclusive prefix (rank offset)
     # and battery size m; ≤ _N_BUCKETS rows through the tiny window
     ledger = d.groupBy("_bk").agg(F.count("*").alias("_cnt"))

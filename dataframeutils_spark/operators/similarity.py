@@ -1939,3 +1939,123 @@ SELECT cls AS class,
 FROM ranked
 GROUP BY cls
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space drift between corpus snapshots
+# ---------------------------------------------------------------------------
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cos_alarm: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-space drift between two snapshots — the
+    vector-side companion to the per-source quality drift report: did
+    a class's CENTROID move (re-embedding model change, upstream
+    distribution shift, silent feature corruption) even when row
+    counts look stable.
+
+    Per label: centroid cosine between snapshots, centroid L2 shift,
+    mean vector norms, counts, and an alarm when the cosine falls
+    below ``cos_alarm``.
+
+    Scale shape: each snapshot reduces to per-(label, dim) sufficient
+    sums via posexplode INSIDE the scan stage (embedding_dim_stats
+    pattern) — the exchange carries labels × dims partial rows, never
+    vectors; the snapshot join is on the tiny (label, dim) key and
+    every per-label reduction is map-side combinable. Centroid
+    algebra (dot, norms, L2) runs on the joined cell table; floats
+    are decimal-rounded (aggregation-order ulp noise).
+
+    Output: (label, n_ref, n_cur, centroid_cos, centroid_shift,
+    norm_ref, norm_cur, drifted).
+    """
+    from dataframeutils_spark.schema import decround
+
+    def cells(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        return ex.groupBy("label", "dim").agg(
+            F.sum(F.col("x").cast("double")).alias(f"s_{tag}"),
+            F.count("*").alias(f"n_{tag}"),
+        )
+
+    j = cells(old, "ref").join(cells(new, "cur"), ["label", "dim"], "full")
+    mr = F.col("s_ref") / F.col("n_ref")
+    mc = F.col("s_cur") / F.col("n_cur")
+    per = j.groupBy("label").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(mr * mc).alias("_dot"),
+        F.sum(mr * mr).alias("_r2"),
+        F.sum(mc * mc).alias("_c2"),
+        F.sum((mr - mc) * (mr - mc)).alias("_l2"),
+    )
+    cos = F.try_divide(
+        F.col("_dot"), F.sqrt(F.col("_r2")) * F.sqrt(F.col("_c2"))
+    )
+    rcos = decround(cos)
+    return per.select(
+        "label",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        rcos.alias("centroid_cos"),
+        decround(F.sqrt(F.col("_l2"))).alias("centroid_shift"),
+        decround(F.sqrt(F.col("_r2"))).alias("norm_ref"),
+        decround(F.sqrt(F.col("_c2"))).alias("norm_cur"),
+        F.coalesce(rcos < cos_alarm, F.lit(True)).alias("drifted"),
+    )
+
+
+def embedding_drift_sql(
+    old_rel: str,
+    new_rel: str,
+    cos_alarm: float = 0.98,
+) -> str:
+    """DuckDB oracle for :func:`embedding_drift`. ``old_rel`` /
+    ``new_rel`` are unaliased parenthesized subqueries with
+    (vec_id, embedding, label)."""
+    from dataframeutils_spark.schema import decround_sql
+
+    def cells(rel: str, tag: str) -> str:
+        return f"""cells_{tag} AS (
+  SELECT label, dim, sum(x) AS s_{tag}, count(*) AS n_{tag}
+  FROM (
+    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM {rel} AS e
+  )
+  GROUP BY label, dim
+)"""
+
+    cos = "(_dot / NULLIF(sqrt(_r2) * sqrt(_c2), 0))"
+    return f"""
+WITH {cells(old_rel, 'ref')}, {cells(new_rel, 'cur')},
+j AS (
+  SELECT COALESCE(r.label, c.label) AS label,
+         r.s_ref / r.n_ref AS mr, c.s_cur / c.n_cur AS mc,
+         r.n_ref, c.n_cur
+  FROM cells_ref r FULL OUTER JOIN cells_cur c
+    ON r.label = c.label AND r.dim = c.dim
+), per AS (
+  SELECT label, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+         sum(mr * mc) AS _dot, sum(mr * mr) AS _r2,
+         sum(mc * mc) AS _c2, sum((mr - mc) * (mr - mc)) AS _l2
+  FROM j GROUP BY label
+)
+SELECT label,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       {decround_sql(cos)} AS centroid_cos,
+       {decround_sql('sqrt(_l2)')} AS centroid_shift,
+       {decround_sql('sqrt(_r2)')} AS norm_ref,
+       {decround_sql('sqrt(_c2)')} AS norm_cur,
+       COALESCE({decround_sql(cos)} < {cos_alarm}, TRUE) AS drifted
+FROM per
+"""

@@ -103,3 +103,41 @@ def test_source_quality_drift_detects_planted_degradation(spark):
     assert nb["drifted"] is False and nb["quality_psi"] is None
     # quality-pass rates reflect the collapse
     assert out["degrading"]["qpass_rate_ref"] > out["degrading"]["qpass_rate_cur"]
+
+
+def test_embedding_drift_detects_planted_centroid_shift(spark):
+    """Two well-separated Gaussian classes: identical snapshots give
+    centroid_cos ≈ 1 (no drift); shifting one class's vectors in the
+    new snapshot alarms that class only."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    d = 8
+    rows = []
+    for lbl, center in ((0, 5.0), (1, -5.0)):
+        pts = center + rng.randn(60, d) * 0.1
+        for i, p in enumerate(pts):
+            rows.append((lbl * 1000 + i, [float(x) for x in p], lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from pyspark.sql import functions as F
+
+    same = {r["label"]: r for r in S.embedding_drift(emb, emb).collect()}
+    assert all(r["centroid_cos"] >= 0.999999 for r in same.values())
+    assert not any(r["drifted"] for r in same.values())
+    shifted = emb.select(
+        "vec_id",
+        F.when(
+            F.col("label") == 1,
+            F.transform(F.col("embedding"), lambda x: -x),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    out = {r["label"]: r for r in S.embedding_drift(emb, shifted).collect()}
+    assert out[0]["drifted"] is False
+    # flipped sign → centroid cosine ≈ -1, maximal drift
+    assert out[1]["drifted"] is True and out[1]["centroid_cos"] < -0.99
+    assert out[1]["centroid_shift"] > out[0]["centroid_shift"]
