@@ -357,6 +357,30 @@ QUERIES = [
     # experiment readout over the replicated log: one (slice x arm)
     # combinable aggregate, wall tracks the scan
     "ab_test",
+    # r11 additions at the 10x tier: the FDR battery (3 drift tests x
+    # the full panel feed the bucketed two-phase rank), winnowing
+    # clusters (df-capped pair graph + pointer-doubling components),
+    # containment dedup (rare-shingle blocking: the replicated corpus
+    # makes every shingle common, so candidates DROP — the cap works)
+    "drift_fdr",
+    "winnow_clusters",
+    "dedup_containment",
+    # r12: perceptual Hamming pairs now run the occupancy-capped band
+    # join — the replicated corpus (near-dup image families) is the
+    # hot-bucket case the cap exists for: bounded candidates, no
+    # refusal (pre-r12 this query would raise at 10x)
+    "multimodal_image_neardup",
+    # r12 additions: retrieval-quality audit (each arm is the
+    # production retrieval plan; metric joins touch k rows per arm),
+    # URL family (scan-side projection / 8-byte-hash groupBys), the
+    # per-source and per-label drift reports (sources x bins and
+    # labels x dims exchanges at any corpus size)
+    "retrieval_quality",
+    "url_normalize",
+    "url_dedup",
+    "domain_report",
+    "source_quality_drift",
+    "embedding_drift",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
