@@ -227,6 +227,8 @@ HEADLINE = [
     "domain_report",  # registrable-domain shares, |domains| exchange
     "source_quality_drift",  # per-source card deltas + quality-score PSI
     "embedding_drift",  # per-label centroid cosine/shift between snapshots
+    "encoding_audit",  # mojibake/control/script-mix scan-side projection
+    "term_drift",  # top-k vocabulary movement between snapshots
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

@@ -3834,6 +3834,66 @@ QDRIFT_NEW_SQL = (
 )
 
 
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary movement between snapshots (operators/
+    text.py): counts/shares/ranks + new/dropped/moved status for
+    every term in either snapshot's top-50 — the heavy-hitter "what
+    changed in this crawl" report (spam campaigns and template floods
+    surface as head terms). Same snapshot views as snapshot_diff; the
+    ' v2' edit plants a genuinely new term in the current snapshot.
+    One combinable count per snapshot; everything downstream runs on
+    ≤ 2k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text")
+    )
+    return text.term_drift(old, new, k=50)
+
+
+TDRIFT_OLD_SQL = "(SELECT text FROM documents WHERE doc_id % 10 <> 0)"
+TDRIFT_NEW_SQL = (
+    "(SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS "
+    "text FROM documents WHERE doc_id % 7 <> 0)"
+)
+
+
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc encoding-health audit (operators/cleaning.py): U+FFFD /
+    raw-control-char / UTF-8-as-Latin-1 mojibake counts + ASCII/CJK
+    script shares, one scan-side projection in the Java∩RE2-portable
+    range-only regex subset. The testdata is clean ASCII, so the
+    query PLANTS deterministic corruption from the portable doc hash
+    (the pii_scrub discipline — identical strings in both engines):
+    mojibake 'Ã©' on h%7=0, a \\x01 control byte on h%11=0, '�' on
+    h%13=0."""
+    from dataframeutils_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash60(F.concat(F.lit("enc:"), F.col("doc_id").cast("string")))
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when((h % 7) == 0, F.lit(" Ã© naÃ¯ve")).otherwise(F.lit("")),
+            F.when((h % 11) == 0, F.lit("\x01")).otherwise(F.lit("")),
+            F.when((h % 13) == 0, F.lit(" �")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cleaning.encoding_audit(dirty)
+
+
+ENC_DIRTY_SQL = (
+    "(SELECT doc_id, text || "
+    "CASE WHEN {h} % 7 = 0 THEN ' Ã© naÃ¯ve' ELSE '' END || "
+    "CASE WHEN {h} % 11 = 0 THEN chr(1) ELSE '' END || "
+    "CASE WHEN {h} % 13 = 0 THEN ' ' || chr(65533) ELSE '' END AS text "
+    "FROM documents)"
+)
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-space drift between snapshots
     (operators/similarity.py): centroid cosine + L2 shift + norms —
@@ -4265,6 +4325,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_report": q_domain_report,
         "source_quality_drift": q_source_quality_drift,
         "embedding_drift": q_embedding_drift,
+        "encoding_audit": q_encoding_audit,
+        "term_drift": q_term_drift,
         # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
@@ -4434,6 +4496,15 @@ def all_oracles() -> dict[str, str]:
         ),
         "embedding_drift": similarity.embedding_drift_sql(
             EDRIFT_OLD_SQL, EDRIFT_NEW_SQL, cos_alarm=0.5
+        ),
+        "term_drift": text.term_drift_sql(
+            TDRIFT_OLD_SQL, TDRIFT_NEW_SQL, k=50
+        ),
+        "encoding_audit": cleaning.encoding_audit_sql(
+            ENC_DIRTY_SQL.format(
+                h=dedup.portable_hash60_sql("('enc:' || doc_id::VARCHAR)")
+            )
+            + " AS enc_dirty"
         ),
         "drift_fdr": _round_oracle_cols(
             rankstats.panel_drift_fdr_sql(), ["p_value", "q_value"]

@@ -723,3 +723,103 @@ SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
        {decround_sql('sum((obs_share - expd) * (obs_share - expd) / expd * tot) OVER ()')} AS chi2
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# encoding-health audit (mojibake / control chars / script mix)
+# --------------------------------------------------------------------------
+
+# portable character classes: explicit codepoint ranges only — named
+# Unicode properties spell differently in Java regex (Spark) vs RE2
+# (DuckDB) and may bind to different Unicode versions, so the audit
+# sticks to ranges both engines interpret identically
+_ENC_PATTERNS = (
+    # U+FFFD replacement char: the canonical "decode already failed" marker
+    ("replacement", "�"),
+    # C0 control chars except tab/newline/carriage-return: binary
+    # contamination or charset mangling
+    ("control", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
+    # classic UTF-8-read-as-Latin-1 mojibake: 'Ã'/'Â' followed by
+    # another high-Latin-1 char (é→Ã©, ü→Ã¼, NBSP→Â )
+    ("mojibake", "[ÃÂ][ -ÿ]"),
+    # printable ASCII (the baseline mass)
+    ("ascii", "[\\x20-\\x7E]"),
+    # CJK unified ideographs (script-mix dial)
+    ("cjk", "[一-鿿]"),
+)
+
+
+def encoding_audit(
+    docs: DataFrame,
+    max_bad_ratio: float = 0.001,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding-health audit — the decode-sanity gate a
+    web corpus runs before any content-level cleaning: counts of
+    U+FFFD replacement chars (a decoder already gave up), raw C0
+    control characters (binary contamination), and the classic
+    UTF-8-read-as-Latin-1 mojibake digraphs (Ã©, Ã¼, Â +NBSP …), plus
+    the ASCII/CJK character shares (script-mix dial for routing to
+    language-specific pipelines). ``enc_ok`` gates on
+    (replacement + control + mojibake) / chars ≤ ``max_bad_ratio``.
+
+    All counts are explicit-codepoint-range regex extractions (the
+    pii_scrub discipline: Java∩RE2-portable patterns, no named Unicode
+    properties whose definitions drift between engines) in ONE
+    scan-side projection — zero shuffle, exactly oracle-checkable.
+
+    Output: (doc_id, n_chars, n_replacement, n_control, n_mojibake,
+    ascii_ratio, cjk_ratio, bad_ratio, enc_ok).
+    """
+    from dataframeutils_spark.schema import decround
+
+    text = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat in _ENC_PATTERNS
+    }
+    n_chars = F.length(text)
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    bad = (
+        counts["replacement"] + counts["control"] + counts["mojibake"]
+    ).cast("double") / denom
+    rbad = decround(bad)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        counts["replacement"].alias("n_replacement"),
+        counts["control"].alias("n_control"),
+        counts["mojibake"].alias("n_mojibake"),
+        decround(counts["ascii"].cast("double") / denom).alias("ascii_ratio"),
+        decround(counts["cjk"].cast("double") / denom).alias("cjk_ratio"),
+        rbad.alias("bad_ratio"),
+        (rbad <= max_bad_ratio).alias("enc_ok"),
+    )
+
+
+def encoding_audit_sql(
+    table: str = "documents",
+    max_bad_ratio: float = 0.001,
+    text_expr: str = "text",
+) -> str:
+    from dataframeutils_spark.schema import decround_sql
+
+    c = {
+        name: f"len(regexp_extract_all({text_expr}, '{pat}'))"
+        for name, pat in _ENC_PATTERNS
+    }
+    denom = f"greatest(length({text_expr}), 1)::DOUBLE"
+    bad = f"({c['replacement']} + {c['control']} + {c['mojibake']}) / {denom}"
+    return f"""
+SELECT doc_id,
+       length({text_expr}) AS n_chars,
+       {c['replacement']}::INT AS n_replacement,
+       {c['control']}::INT AS n_control,
+       {c['mojibake']}::INT AS n_mojibake,
+       {decround_sql(f"{c['ascii']} / {denom}")} AS ascii_ratio,
+       {decround_sql(f"{c['cjk']} / {denom}")} AS cjk_ratio,
+       {decround_sql(bad)} AS bad_ratio,
+       {decround_sql(bad)} <= {max_bad_ratio} AS enc_ok
+FROM {table}
+"""

@@ -1622,3 +1622,116 @@ FROM (
   )
 ) i""")
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# term drift: top-k vocabulary movement between corpus snapshots
+# ---------------------------------------------------------------------------
+
+
+def term_drift(
+    old: DataFrame,
+    new: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k term movement between two corpus snapshots — "what
+    changed in this crawl" at the vocabulary level: for every term in
+    EITHER snapshot's top-k (by count), both counts, corpus shares,
+    the share delta, both ranks, and a status
+    (``new`` = entered the top-k, ``dropped`` = left it, ``moved``
+    otherwise). The heavy-hitter companion to the distribution-level
+    drift reports (source_quality_drift, doc_kl): spam campaigns,
+    template floods and topic shifts surface as terms shooting into
+    the head.
+
+    Scale shape: one map-side-combinable term count per snapshot
+    (topk_terms' shape), TakeOrdered top-k each side, then all joins
+    and windows run on ≤ 2k rows. Shares are exact integer ratios,
+    decimal-rounded.
+
+    Output: (term, cnt_ref, cnt_cur, share_ref, share_cur,
+    share_delta, rank_ref, rank_cur, status), one row per union-top-k
+    term.
+    """
+    from dataframeutils_spark.schema import decround
+
+    def top(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        toks = df.select(
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        cnt = toks.groupBy("term").agg(F.count("*").alias(f"cnt_{tag}"))
+        tot = cnt.agg(F.sum(f"cnt_{tag}").alias(f"tot_{tag}"))
+        ranked = ranked_topk(
+            cnt, k, [F.col(f"cnt_{tag}").desc(), F.col("term")],
+            rank_col=f"rank_{tag}",
+        )
+        return ranked, tot
+
+    r, tr = top(old, "ref")
+    c, tc = top(new, "cur")
+    j = (
+        r.join(c, "term", "full")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+    )
+    share_ref = F.col("cnt_ref") / F.col("tot_ref").cast("double")
+    share_cur = F.col("cnt_cur") / F.col("tot_cur").cast("double")
+    status = (
+        F.when(F.col("rank_ref").isNull(), F.lit("new"))
+        .when(F.col("rank_cur").isNull(), F.lit("dropped"))
+        .otherwise(F.lit("moved"))
+    )
+    return j.select(
+        "term",
+        "cnt_ref",
+        "cnt_cur",
+        decround(share_ref).alias("share_ref"),
+        decround(share_cur).alias("share_cur"),
+        decround(
+            F.coalesce(share_cur, F.lit(0.0)) - F.coalesce(share_ref, F.lit(0.0))
+        ).alias("share_delta"),
+        "rank_ref",
+        "rank_cur",
+        status.alias("status"),
+    )
+
+
+def term_drift_sql(old_rel: str, new_rel: str, k: int = 100) -> str:
+    """DuckDB oracle for :func:`term_drift`. ``old_rel`` / ``new_rel``
+    are unaliased parenthesized subqueries with a ``text`` column."""
+    from dataframeutils_spark.schema import decround_sql
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+
+    def top(rel: str, tag: str) -> str:
+        return f"""cnt_{tag} AS (
+  SELECT term, count(*) AS cnt_{tag}
+  FROM (SELECT unnest({toks}) AS term FROM {rel} AS s_{tag})
+  GROUP BY term
+), tot_{tag} AS (
+  SELECT sum(cnt_{tag})::DOUBLE AS tot_{tag} FROM cnt_{tag}
+), top_{tag} AS (
+  SELECT term, cnt_{tag},
+         row_number() OVER (ORDER BY cnt_{tag} DESC, term) AS rank_{tag}
+  FROM cnt_{tag} QUALIFY rank_{tag} <= {k}
+)"""
+
+    sr = "t_ref.cnt_ref / tot_ref"
+    sc = "t_cur.cnt_cur / tot_cur"
+    return f"""
+WITH {top(old_rel, 'ref')}, {top(new_rel, 'cur')}
+SELECT COALESCE(t_ref.term, t_cur.term) AS term,
+       t_ref.cnt_ref, t_cur.cnt_cur,
+       {decround_sql(sr)} AS share_ref,
+       {decround_sql(sc)} AS share_cur,
+       {decround_sql(f"COALESCE({sc}, 0.0) - COALESCE({sr}, 0.0)")}
+         AS share_delta,
+       t_ref.rank_ref::INT AS rank_ref, t_cur.rank_cur::INT AS rank_cur,
+       CASE WHEN t_ref.rank_ref IS NULL THEN 'new'
+            WHEN t_cur.rank_cur IS NULL THEN 'dropped'
+            ELSE 'moved' END AS status
+FROM top_ref t_ref
+FULL OUTER JOIN top_cur t_cur ON t_cur.term = t_ref.term
+CROSS JOIN tot_ref CROSS JOIN tot_cur
+"""

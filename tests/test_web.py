@@ -141,3 +141,59 @@ def test_embedding_drift_detects_planted_centroid_shift(spark):
     # flipped sign → centroid cosine ≈ -1, maximal drift
     assert out[1]["drifted"] is True and out[1]["centroid_cos"] < -0.99
     assert out[1]["centroid_shift"] > out[0]["centroid_shift"]
+
+
+def test_encoding_audit_counts_planted_corruption(spark):
+    """Hand-built corruption cases: each counter fires on exactly its
+    pattern, clean ASCII passes the gate, corrupted text fails it."""
+    from dataframeutils_spark.operators import cleaning
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text only"),
+            (2, "café went through latin1: cafÃ© naÃ¯ve"),  # 2 mojibake digraphs
+            (3, "binary\x01junk\x02here"),                        # 2 control chars
+            (4, "lost bytes �� end"),                   # 2 replacement chars
+            (5, "中文文本 with some ascii"),                        # CJK mix
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cleaning.encoding_audit(docs).collect()}
+    assert out[1]["enc_ok"] and out[1]["bad_ratio"] == 0.0
+    assert out[1]["ascii_ratio"] == 1.0
+    assert out[2]["n_mojibake"] == 2 and not out[2]["enc_ok"]
+    assert out[3]["n_control"] == 2 and not out[3]["enc_ok"]
+    assert out[4]["n_replacement"] == 2 and not out[4]["enc_ok"]
+    assert out[5]["n_mojibake"] == out[5]["n_control"] == 0
+    assert out[5]["cjk_ratio"] > 0.1 and out[5]["enc_ok"]
+    # tab/newline are NOT control-char hits (they are legitimate text)
+    ws = cleaning.encoding_audit(
+        spark.createDataFrame([(9, "a\tb\nc")], "doc_id long, text string")
+    ).collect()[0]
+    assert ws["n_control"] == 0 and ws["enc_ok"]
+
+
+def test_term_drift_statuses_and_shares(spark):
+    """Planted head-term movement: a term flooding the new snapshot is
+    'new' with a positive share delta; a term vanishing is 'dropped';
+    stable terms are 'moved' with ~zero delta."""
+    from dataframeutils_spark.operators import text as T
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "alpha old old")],
+        "doc_id long, text string",
+    ).select("text")
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"),
+         (3, "alpha spam spam spam spam")],
+        "doc_id long, text string",
+    ).select("text")
+    out = {r["term"]: r for r in T.term_drift(old, new, k=4).collect()}
+    assert out["spam"]["status"] == "new" and out["spam"]["share_delta"] > 0
+    assert out["old"]["status"] == "dropped" and out["old"]["share_delta"] < 0
+    assert out["alpha"]["status"] == "moved"
+    # spam (4 hits) overtakes alpha (3) in the new snapshot's head
+    assert out["alpha"]["rank_ref"] == 1 and out["alpha"]["rank_cur"] == 2
+    assert out["spam"]["rank_cur"] == 1
+    # shares are exact integer ratios of the snapshot token totals
+    assert out["alpha"]["share_ref"] == round(3 / 9, 6)

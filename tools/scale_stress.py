@@ -381,6 +381,8 @@ QUERIES = [
     "domain_report",
     "source_quality_drift",
     "embedding_drift",
+    "encoding_audit",
+    "term_drift",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
