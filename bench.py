@@ -229,6 +229,7 @@ HEADLINE = [
     "embedding_drift",  # per-label centroid cosine/shift between snapshots
     "encoding_audit",  # mojibake/control/script-mix scan-side projection
     "term_drift",  # top-k vocabulary movement between snapshots
+    "holt_forecast",  # fixed-parameter double smoothing + h-step forecast
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

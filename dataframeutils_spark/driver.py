@@ -3715,6 +3715,19 @@ def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.ewma_control(_melted(spark, sf_dir))
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing + 4-step forecast per
+    panel series (operators/trend.py): fixed-parameter double
+    smoothing (not MLE), in-sample RMSE, h-step extrapolation — the
+    forecasting member of the trend family next to ewma_control's
+    SPC chart. Engine folds a struct accumulator over the date-sorted
+    series; the oracle replays the identical arithmetic as a flat
+    (l, b)-pair list fold (the only reliable DuckDB-1.0 accumulator —
+    the ewma fold note), SSE recomputed from the stored trajectory in
+    the same left-to-right order."""
+    return trend.holt_forecast(_melted(spark, sf_dir))
+
+
 def q_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection audit per document
     (operators/winnow.py — Schleimer et al. 2003/MOSS): k-gram window
@@ -4327,6 +4340,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "encoding_audit": q_encoding_audit,
         "term_drift": q_term_drift,
+        "holt_forecast": q_holt_forecast,
         # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
@@ -4500,6 +4514,7 @@ def all_oracles() -> dict[str, str]:
         "term_drift": text.term_drift_sql(
             TDRIFT_OLD_SQL, TDRIFT_NEW_SQL, k=50
         ),
+        "holt_forecast": trend.holt_forecast_sql(),
         "encoding_audit": cleaning.encoding_audit_sql(
             ENC_DIRTY_SQL.format(
                 h=dedup.portable_hash60_sql("('enc:' || doc_id::VARCHAR)")

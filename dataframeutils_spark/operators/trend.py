@@ -884,3 +884,150 @@ SELECT grp, feature, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        {js} > 0.05 AS drifted
 FROM agg
 """)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing + h-step forecast
+# ---------------------------------------------------------------------------
+
+
+def holt_forecast(
+    long_df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 4,
+    min_len: int = 30,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per series (Holt
+    1957 — the forecasting member of the trend family next to
+    ewma_control's SPC chart): fixed-parameter double smoothing
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l_1 = y_1, b_1 = 0, with the one-step-ahead fit error
+    e_t = y_t − (l_{t−1} + b_{t−1}) accumulated into SSE/RMSE (the
+    in-sample quality dial) and the h-step forecast ŷ_{n+h} =
+    l_n + h·b_n emitted for h = 1..``horizon``. Fixed smoothing
+    parameters — not MLE iteration — keep the whole computation a
+    deterministic sequential fold, so it is EXACTLY oracle-checkable
+    (the ewma_control discipline).
+
+    Determinism: the engine folds a struct accumulator over the
+    date-sorted series; the DuckDB oracle replays the identical
+    arithmetic with the ONLY reliable DuckDB-1.0 accumulator — a flat
+    list where each step appends (l_t, b_t), so every cross-field
+    reference reads acc[len-1]/acc[len] (the ewma fold note); squared
+    errors use d·d (never pow). Floats decimal-rounded at the edge.
+
+    Scale: one groupBy collecting each calendar-bounded series once —
+    the 100 TB axis is #series; state per series is the array.
+
+    Output: (grp, feature, n, level, trend, rmse, fc_1..fc_h).
+    """
+    from dataframeutils_spark.schema import decround
+
+    g = _gated(long_df, min_len)
+    base = g.groupBy("grp", "feature").agg(
+        F.count("*").alias("n"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("date").alias("d"), F.col("value").alias("v"))
+            )
+        ).alias("seq"),
+    )
+    rest = F.expr("slice(seq, 2, size(seq) - 1)")
+
+    def step(acc, x):
+        pred = acc["l"] + acc["b"]
+        err = x["v"] - pred
+        l_new = F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * pred
+        b_new = (
+            F.lit(beta) * (l_new - acc["l"]) + F.lit(1.0 - beta) * acc["b"]
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            (acc["sse"] + err * err).alias("sse"),
+        )
+
+    init = F.struct(
+        F.element_at(F.col("seq"), 1)["v"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+    acc = F.aggregate(rest, init, step)
+    nm1 = (F.col("n") - 1).cast("double")
+    return base.select(
+        "grp",
+        "feature",
+        F.col("n").cast("long").alias("n"),
+        decround(acc["l"]).alias("level"),
+        decround(acc["b"]).alias("trend"),
+        decround(F.sqrt(acc["sse"] / nm1)).alias("rmse"),
+        *[
+            decround(acc["l"] + F.lit(float(h)) * acc["b"]).alias(f"fc_{h}")
+            for h in range(1, horizon + 1)
+        ],
+    )
+
+
+def holt_forecast_sql(
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 4,
+    min_len: int = 30,
+) -> str:
+    """DuckDB oracle for :func:`holt_forecast` — the flat-list fold:
+    acc = [l_1, b_1, l_2, b_2, …]; each step reads l/b as the last
+    two elements and appends the new pair (b_new inlines l_new's
+    expression — duplicated arithmetic is float-identical). SSE is
+    recomputed post-hoc from the stored l/b trajectory, summed in the
+    same left-to-right order as the engine's sequential adds."""
+    from dataframeutils_spark.oracles import with_panel
+    from dataframeutils_spark.schema import decround_sql
+
+    a, b1 = alpha, beta
+    oa, ob = 1.0 - alpha, 1.0 - beta
+    l_new = f"({a!r} * e[1] + {oa!r} * (acc[len(acc) - 1] + acc[len(acc)]))"
+    b_new = (
+        f"({b1!r} * ({l_new} - acc[len(acc) - 1]) + {ob!r} * acc[len(acc)])"
+    )
+    # e_t = vl[t] - (l_{t-1} + b_{t-1}); l_{t-1} = lbl[2t-3], b = lbl[2t-2]
+    err = "(vl[t] - (lbl[2 * t - 3] + lbl[2 * t - 2]))"
+    fcs = ",\n       ".join(
+        decround_sql(f"lbl[2 * n - 1] + {float(h)!r} * lbl[2 * n]")
+        + f" AS fc_{h}"
+        for h in range(1, horizon + 1)
+    )
+    return with_panel(f"""
+, gated AS (
+  SELECT grp, feature, date, value,
+         count(value) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= {min_len}
+), ser AS (
+  SELECT grp, feature, count(*) AS n,
+         list(CAST(value AS DOUBLE) ORDER BY date) AS vl
+  FROM gated GROUP BY grp, feature
+), folded AS (
+  SELECT grp, feature, n, vl,
+         list_reduce(
+           list_prepend([vl[1], CAST(0.0 AS DOUBLE)],
+                        [[v] for v in vl[2:]]),
+           (acc, e) -> list_append(list_append(acc, {l_new}), {b_new})
+         ) AS lbl
+  FROM ser
+), scored AS (
+  SELECT grp, feature, n, lbl,
+         list_sum(list_transform(range(2, n + 1),
+                                 t -> {err} * {err})) AS sse
+  FROM folded
+)
+SELECT grp, feature, CAST(n AS BIGINT) AS n,
+       {decround_sql('lbl[2 * n - 1]')} AS level,
+       {decround_sql('lbl[2 * n]')} AS trend,
+       {decround_sql('sqrt(sse / (n - 1))')} AS rmse,
+       {fcs}
+FROM scored
+""")

@@ -347,7 +347,8 @@ def test_registry_contract():
         # r12 in-round newcomers (all exact-mode, r13 leads)
         NEW_R12 = {"retrieval_quality", "url_normalize", "url_dedup",
                    "domain_report", "source_quality_drift",
-                   "embedding_drift", "encoding_audit", "term_drift"}
+                   "embedding_drift", "encoding_audit", "term_drift",
+                   "holt_forecast"}
         missing = [
             n for n in names[50:]
             if n not in gated and n not in ROWS_ONLY and n not in NEW_R12

@@ -459,3 +459,49 @@ def test_ks_kolmogorov_p_formula(spark):
     lam = (np.sqrt(ne) + 0.12 + 0.11 / np.sqrt(ne)) * row["ks_stat"]
     p = 2 * sum((-1) ** (k + 1) * np.exp(-2 * k * k * lam * lam) for k in range(1, 6))
     np.testing.assert_allclose(row["p_value"], min(1.0, max(0.0, p)), atol=1e-6)
+
+
+def test_holt_forecast_matches_python_replay(spark):
+    """Independent sequential replay (plain Python floats, same
+    init/recurrence) must reproduce level/trend/RMSE/forecasts — the
+    ewma_control pinning discipline for in-plan folds."""
+    r = _rng(21)
+    n = 40
+    y = 10.0 + 0.7 * np.arange(n) + r.normal(0, 1.5, n)
+    dates = [dt.date(1995, 1, 1) + dt.timedelta(days=i) for i in range(n)]
+    pdf = pd.DataFrame(
+        {"grp": "A", "feature": "f", "date": dates, "value": y}
+    )
+    row = trend.holt_forecast(
+        spark.createDataFrame(pdf), alpha=0.3, beta=0.1, min_len=30
+    ).collect()[0]
+
+    a, b1 = 0.3, 0.1
+    l, b, sse = float(y[0]), 0.0, 0.0
+    for t in range(1, n):
+        pred = l + b
+        e = float(y[t]) - pred
+        l_new = a * float(y[t]) + (1 - a) * pred
+        b = b1 * (l_new - l) + (1 - b1) * b
+        l = l_new
+        sse += e * e
+    assert row["n"] == n
+    assert row["level"] == pytest.approx(l, abs=5.1e-7)
+    assert row["trend"] == pytest.approx(b, abs=5.1e-7)
+    assert row["rmse"] == pytest.approx((sse / (n - 1)) ** 0.5, abs=5.1e-7)
+    for h in range(1, 5):
+        assert row[f"fc_{h}"] == pytest.approx(l + h * b, abs=5.1e-7)
+    # a clean upward-trend series forecasts higher than its level
+    assert row["fc_4"] > row["fc_1"] > 0
+
+
+def test_holt_forecast_min_len_gate(spark):
+    pdf = pd.DataFrame(
+        {
+            "grp": "A",
+            "feature": "f",
+            "date": [dt.date(1995, 1, 1 + i) for i in range(5)],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    assert trend.holt_forecast(spark.createDataFrame(pdf), min_len=30).count() == 0

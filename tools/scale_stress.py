@@ -383,6 +383,7 @@ QUERIES = [
     "embedding_drift",
     "encoding_audit",
     "term_drift",
+    "holt_forecast",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
