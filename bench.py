@@ -230,6 +230,7 @@ HEADLINE = [
     "encoding_audit",  # mojibake/control/script-mix scan-side projection
     "term_drift",  # top-k vocabulary movement between snapshots
     "holt_forecast",  # fixed-parameter double smoothing + h-step forecast
+    "seasonal_anomalies",  # row-level residual z after trend+seasonal removal
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

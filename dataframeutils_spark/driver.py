@@ -3715,6 +3715,18 @@ def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.ewma_control(_melted(spark, sf_dir))
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level seasonal anomaly report (operators/trend.py):
+    residual z-scores AFTER removing the centered-MA trend and the
+    phase seasonal effect — WHICH observation is anomalous relative
+    to what its weekday normally does on top of the local trend, not
+    just which series drifted. Completes the monitoring ladder above
+    the distribution-level (ks/js/psi) and battery-level (drift_fdr)
+    reports. z compares the decimal-rounded score; 83 anomalous rows
+    at sf0.01 (non-vacuous, the survival_km lesson checked)."""
+    return trend.seasonal_anomalies(_melted(spark, sf_dir))
+
+
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend exponential smoothing + 4-step forecast per
     panel series (operators/trend.py): fixed-parameter double
@@ -4341,6 +4353,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_audit": q_encoding_audit,
         "term_drift": q_term_drift,
         "holt_forecast": q_holt_forecast,
+        "seasonal_anomalies": q_seasonal_anomalies,
         # --- r10 batch ---
         "apply_changes": q_apply_changes,
         "weighted_sample": q_weighted_sample,
@@ -4515,6 +4528,7 @@ def all_oracles() -> dict[str, str]:
             TDRIFT_OLD_SQL, TDRIFT_NEW_SQL, k=50
         ),
         "holt_forecast": trend.holt_forecast_sql(),
+        "seasonal_anomalies": trend.seasonal_anomalies_sql(),
         "encoding_audit": cleaning.encoding_audit_sql(
             ENC_DIRTY_SQL.format(
                 h=dedup.portable_hash60_sql("('enc:' || doc_id::VARCHAR)")

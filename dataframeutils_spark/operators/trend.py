@@ -1031,3 +1031,140 @@ SELECT grp, feature, CAST(n AS BIGINT) AS n,
        {fcs}
 FROM scored
 """)
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly report (row-level monitoring over the decomposition)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_anomalies(
+    long_df: DataFrame,
+    period: int = 7,
+    z_thresh: float = 3.0,
+    min_len: int = 30,
+) -> DataFrame:
+    """Row-level anomalies AFTER removing trend and seasonality — the
+    monitoring money query the decomposition exists for: a Monday
+    spike is only an anomaly relative to what Mondays normally do on
+    top of the local trend. Residual = value − centered-MA trend −
+    phase seasonal effect (the seasonal_decompose algebra, full-MA
+    rows only); per-series residual z-score; emit rows with rounded
+    |z| > ``z_thresh``.
+
+    Completes the monitoring ladder: distribution-level drift
+    (ks/js/psi), battery-level FDR control (drift_fdr), and now the
+    row level (WHICH observation, not just which series).
+
+    Determinism: z compares the decimal-ROUNDED score
+    (round-before-compare); phase is epoch-days mod period (calendar
+    builtins disagree on week anchoring across engines).
+
+    Scale: the same one-exchange window pipeline as
+    seasonal_decompose plus one bounded per-series moment aggregate
+    broadcast back; output is only the anomalous rows.
+
+    Output: (grp, feature, date, phase, value, expected, resid, z).
+    """
+    from dataframeutils_spark.schema import decround
+
+    if period % 2 == 0:
+        raise ValueError("seasonal_anomalies: only odd periods (centered MA)")
+    half = period // 2
+    g = _gated(long_df, min_len)
+    wo = Window.partitionBy("grp", "feature").orderBy("date")
+    win = wo.rowsBetween(-half, half)
+    d = (
+        g.withColumn("_wn", F.count("value").over(win))
+        .withColumn(
+            "trend",
+            F.when(F.col("_wn") == period, F.avg("value").over(win)),
+        )
+        .withColumn("detr", F.col("value") - F.col("trend"))
+        .withColumn(
+            "phase",
+            F.pmod(F.datediff(F.col("date"), F.lit(_EPOCH)), F.lit(period)),
+        )
+    )
+    ph = d.groupBy("grp", "feature", "phase").agg(F.avg("detr").alias("_sraw"))
+    wgf = Window.partitionBy("grp", "feature")
+    ph = ph.withColumn("seasonal", F.col("_sraw") - F.avg("_sraw").over(wgf))
+    rows = d.join(
+        F.broadcast(ph.select("grp", "feature", "phase", "seasonal")),
+        on=["grp", "feature", "phase"],
+    ).filter(F.col("detr").isNotNull())
+    rows = rows.withColumn("resid", F.col("detr") - F.col("seasonal"))
+    mom = rows.groupBy("grp", "feature").agg(
+        F.avg("resid").alias("_rm"),
+        F.stddev_samp("resid").alias("_rs"),
+    )
+    z = decround(
+        F.try_divide(F.col("resid") - F.col("_rm"), F.col("_rs"))
+    )
+    return (
+        rows.join(F.broadcast(mom), on=["grp", "feature"])
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_thresh)
+        .select(
+            "grp",
+            "feature",
+            "date",
+            F.col("phase").cast("int").alias("phase"),
+            decround(F.col("value")).alias("value"),
+            decround(F.col("trend") + F.col("seasonal")).alias("expected"),
+            decround(F.col("resid")).alias("resid"),
+            "z",
+        )
+    )
+
+
+def seasonal_anomalies_sql(
+    period: int = 7, z_thresh: float = 3.0, min_len: int = 30
+) -> str:
+    from dataframeutils_spark.oracles import with_panel
+    from dataframeutils_spark.schema import decround_sql
+
+    half = period // 2
+    z = decround_sql("(resid - rm) / NULLIF(rs, 0)")
+    return with_panel(f"""
+, g AS (
+  SELECT grp, feature, date, value,
+         count(value) OVER (PARTITION BY grp, feature) AS n
+  FROM melt WHERE value IS NOT NULL
+  QUALIFY n >= {min_len}
+), d AS (
+  SELECT grp, feature, date, value,
+         CASE WHEN count(value) OVER win = {period}
+              THEN avg(value) OVER win END AS trend,
+         ((date - DATE '1970-01-01') % {period} + {period}) % {period}
+           AS phase
+  FROM g
+  WINDOW win AS (PARTITION BY grp, feature ORDER BY date
+                 ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+), dd AS (
+  SELECT *, value - trend AS detr FROM d
+), ph AS (
+  SELECT grp, feature, phase, avg(detr) AS sraw
+  FROM dd GROUP BY grp, feature, phase
+), ph2 AS (
+  SELECT grp, feature, phase,
+         sraw - avg(sraw) OVER (PARTITION BY grp, feature) AS seasonal
+  FROM ph
+), rws AS (
+  SELECT dd.grp, dd.feature, dd.date, dd.phase, dd.value, dd.trend,
+         p.seasonal, dd.detr - p.seasonal AS resid
+  FROM dd JOIN ph2 p
+    ON p.grp = dd.grp AND p.feature = dd.feature AND p.phase = dd.phase
+  WHERE dd.detr IS NOT NULL
+), mom AS (
+  SELECT grp, feature, avg(resid) AS rm, stddev_samp(resid) AS rs
+  FROM rws GROUP BY grp, feature
+)
+SELECT r.grp, r.feature, r.date, CAST(r.phase AS INT) AS phase,
+       {decround_sql('r.value')} AS value,
+       {decround_sql('r.trend + r.seasonal')} AS expected,
+       {decround_sql('r.resid')} AS resid,
+       {z} AS z
+FROM rws r JOIN mom m ON m.grp = r.grp AND m.feature = r.feature
+WHERE abs({z}) > {z_thresh}
+""")

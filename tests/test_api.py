@@ -348,7 +348,7 @@ def test_registry_contract():
         NEW_R12 = {"retrieval_quality", "url_normalize", "url_dedup",
                    "domain_report", "source_quality_drift",
                    "embedding_drift", "encoding_audit", "term_drift",
-                   "holt_forecast"}
+                   "holt_forecast", "seasonal_anomalies"}
         missing = [
             n for n in names[50:]
             if n not in gated and n not in ROWS_ONLY and n not in NEW_R12

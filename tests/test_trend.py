@@ -505,3 +505,31 @@ def test_holt_forecast_min_len_gate(spark):
         }
     )
     assert trend.holt_forecast(spark.createDataFrame(pdf), min_len=30).count() == 0
+
+
+def test_seasonal_anomalies_finds_planted_spike(spark):
+    """A clean weekly series with ONE planted spike: exactly that
+    observation (and only it) must surface, with expected ≈ the
+    clean value and z large; the spike-free twin series emits no
+    rows."""
+    r = _rng(17)
+    n = 140
+    start = dt.date(1995, 1, 1)
+    phase0 = (start - EPOCH).days % 7
+    weekly = np.array([5.0, -3.0, 0.0, 2.0, -1.0, -4.0, 1.0])
+    base = 0.05 * np.arange(n) + weekly[(phase0 + np.arange(n)) % 7]
+    clean = base + r.normal(0, 0.2, n)
+    spiked = clean.copy()
+    spiked[70] += 8.0  # ~40 sigma of the noise
+    df = _long_df(spark, {("g", "spiked"): spiked, ("g", "clean"): clean},
+                  start=start)
+    out = trend.seasonal_anomalies(df).collect()
+    hits = [x for x in out if x["feature"] == "spiked"]
+    assert len(hits) >= 1
+    top = max(hits, key=lambda x: abs(x["z"]))
+    assert top["date"] == start + dt.timedelta(days=70)
+    assert abs(top["z"]) > 5
+    # expected tracks the clean structure: the planted +8 shows up as
+    # the residual, not as a shifted expectation
+    assert top["resid"] > 5
+    assert not [x for x in out if x["feature"] == "clean"]

@@ -384,6 +384,7 @@ QUERIES = [
     "encoding_audit",
     "term_drift",
     "holt_forecast",
+    "seasonal_anomalies",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
