@@ -4224,8 +4224,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rule holds. Below the cap, prior groups keep their relative order:
     the r8 leftovers, the r9 batch, the r10 batch, the 50 entries gated
     green in CORRECTNESS_r11.json, and the rows-only-by-design group at
-    the bottom. Round-13 window should lead with any r12 in-round
-    additions, then continue the r8-leftover/r9 re-gates.
+    the bottom. The 10 r12 in-round additions (retrieval_quality,
+    url_normalize/url_dedup/domain_report, source_quality_drift,
+    embedding_drift, encoding_audit, term_drift, holt_forecast,
+    seasonal_anomalies — all exact-mode) are registered below the cap
+    per the rotation protocol; the round-13 window should lead with
+    them, then continue the r8-leftover/r9 re-gates.
     """
     return {
         # --- r12 window positions 1-20: the 20 never-externally-gated r11 additions ---
