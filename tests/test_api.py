@@ -271,13 +271,14 @@ def test_event_study_facade(spark):
 def test_registry_contract():
     """Driver-contract invariants the external gate depends on: every
     oracle belongs to a registered query, every registry entry is
-    callable, and the round-12 rotation holds — positions 1-20 are the
-    20 entries never externally gated (the r11 in-round additions),
-    positions 21-50 the 30 oldest previously-gated rows (the r8-batch
-    head; all 50 exact-mode: zero-`err` window hygiene), and
-    everything below the cap either carries a driver row from a prior
-    gate, is a registered in-round newcomer, or is documented
-    rows-only-by-design at the bottom of the registry."""
+    callable, and the round-13 rotation holds — positions 1-10 are the
+    10 r12 in-round additions (never externally gated), positions
+    11-24 the 14 rows-only-by-design queries last gated r05 (the only
+    non-exact rows in the window, pre-declared), positions 25-50 the
+    26 oldest previously-gated exact rows (13 r8-batch leftovers +
+    13-entry r9-batch head), and everything below the cap carries a
+    driver row from a prior gate or is a registered in-round
+    newcomer."""
     import json
     import os as _os
 
@@ -289,34 +290,16 @@ def test_registry_contract():
     assert all(callable(f) for f in qs.values())
     names = list(qs)
     assert len(names) == len(set(names))
-    # r12 window leads (1-20): the 20 never-externally-gated r11
+    # r13 window leads (1-10): the 10 never-externally-gated r12
     # in-round additions
-    assert names[:20] == [
-        "drift_fdr", "winnow_clusters", "js_drift", "rank_transform",
-        "dedup_containment", "cohort_ltv", "event_transitions",
-        "interarrival_stats", "extreme_value", "doc_kl", "zipf_fit",
-        "ewma_control", "winnow_profile", "winnow_neardup",
-        "token_entropy", "pmi_collocations", "spearman_corr",
-        "mann_whitney", "mann_kendall", "hill_tail",
+    assert names[:10] == [
+        "retrieval_quality", "url_normalize", "url_dedup",
+        "domain_report", "source_quality_drift", "embedding_drift",
+        "encoding_audit", "term_drift", "holt_forecast",
+        "seasonal_anomalies",
     ]
-    # positions 21-50: the 30 oldest previously-gated rows (r8 batch
-    # head — last gated in CORRECTNESS_r08.json)
-    assert names[20:50] == [
-        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-        "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-        "multimodal_avi_frames", "quota_sample", "hard_negatives",
-        "snapshot_diff", "curriculum", "boilerplate_scrub",
-        "decayed_value", "winsorize", "sales_cube", "skew_report",
-        "embedding_covariance", "join_size_estimate", "domain_cap",
-        "late_data_audit", "similarity_ann", "hash_sample",
-        "data_mixture", "pipeline_prepare", "text_repetition",
-        "lm_quality",
-    ]
-    # zero-`err` hygiene: EVERY query inside the 50-entry window
-    # carries an exact DuckDB oracle
-    rows_only_in_cap = [n for n in names[:50] if n not in os_]
-    assert rows_only_in_cap == [], rows_only_in_cap
-    # rows-only-by-design queries sit at the bottom of the registry
+    # positions 11-24: the rows-only-by-design group, last externally
+    # exercised at r05 — the driver records a rows-only check
     ROWS_ONLY = {
         "stationarity", "stationarity_summary",
         "cointegration", "granger",
@@ -325,42 +308,45 @@ def test_registry_contract():
         "similarity_ivf_hier", "dedup_minhash_lsh_xxhash",
         "similarity_ivf_kmeans", "events_value_profile_approx",
     }
-    bottom = set(names[-len(ROWS_ONLY):])
-    assert bottom == ROWS_ONLY, bottom ^ ROWS_ONLY
+    assert set(names[10:24]) == ROWS_ONLY, set(names[10:24]) ^ ROWS_ONLY
+    # positions 25-50: the 26 oldest previously-gated exact rows
+    assert names[24:50] == [
+        "dedup_shared_spans", "dedup_embedding_clusters",
+        "memory_acf_hurst", "dedup_embedding", "dedup_ngram_jaccard",
+        "fingerprint", "tpch_q3", "tpch_q5", "semantic_decontaminate",
+        "active_users", "event_paths", "events_attribution",
+        "fuzzy_terms", "bloom_skipping", "scd2_history", "semdedup",
+        "bloom_membership", "events_funnel", "events_retention",
+        "multimodal_gif_frames", "session_overlap", "stream_join",
+        "events_value_profile", "multimodal_real_meta",
+        "multimodal_resize", "stream_windowed_stats",
+    ]
+    # window hygiene: the ONLY non-exact rows inside the 50-entry
+    # window are the pre-declared rows-only group at 11-24
+    rows_only_in_cap = [n for n in names[:50] if n not in os_]
+    assert set(rows_only_in_cap) == ROWS_ONLY, rows_only_in_cap
     here = _os.path.dirname(__file__)
-    rounds = {}
-    for rn in ("r06", "r07", "r08", "r09"):
+    gated = set()
+    n_rounds = 0
+    for rn in ("r06", "r07", "r08", "r09", "r10", "r11", "r12"):
         p = _os.path.join(here, "..", f"CORRECTNESS_{rn}.json")
         if _os.path.exists(p):
             with open(p) as fh:
-                rounds[rn] = json.load(fh)
-    if len(rounds) == 4:
-        gated = set().union(*rounds.values())
-        # everything below the cap must carry a driver row from
-        # r6..r10 or be documented rows-only-by-design (in-round r11
-        # newcomers, once registered, are added to NEW_R11 here)
-        for rn in ("r10", "r11"):
-            p = _os.path.join(here, "..", f"CORRECTNESS_{rn}.json")
-            if _os.path.exists(p):
-                with open(p) as fh:
-                    gated |= set(json.load(fh))
-        # r12 in-round newcomers (all exact-mode, r13 leads)
-        NEW_R12 = {"retrieval_quality", "url_normalize", "url_dedup",
-                   "domain_report", "source_quality_drift",
-                   "embedding_drift", "encoding_audit", "term_drift",
-                   "holt_forecast", "seasonal_anomalies"}
+                gated |= set(json.load(fh))
+            n_rounds += 1
+    if n_rounds == 7:
+        # everything below the cap must carry a driver row from a
+        # prior gate (in-round r13 newcomers, once registered, are
+        # added to NEW_R13 here)
+        NEW_R13 = set()
         missing = [
-            n for n in names[50:]
-            if n not in gated and n not in ROWS_ONLY and n not in NEW_R12
+            n for n in names[50:] if n not in gated and n not in NEW_R13
         ]
         assert missing == [], missing
-        # and the r9 window itself was fully green: 44 exact hashes +
-        # the 6 rows-only iteratives the r8 verdict asked to gate
-        # anyway (err == "no_oracle" by design, rows still delivered)
-        r9 = rounds["r09"]
-        bad = [n for n, v in r9.items()
-               if v.get("err") not in (None, "no_oracle")]
-        assert bad == [], bad
-        bad = [n for n, v in r9.items()
-               if v.get("err") is None and not v.get("hash_match")]
+        # and the r12 window itself was fully green exact
+        p = _os.path.join(here, "..", "CORRECTNESS_r12.json")
+        with open(p) as fh:
+            r12 = json.load(fh)
+        bad = [n for n, v in r12.items()
+               if v.get("err") is not None or not v.get("hash_match")]
         assert bad == [], bad
