@@ -435,6 +435,25 @@ def main() -> None:
         ),
         flush=True,
     )
+    # The driver records only the last ~2000 chars of stdout; the
+    # per-query dict above can push the headline fields out of that
+    # capture (BENCH_r12.json parsed as null). Emit a compact summary
+    # as the FINAL line so the tail always parses (r12 verdict item 2).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "n_queries": len(per_query),
+                "n_failed": sum(1 for v in per_query.values() if v < 0),
+                "weighted_bins_cold": weighted_bins_cold,
+                "weighted_bins_warm": per_query.get("weighted_bins"),
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 
