@@ -634,8 +634,8 @@ cells AS (
     ON r.source = c.source AND r.bin = c.bin
 ), psi AS (
   SELECT ce.source,
-         sum((ce.c_cur / cc.n_docs_cur::DOUBLE + {PSI_EPS}
-              - ce.c_ref / cr.n_docs_ref::DOUBLE - {PSI_EPS})
+         sum(((ce.c_cur / cc.n_docs_cur::DOUBLE + {PSI_EPS})
+              - (ce.c_ref / cr.n_docs_ref::DOUBLE + {PSI_EPS}))
              * ln((ce.c_cur / cc.n_docs_cur::DOUBLE + {PSI_EPS})
                   / (ce.c_ref / cr.n_docs_ref::DOUBLE + {PSI_EPS})))
            AS _psi

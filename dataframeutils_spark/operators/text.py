@@ -1645,9 +1645,17 @@ def term_drift(
     template floods and topic shifts surface as terms shooting into
     the head.
 
+    Counts and shares are CORPUS-LEVEL for every union-top-k term:
+    a term that exists in the reference corpus but fell outside its
+    top-k still reports its true cnt_ref/share_ref (status ``new``
+    refers to top-k membership only), so share_delta reflects real
+    movement rather than top-k truncation (r12 advice).
+
     Scale shape: one map-side-combinable term count per snapshot
-    (topk_terms' shape), TakeOrdered top-k each side, then all joins
-    and windows run on ≤ 2k rows. Shares are exact integer ratios,
+    (topk_terms' shape), TakeOrdered top-k each side, then the ≤ 2k
+    union-term list is broadcast-semi-joined back against each full
+    count table (map-side, no shuffle of the vocab) and all remaining
+    joins run on ≤ 2k rows. Shares are exact integer ratios,
     decimal-rounded.
 
     Output: (term, cnt_ref, cnt_cur, share_ref, share_cur,
@@ -1656,7 +1664,7 @@ def term_drift(
     """
     from dataframeutils_spark.schema import decround
 
-    def top(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+    def top(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame, DataFrame]:
         toks = df.select(
             F.explode(_tokens(F.lower(F.col(text_col)))).alias("term")
         )
@@ -1666,12 +1674,23 @@ def term_drift(
             cnt, k, [F.col(f"cnt_{tag}").desc(), F.col("term")],
             rank_col=f"rank_{tag}",
         )
-        return ranked, tot
+        return cnt, ranked, tot
 
-    r, tr = top(old, "ref")
-    c, tc = top(new, "cur")
+    rc, r, tr = top(old, "ref")
+    cc, c, tc = top(new, "cur")
+    # union-top-k membership + ranks (≤ 2k rows) ...
+    u = r.select("term", "rank_ref").join(
+        c.select("term", "rank_cur"), "term", "full"
+    )
+    # ... then TRUE corpus-level counts for every union term: semi-cut
+    # each full count table to the broadcast union-term list map-side,
+    # then bounded left joins (the vocab never shuffles).
+    terms = u.select("term")
+    rc_u = rc.join(F.broadcast(terms), "term", "leftsemi")
+    cc_u = cc.join(F.broadcast(terms), "term", "leftsemi")
     j = (
-        r.join(c, "term", "full")
+        u.join(rc_u, "term", "left")
+        .join(cc_u, "term", "left")
         .crossJoin(F.broadcast(tr))
         .crossJoin(F.broadcast(tc))
     )
@@ -1717,21 +1736,28 @@ def term_drift_sql(old_rel: str, new_rel: str, k: int = 100) -> str:
   FROM cnt_{tag} QUALIFY rank_{tag} <= {k}
 )"""
 
-    sr = "t_ref.cnt_ref / tot_ref"
-    sc = "t_cur.cnt_cur / tot_cur"
+    sr = "c_ref.cnt_ref / tot_ref"
+    sc = "c_cur.cnt_cur / tot_cur"
     return f"""
-WITH {top(old_rel, 'ref')}, {top(new_rel, 'cur')}
-SELECT COALESCE(t_ref.term, t_cur.term) AS term,
-       t_ref.cnt_ref, t_cur.cnt_cur,
+WITH {top(old_rel, 'ref')}, {top(new_rel, 'cur')},
+u AS (
+  SELECT COALESCE(t_ref.term, t_cur.term) AS term,
+         t_ref.rank_ref, t_cur.rank_cur
+  FROM top_ref t_ref
+  FULL OUTER JOIN top_cur t_cur ON t_cur.term = t_ref.term
+)
+SELECT u.term,
+       c_ref.cnt_ref, c_cur.cnt_cur,
        {decround_sql(sr)} AS share_ref,
        {decround_sql(sc)} AS share_cur,
        {decround_sql(f"COALESCE({sc}, 0.0) - COALESCE({sr}, 0.0)")}
          AS share_delta,
-       t_ref.rank_ref::INT AS rank_ref, t_cur.rank_cur::INT AS rank_cur,
-       CASE WHEN t_ref.rank_ref IS NULL THEN 'new'
-            WHEN t_cur.rank_cur IS NULL THEN 'dropped'
+       u.rank_ref::INT AS rank_ref, u.rank_cur::INT AS rank_cur,
+       CASE WHEN u.rank_ref IS NULL THEN 'new'
+            WHEN u.rank_cur IS NULL THEN 'dropped'
             ELSE 'moved' END AS status
-FROM top_ref t_ref
-FULL OUTER JOIN top_cur t_cur ON t_cur.term = t_ref.term
+FROM u
+LEFT JOIN cnt_ref c_ref ON c_ref.term = u.term
+LEFT JOIN cnt_cur c_cur ON c_cur.term = u.term
 CROSS JOIN tot_ref CROSS JOIN tot_cur
 """

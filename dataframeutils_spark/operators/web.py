@@ -188,8 +188,11 @@ def _norm_cols(url: Column) -> dict[str, Column]:
         & ~((scheme == "https") & (port == "443"))
     )
     path = F.regexp_replace(raw_path, r"/+$", "")
+    # startswith, NOT `LIKE 'utm_%'`: in SQL LIKE `_` is a single-char
+    # wildcard, so the LIKE form also stripped e.g. 'utmx=1' (r12
+    # advice). Exact-prefix match on both engines.
     like = " OR ".join(
-        f"p LIKE '{pre}%'" for pre in TRACKING_PREFIXES
+        f"startswith(p, '{pre}')" for pre in TRACKING_PREFIXES
     )
     kept = F.expr(
         f"array_sort(filter(split(_rq, '&'), p -> p <> '' AND NOT ({like})))"
@@ -265,7 +268,9 @@ def url_normalize(urls: DataFrame, url_col: str = "url") -> DataFrame:
 def _norm_sql(url_expr: str = "url") -> str:
     """DuckDB SELECT body mirroring :func:`url_normalize` (expects a
     relation with (doc_id, url) in scope as ``u``)."""
-    like = " OR ".join(f"p LIKE '{pre}%'" for pre in TRACKING_PREFIXES)
+    like = " OR ".join(
+        f"starts_with(p, '{pre}')" for pre in TRACKING_PREFIXES
+    )
     return f"""
   SELECT doc_id, {url_expr} AS url,
          concat(

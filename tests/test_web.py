@@ -197,3 +197,25 @@ def test_term_drift_statuses_and_shares(spark):
     assert out["spam"]["rank_cur"] == 1
     # shares are exact integer ratios of the snapshot token totals
     assert out["alpha"]["share_ref"] == round(3 / 9, 6)
+
+
+def test_term_drift_corpus_level_counts(spark):
+    """A term entering the top-k that ALREADY existed in the reference
+    corpus (below its top-k) reports its TRUE ref count/share, not
+    NULL (r12 advice): status 'new' is top-k membership only."""
+    from dataframeutils_spark.operators import text as T
+
+    old = spark.createDataFrame(
+        [(1, "a a a b b c c rare")], "doc_id long, text string"
+    ).select("text")
+    new = spark.createDataFrame(
+        [(1, "a a a rare rare rare b")], "doc_id long, text string"
+    ).select("text")
+    out = {r["term"]: r for r in T.term_drift(old, new, k=2).collect()}
+    # ref top-2 = {a, b}; new top-2 = {a, rare}
+    r = out["rare"]
+    assert r["status"] == "new" and r["rank_ref"] is None
+    assert r["cnt_ref"] == 1 and r["share_ref"] == round(1 / 8, 6)
+    b = out["b"]
+    assert b["status"] == "dropped" and b["rank_cur"] is None
+    assert b["cnt_cur"] == 1 and b["share_cur"] == round(1 / 7, 6)
