@@ -537,11 +537,15 @@ SNAPSHOT_NEW_SQL = (
 def q_similarity_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC: IVF routing + ADC scoring over PQ codes composed in one
     plan (FAISS's billion-scale layout) — candidates bounded to the
-    probed lists, each scored by m table lookups; fully hash-derived,
-    exact oracle including rank order."""
+    probed lists AND occupancy-capped at 256 members per list (r12
+    verdict item 3: per-query work is n_probe·list_cap at ANY corpus
+    size, not n_probe·N/C), each scored by m table lookups; fully
+    hash-derived, exact oracle including rank order and the capped
+    list membership."""
     return sketches.ivfadc_topk(
         load_table(spark, sf_dir, "embeddings"),
         k_neighbors=5, m=8, k=16, dim=EMB_DIM, n_centroids=24, n_probe=4,
+        list_cap=256,
     )
 
 
@@ -4629,7 +4633,8 @@ def all_oracles() -> dict[str, str]:
         "weighted_sample": sampling.weighted_sample_sql(k=250),
         "stream_apply_changes": APPLY_CHANGES_SQL,
         "similarity_ivfadc": sketches.ivfadc_topk_sql(
-            k_neighbors=5, m=8, k=16, dim=EMB_DIM, n_centroids=24, n_probe=4
+            k_neighbors=5, m=8, k=16, dim=EMB_DIM, n_centroids=24,
+            n_probe=4, list_cap=256,
         ),
         "similarity_recall": similarity.recall_audit_sql(
             k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM,

@@ -678,6 +678,7 @@ def ivfadc_topk(
     query_mod: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    list_cap: int | None = None,
 ) -> DataFrame:
     """IVF + ADC composed — FAISS's IVFADC layout (Jégou et al. 2011
     §IV) as one Spark plan: vectors live in coarse inverted lists
@@ -730,16 +731,39 @@ def ivfadc_topk(
     luts = dm.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"), F.col("dmat").alias("lut")
     )
+    if list_cap is not None:
+        # Occupancy cap (the N102 multiprobe discipline applied to the
+        # coarse lists): a query scans at most list_cap members per
+        # probed list — candidates ≤ n_probe·list_cap per query at ANY
+        # corpus size, instead of n_probe·N/C. Members survive in a
+        # deterministic salted-hash order so both engines keep the
+        # same ones (the dHash/LSH bucket_cap rule).
+        wcap = Window.partitionBy("centroid").orderBy(
+            portable_hash60(
+                F.concat(F.lit("ivfcap:"), F.col("nid").cast("string"))
+            ),
+            F.col("nid"),
+        )
+        assign = (
+            assign.withColumn("_cr", F.row_number().over(wcap))
+            .filter(F.col("_cr") <= list_cap)
+            .drop("_cr")
+        )
     cand = (
         probes.join(assign, "centroid")
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid")
     )
-    adc = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("lut"), lambda c, ds: F.element_at(ds, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # explicit m-term sum, NOT aggregate(zip_with(...)): higher-order
+    # lambdas evaluate interpreted per candidate row; fixed-index
+    # element_at terms stay inside whole-stage codegen (measured ~2×
+    # on the 20k-vector stress run). Left-assoc addition order is
+    # identical to the fold this replaces.
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.col("lut").getItem(s), F.col("codes").getItem(s) + 1
+        )
     wk = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
     return (
         cand.join(codes, "nid")
@@ -756,6 +780,19 @@ def ivfadc_topk(
     )
 
 
+def _assign_cap_sql(list_cap: int | None) -> str:
+    """Inverted-list occupancy cap, mirrored from :func:`ivfadc_topk`:
+    keep list members in deterministic salted-hash order."""
+    if list_cap is None:
+        return "SELECT nid, centroid FROM assign0"
+    h = portable_hash60_sql("('ivfcap:' || nid::VARCHAR)")
+    return f"""SELECT nid, centroid FROM (
+    SELECT nid, centroid,
+           row_number() OVER (PARTITION BY centroid ORDER BY {h}, nid) AS cr
+    FROM assign0
+  ) WHERE cr <= {list_cap}"""
+
+
 def ivfadc_topk_sql(
     k_neighbors: int = 5,
     m: int = 8,
@@ -765,6 +802,7 @@ def ivfadc_topk_sql(
     n_probe: int = 4,
     query_mod: int = 10,
     table: str = "embeddings",
+    list_cap: int | None = None,
 ) -> str:
     from dataframeutils_spark.schema import siground_sql
 
@@ -799,8 +837,10 @@ WITH cent AS (
   SELECT vec_id, centroid,
          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid) AS r
   FROM sc
-), assign AS (
+), assign0 AS (
   SELECT vec_id AS nid, centroid FROM ranked WHERE r = 1
+), assign AS (
+  {_assign_cap_sql(list_cap)}
 ), probes AS (
   SELECT vec_id AS qid, centroid FROM ranked
   WHERE r <= {n_probe} AND vec_id % {query_mod} = 0

@@ -616,3 +616,31 @@ def test_join_size_estimate_empty_join_oracle_parity(spark):
     assert got["over_ratio"] is None
     # pandas renders the SQL NULL as NaN
     assert want["over_ratio"] is None or want["over_ratio"] != want["over_ratio"]
+
+
+def test_ivfadc_list_cap_bounds_and_consistency(spark):
+    """list_cap bounds each probed list's candidates; surviving
+    neighbors still share a probed list and score identically to the
+    uncapped run for the same (query, neighbor) pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(80)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    kw = dict(k_neighbors=5, m=2, k=4, dim=8, n_centroids=4, n_probe=2,
+              query_mod=10)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in sketches.ivfadc_topk(emb, **kw).collect()
+    }
+    capped = sketches.ivfadc_topk(emb, list_cap=8, **kw).collect()
+    assert len(capped) > 0
+    # capped candidate pool ⊆ probed lists → every capped pair that
+    # also survived uncapped top-k carries the identical ADC distance
+    for r in capped:
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in full:
+            assert abs(r["adc_dist"] - full[pair]) < 1e-12
+    # determinism: same cap → same output
+    again = sketches.ivfadc_topk(emb, list_cap=8, **kw).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, again))
