@@ -228,24 +228,28 @@ def triangle_counts(edges: DataFrame, top_k: int = 20) -> DataFrame:
     undirected edge list, top ``top_k`` nodes by (triangles desc, node
     asc).
 
-    The degree-ORIENTED algorithm (Schank & Wagner 2005; the
-    MapReduce formulation in Suri & Vassilvitskii 2011): orient every
-    edge from the endpoint earlier in (degree, id) order to the later
-    one, enumerate wedges from each source's out-neighborhood, and
-    close them against the oriented edge set. Orientation bounds every
-    out-degree at O(√|E|), so the wedge join is Σ outdeg² — the
-    100 TB-safe plan — while a naive wedge enumeration pays Σ deg²
-    (quadratic in the hottest hub). All counting is exact integer
-    arithmetic; the only float (clustering coefficient) is
-    decimal-rounded.
+    Degree-oriented compact-forward (Schank & Wagner 2005; Latapy
+    2008): orient every edge from the endpoint earlier in
+    (degree, id) order to the later one — bounding every out-degree
+    at O(√|E|) so no hub explodes — then count each oriented edge's
+    triangles as |N⁺(u) ∩ N⁺(v)| against collected out-neighborhood
+    arrays. Unlike the wedge-enumeration MapReduce form (Suri &
+    Vassilvitskii 2011) this never materializes the Σ outdeg² wedge
+    stream (41M rows for 1.2M co-purchase edges at sf0.1, ~22× the
+    1.9M actual triangles): the only fan-out is the explode of the
+    intersection itself, i.e. exactly one row per triangle, and the
+    intersection is a native JVM ``array_intersect`` over ≤ O(√|E|)
+    arrays. Each triangle (a→b, a→c, b→c) is found exactly once, at
+    edge (a, b) with c in both out-neighborhoods. All counting is
+    exact integer arithmetic; the only float (clustering
+    coefficient) is decimal-rounded.
     """
     from dataframeutils_spark.schema import decround
 
     # Eager checkpoint: edges feeds the degree table AND the oriented
-    # join, and the oriented table feeds THREE consumers (two wedge
-    # sides + the closing probe). Without materialization Catalyst
-    # clones the whole upstream pipeline per consumer — the co-purchase
-    # self-join would run 6×, and the plan audit showed 238 exchanges.
+    # join; the oriented table feeds the adjacency build + the edge
+    # probe. Without materialization Catalyst clones the whole
+    # upstream co-purchase self-join per consumer.
     edges = edges.localCheckpoint()
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
@@ -263,26 +267,25 @@ def triangle_counts(edges: DataFrame, top_k: int = 20) -> DataFrame:
     oe = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).localCheckpoint()
-    w1 = oe.select(
-        F.col("src").alias("a"),
-        F.col("dst").alias("b"),
-        F.col("ddst").alias("db"),
+    # out-neighborhood arrays, ≤ O(√|E|) elements by orientation
+    adj = oe.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    tri = (
+        oe.join(adj, on="src")
+        .join(
+            adj.select(
+                F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_dst")
+            ),
+            on="dst",
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("nbrs", "nbrs_dst")).alias("c"),
+        )
     )
-    w2 = oe.select(
-        F.col("src").alias("a"),
-        F.col("dst").alias("c"),
-        F.col("ddst").alias("dc"),
-    )
-    wedge_lt = (F.col("db") < F.col("dc")) | (
-        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))
-    )
-    wedges = w1.join(w2, on="a").filter(wedge_lt)
-    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, on=["b", "c"]).select("a", "b", "c")
     # single pass over the triangle stream — explode, don't re-derive
-    # the wedge join once per corner
+    # the intersection once per corner
     per_node = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
