@@ -3093,9 +3093,10 @@ def q_multimodal_mp4_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stss sync set) into one narrow row per frame — (media_id, frame,
     offset, n_bytes, keyframe). This is how a 100 TB video pipeline
     samples keyframes without decoding: read the index, range-read the
-    named bytes. Pixel decode of AVC/VP8 still needs libav (named stub
-    in multimodal._real_decode); the index tier is the real,
-    codec-free first step. All values hash-derived → exact oracle."""
+    named bytes. Pixel decode of AVC/VP8 is formally out of scope for
+    this engine (SURVEY N16, settled r13: MJPEG-AVI is the supported
+    real-video pixel tier; no codec library ships here); the index
+    tier is the real, codec-free first step. All values hash-derived → exact oracle."""
     media = multimodal.mp4_indexed_media_table(
         load_table(spark, sf_dir, "documents")
     )

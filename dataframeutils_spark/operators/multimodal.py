@@ -1792,9 +1792,10 @@ FROM {table}
 """
 
 
-# REAL-codec tier 7: MP4 sample-table frame index. Full AVC/VP8 pixel
-# decode needs libav (not in this environment — the named stub in
-# _real_decode), but the operation a 100 TB video pipeline actually
+# REAL-codec tier 7: MP4 sample-table frame index. AVC/VP8 pixel
+# decode is formally OUT OF SCOPE (SURVEY N16, settled r13: MJPEG-AVI
+# is the supported real-video pixel tier; no codec library ships in
+# this environment), but the operation a 100 TB video pipeline actually
 # runs FIRST is sample-table resolution: parse the stbl tables
 # (stsz sample sizes, stco chunk offsets, stsc sample→chunk mapping,
 # stss sync samples) and emit one narrow row per frame with its byte
