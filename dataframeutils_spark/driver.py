@@ -4162,6 +4162,28 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.l_diversity(quasi, ["event_type", "day"], "user_id", l=3)
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (operators/cleaning.py): the third
+    rung of the privacy ladder after k_anonymity / l_diversity — per
+    (event_type, epoch day) class, the ordered-domain EMD between the
+    class's event-value decile distribution and the global one;
+    classes whose sensitive values cluster away from the table
+    distribution leak even when k-anonymous and l-diverse. Exchange
+    bounded by |classes|·10 cells; per-class windows run over exactly
+    10 spine rows."""
+    ev = _events_normalized(spark, sf_dir)
+    quasi = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.least(F.lit(9), F.floor(F.col("value") / 20).cast("int")).alias(
+            "vbin"
+        ),
+    )
+    return cleaning.t_closeness(
+        quasi, ["event_type", "day"], "vbin", n_bins=10, t=0.2
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the
     part co-purchase graph (operators/graph.py): parts sharing an
@@ -4452,6 +4474,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": q_revenue_concentration,
         "jackknife_ci": q_jackknife_ci,
         "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         "graph_triangles": q_graph_triangles,
         "fuzzy_join": q_fuzzy_join,
         "entity_resolution": q_entity_resolution,
@@ -4577,6 +4600,13 @@ def all_oracles() -> dict[str, str]:
             ["event_type", "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day"],
             "user_id",
             l=3,
+            table="events",
+        ),
+        "t_closeness": cleaning.t_closeness_sql(
+            ["event_type", "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day"],
+            "least(9, CAST(floor(value / 20) AS INT))",
+            n_bins=10,
+            t=0.2,
             table="events",
         ),
         "graph_triangles": graph.triangle_counts_sql(

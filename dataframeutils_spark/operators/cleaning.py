@@ -823,3 +823,159 @@ SELECT doc_id,
        {decround_sql(bad)} <= {max_bad_ratio} AS enc_ok
 FROM {table}
 """
+
+
+# --------------------------------------------------------------------------
+# t-closeness (ordered-attribute EMD) — the third rung of the release ladder
+# --------------------------------------------------------------------------
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_bin_col: str,
+    n_bins: int,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness release audit (Li, Li & Venkatasubramanian 2007):
+    the third rung of the privacy ladder — a class can be k-anonymous
+    AND l-diverse yet still leak when its sensitive-value
+    DISTRIBUTION differs from the table's (all its salaries in the
+    top decile, say). Per equivalence class, the Earth Mover's
+    Distance between the class's distribution over the ORDERED
+    sensitive bins and the global distribution, with the standard
+    ordered-domain ground distance: EMD = Σ_{i<m} |Σ_{j≤i}(p_j−q_j)|
+    / (m−1). Classes with rounded EMD > ``t`` violate t-closeness.
+
+    ``sensitive_bin_col`` must already hold an ordered integer bin in
+    [0, n_bins) — binning is the caller's (exactly mirrorable) choice.
+
+    One row out: (t, m_bins, n_rows, n_classes, n_classes_above_t,
+    n_rows_at_risk, risk_pct, max_emd).
+
+    Scale shape: one combinable groupBy to (class, bin) cells
+    (exchange bounded by |classes|·m, never rows), a broadcast m-row
+    global distribution, a dense class×bin grid built from the
+    |classes|-row table × broadcast bin spine, and per-class windows
+    over exactly m rows. Risk is counted on the decimal-ROUNDED EMD
+    so the threshold compare is engine-identical (PSI discipline).
+    """
+    from pyspark.sql import Window
+
+    from dataframeutils_spark.schema import decround
+
+    spark = df.sparkSession
+    quasi = [F.col(c) for c in quasi_cols]
+    cells = df.groupBy(*quasi, F.col(sensitive_bin_col).alias("bin")).agg(
+        F.count("*").alias("c")
+    )
+    classes = cells.groupBy(*quasi).agg(F.sum("c").alias("sz"))
+    total = cells.agg(F.sum("c").alias("n_total"))
+    glob = (
+        cells.groupBy("bin")
+        .agg(F.sum("c").alias("gc"))
+        .crossJoin(F.broadcast(total))
+        .select("bin", (F.col("gc") / F.col("n_total")).alias("q"))
+    )
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        classes.crossJoin(F.broadcast(spine))
+        .join(cells, [*quasi_cols, "bin"], "left")
+        .join(F.broadcast(glob), "bin", "left")
+        .select(
+            *quasi,
+            "bin",
+            "sz",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("sz")).alias("p"),
+            F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+        )
+    )
+    w = (
+        Window.partitionBy(*quasi)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    emds = (
+        grid.withColumn("cum", F.sum(F.col("p") - F.col("q")).over(w))
+        .filter(F.col("bin") < n_bins - 1)
+        .groupBy(*quasi, "sz")
+        .agg(
+            decround(F.sum(F.abs(F.col("cum"))) / F.lit(n_bins - 1)).alias(
+                "emd"
+            )
+        )
+    )
+    above = F.col("emd") > t
+    return emds.agg(
+        F.lit(t).alias("t"),
+        F.lit(n_bins).cast("int").alias("m_bins"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.sum(above.cast("long")).alias("n_classes_above_t"),
+        F.sum(F.when(above, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        decround(
+            F.sum(F.when(above, F.col("sz")).otherwise(F.lit(0))) / F.sum("sz")
+        ).alias("risk_pct"),
+        F.max("emd").alias("max_emd"),
+    )
+
+
+def t_closeness_sql(
+    quasi_exprs: list[str],
+    sensitive_bin_expr: str,
+    n_bins: int,
+    t: float,
+    table: str,
+) -> str:
+    """DuckDB oracle for :func:`t_closeness` — same cell reduction,
+    dense grid, ordered cumsum and rounded-EMD threshold."""
+    from dataframeutils_spark.schema import decround_sql
+
+    keys = ", ".join(quasi_exprs)
+    names = [e.split(" AS ")[-1].strip() for e in quasi_exprs]
+    nm = ", ".join(names)
+    emd = decround_sql(f"sum(abs(cum)) / {n_bins - 1}")
+    risk = decround_sql(
+        "sum(CASE WHEN above THEN sz ELSE 0 END) * 1.0 / sum(sz)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT {keys}, {sensitive_bin_expr} AS bin, count(*) AS c
+  FROM {table} GROUP BY ALL
+), classes AS (
+  SELECT {nm}, sum(c) AS sz FROM cells GROUP BY ALL
+), gdist AS (
+  SELECT bin, sum(c) * 1.0 / (SELECT sum(c) FROM cells) AS q
+  FROM cells GROUP BY bin
+), spine AS (
+  SELECT CAST(s.b AS INT) AS bin FROM range(0, {n_bins}) s(b)
+), grid AS (
+  SELECT {', '.join('cl.' + n for n in names)}, sp.bin, cl.sz,
+         COALESCE(ce.c, 0) * 1.0 / cl.sz AS p,
+         COALESCE(g.q, 0.0) AS q
+  FROM classes cl CROSS JOIN spine sp
+  LEFT JOIN cells ce
+    ON {' AND '.join(f'ce.{n} = cl.{n}' for n in names)} AND ce.bin = sp.bin
+  LEFT JOIN gdist g ON g.bin = sp.bin
+), cums AS (
+  SELECT {nm}, sz, bin,
+         sum(p - q) OVER (PARTITION BY {nm} ORDER BY bin) AS cum
+  FROM grid
+), emds AS (
+  SELECT {nm}, sz, {emd} AS emd
+  FROM cums WHERE bin < {n_bins - 1} GROUP BY ALL
+), flagged AS (
+  SELECT sz, emd, emd > {t} AS above FROM emds
+)
+SELECT {t} AS t,
+       CAST({n_bins} AS INT) AS m_bins,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_above_t,
+       CAST(sum(CASE WHEN above THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       {risk} AS risk_pct,
+       max(emd) AS max_emd
+FROM flagged
+"""

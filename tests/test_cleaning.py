@@ -388,3 +388,27 @@ def test_semantic_decontaminate_broadcasts_eval_set(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan  # eval side broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_t_closeness_hand_computed(spark):
+    """Planted two-class table with a hand-computed ordered EMD: class
+    A matches the global distribution closely; class B concentrates in
+    the top bin and violates t."""
+    from dataframeutils_spark.operators import cleaning
+
+    # class A: bins 0,1 evenly (4 rows); class B: all 4 rows in bin 2
+    rows = [("A", 0), ("A", 0), ("A", 1), ("A", 1),
+            ("B", 2), ("B", 2), ("B", 2), ("B", 2)]
+    df = spark.createDataFrame(rows, "grp string, vbin int")
+    out = cleaning.t_closeness(df, ["grp"], "vbin", n_bins=3, t=0.3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # global q = (0.25, 0.25, 0.5)
+    # class A p = (0.5, 0.5, 0): cum = (0.25, 0.5) -> EMD = 0.75/2 = 0.375
+    # class B p = (0, 0, 1):     cum = (-0.25, -0.5) -> EMD = 0.375
+    assert r["n_classes"] == 2 and r["n_rows"] == 8
+    assert abs(r["max_emd"] - 0.375) < 1e-9
+    assert r["n_classes_above_t"] == 2 and r["n_rows_at_risk"] == 8
+    # with a looser threshold nothing is flagged
+    r2 = cleaning.t_closeness(df, ["grp"], "vbin", n_bins=3, t=0.4).collect()[0]
+    assert r2["n_classes_above_t"] == 0 and r2["risk_pct"] == 0.0
