@@ -4162,6 +4162,18 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.l_diversity(quasi, ["event_type", "day"], "user_id", l=3)
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity + graph summary over the part co-purchase
+    graph (operators/graph.py): Pearson correlation of edge-endpoint
+    degrees from three INTEGER sufficient sums — the one-number
+    topology screen (negative = hubs link leaves = hub-adjacent edge
+    partitions will skew) run before choosing a graph partitioning.
+    One degree groupBy + two node-keyed joins + a 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.degree_assortativity(edges)
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness release audit (operators/cleaning.py): the third
     rung of the privacy ladder after k_anonymity / l_diversity — per
@@ -4475,6 +4487,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jackknife_ci": q_jackknife_ci,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
+        "graph_assortativity": q_graph_assortativity,
         "graph_triangles": q_graph_triangles,
         "fuzzy_join": q_fuzzy_join,
         "entity_resolution": q_entity_resolution,
@@ -4611,6 +4624,9 @@ def all_oracles() -> dict[str, str]:
         ),
         "graph_triangles": graph.triangle_counts_sql(
             "lineitem", "l_orderkey", "l_partkey", top_k=20
+        ),
+        "graph_assortativity": graph.degree_assortativity_sql(
+            "lineitem", "l_orderkey", "l_partkey"
         ),
         "fuzzy_join": linkage.fuzzy_match_pairs_sql(
             linkage.deterministic_corruption_sql("customer", "c_custkey", "c_name"),

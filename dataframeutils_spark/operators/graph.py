@@ -479,3 +479,110 @@ SELECT antecedent, consequent, pair_count, support, confidence, lift FROM (
   FROM rules
 ) WHERE rk <= {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (Newman 2002) + graph summary
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient over an undirected edge list
+    (Newman 2002, eq. 4): the Pearson correlation of the degrees at
+    the two ends of an edge — positive on social-style graphs (hubs
+    link hubs), negative on web/biology-style graphs (hubs link
+    leaves). The one-number topology screen a graph pipeline runs
+    before committing to a partitioning strategy: strong negative
+    assortativity means hub-adjacent edge partitions will skew.
+
+    With M edges and endpoint degrees (j_i, k_i):
+    ``r = (S3/M − (S1/2M)²) / (S2/2M − (S1/2M)²)`` where
+    S1 = Σ(j+k), S2 = Σ(j²+k²), S3 = Σ j·k. All three sufficient
+    sums are INTEGER (degrees are counts), so the only float is the
+    final ratio — exactly the weighted-bins determinism discipline.
+
+    One row out: (n_nodes, n_edges, avg_degree, max_degree,
+    assortativity).
+
+    Scale shape: one combinable degree groupBy, two node-keyed joins
+    to tag each edge with (du, dv), one single-row aggregate. Nothing
+    wider than the edge list ever exists.
+    """
+    from dataframeutils_spark.schema import decround
+
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"),
+            on="u",
+        )
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            on="v",
+        )
+    )
+    agg = e.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("du") + F.col("dv")).alias("s1"),
+        F.sum(
+            F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+        ).alias("s2"),
+        F.sum(F.col("du") * F.col("dv")).alias("s3"),
+    )
+    nodes = deg.agg(
+        F.count("*").alias("n_nodes"), F.max("d").alias("max_degree")
+    )
+    mu = F.col("s1") / (2.0 * F.col("m"))
+    num = F.col("s3") / F.col("m").cast("double") - mu * mu
+    den = F.col("s2") / (2.0 * F.col("m")) - mu * mu
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("m").cast("long").alias("n_edges"),
+        decround(2.0 * F.col("m") / F.col("n_nodes")).alias("avg_degree"),
+        F.col("max_degree").cast("long").alias("max_degree"),
+        decround(F.when(den != 0.0, num / den)).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(
+    table: str, group_col: str, item_col: str
+) -> str:
+    """DuckDB oracle for :func:`degree_assortativity` over the same
+    co-occurrence edge construction as :func:`triangle_counts_sql`."""
+    from dataframeutils_spark.schema import decround_sql
+
+    mu = "s1 / (2.0 * m)"
+    num = f"s3 / CAST(m AS DOUBLE) - ({mu}) * ({mu})"
+    den = f"s2 / (2.0 * m) - ({mu}) * ({mu})"
+    return f"""
+WITH it AS (
+  SELECT DISTINCT {group_col} AS g, {item_col} AS p FROM {table}
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM it a JOIN it b ON a.g = b.g AND a.p < b.p
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), tagged AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+), agg AS (
+  SELECT count(*) AS m, sum(du + dv) AS s1,
+         sum(du * du + dv * dv) AS s2, sum(du * dv) AS s3
+  FROM tagged
+), nodes AS (
+  SELECT count(*) AS n_nodes, max(d) AS max_degree FROM deg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(m AS BIGINT) AS n_edges,
+       {decround_sql('2.0 * m / n_nodes')} AS avg_degree,
+       CAST(max_degree AS BIGINT) AS max_degree,
+       {decround_sql(f'CASE WHEN ({den}) <> 0.0 THEN ({num}) / ({den}) END')}
+         AS assortativity
+FROM agg CROSS JOIN nodes
+"""

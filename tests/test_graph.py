@@ -64,3 +64,31 @@ def test_textrank_matches_duckdb_oracle(spark, ddb):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_degree_assortativity_known_graphs(spark):
+    """Closed-form checks: a star is maximally disassortative
+    (r = -1 on any star with >2 leaves has r undefined denominator?
+    no — star K1,3: all edges join degree 3 to degree 1, zero degree
+    variance on each side per edge position mix gives r = -1); a
+    cycle (all degrees equal) has zero variance -> NULL."""
+    from dataframeutils_spark.operators import graph
+
+    # 4-cycle: every degree = 2 -> denominator 0 -> NULL
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long"
+    )
+    r = graph.degree_assortativity(cyc).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["avg_degree"] == 2.0 and r["max_degree"] == 2
+    assert r["assortativity"] is None
+    # star K1,4 : hub degree 4, leaves degree 1 -> r = -1
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "u long, v long"
+    )
+    r = graph.degree_assortativity(star).collect()[0]
+    assert abs(r["assortativity"] - (-1.0)) < 1e-9
+    # path 1-2-3-4: hand-computed r = -0.5
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u long, v long")
+    r = graph.degree_assortativity(path).collect()[0]
+    assert abs(r["assortativity"] - (-0.5)) < 1e-9
