@@ -4072,6 +4072,18 @@ def q_embedding_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_auc(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the cosine-to-centroid membership score
+    (operators/similarity.py): reliability bins, ECE, Brier and max
+    bin gap per class — AUC's companion question (does the score's
+    VALUE mean what a downstream threshold assumes, not just its
+    rank order). Same broadcast-centroid scan as embedding_auc, then
+    one classes×bins cell aggregate; no global sort at all."""
+    return similarity.calibration_audit(
+        load_table(spark, sf_dir, "embeddings"), n_bins=10
+    )
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets
     (operators/graph.py): support/confidence/lift for the top-100
@@ -4483,6 +4495,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "survival_km": q_survival_km,
         "embedding_auc": q_embedding_auc,
+        "calibration_audit": q_calibration_audit,
         "revenue_concentration": q_revenue_concentration,
         "jackknife_ci": q_jackknife_ci,
         "l_diversity": q_l_diversity,
@@ -4540,6 +4553,7 @@ def all_oracles() -> dict[str, str]:
         "benford_audit": cleaning.benford_audit_sql("lineitem", "l_extendedprice"),
         "survival_km": events_ops.survival_km_sql(),
         "embedding_auc": similarity.embedding_auc_sql(),
+        "calibration_audit": similarity.calibration_audit_sql(n_bins=10),
         "revenue_concentration": skew.concentration_report_sql(
             "orders JOIN customer ON c_custkey = o_custkey",
             "c_nationkey",

@@ -2059,3 +2059,153 @@ SELECT label,
        COALESCE({decround_sql(cos)} < {cos_alarm}, TRUE) AS drifted
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# calibration audit (reliability bins + ECE + Brier)
+# ---------------------------------------------------------------------------
+
+
+def calibration_audit(
+    emb: DataFrame,
+    n_bins: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class calibration audit of the cosine-to-centroid score
+    used as a membership probability — the companion question to
+    :func:`embedding_auc`: AUC says the score RANKS the class above
+    the rest; calibration says whether its VALUE means what a
+    downstream threshold assumes (Guo et al. 2017's ECE, Brier 1950).
+    Score → probability proxy p = (cos + 1) / 2; outcome y = (label
+    == class); reliability bins b = min(B−1, ⌊p·B⌋):
+
+    * ECE  = Σ_b (n_b/N) · |acc_b − conf_b| (expected calibration
+      error over occupied bins);
+    * Brier = mean (p − y)²;
+    * max_gap = max_b |acc_b − conf_b|.
+
+    Output: (class, n, n_bins_occupied, ece, brier, max_gap).
+
+    Scale shape: identical to embedding_auc up to the scored
+    projection (one labels×D combinable centroid aggregate broadcast
+    over the scan); then ONE (class, bin) groupBy — exchange bounded
+    by classes · B cells, never rows — and a per-class reduce over
+    ≤ B bin rows. p is built from the decimal-ROUNDED cosine so bin
+    assignment is engine-identical.
+    """
+    from dataframeutils_spark.schema import decround
+
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lab"),
+    )
+    cent = (
+        base.select("lab", F.posexplode(F.col("v")).alias("pos", "x"))
+        .groupBy("lab", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy(F.col("lab").alias("cls"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_sm")
+        )
+        .select("cls", F.transform(F.col("_sm"), lambda s: s.m).alias("cvec"))
+    )
+    cent = cent.filter(_norm(F.col("cvec")) > 0)
+    base = base.filter(_norm(F.col("v")) > 0)
+    p = (
+        decround(
+            _dot(F.col("v"), F.col("cvec"))
+            / (_norm(F.col("v")) * _norm(F.col("cvec")))
+        )
+        + F.lit(1.0)
+    ) / F.lit(2.0)
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "cls",
+        (F.col("lab") == F.col("cls")).cast("int").alias("y"),
+        p.alias("p"),
+    )
+    cells = scored.withColumn(
+        "bin",
+        F.least(
+            F.lit(n_bins - 1), F.floor(F.col("p") * n_bins).cast("int")
+        ),
+    ).groupBy("cls", "bin").agg(
+        F.count("*").alias("nb"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+        ).alias("sq"),
+    )
+    gap = F.abs(F.col("sy") / F.col("nb") - F.col("sp") / F.col("nb"))
+    return (
+        cells.groupBy("cls")
+        .agg(
+            F.sum("nb").alias("n"),
+            F.count("*").alias("n_bins_occupied"),
+            (F.sum(F.col("nb") * gap) / F.sum("nb")).alias("_ece"),
+            (F.sum("sq") / F.sum("nb")).alias("_brier"),
+            F.max(gap).alias("_maxgap"),
+        )
+        .select(
+            F.col("cls").alias("class"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_bins_occupied").cast("long").alias("n_bins_occupied"),
+            decround(F.col("_ece")).alias("ece"),
+            decround(F.col("_brier")).alias("brier"),
+            decround(F.col("_maxgap")).alias("max_gap"),
+        )
+    )
+
+
+def calibration_audit_sql(n_bins: int = 10, table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`calibration_audit` — same rounded
+    cosine, probability mapping, bin cells and per-class reduce."""
+    from dataframeutils_spark.schema import decround_sql
+
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * c.cvec[i])), (a, b) -> a + b)"
+    )
+    nrm_v = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, "
+        "x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+    )
+    nrm_c = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(c.cvec, "
+        "x -> x * x)), (a, b) -> a + b))"
+    )
+    return f"""
+WITH dims AS (
+  SELECT label AS lab, i.i AS pos, avg(embedding[i.i]::DOUBLE) AS m
+  FROM {table}
+  CROSS JOIN (SELECT unnest(range(1, len((SELECT embedding FROM {table} LIMIT 1)) + 1)) AS i) i
+  GROUP BY label, i.i
+), cent AS (
+  SELECT lab AS cls, list(m ORDER BY pos) AS cvec FROM dims GROUP BY lab
+), scored AS (
+  SELECT c.cls, CAST(e.label = c.cls AS INT) AS y,
+         ({decround_sql(f"{dot} / ({nrm_v} * {nrm_c})")} + 1.0) / 2.0 AS p
+  FROM {table} e CROSS JOIN cent c
+  WHERE {nrm_v} > 0 AND {nrm_c} > 0
+), cells AS (
+  SELECT cls, least({n_bins - 1}, CAST(floor(p * {n_bins}) AS INT)) AS bin,
+         count(*) AS nb, sum(p) AS sp, sum(y) AS sy,
+         sum((p - y) * (p - y)) AS sq
+  FROM scored GROUP BY cls, bin
+)
+SELECT cls AS class,
+       CAST(sum(nb) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins_occupied,
+       {decround_sql(
+           "sum(nb * abs(sy * 1.0 / nb - sp / nb)) / sum(nb)"
+       )} AS ece,
+       {decround_sql("sum(sq) / sum(nb)")} AS brier,
+       {decround_sql("max(abs(sy * 1.0 / nb - sp / nb))")} AS max_gap
+FROM cells
+GROUP BY cls
+"""

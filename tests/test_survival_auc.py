@@ -271,3 +271,43 @@ def test_ab_test_vs_reference(spark):
         )
     assert out["treat"]["significant"] is True and out["treat"]["z"] > 10
     assert out["flat"]["significant"] is False
+
+
+def test_calibration_audit_closed_form(spark):
+    """Hand-computed ECE/Brier on a 1-D embedding with two classes
+    whose centroids sit at +1 and -1: cosine of every vector to its
+    own centroid is ±1, so p ∈ {0, 1} exactly and the audit's bins,
+    gaps and Brier are closed-form."""
+    from dataframeutils_spark.operators import similarity
+
+    rows = [(1, [1.0], "a"), (2, [2.0], "a"), (3, [-1.0], "b"),
+            (4, [-3.0], "b")]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r["class"]: r for r in
+           similarity.calibration_audit(emb, n_bins=10).collect()}
+    # class a: scored against both centroids -> 4 rows; vectors of a
+    # give p=1 (y=1), vectors of b give p=0 (y=0): perfectly
+    # calibrated -> ece=0, brier=0, two occupied bins
+    for cls in ("a", "b"):
+        r = out[cls]
+        assert r["n"] == 4 and r["n_bins_occupied"] == 2
+        assert r["ece"] == 0.0 and r["brier"] == 0.0 and r["max_gap"] == 0.0
+
+
+def test_calibration_audit_detects_miscalibration(spark):
+    """A class whose members sit at the centroid of the OTHER class
+    shows a nonzero gap."""
+    from dataframeutils_spark.operators import similarity
+
+    # class a vectors point negative (toward b's centroid direction)
+    rows = [(1, [1.0, 0.0], "a"), (2, [-1.0, 0.1], "a"),
+            (3, [-1.0, 0.0], "b"), (4, [-1.0, -0.1], "b")]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r["class"]: r for r in
+           similarity.calibration_audit(emb, n_bins=4).collect()}
+    assert out["b"]["ece"] > 0.0
+    assert out["b"]["brier"] > 0.0
