@@ -223,6 +223,16 @@ def q_memory_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(stat_tests.memory_dependence(_melted(spark, sf_dir)), all_dec=True)
 
 
+def q_ar_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(3) Yule-Walker fit + PACF ladder per panel series
+    (operators/stat_tests.py): Cramer's-rule closed form over the
+    decimal-rounded first three autocorrelations — the Box-Jenkins
+    order-selection companion to predictability_ar1, fully exact
+    (identical IEEE arithmetic on identical rounded inputs). One
+    per-series lag window + one combinable aggregate."""
+    return stat_tests.ar_yule_walker(_melted(spark, sf_dir))
+
+
 def q_frequency_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
         stat_tests.frequency_domain(_melted(spark, sf_dir)), dec=("dom_freq",)
@@ -4433,6 +4443,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pack": q_bpe_pack,
         "frequency_domain": q_frequency_domain,
         "memory_dependence": q_memory_dependence,
+        "ar_yule_walker": q_ar_yule_walker,
         "similarity_ann_multiprobe_capped": q_similarity_ann_multiprobe_capped,
         "multimodal_mp4_frame_index": q_multimodal_mp4_frame_index,
         "dedup_canonical": q_dedup_canonical,
@@ -4533,6 +4544,7 @@ def all_oracles() -> dict[str, str]:
         "panel_distribution": oracles.DISTRIBUTION_SQL,
         "frequency_domain": oracles.FREQUENCY_SQL,
         "memory_dependence": oracles.MEMORY_DEPENDENCE_SQL,
+        "ar_yule_walker": oracles.AR_YULE_WALKER_SQL,
         "stationarity_kpss": oracles.KPSS_SQL,
         "changepoint_cusum": oracles.CUSUM_SQL,
         "seasonal_decompose": oracles.SEASONAL_SQL,

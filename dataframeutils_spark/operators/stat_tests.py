@@ -282,3 +282,78 @@ def granger_causality(
         kernel, schema="grp string, pair string, pvalue double"
     )
     return out.select("grp", "pair", nan_to_null(F.col("pvalue")).alias("pvalue"))
+
+
+def ar_yule_walker(long_df: DataFrame, min_len: int = 12) -> DataFrame:
+    """AR(3) Yule–Walker fit + partial autocorrelations per panel
+    series — the order-p extension of predictability_ar1: solve the
+    3×3 Toeplitz system R·φ = r by Cramer's rule from the first three
+    autocorrelations, giving the AR coefficients, the PACF ladder
+    (pacf1 = r1, pacf2 = (r2−r1²)/(1−r1²), pacf3 = φ3 — the
+    Durbin–Levinson identities at p ≤ 3) and the residual variance
+    ratio σ²/c0 = 1 − φ·r. A PACF that cuts off after lag p is the
+    classic Box–Jenkins order-selection signal.
+
+    Determinism: the autocorrelations (overlapping-pair ``corr``,
+    memory_acf_hurst's convention) are decimal-ROUNDED FIRST; every
+    Cramer determinant is then identical IEEE arithmetic on identical
+    inputs in both engines — the hash-derived-input discipline applied
+    to float statistics. Degenerate systems (|det| = 0, constant
+    series) yield NULL coefficients rather than noise.
+
+    Output: (grp, feature, n, acf1, acf2, acf3, phi1, phi2, phi3,
+    pacf2, resid_ratio).
+
+    Scale shape: one per-series window for the three lag columns
+    (exchange by (grp, feature) — series-bounded tasks), one
+    combinable aggregate; all algebra happens on the |series|-row
+    result.
+    """
+    from dataframeutils_spark.schema import decround
+
+    d = long_df.filter(F.col("value").isNotNull())
+    w_ord = Window.partitionBy("grp", "feature").orderBy("date")
+    lagged = d.select(
+        "grp",
+        "feature",
+        "value",
+        *[F.lag("value", k).over(w_ord).alias(f"xlag{k}") for k in (1, 2, 3)],
+    )
+    agg = lagged.groupBy("grp", "feature").agg(
+        F.count("value").alias("n"),
+        *[
+            decround(nan_to_null(F.corr("value", f"xlag{k}"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    a, b, c = F.col("r1"), F.col("r2"), F.col("r3")
+    det = (
+        (F.lit(1.0) - a * a)
+        - a * (a - a * b)
+        + b * (a * a - b)
+    )
+    det1 = a * (F.lit(1.0) - a * a) - a * (b - a * c) + b * (a * b - c)
+    det2 = (b - a * c) - a * (a - a * b) + b * (a * c - b * b)
+    det3 = (c - a * b) - a * (a * c - b * b) + a * (a * a - b)
+    ok = det.isNotNull() & (F.abs(det) > F.lit(1e-12))
+    phi1 = F.when(ok, det1 / det)
+    phi2 = F.when(ok, det2 / det)
+    phi3 = F.when(ok, det3 / det)
+    pacf2 = F.when(
+        a.isNotNull() & b.isNotNull() & (F.abs(F.lit(1.0) - a * a) > 1e-12),
+        (b - a * a) / (F.lit(1.0) - a * a),
+    )
+    resid = F.when(ok, F.lit(1.0) - (phi1 * a + phi2 * b + phi3 * c))
+    return agg.filter(F.col("n") >= min_len).select(
+        "grp",
+        "feature",
+        "n",
+        F.col("r1").alias("acf1"),
+        F.col("r2").alias("acf2"),
+        F.col("r3").alias("acf3"),
+        decround(phi1).alias("phi1"),
+        decround(phi2).alias("phi2"),
+        decround(phi3).alias("phi3"),
+        decround(pacf2).alias("pacf2"),
+        decround(resid).alias("resid_ratio"),
+    )

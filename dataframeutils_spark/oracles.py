@@ -778,3 +778,44 @@ SELECT grp, feature, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
 FROM pt
 """
 )
+
+
+# AR(3) Yule-Walker + PACF — Cramer's rule over the decimal-rounded
+# first three autocorrelations (identical IEEE arithmetic both engines)
+_YW_DET = "((1.0 - a*a) - a*(a - a*b) + b*(a*a - b))"
+_YW_D1 = "(a*(1.0 - a*a) - a*(b - a*c) + b*(a*b - c))"
+_YW_D2 = "((b - a*c) - a*(a - a*b) + b*(a*c - b*b))"
+_YW_D3 = "((c - a*b) - a*(a*c - b*b) + a*(a*a - b))"
+_YW_OK = f"a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL AND abs({_YW_DET}) > 1e-12"
+_YW_P1 = f"CASE WHEN {_YW_OK} THEN {_YW_D1} / {_YW_DET} END"
+_YW_P2 = f"CASE WHEN {_YW_OK} THEN {_YW_D2} / {_YW_DET} END"
+_YW_P3 = f"CASE WHEN {_YW_OK} THEN {_YW_D3} / {_YW_DET} END"
+
+AR_YULE_WALKER_SQL = with_panel(
+    f"""
+, d AS (
+  SELECT grp, feature, date, value FROM melt WHERE value IS NOT NULL
+), lagged AS (
+  SELECT grp, feature, value,
+         lag(value, 1) OVER w AS xlag1,
+         lag(value, 2) OVER w AS xlag2,
+         lag(value, 3) OVER w AS xlag3
+  FROM d
+  WINDOW w AS (PARTITION BY grp, feature ORDER BY date)
+), agg AS (
+  SELECT grp, feature, count(value) AS n,
+         {dec('corr(value, xlag1)')} AS a,
+         {dec('corr(value, xlag2)')} AS b,
+         {dec('corr(value, xlag3)')} AS c
+  FROM lagged GROUP BY grp, feature
+)
+SELECT grp, feature, CAST(n AS BIGINT) AS n,
+       a AS acf1, b AS acf2, c AS acf3,
+       {dec(_YW_P1)} AS phi1,
+       {dec(_YW_P2)} AS phi2,
+       {dec(_YW_P3)} AS phi3,
+       {dec("CASE WHEN a IS NOT NULL AND b IS NOT NULL AND abs(1.0 - a*a) > 1e-12 THEN (b - a*a) / (1.0 - a*a) END")} AS pacf2,
+       {dec(f"CASE WHEN {_YW_OK} THEN 1.0 - (({_YW_P1}) * a + ({_YW_P2}) * b + ({_YW_P3}) * c) END")} AS resid_ratio
+FROM agg WHERE n >= 12
+"""
+)

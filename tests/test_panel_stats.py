@@ -170,3 +170,53 @@ def test_driver_oracle_parity_mad(spark, ddb, qname):
     q = driver.all_queries()[qname]
     sql = driver.all_oracles()[qname]
     assert_matches_oracle(q(spark, SF_DIR), ddb, sql)
+
+
+def test_ar_yule_walker_recovers_ar1(spark):
+    """On a synthetic AR(1) series the YW fit should put most weight
+    on phi1 and the PACF should cut off: |pacf2|, |phi3| small; also
+    statsmodels-free sanity via the analytic AR(1) ACF r_k = rho^k."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import stat_tests
+
+    rng = np.random.default_rng(11)
+    rho, n = 0.7, 400
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + rng.normal()
+    import datetime as dt
+    rows = [
+        ("g", "f", dt.date(2020, 1, 1) + dt.timedelta(days=i), float(x[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "grp string, feature string, date date, value double")
+    r = stat_tests.ar_yule_walker(df).collect()[0]
+    assert abs(r["acf1"] - rho) < 0.12
+    assert abs(r["phi1"] - rho) < 0.15
+    assert abs(r["phi3"]) < 0.12 and abs(r["pacf2"]) < 0.12
+    assert 0.0 < r["resid_ratio"] < 1.0
+
+
+def test_ar_yule_walker_exact_cramer(spark):
+    """The Cramer solve must equal numpy.linalg.solve on the same
+    rounded autocorrelations."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import stat_tests
+
+    rng = np.random.default_rng(5)
+    x = np.cumsum(rng.normal(size=120))  # persistent series
+    import datetime as dt
+    rows = [
+        ("g", "f", dt.date(2020, 1, 1) + dt.timedelta(days=i), float(v))
+        for i, v in enumerate(x)
+    ]
+    df = spark.createDataFrame(rows, "grp string, feature string, date date, value double")
+    r = stat_tests.ar_yule_walker(df).collect()[0]
+    a, b, c = r["acf1"], r["acf2"], r["acf3"]
+    R = np.array([[1, a, b], [a, 1, a], [b, a, 1]])
+    phi = np.linalg.solve(R, np.array([a, b, c]))
+    assert abs(r["phi1"] - phi[0]) < 1e-6
+    assert abs(r["phi2"] - phi[1]) < 1e-6
+    assert abs(r["phi3"] - phi[2]) < 1e-6
