@@ -3969,6 +3969,29 @@ EDRIFT_NEW_SQL = (
 )
 
 
+def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label MMD² between embedding snapshots via hash-derived
+    random Fourier features (operators/similarity.py): the
+    DISTRIBUTION-level companion to embedding_drift's centroid test —
+    a mode split or variance collapse moves MMD while the centroid
+    stays put. Same snapshot views as embedding_drift (the label-2
+    planted shift should be the one drifted row). One scan per
+    snapshot against D=32 broadcast features; only (label, d) partial
+    means shuffle — the RFF form of a statistic whose exact kernel
+    version is an N² join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 7 != 0).select(
+        "vec_id",
+        F.when(
+            F.col("label") == 2,
+            F.transform(F.col("embedding"), lambda x: x + F.lit(0.5)),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    return similarity.mmd_drift(old, new)
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/web.py): lowercase scheme/host,
     strip www./default ports/fragments/trailing slashes/tracking
@@ -4507,6 +4530,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": q_survival_km,
         "embedding_auc": q_embedding_auc,
         "calibration_audit": q_calibration_audit,
+        "mmd_drift": q_mmd_drift,
         "revenue_concentration": q_revenue_concentration,
         "jackknife_ci": q_jackknife_ci,
         "l_diversity": q_l_diversity,
@@ -4589,6 +4613,9 @@ def all_oracles() -> dict[str, str]:
         ),
         "embedding_drift": similarity.embedding_drift_sql(
             EDRIFT_OLD_SQL, EDRIFT_NEW_SQL, cos_alarm=0.5
+        ),
+        "mmd_drift": similarity.mmd_drift_sql(
+            EDRIFT_OLD_SQL, EDRIFT_NEW_SQL, dim=EMB_DIM
         ),
         "term_drift": text.term_drift_sql(
             TDRIFT_OLD_SQL, TDRIFT_NEW_SQL, k=50

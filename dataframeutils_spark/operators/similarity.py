@@ -2209,3 +2209,161 @@ SELECT cls AS class,
 FROM cells
 GROUP BY cls
 """
+
+
+# ---------------------------------------------------------------------------
+# MMD two-sample drift via hash-derived random Fourier features
+# ---------------------------------------------------------------------------
+
+
+def _rff_u(salt: str, *parts: Column) -> Column:
+    """Deterministic uniform in (0, 1] from the portable hash."""
+    key = F.concat_ws(":", F.lit(salt), *[p.cast("string") for p in parts])
+    return (portable_hash60(key) + F.lit(1.0)) / F.lit(2.0 * TWO59)
+
+
+def rff_features(spark, n_features: int, dim: int, sigma: float) -> DataFrame:
+    """Hash-derived random-Fourier-feature table (d, w, b) for an RBF
+    kernel of bandwidth ``sigma`` (Rahimi & Recht 2007): w entries are
+    exact Box–Muller Gaussians from two hash uniforms (the
+    ivf_centroids derivation discipline, 'mmdw:' salt), scaled 1/σ;
+    b ~ U[0, 2π). Fully deterministic → the MMD below is exactly
+    oracle-checkable."""
+    d = F.col("id").cast("int")
+    return spark.range(n_features).select(
+        d.alias("d"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.sqrt(-2.0 * F.log(_rff_u("mmdw1", d, i)))
+                * F.cos(2.0 * math.pi * _rff_u("mmdw2", d, i))
+                / F.lit(sigma)
+            ),
+        ).alias("w"),
+        (2.0 * math.pi * _rff_u("mmdb", d)).alias("b"),
+    )
+
+
+def mmd_drift(
+    old: DataFrame,
+    new: DataFrame,
+    n_features: int = 32,
+    sigma: float = 4.0,
+    threshold: float = 0.05,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label Maximum Mean Discrepancy between two embedding
+    snapshots, RBF kernel approximated by ``n_features`` hash-derived
+    random Fourier features (Gretton et al. 2012 + Rahimi & Recht
+    2007): MMD² ≈ ‖mean_ref z − mean_cur z‖² with
+    z_d(x) = √(2/D)·cos(w_dᵀx + b_d). The DISTRIBUTION-level
+    companion to embedding_drift's centroid test: a centroid can stay
+    put while the cloud's shape changes (mode split, variance
+    collapse) — MMD with a characteristic kernel sees it.
+
+    ``drifted`` compares the decimal-ROUNDED mmd2 against
+    ``threshold`` (PSI discipline).
+
+    Output: (label, n_ref, n_cur, mmd2, drifted), labels present in
+    BOTH snapshots (appeared/vanished labels are embedding_drift's
+    job).
+
+    Scale shape: the feature table is D broadcast rows; each snapshot
+    is ONE scan — vectors meet the broadcast features map-side, and
+    only (label, d) partial means shuffle (labels·D rows). The
+    quadratic-kernel MMD would be an N² join; the RFF form is the
+    100 TB shape.
+    """
+    from dataframeutils_spark.schema import decround
+
+    spark = old.sparkSession
+    dim = old.select(F.size(F.col(vec_col)).alias("s")).first()["s"]
+    feats = rff_features(spark, n_features, dim, sigma)
+    amp = math.sqrt(2.0 / n_features)
+
+    def means(df: DataFrame, tag: str) -> DataFrame:
+        z = F.lit(amp) * F.cos(
+            _dot(F.col(vec_col), F.col("w")) + F.col("b")
+        )
+        return (
+            df.crossJoin(F.broadcast(feats))
+            .groupBy(F.col(label_col).alias("label"), F.col("d"))
+            .agg(
+                F.avg(z).alias(f"mz_{tag}"),
+                F.count("*").alias(f"n_{tag}"),
+            )
+        )
+    mr = means(old, "ref")
+    mc = means(new, "cur")
+    j = mr.join(mc, ["label", "d"])
+    diff = F.col("mz_ref") - F.col("mz_cur")
+    agg = j.groupBy("label").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        decround(F.sum(diff * diff)).alias("mmd2"),
+    )
+    return agg.select(
+        "label",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        "mmd2",
+        (F.col("mmd2") > threshold).alias("drifted"),
+    )
+
+
+def mmd_drift_sql(
+    old_rel: str,
+    new_rel: str,
+    dim: int,
+    n_features: int = 32,
+    sigma: float = 4.0,
+    threshold: float = 0.05,
+) -> str:
+    """DuckDB oracle for :func:`mmd_drift` — same hash-derived
+    features, sequential-fold dot, per-(label, d) means."""
+    from dataframeutils_spark.operators.dedup import portable_hash60_sql
+    from dataframeutils_spark.schema import decround_sql
+
+    two60 = float(2 * 2**59)
+
+    def u(salt: str, parts: str) -> str:
+        h = portable_hash60_sql(f"('{salt}' || ':' || {parts})")
+        return f"(({h}) + 1.0) / {two60}"
+
+    u1 = u("mmdw1", "f.d::VARCHAR || ':' || i::VARCHAR")
+    u2 = u("mmdw2", "f.d::VARCHAR || ':' || i::VARCHAR")
+    ub = u("mmdb", "f.d::VARCHAR")
+    amp = math.sqrt(2.0 / n_features)
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        f"range(1, {dim} + 1), i -> e.embedding[i]::DOUBLE * f.w[i])), "
+        "(a, b) -> a + b)"
+    )
+
+    def means(rel: str, tag: str) -> str:
+        return f"""m_{tag} AS (
+  SELECT e.label, f.d, avg({amp} * cos({dot} + f.b)) AS mz_{tag},
+         count(*) AS n_{tag}
+  FROM {rel} e CROSS JOIN feats f
+  GROUP BY e.label, f.d
+)"""
+
+    return f"""
+WITH feats AS (
+  SELECT f.d,
+         list_transform(range(0, {dim}), i ->
+           sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2}) / {sigma}) AS w,
+         2.0 * pi() * {ub} AS b
+  FROM range(0, {n_features}) f(d)
+),
+{means(old_rel, 'ref')},
+{means(new_rel, 'cur')}
+SELECT r.label,
+       CAST(max(r.n_ref) AS BIGINT) AS n_ref,
+       CAST(max(c.n_cur) AS BIGINT) AS n_cur,
+       {decround_sql('sum((r.mz_ref - c.mz_cur) * (r.mz_ref - c.mz_cur))')} AS mmd2,
+       {decround_sql('sum((r.mz_ref - c.mz_cur) * (r.mz_ref - c.mz_cur))')} > {threshold} AS drifted
+FROM m_ref r JOIN m_cur c ON c.label = r.label AND c.d = r.d
+GROUP BY r.label
+"""

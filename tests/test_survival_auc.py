@@ -311,3 +311,35 @@ def test_calibration_audit_detects_miscalibration(spark):
            similarity.calibration_audit(emb, n_bins=4).collect()}
     assert out["b"]["ece"] > 0.0
     assert out["b"]["brier"] > 0.0
+
+
+def test_mmd_drift_sees_shape_change_centroid_misses(spark):
+    """MMD detects a pure VARIANCE change (centroid unchanged) — the
+    case embedding_drift's centroid cosine is blind to."""
+    import numpy as np
+
+    from dataframeutils_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    dim = 8
+
+    def mk(scale, n, label):
+        return [
+            (i, [float(x) for x in rng.normal(0, scale, dim)], label)
+            for i in range(n)
+        ]
+
+    # ref: unit variance; cur: same mean (0), tripled variance
+    old = spark.createDataFrame(
+        mk(1.0, 300, 1), "vec_id long, embedding array<float>, label int"
+    )
+    new_same = spark.createDataFrame(
+        mk(1.0, 300, 1), "vec_id long, embedding array<float>, label int"
+    )
+    new_wide = spark.createDataFrame(
+        mk(3.0, 300, 1), "vec_id long, embedding array<float>, label int"
+    )
+    base = similarity.mmd_drift(old, new_same, sigma=2.0).collect()[0]
+    wide = similarity.mmd_drift(old, new_wide, sigma=2.0).collect()[0]
+    assert wide["mmd2"] > 10 * max(base["mmd2"], 1e-9)
+    assert not base["drifted"]
