@@ -4219,6 +4219,19 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_assortativity(edges)
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core dense-backbone summary of the part co-purchase graph
+    (operators/graph.py): fixed-10-round peel of nodes with degree
+    < 100 — deterministic AND exactly oracle-checkable because the
+    peel is idempotent at its fixpoint (the textrank unrolling
+    trick); `converged` reports whether round 10 was a fixpoint.
+    Each round is one combinable degree aggregate + two semi-joins;
+    state is only the shrinking edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.k_core_summary(edges, k=100, rounds=10)
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness release audit (operators/cleaning.py): the third
     rung of the privacy ladder after k_anonymity / l_diversity — per
@@ -4536,6 +4549,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "graph_assortativity": q_graph_assortativity,
+        "k_core": q_k_core,
         "graph_triangles": q_graph_triangles,
         "fuzzy_join": q_fuzzy_join,
         "entity_resolution": q_entity_resolution,
@@ -4680,6 +4694,9 @@ def all_oracles() -> dict[str, str]:
         ),
         "graph_assortativity": graph.degree_assortativity_sql(
             "lineitem", "l_orderkey", "l_partkey"
+        ),
+        "k_core": graph.k_core_summary_sql(
+            "lineitem", "l_orderkey", "l_partkey", k=100, rounds=10
         ),
         "fuzzy_join": linkage.fuzzy_match_pairs_sql(
             linkage.deterministic_corruption_sql("customer", "c_custkey", "c_name"),

@@ -586,3 +586,118 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
          AS assortativity
 FROM agg CROSS JOIN nodes
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core (fixed-round peeling — exactly oracle-checkable like textrank)
+# ---------------------------------------------------------------------------
+
+
+def k_core_summary(
+    edges: DataFrame, k: int, rounds: int = 10
+) -> DataFrame:
+    """k-core of an undirected edge list by FIXED-round peeling:
+    ``rounds`` times, drop every node of degree < k and the edges
+    touching it (Seidman 1983; the bounded-round unrolling is the
+    textrank trick — peeling is idempotent at the fixpoint, so a
+    fixed iteration count is deterministic AND exactly
+    oracle-checkable, where a loop-until-converged would be
+    rows-only). ``converged`` reports whether the last round removed
+    nothing, so a pathological graph (a long path needs O(n) rounds)
+    is visible rather than silent.
+
+    The k-core is the standard "dense backbone" screen: community
+    seeds, spam-farm detection (abnormally dense co-occurrence
+    cores), and the safe-to-sample region for graph embeddings.
+
+    One row out: (k, rounds, converged, n_nodes, n_edges,
+    min_degree, max_degree, avg_degree) over the surviving subgraph.
+
+    Scale shape: each round = one combinable degree aggregate + two
+    broadcast-semi joins keyed on node ids; lineage truncated per
+    round (components discipline). State is only the shrinking edge
+    list — no per-node arrays, no global window.
+    """
+    from dataframeutils_spark.schema import decround
+
+    cur = edges.localCheckpoint(eager=False)
+    prev_n = None
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        cur = (
+            cur.join(
+                keep.withColumnRenamed("node", "u"), on="u", how="leftsemi"
+            )
+            .join(
+                keep.withColumnRenamed("node", "v"), on="v", how="leftsemi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    deg = (
+        cur.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # converged ⇔ no node in the final subgraph is below k (one more
+    # peel would remove nothing)
+    return deg.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.lit(rounds).cast("int").alias("rounds"),
+        F.coalesce(F.min(F.col("d") >= k), F.lit(True)).alias("converged"),
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+        decround(F.avg("d")).alias("avg_degree"),
+    )
+
+
+def k_core_summary_sql(
+    table: str, group_col: str, item_col: str, k: int, rounds: int = 10
+) -> str:
+    """DuckDB oracle for :func:`k_core_summary` — the peel unrolled
+    as chained CTEs over the same co-occurrence edge construction."""
+    from dataframeutils_spark.schema import decround_sql
+
+    cte = []
+    for r in range(rounds):
+        cte.append(f"""deg{r} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+  ) GROUP BY node
+), keep{r} AS (
+  SELECT node FROM deg{r} WHERE d >= {k}
+), e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  WHERE e.u IN (SELECT node FROM keep{r})
+    AND e.v IN (SELECT node FROM keep{r})
+)""")
+    chain = ",\n".join(cte)
+    return f"""
+WITH it AS (
+  SELECT DISTINCT {group_col} AS g, {item_col} AS p FROM {table}
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM it a JOIN it b ON a.g = b.g AND a.p < b.p
+),
+{chain},
+degF AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+  ) GROUP BY node
+)
+SELECT CAST({k} AS INT) AS k,
+       CAST({rounds} AS INT) AS rounds,
+       COALESCE(min(d >= {k}), TRUE) AS converged,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+       CAST(min(d) AS BIGINT) AS min_degree,
+       CAST(max(d) AS BIGINT) AS max_degree,
+       {decround_sql('avg(d)')} AS avg_degree
+FROM degF
+"""

@@ -339,7 +339,8 @@ def test_registry_contract():
         # prior gate (in-round r13 newcomers, once registered, are
         # added to NEW_R13 here)
         NEW_R13 = {"t_closeness", "graph_assortativity",
-                   "calibration_audit", "ar_yule_walker", "mmd_drift"}
+                   "calibration_audit", "ar_yule_walker", "mmd_drift",
+                   "k_core"}
         missing = [
             n for n in names[50:] if n not in gated and n not in NEW_R13
         ]

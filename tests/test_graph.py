@@ -92,3 +92,36 @@ def test_degree_assortativity_known_graphs(spark):
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u long, v long")
     r = graph.degree_assortativity(path).collect()[0]
     assert abs(r["assortativity"] - (-0.5)) < 1e-9
+
+
+def test_k_core_hand_computed(spark):
+    """Planted graph: a K4 clique (every degree 3) plus a pendant
+    chain. The 3-core is exactly the clique; the chain peels away."""
+    from dataframeutils_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5), (5, 6)]  # pendant chain
+    e = spark.createDataFrame(edges, "u long, v long")
+    r = graph.k_core_summary(e, k=3, rounds=5).collect()[0]
+    assert r["converged"] is True
+    assert r["n_nodes"] == 4 and r["n_edges"] == 6
+    assert r["min_degree"] == 3 and r["max_degree"] == 3
+    # k=4: nothing survives (K4 degrees are 3)
+    r = graph.k_core_summary(e, k=4, rounds=5).collect()[0]
+    assert r["n_nodes"] == 0 and r["converged"] is True
+    assert r["min_degree"] is None
+
+
+def test_k_core_cascade(spark):
+    """Peeling must CASCADE: node 5's removal (degree 1 < 2) drops
+    node 4 to degree 1, which then also peels — a single-pass filter
+    would wrongly keep node 4."""
+    from dataframeutils_spark.operators import graph
+
+    # triangle 1-2-3, tail 3-4, 4-5
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    r = graph.k_core_summary(e, k=2, rounds=5).collect()[0]
+    assert r["n_nodes"] == 3 and r["n_edges"] == 3
+    assert r["converged"] is True
