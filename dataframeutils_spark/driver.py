@@ -4219,6 +4219,16 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_assortativity(edges)
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders feed
+    (operators/pipeline.py): row/null/exact-distinct counts + numeric
+    min/max/mean + string/timestamp value ranges, one row per column
+    — the oracle-checkable df.summary(). ONE aggregate over the scan
+    (Spark's standard multi-distinct expand), stacked to rows with no
+    driver loop."""
+    return pipeline.table_profile(load_table(spark, sf_dir, "orders"))
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core dense-backbone summary of the part co-purchase graph
     (operators/graph.py): fixed-10-round peel of nodes with degree
@@ -4550,6 +4560,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "graph_assortativity": q_graph_assortativity,
         "k_core": q_k_core,
+        "table_profile": q_table_profile,
         "graph_triangles": q_graph_triangles,
         "fuzzy_join": q_fuzzy_join,
         "entity_resolution": q_entity_resolution,
@@ -4791,6 +4802,17 @@ def all_oracles() -> dict[str, str]:
         "hash_sample": sampling.hash_sample_summary_sql(),
         "data_mixture": sampling.stratified_sample_summary_sql(rates=MIXTURE_RATES),
         "pipeline_prepare": pipeline.prepare_corpus_summary_sql(),
+        "table_profile": pipeline.table_profile_sql(
+            "orders",
+            [
+                ("o_orderkey", "int"),
+                ("o_custkey", "int"),
+                ("o_orderstatus", "str"),
+                ("o_totalprice", "float"),
+                ("o_orderdate", "str"),
+                ("o_orderpriority", "str"),
+            ],
+        ),
         "text_repetition": _round_oracle_cols(
             text.repetition_stats_sql(), ["dup_ngram_ratio"]
         ),

@@ -658,3 +658,114 @@ FROM card_ref r
 FULL OUTER JOIN card_cur c ON c.source = r.source
 LEFT JOIN psi p ON p.source = COALESCE(r.source, c.source)
 """
+
+
+# ---------------------------------------------------------------------------
+# per-column table profile (the oracle-checkable df.summary())
+# ---------------------------------------------------------------------------
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint",
+                     "double", "float", "decimal")
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile in ONE pass: row count, null
+    count, exact distinct count, numeric min/max/mean (NULL for
+    non-numerics), and the value range as ISO strings for
+    date/string columns — the profiling step a pipeline runs on every
+    new feed before trusting it (Spark's ``df.summary()`` exists but
+    is neither deterministic in schema nor oracle-checkable; this
+    is).
+
+    Output: (column, n, n_null, n_distinct, min_num, max_num,
+    mean_num, min_str, max_str), one row per profiled column.
+
+    Scale shape: one aggregate over the scan — the multi-distinct
+    plan is Spark's standard expand (one shuffle keyed by each
+    column's value for partial distincts), then the per-column stat
+    columns are stacked to rows driver-free. Doubles are
+    decimal-rounded; min/max strings only for non-float types (float
+    formatting is engine-specific, numeric slots carry those).
+    """
+    from dataframeutils_spark.schema import decround
+
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = []
+    stack_parts = []
+    for i, c in enumerate(cols):
+        dt = dtypes[c]
+        is_num = dt.startswith(_NUMERIC_PREFIXES)
+        is_float = dt in ("double", "float") or dt.startswith("decimal")
+        aggs += [
+            F.count(F.col(c)).alias(f"_n{i}"),
+            (F.count("*") - F.count(F.col(c))).alias(f"_z{i}"),
+            F.countDistinct(F.col(c)).alias(f"_d{i}"),
+        ]
+        if is_num:
+            mn = F.min(F.col(c)).cast("double")
+            mx = F.max(F.col(c)).cast("double")
+            aggs += [
+                decround(mn).alias(f"_mn{i}"),
+                decround(mx).alias(f"_mx{i}"),
+                decround(F.avg(F.col(c))).alias(f"_av{i}"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"_mn{i}"),
+                F.lit(None).cast("double").alias(f"_mx{i}"),
+                F.lit(None).cast("double").alias(f"_av{i}"),
+            ]
+        if is_num or is_float:
+            aggs += [
+                F.lit(None).cast("string").alias(f"_ms{i}"),
+                F.lit(None).cast("string").alias(f"_xs{i}"),
+            ]
+        else:
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"_ms{i}"),
+                F.max(F.col(c)).cast("string").alias(f"_xs{i}"),
+            ]
+        stack_parts.append(
+            f"'{c}', _n{i}, _z{i}, _d{i}, _mn{i}, _mx{i}, _av{i}, _ms{i}, _xs{i}"
+        )
+    agg = df.agg(*aggs)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {', '.join(stack_parts)})"
+        " AS (column, n, n_null, n_distinct, min_num, max_num,"
+        " mean_num, min_str, max_str)"
+    )
+
+
+def table_profile_sql(
+    table: str, columns: list[tuple[str, str]]
+) -> str:
+    """DuckDB oracle for :func:`table_profile`; ``columns`` is
+    [(name, kind)] with kind ∈ {'int', 'float', 'str'} ('int' fills
+    the numeric slots AND exact integer min/max; 'float' numeric
+    slots only; 'str'/'date' the string slots)."""
+    from dataframeutils_spark.schema import decround_sql
+
+    parts = []
+    for c, kind in columns:
+        if kind in ("int", "float"):
+            mn = decround_sql(f"CAST(min({c}) AS DOUBLE)")
+            mx = decround_sql(f"CAST(max({c}) AS DOUBLE)")
+            av = decround_sql(f"avg({c})")
+            ms = "CAST(NULL AS VARCHAR)"
+            xs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            av = "CAST(NULL AS DOUBLE)"
+            ms = f"CAST(min({c}) AS VARCHAR)"
+            xs = f"CAST(max({c}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{c}' AS "column",
+       CAST(count({c}) AS BIGINT) AS n,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num, {av} AS mean_num,
+       {ms} AS min_str, {xs} AS max_str
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)

@@ -412,3 +412,26 @@ def test_t_closeness_hand_computed(spark):
     # with a looser threshold nothing is flagged
     r2 = cleaning.t_closeness(df, ["grp"], "vbin", n_bins=3, t=0.4).collect()[0]
     assert r2["n_classes_above_t"] == 0 and r2["risk_pct"] == 0.0
+
+
+def test_table_profile_mixed_types_and_nulls(spark):
+    """Profile of a planted mixed-type table: exact null/distinct
+    counts, numeric slots for numerics only, string ranges for the
+    rest."""
+    from dataframeutils_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "b"), (2, None, "a"), (2, 4.0, None), (3, 8.0, "c")],
+        "k long, x double, s string",
+    )
+    out = {r["column"]: r for r in pipeline.table_profile(df).collect()}
+    assert out["k"]["n"] == 4 and out["k"]["n_null"] == 0
+    assert out["k"]["n_distinct"] == 3
+    assert out["k"]["min_num"] == 1.0 and out["k"]["max_num"] == 3.0
+    assert out["k"]["mean_num"] == 2.0
+    assert out["k"]["min_str"] is None
+    assert out["x"]["n"] == 3 and out["x"]["n_null"] == 1
+    assert out["x"]["mean_num"] == round(14 / 3, 6)
+    assert out["s"]["n_distinct"] == 3 and out["s"]["n_null"] == 1
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "c"
+    assert out["s"]["min_num"] is None
