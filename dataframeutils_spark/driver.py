@@ -3969,6 +3969,16 @@ EDRIFT_NEW_SQL = (
 )
 
 
+def q_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL path-shape report (operators/web.py): depth
+    distribution, post-canonicalization query share, static-asset
+    share — the crawl-hygiene screen (calendar traps, faceted-search
+    explosions, asset-heavy hosts) before text ops spend budget. One
+    projection over url_normalize's parse + one combinable groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return web.path_stats(web.url_table(docs))
+
+
 def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label MMD² between embedding snapshots via hash-derived
     random Fourier features (operators/similarity.py): the
@@ -4554,6 +4564,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_auc": q_embedding_auc,
         "calibration_audit": q_calibration_audit,
         "mmd_drift": q_mmd_drift,
+        "path_stats": q_path_stats,
         "revenue_concentration": q_revenue_concentration,
         "jackknife_ci": q_jackknife_ci,
         "l_diversity": q_l_diversity,
@@ -4633,6 +4644,7 @@ def all_oracles() -> dict[str, str]:
         "url_normalize": web.url_normalize_sql(),
         "url_dedup": web.url_dedup_sql(),
         "domain_report": web.domain_report_sql(),
+        "path_stats": web.path_stats_sql(),
         "source_quality_drift": pipeline.source_quality_drift_sql(
             QDRIFT_OLD_SQL, QDRIFT_NEW_SQL
         ),

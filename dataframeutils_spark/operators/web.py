@@ -414,3 +414,76 @@ SELECT domain, n_docs, n_hosts,
          AS share
 FROM per
 """
+
+
+_ASSET_EXTS = ("js", "css", "png", "jpg", "jpeg", "gif", "ico",
+               "svg", "woff", "woff2")
+
+
+def path_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain URL path-shape report: docs, path-depth
+    distribution (avg/max), share of URLs still carrying query
+    params after canonicalization, and the static-asset share
+    (js/css/image/font extensions) — the crawl-hygiene screen that
+    catches calendar traps (runaway depth), faceted-search explosions
+    (high query share) and asset-heavy hosts that waste crawl budget
+    before any text op runs.
+
+    Output: (domain, n_docs, avg_depth, max_depth, query_pct,
+    asset_pct).
+
+    Scale shape: one projection on top of url_normalize's scan-side
+    parse (path depth/extension from the SAME normalized URL both
+    engines see) + one combinable groupBy — exchange = |domains|.
+    """
+    from dataframeutils_spark.schema import decround
+
+    n = url_normalize(urls, url_col)
+    path = F.regexp_extract(
+        F.col("norm_url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1
+    )
+    d = n.select(
+        "domain",
+        F.size(
+            F.filter(F.split(path, "/"), lambda s: s != "")
+        ).alias("depth"),
+        (F.col("n_params_kept") > 0).cast("int").alias("has_q"),
+        F.regexp_extract(path, r"\.([a-z0-9]+)$", 1).isin(
+            list(_ASSET_EXTS)
+        ).cast("int").alias("is_asset"),
+    )
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        decround(F.avg("depth")).alias("avg_depth"),
+        F.max("depth").cast("long").alias("max_depth"),
+        decround(F.avg("has_q")).alias("query_pct"),
+        decround(F.avg("is_asset")).alias("asset_pct"),
+    )
+
+
+def path_stats_sql(table: str = "documents") -> str:
+    from dataframeutils_spark.schema import decround_sql
+
+    exts = ", ".join(f"'{e}'" for e in _ASSET_EXTS)
+    return f"""
+WITH u AS ({url_table_sql(table)}),
+n AS ({_norm_sql()}),
+d AS (
+  SELECT domain,
+         len(list_filter(string_split(
+           regexp_extract(norm_url, '^[a-z]+://[^/?#]*([^?#]*)', 1), '/'),
+           s -> s <> '')) AS depth,
+         CAST(n_params_kept > 0 AS INT) AS has_q,
+         CAST(regexp_extract(
+           regexp_extract(norm_url, '^[a-z]+://[^/?#]*([^?#]*)', 1),
+           '\\.([a-z0-9]+)$', 1) IN ({exts}) AS INT) AS is_asset
+  FROM n
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {decround_sql('avg(depth)')} AS avg_depth,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       {decround_sql('avg(has_q)')} AS query_pct,
+       {decround_sql('avg(is_asset)')} AS asset_pct
+FROM d GROUP BY domain
+"""

@@ -219,3 +219,28 @@ def test_term_drift_corpus_level_counts(spark):
     b = out["b"]
     assert b["status"] == "dropped" and b["rank_cur"] is None
     assert b["cnt_cur"] == 1 and b["share_cur"] == round(1 / 7, 6)
+
+
+def test_path_stats_hand_computed(spark):
+    """Planted URLs: depth counts path segments after normalization
+    (trailing slash stripped), query share counts surviving params
+    only (tracking params don't count), assets by extension."""
+    from dataframeutils_spark.operators import web
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/x/y/z"),
+            (2, "https://a.example.com/x/?utm_source=t"),  # utm stripped
+            (3, "https://a.example.com/img/logo.png"),
+            (4, "https://a.example.com/p?id=3"),
+        ],
+        "doc_id long, url string",
+    )
+    r = web.path_stats(urls).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["domain"] == "example.com" and row["n_docs"] == 4
+    # depths: 3, 1, 2, 1 -> avg 1.75, max 3
+    assert row["avg_depth"] == 1.75 and row["max_depth"] == 3
+    assert row["query_pct"] == 0.25  # only ?id=3 survives
+    assert row["asset_pct"] == 0.25  # the .png
