@@ -231,6 +231,15 @@ HEADLINE = [
     "term_drift",  # top-k vocabulary movement between snapshots
     "holt_forecast",  # fixed-parameter double smoothing + h-step forecast
     "seasonal_anomalies",  # row-level residual z after trend+seasonal removal
+    # r13 additions
+    "t_closeness",  # ordered-domain EMD privacy audit
+    "graph_assortativity",  # edge-endpoint degree correlation
+    "k_core",  # fixed-round dense-backbone peel
+    "calibration_audit",  # reliability bins + ECE + Brier
+    "mmd_drift",  # RFF two-sample MMD per label
+    "ar_yule_walker",  # AR(3) Cramer solve + PACF
+    "table_profile",  # one-pass per-column profiler
+    "path_stats",  # per-domain URL path shapes
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

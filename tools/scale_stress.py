@@ -385,6 +385,18 @@ QUERIES = [
     "term_drift",
     "holt_forecast",
     "seasonal_anomalies",
+    # r13 additions: the verdict-8 spot-stress set (the two ANN audit
+    # arms that were the largest sf1 lines) + the in-round newcomers
+    "similarity_ivfadc",
+    "similarity_recall_production",
+    "t_closeness",
+    "graph_assortativity",
+    "k_core",
+    "calibration_audit",
+    "mmd_drift",
+    "ar_yule_walker",
+    "table_profile",
+    "path_stats",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
