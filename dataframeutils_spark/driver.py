@@ -1108,6 +1108,7 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM,
         arms=("ann_lsh", "ivf", "ann_multiprobe"),
+        max_queries=256,
     )
 
 
@@ -1125,6 +1126,7 @@ def q_similarity_recall_production(spark: SparkSession, sf_dir: str) -> DataFram
         load_table(spark, sf_dir, "embeddings"),
         k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM,
         arms=("ivf_kmeans",),
+        max_queries=256,
     )
 
 
@@ -4779,6 +4781,7 @@ def all_oracles() -> dict[str, str]:
         "similarity_recall": similarity.recall_audit_sql(
             k=5, bits=32, bands=4, n_probe=2, dim=EMB_DIM,
             arms=("ann_lsh", "ivf", "ann_multiprobe"),
+            max_queries=256,
         ),
         "mad_outliers": _round_oracle_cols(
             oracles.with_panel(outliers.mad_outliers_sql("feature_1")),

@@ -510,10 +510,15 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     """
     from dataframeutils_spark.schema import decround
 
+    # edges feeds the degree build + the tagging join, and deg feeds
+    # three consumers — truncate once so the co-occurrence self-join
+    # upstream isn't cloned per consumer (triangle_counts discipline)
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
     e = (
         edges.join(

@@ -134,7 +134,10 @@ def brute_force_topk(
 
 
 def brute_force_topk_sql(
-    k: int = 5, table: str = "embeddings", q_pred: str = "TRUE"
+    k: int = 5,
+    table: str = "embeddings",
+    q_pred: str = "TRUE",
+    q_rel: str | None = None,
 ) -> str:
     """DuckDB oracle: same sequential-fold dot product via list_reduce
     over the index range (list_dot_product may fold in a different
@@ -153,7 +156,7 @@ def brute_force_topk_sql(
 WITH scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='n.embedding')}) AS cos_sim
-  FROM {table} q JOIN {table} n ON q.vec_id <> n.vec_id
+  FROM {q_rel or table} q JOIN {table} n ON q.vec_id <> n.vec_id
   WHERE {q_pred}
 )
 SELECT query_id, neighbor_id,
@@ -1383,6 +1386,7 @@ def recall_audit(
     sample_mod: int | None = 16,
     production: bool = False,
     arms: tuple[str, ...] = ("ann_lsh", "ivf"),
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Recall@k of the approximate search paths measured against the
     exact brute-force top-k, as a first-class query: one row per method
@@ -1419,11 +1423,21 @@ def recall_audit(
     from dataframeutils_spark.schema import decround
 
     queries = emb
+    qh = portable_hash60(
+        F.concat(F.lit("recall:"), F.col("vec_id").cast("string"))
+    )
     if sample_mod is not None:
-        queries = emb.filter(
-            portable_hash60(F.concat(F.lit("recall:"), F.col("vec_id").cast("string")))
-            % sample_mod
-            == 0
+        queries = emb.filter(qh % sample_mod == 0)
+    if max_queries is not None:
+        # FIXED-size query sample regardless of corpus size (the r13
+        # 100x stress finding): sample_mod alone keeps Q = N/mod, so
+        # the exact ground truth is O(N²/mod) — quadratic. A recall
+        # estimate needs a few hundred queries, not N/16 of them;
+        # capping by deterministic hash order makes the audit O(Q·N)
+        # with constant Q at ANY corpus size. TakeOrdered — no global
+        # sort.
+        queries = queries.orderBy(qh.asc(), F.col("vec_id").asc()).limit(
+            max_queries
         )
     # The brute-force ground truth is by far the dominant cost and is
     # read once per method (twice total) — eager-localCheckpoint it so
@@ -1497,6 +1511,7 @@ def recall_audit_sql(
     table: str = "embeddings",
     sample_mod: int | None = 16,
     arms: tuple[str, ...] = ("ann_lsh", "ivf"),
+    max_queries: int | None = None,
 ) -> str:
     """Oracle for :func:`recall_audit` — one UNION ALL branch per
     hash-derived arm (``ann_lsh``, ``ivf``, ``ann_multiprobe``);
@@ -1504,9 +1519,18 @@ def recall_audit_sql(
     from dataframeutils_spark.schema import decround_sql
 
     q_pred = "TRUE"
+    q_rel = None
     if sample_mod is not None:
         h = portable_hash60_sql("('recall:' || q.vec_id::VARCHAR)")
         q_pred = f"{h} % {sample_mod} = 0"
+    if max_queries is not None:
+        hb = portable_hash60_sql("('recall:' || vec_id::VARCHAR)")
+        w = f"WHERE {hb} % {sample_mod} = 0 " if sample_mod is not None else ""
+        q_rel = (
+            f"(SELECT vec_id, embedding FROM {table} {w}"
+            f"ORDER BY {hb}, vec_id LIMIT {max_queries})"
+        )
+        q_pred = "TRUE"
 
     def one(name: str, approx_sql: str) -> str:
         return f"""
@@ -1517,7 +1541,7 @@ SELECT '{name}' AS method,
 FROM (
   SELECT e.query_id,
          CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
-  FROM ({brute_force_topk_sql(k, table, q_pred=q_pred)}) e
+  FROM ({brute_force_topk_sql(k, table, q_pred=q_pred, q_rel=q_rel)}) e
   LEFT JOIN ({approx_sql}) a
     ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
   GROUP BY e.query_id
