@@ -240,6 +240,7 @@ HEADLINE = [
     "ar_yule_walker",  # AR(3) Cramer solve + PACF
     "table_profile",  # one-pass per-column profiler
     "path_stats",  # per-domain URL path shapes
+    "asof_profile_nearest",  # nearest-direction as-of join
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

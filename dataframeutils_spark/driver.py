@@ -1255,6 +1255,67 @@ FROM ev e ASOF LEFT JOIN hourly h ON e.user_id = h.user_id AND e.ts <= h.rts
 """
 
 
+def q_asof_profile_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of with a tolerance bound (pandas merge_asof
+    direction='nearest'): each event joined to whichever closed hourly
+    profile is CLOSER in time — past or future — within 30 minutes,
+    ties to the at-or-before match. Completes the asof family's
+    direction surface (backward / forward / nearest) on the SAME
+    one-shuffle union+window plan: the second direction is one more
+    window frame over the same sort, not a second exchange. Oracle =
+    two DuckDB ASOF JOINs + a CASE pick."""
+    from dataframeutils_spark.operators import asof
+
+    ev = _events_normalized(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.avg("value").alias("hourly_avg"))
+        .select("user_id", (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("ts"), "hourly_avg")
+    )
+    out = asof.asof_join(
+        ev,
+        hourly,
+        on="ts",
+        by=("user_id",),
+        value_cols=("hourly_avg",),
+        direction="nearest",
+        tolerance_seconds=1800,
+    )
+    return round_floats(out, all_dec=True)
+
+
+ASOF_PROFILE_NEAREST_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, value FROM events
+), hourly AS (
+  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS rts,
+         avg(value) AS hourly_avg
+  FROM ev GROUP BY user_id, date_trunc('hour', ts)
+), b AS (
+  SELECT e.event_id, h.hourly_avg AS bv, h.rts AS bt
+  FROM ev e ASOF LEFT JOIN hourly h
+    ON e.user_id = h.user_id AND e.ts >= h.rts
+), f AS (
+  SELECT e.event_id, h.hourly_avg AS fv, h.rts AS ft
+  FROM ev e ASOF LEFT JOIN hourly h
+    ON e.user_id = h.user_id AND e.ts <= h.rts
+), j AS (
+  SELECT e.user_id, e.event_id, e.ts, e.value, b.bv, b.bt, f.fv, f.ft,
+         (b.bt IS NOT NULL AND e.ts - b.bt <= INTERVAL 30 MINUTE) AS ok_b,
+         (f.ft IS NOT NULL AND f.ft - e.ts <= INTERVAL 30 MINUTE) AS ok_f
+  FROM ev e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+), p AS (
+  SELECT *, (ok_b AND (NOT ok_f OR e_db <= e_df)) AS use_b
+  FROM (SELECT *, epoch_us(ts) - epoch_us(bt) AS e_db,
+               epoch_us(ft) - epoch_us(ts) AS e_df FROM j)
+)
+SELECT user_id, event_id, ts, value,
+       CASE WHEN use_b THEN bv WHEN ok_f THEN fv END AS hourly_avg_asof,
+       CASE WHEN use_b THEN bt WHEN ok_f THEN ft END AS ts_asof
+FROM p
+"""
+
+
 ASOF_PROFILE_SQL = """
 WITH ev AS (
   SELECT event_id, user_id, ts, value FROM events
@@ -4533,6 +4594,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "asof_profile": q_asof_profile,
         "asof_profile_forward": q_asof_profile_forward,
+        "asof_profile_nearest": q_asof_profile_nearest,
         "sales_by_nation": q_sales_by_nation,
         "sales_rollup": q_sales_rollup,
         "range_attribution": q_range_attribution,
@@ -4936,6 +4998,9 @@ def all_oracles() -> dict[str, str]:
         ),
         "asof_profile_forward": _round_oracle_cols(
             ASOF_PROFILE_FORWARD_SQL, ["value", "hourly_avg_asof"]
+        ),
+        "asof_profile_nearest": _round_oracle_cols(
+            ASOF_PROFILE_NEAREST_SQL, ["value", "hourly_avg_asof"]
         ),
         "sales_by_nation": (
             f"SELECT * REPLACE ({siground_sql('revenue')} AS revenue) "

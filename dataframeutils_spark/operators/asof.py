@@ -51,8 +51,20 @@ def asof_join(
     first if not (with duplicates, "the" nearest right row is
     ill-defined in any engine).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
+        )
+    if direction == "nearest" and not allow_exact_matches:
+        # an equal-ts right row can only sit on ONE side of the union
+        # ordering; excluding it from BOTH frames in one pass isn't
+        # expressible, and the pandas corner is rare — refuse loudly
+        raise ValueError("direction='nearest' requires allow_exact_matches=True")
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, on, by, value_cols, suffix, tolerance_seconds
+        )
     by_l = list(by)
     payload = [c for c in left.columns if c not in by_l]
     r_ts = right.schema[on].dataType
@@ -114,4 +126,94 @@ def asof_join(
             for c in value_cols
         ],
         F.when(in_tol, F.col("__m_ts")).alias(f"{on}{suffix}"),
+    )
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: tuple[str, ...],
+    value_cols: tuple[str, ...],
+    suffix: str,
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    """direction='nearest': for each left row, the right row with the
+    smallest |Δt| (ties → the at-or-before match, distance 0 beats
+    everything, so an equal-ts right always wins). ONE union + ONE key
+    shuffle + ONE sort — the backward candidate is a
+    preceding-frame last() and the forward candidate a
+    following-frame first() over the SAME (t, side) ordering, so
+    adding the second direction costs two window frames, not a second
+    exchange. Tolerance is applied PER SIDE before choosing: an
+    out-of-tolerance backward match never beats an in-tolerance
+    forward one (pandas merge_asof nearest semantics).
+    """
+    by_l = list(by)
+    payload = [c for c in left.columns if c not in by_l]
+    r_ts = right.schema[on].dataType
+    val_types = {c: right.schema[c].dataType for c in value_cols}
+    lp_struct = F.struct(*payload).alias("__lp")
+    l_tagged = left.select(
+        *by_l,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        lp_struct,
+        *[F.lit(None).cast(val_types[c]).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(r_ts).alias("__rts"),
+    )
+    lp_type = l_tagged.schema["__lp"].dataType
+    # side 0: equal-ts rights sort BEFORE the left row → inside the
+    # backward frame. The forward frame then misses equal-ts rights,
+    # but the backward candidate already holds them at distance 0,
+    # which wins every nearest comparison — so the result is exact.
+    r_tagged = right.select(
+        *by_l,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lp_type).alias("__lp"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(on).alias("__rts"),
+    )
+    base = Window.partitionBy(*by_l).orderBy(F.col("__t"), F.col("__side"))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = l_tagged.unionByName(r_tagged).select(
+        *by_l,
+        "__side",
+        "__t",
+        "__lp",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in value_cols
+        ],
+        F.last("__rts", ignorenulls=True).over(wb).alias("__b_ts"),
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+        F.first("__rts", ignorenulls=True).over(wf).alias("__f_ts"),
+    )
+    db = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__b_ts"))
+    df_ = F.unix_micros(F.col("__f_ts")) - F.unix_micros(F.col("__t"))
+    ok_b = F.col("__b_ts").isNotNull()
+    ok_f = F.col("__f_ts").isNotNull()
+    if tolerance_seconds is not None:
+        tol = F.lit(int(tolerance_seconds * 1_000_000))
+        ok_b = ok_b & (db <= tol)
+        ok_f = ok_f & (df_ <= tol)
+    use_b = ok_b & (~ok_f | (db <= df_))
+    use_f = ok_f & ~use_b
+    return merged.filter(F.col("__side") == 1).select(
+        *by_l,
+        *[F.col(f"__lp.{c}").alias(c) for c in payload],
+        *[
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(use_f, F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.when(use_b, F.col("__b_ts"))
+        .when(use_f, F.col("__f_ts"))
+        .alias(f"{on}{suffix}"),
     )

@@ -81,3 +81,48 @@ def test_sales_by_nation_broadcasts_dims_and_matches(spark, ddb):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # nation/region never shuffle the fact
     assert_matches_oracle(df, ddb, driver.all_oracles()["sales_by_nation"])
+
+
+def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
+    """nearest: each left row takes whichever right row is closer in
+    time; exact-distance ties go to the at-or-before match; tolerance
+    bounds BOTH sides independently."""
+    import datetime as dt
+
+    from dataframeutils_spark.operators import asof
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, T(10)),   # closer to right@12 (2m) than right@5 (5m)
+         (2, 1, T(6)),    # closer to right@5 (1m)
+         (3, 1, T(30)),   # nothing within 10m tolerance
+         (4, 1, T(12))],  # exact match at 12
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(5), 50.0), (1, T(12), 120.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {r["event_id"]: r for r in asof.asof_join(
+        left, right, on="ts", by=("user_id",), value_cols=("v",),
+        direction="nearest", tolerance_seconds=600,
+    ).collect()}
+    assert out[1]["v_asof"] == 120.0
+    assert out[2]["v_asof"] == 50.0
+    assert out[3]["v_asof"] is None and out[3]["ts_asof"] is None
+    assert out[4]["v_asof"] == 120.0  # exact ts wins at distance 0
+    # equidistant: left@8.5 is 3.5m from both -> backward (50.0) wins
+    mid = spark.createDataFrame(
+        [(9, 1, dt.datetime(2024, 1, 1, 0, 8, 30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    r = asof.asof_join(
+        mid, right, on="ts", by=("user_id",), value_cols=("v",),
+        direction="nearest",
+    ).collect()[0]
+    assert r["v_asof"] == 50.0
+    # allow_exact_matches=False is refused for nearest
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof.asof_join(mid, right, direction="nearest",
+                       allow_exact_matches=False)

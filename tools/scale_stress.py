@@ -397,6 +397,7 @@ QUERIES = [
     "ar_yule_walker",
     "table_profile",
     "path_stats",
+    "asof_profile_nearest",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
