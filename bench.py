@@ -241,6 +241,7 @@ HEADLINE = [
     "table_profile",  # one-pass per-column profiler
     "path_stats",  # per-domain URL path shapes
     "asof_profile_nearest",  # nearest-direction as-of join
+    "diurnal_profile",  # circular time-of-day stats + Rayleigh test
 ]
 # similarity_topk (brute force) is deliberately NOT headline: it is the
 # O(n²) exactness baseline for the oracle, not the scale path — ANN is.

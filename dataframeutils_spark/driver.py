@@ -4280,6 +4280,17 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.l_diversity(quasi, ["event_type", "day"], "user_id", l=3)
 
 
+def q_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day circular statistics per event type
+    (operators/events.py): mean resultant length, peak hour, circular
+    std and the Rayleigh uniformity test — the bot/scheduler screen
+    (cron traffic spikes R̄ toward 1; circular moments see through
+    the midnight wrap that linear histograms blur). ONE combinable
+    aggregate: exchange = |event types| rows."""
+    ev = _events_normalized(spark, sf_dir)
+    return events_ops.diurnal_profile(ev)
+
+
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity + graph summary over the part co-purchase
     graph (operators/graph.py): Pearson correlation of edge-endpoint
@@ -4629,6 +4640,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_audit": q_calibration_audit,
         "mmd_drift": q_mmd_drift,
         "path_stats": q_path_stats,
+        "diurnal_profile": q_diurnal_profile,
         "revenue_concentration": q_revenue_concentration,
         "jackknife_ci": q_jackknife_ci,
         "l_diversity": q_l_diversity,
@@ -4745,6 +4757,7 @@ def all_oracles() -> dict[str, str]:
             events_ops.event_transitions_sql(), ["prob"]
         ),
         "interarrival_stats": events_ops.interarrival_stats_sql(),
+        "diurnal_profile": events_ops.diurnal_profile_sql(),
         "extreme_value": events_ops.extreme_value_gumbel_sql(block_days=2),
         "doc_kl": text.doc_kl_divergence_sql(),
         "zipf_fit": text.zipf_fit_sql(),

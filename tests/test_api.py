@@ -341,7 +341,7 @@ def test_registry_contract():
         NEW_R13 = {"t_closeness", "graph_assortativity",
                    "calibration_audit", "ar_yule_walker", "mmd_drift",
                    "k_core", "table_profile", "path_stats",
-                   "asof_profile_nearest"}
+                   "asof_profile_nearest", "diurnal_profile"}
         missing = [
             n for n in names[50:] if n not in gated and n not in NEW_R13
         ]

@@ -305,3 +305,32 @@ def test_late_data_audit_negative_seq_matches_oracle_truncation(spark):
     assert got["n_dropped"] == want["n_dropped"] == 1
     assert got["frac_dropped"] == want["frac_dropped"]
     assert got["max_late_secs"] == want["max_late_secs"]
+
+
+def test_diurnal_profile_bot_vs_uniform(spark):
+    """A cron-like type firing at exactly 03:00 every day has R̄ = 1,
+    peak hour 3, p ≈ 0; a type spread evenly around the clock has
+    R̄ ≈ 0 and is not concentrated. A pair straddling midnight
+    (23:00 & 01:00) must average to peak hour 0, not 12 — the wrap
+    case linear histograms get wrong."""
+    import datetime as dt
+
+    from dataframeutils_spark.operators import events as E
+
+    rows = []
+    for d in range(1, 11):
+        rows.append((f"e{d}", dt.datetime(2024, 1, d, 3, 0), "cron"))
+    for i in range(24):
+        rows.append((f"u{i}", dt.datetime(2024, 1, 1 + i, i, 0), "organic"))
+    rows += [("m1", dt.datetime(2024, 1, 1, 23, 0), "wrap"),
+             ("m2", dt.datetime(2024, 1, 2, 1, 0), "wrap")]
+    ev = spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in E.diurnal_profile(ev).collect()}
+    cron = out["cron"]
+    assert abs(cron["resultant"] - 1.0) < 1e-6
+    assert abs(cron["peak_hour"] - 3.0) < 1e-6
+    assert cron["concentrated"] is True and cron["circ_std"] < 1e-3
+    org = out["organic"]
+    assert org["resultant"] < 0.05 and org["concentrated"] is False
+    wrap = out["wrap"]
+    assert wrap["peak_hour"] < 1e-6 or wrap["peak_hour"] > 23.999

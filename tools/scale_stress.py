@@ -398,6 +398,7 @@ QUERIES = [
     "table_profile",
     "path_stats",
     "asof_profile_nearest",
+    "diurnal_profile",
 ]
 
 # queries re-run against the HOT-KEY events variant (one user owns ~20%
