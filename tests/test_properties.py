@@ -112,13 +112,54 @@ def test_connected_components_long_chain_converges_fast(spark):
 
 
 def test_connected_components_raises_when_unconverged(spark):
-    """Exhausting max_iter must fail loud, not return split clusters."""
+    """Exhausting max_iter must fail loud, not return split clusters.
+    local_edge_threshold=0 pins the distributed loop — the small-graph
+    local solve is exact and has no convergence budget to exhaust."""
     import pytest
 
     edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(df, max_iter=2)
+        dedup.connected_components(df, max_iter=2, local_edge_threshold=0)
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The driver-local numpy union-find must label exactly like the
+    distributed pointer-doubling loop: same min-id-per-component
+    labels on a random multi-component graph, for both long and string
+    ids (string min = lexicographic, matching F.min)."""
+    import random
+
+    rng = random.Random(13)
+    edges = []
+    for comp in range(17):  # 17 components with random internal wiring
+        members = [comp * 1000 + i for i in range(rng.randint(1, 40))]
+        for m in members[1:]:
+            edges.append((rng.choice(members), m))
+        for _ in range(len(members) // 3):  # extra cycles
+            edges.append((rng.choice(members), rng.choice(members)))
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {(r["doc_id"], r["cluster_id"])
+             for r in dedup.connected_components(df).collect()}
+    dist = {(r["doc_id"], r["cluster_id"])
+            for r in dedup.connected_components(
+                df, local_edge_threshold=0).collect()}
+    assert local == dist and len(local) > 0
+
+    sdf = spark.createDataFrame(
+        [(f"d{a:06d}", f"d{b:06d}") for a, b in edges],
+        "doc_a string, doc_b string",
+    )
+    slocal = {(r["doc_id"], r["cluster_id"])
+              for r in dedup.connected_components(
+                  sdf, numeric_ids=False).collect()}
+    sdist = {(r["doc_id"], r["cluster_id"])
+             for r in dedup.connected_components(
+                 sdf, numeric_ids=False, local_edge_threshold=0).collect()}
+    assert slocal == sdist
+    # d%06d is order-preserving, so string labels are the mapped image
+    # of the long labels
+    assert slocal == {(f"d{n:06d}", f"d{c:06d}") for (n, c) in local}
 
 
 def test_connected_components_rejects_tiny_max_iter(spark):
