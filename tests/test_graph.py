@@ -125,3 +125,32 @@ def test_k_core_cascade(spark):
     r = graph.k_core_summary(e, k=2, rounds=5).collect()[0]
     assert r["n_nodes"] == 3 and r["n_edges"] == 3
     assert r["converged"] is True
+
+
+def test_k_core_local_matches_distributed(spark):
+    """The driver-local numpy peel must produce exactly the distributed
+    loop's summary row — including decround(avg_degree) and the
+    unconverged flag — on a random graph and on a slow-peeling path."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in (sorted(rng.sample(range(60), 2))
+                               for _ in range(300))})
+    e = spark.createDataFrame(edges, "u long, v long")
+    from dataframeutils_spark.operators import graph
+
+    local = graph.k_core_summary(e, k=8, rounds=4).collect()[0]
+    dist = graph.k_core_summary(
+        e, k=8, rounds=4, local_edge_threshold=0).collect()[0]
+    assert local.asDict() == dist.asDict()
+
+    # long path with k=2 peels one node per round per end: rounds=2
+    # must leave survivors below k (converged=False), identically
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "u long, v long")
+    local = graph.k_core_summary(path, k=2, rounds=2).collect()[0]
+    dist = graph.k_core_summary(
+        path, k=2, rounds=2, local_edge_threshold=0).collect()[0]
+    assert local.asDict() == dist.asDict()
+    assert local["converged"] is False
