@@ -210,6 +210,14 @@ def cooccurrence_edges(
     so fan-out is bounded by max-group-size² (order baskets are ≤ 7
     lineitems), never corpus². DISTINCT collapses repeat co-purchases
     before any downstream join sees them.
+
+    Measured alternative, rejected (r13): building per-group sorted
+    item arrays with collect_set and expanding the u<v pairs inside
+    the array removes one exchange and the join, and wins ~0.7 s warm
+    at sf0.1 — but at 10x the partial collect_set aggregation churns
+    millions of per-group array buffers (ObjectHashAggregate) and the
+    same query swings 11–43 s vs a stable ~6 s here. Rows + hash
+    aggregates are the stable shape; keep them.
     """
     a = items.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("u")
