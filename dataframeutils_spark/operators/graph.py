@@ -219,9 +219,21 @@ def cooccurrence_edges(
     same query swings 11–43 s vs a stable ~6 s here. Rows + hash
     aggregates are the stable shape; keep them.
     """
-    a = items.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("u")
-    ).distinct()
+    # One exchange + ONE materialization feed both self-join sides:
+    # hash-partitioning on g alone satisfies the (g, u) dedup's
+    # clustered distribution (same-g rows are colocated) and is
+    # exactly the distribution the join on g requires — where a plain
+    # .distinct() partitions on (g, u) and the join re-exchanges on g.
+    # The lazy checkpoint matters more: without it BOTH join sides run
+    # the whole scan + exchange + dedup pipeline (the broadcast build
+    # side cannot reuse the probe side's exchange), doubling the scan.
+    par = items.sparkSession.sparkContext.defaultParallelism
+    a = (
+        items.select(F.col(group_col).alias("g"), F.col(item_col).alias("u"))
+        .repartition(par, F.col("g"))
+        .dropDuplicates(["g", "u"])
+        .localCheckpoint(eager=False)
+    )
     b = a.select(F.col("g"), F.col("u").alias("v"))
     return (
         a.join(b, on="g")

@@ -50,8 +50,12 @@ _PBITS = 1024
 def _keyed_positions(
     docs: DataFrame, kgram: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(doc_id, p, key) for every k-gram position — exploded, codegen
-    path (no higher-order functions; the chargram_search precedent)."""
+    """(doc_id, p, np, key) for every k-gram position — exploded,
+    codegen path (no higher-order functions; the chargram_search
+    precedent). ``np`` = positions in the doc = length − kgram + 1,
+    carried from the scan so consumers never need a COUNT window to
+    re-derive it (the explode emits exactly one row per p in
+    [1, np] — nothing is dropped in between)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     txt = F.lower(F.col(text_col))
     h = F.pmod(portable_hash60(F.substring(F.col("_t"), F.col("p"), kgram)), F.lit(_HBITS))
@@ -64,11 +68,13 @@ def _keyed_positions(
             F.explode(
                 F.sequence(F.lit(1), F.length("_t") - (kgram - 1))
             ).alias("p"),
+            (F.length("_t") - (kgram - 1)).alias("np"),
             "_t",
         )
         .select(
             "doc_id",
             "p",
+            "np",
             (
                 h * F.lit(_PBITS)
                 + (F.lit(_PBITS - 1) - F.pmod(F.col("p"), F.lit(_PBITS)))
@@ -96,11 +102,12 @@ def winnow_fingerprints(
         .orderBy("p")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    wn = Window.partitionBy("doc_id")
+    # the last complete window starts at np − (window − 1); np comes
+    # from the scan (length − kgram + 1), not a COUNT(*) window — one
+    # whole-partition window pass saved over the exploded stream
     sel = (
         keyed.withColumn("_wmin", F.min("key").over(wf))
-        .withColumn("_np", F.count("*").over(wn))
-        .filter(F.col("p") <= F.col("_np") - (window - 1))
+        .filter(F.col("p") <= F.col("np") - (window - 1))
         .select("doc_id", F.col("_wmin").alias("key"))
         .distinct()
     )

@@ -154,3 +154,26 @@ def test_k_core_local_matches_distributed(spark):
         path, k=2, rounds=2, local_edge_threshold=0).collect()[0]
     assert local.asDict() == dist.asDict()
     assert local["converged"] is False
+
+
+def test_cooccurrence_edges_matches_naive_self_join(spark):
+    """The one-exchange (repartition-on-g + dedup + checkpoint) edge
+    construction must emit exactly the naive distinct-then-self-join
+    edge set — including duplicate (g, u) rows collapsing and repeat
+    co-occurrences across groups deduping."""
+    from dataframeutils_spark.operators import graph
+
+    rows = [
+        # group 10: basket {1, 2, 3} with a duplicated (10, 2) row
+        (10, 1), (10, 2), (10, 2), (10, 3),
+        # group 20 repeats a pair from group 10 plus a new item
+        (20, 2), (20, 3), (20, 7),
+        # singleton group contributes no edge
+        (30, 9),
+    ]
+    items = spark.createDataFrame(rows, "g long, p long")
+    got = {
+        (r["u"], r["v"])
+        for r in graph.cooccurrence_edges(items, "g", "p").collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 7), (3, 7)}

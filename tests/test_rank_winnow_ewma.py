@@ -411,3 +411,63 @@ def test_bh_fdr_two_phase_equals_naive_global_rank(spark):
     for i in range(m):
         assert float(got["q_value"][i]) == pytest.approx(qs[i], abs=5.1e-7), i
     assert got["rejected"].tolist() == [q <= 0.05 for q in qs]
+
+
+def test_winnow_fingerprints_np_equals_count_window(spark):
+    """n_positions now comes from length(text) − kgram + 1 at the scan
+    instead of a COUNT(*) window over the exploded positions; pin the
+    two formulations equal on edge-case docs (exactly one complete
+    window, no complete window, below kgram)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators.winnow import (
+        _PBITS,
+        _keyed_positions,
+        winnow_fingerprints,
+    )
+
+    kgram, window = 5, 4
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "abcdefgh",          # len 8 = kgram + window − 1: ONE window
+                    "abcdefg",           # len 7: positions but no complete window
+                    "abc",               # below kgram: no positions at all
+                    "the quick brown fox jumps over the lazy dog",
+                ],
+            }
+        )
+    )
+    keyed = _keyed_positions(docs, kgram, "text", "doc_id")
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    wn = Window.partitionBy("doc_id")
+    old = (
+        keyed.withColumn("_wmin", F.min("key").over(wf))
+        .withColumn("_np", F.count("*").over(wn))
+        .filter(F.col("p") <= F.col("_np") - (window - 1))
+        .select("doc_id", F.col("_wmin").alias("key"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(f"key div {_PBITS}").alias("fp"),
+            (F.lit(_PBITS - 1) - F.pmod(F.col("key"), F.lit(_PBITS))).alias(
+                "pos_mod"
+            ),
+        )
+    )
+    new = winnow_fingerprints(docs, kgram, window)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # doc 1 has exactly one fingerprint, docs 2 and 3 none
+    counts = dict(
+        (r["doc_id"], r["n"])
+        for r in new.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts[1] == 1 and 2 not in counts and 3 not in counts
