@@ -592,15 +592,18 @@ def pq_topk(
         dm.filter(F.col(id_col) % query_mod == 0)
         .select(F.col(id_col).alias("qid"), F.col("dmat").alias("lut"))
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("lut"),
-            lambda c, ds: F.element_at(ds, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # explicit m-term sum, NOT aggregate(zip_with(...)): higher-order
+    # lambdas evaluate interpreted per scored row — and this operator
+    # scores Q×N rows by design (the exact brute-force ADC baseline) —
+    # while fixed-index element_at terms stay inside whole-stage
+    # codegen (the ivfadc_topk fix, applied to the Q×N hot path it
+    # came from). Left-assoc addition order is identical to the fold
+    # this replaces, so the doubles are bit-identical.
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.col("lut").getItem(s), F.col("codes").getItem(s) + 1
+        )
     from pyspark.sql import Window
 
     from dataframeutils_spark.schema import siground
