@@ -66,12 +66,63 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _bpe_local_vocab_threshold() -> int:
+    """Word-table ceiling for driver-local BPE training — the same
+    bounded-collect discipline as the connected-components local path
+    (the table is already capped at ``vocab_top`` rows by contract, so
+    the collect is bounded at ANY corpus size). Production override:
+    ``SPARK_GRAFT_BPE_LOCAL_VOCAB`` (0 disables)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", "100000"))
+
+
+def _bpe_train_local(
+    wc: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Greedy BPE merge rounds over a collected (word, cnt) table —
+    exactly the distributed loop's semantics: pair counts weighted by
+    word count, argmax by (count desc, left asc, right asc), rule
+    applied as a leftmost non-overlapping single pass. Python string
+    ``<`` compares code points, which equals Spark's UTF8String byte
+    order for valid UTF-8, so the tiebreak is engine-identical; the
+    symbol split (``list(word)``) is code points, matching both
+    Spark's regex-based ``split(word, '')`` and the oracle's
+    per-character ``substr``."""
+    seqs = [list(w) + [END_OF_WORD] for w, _ in wc]
+    rules: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for (_, c), s in zip(wc, seqs):
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < 2:
+            break
+        rules.append((left, right, int(n)))
+        merged = left + right
+        for s in seqs:
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            s[:] = out
+    return rules
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 30,
     vocab_top: int = 2000,
     text_col: str = "text",
     require_full: bool = False,
+    local_vocab_threshold: int | None = None,
 ) -> tuple[DataFrame, list[tuple[str, str, int]]]:
     """Learn ``n_merges`` BPE rules; returns (merge table DataFrame,
     the same rules as a driver-side list for :func:`bpe_encode`).
@@ -88,6 +139,45 @@ def bpe_train(
     """
     spark = docs.sparkSession
     wt = _word_table(docs, text_col, vocab_top)
+    thresh = (
+        _bpe_local_vocab_threshold()
+        if local_vocab_threshold is None
+        else local_vocab_threshold
+    )
+    if 0 < vocab_top <= thresh:
+        # The training frame is ≤ vocab_top rows BY CONTRACT (the limit
+        # above), so collecting it is bounded at any corpus size — the
+        # whole iterative loop then runs driver-local instead of paying
+        # 30 rounds × (explode + aggregate + 1-row collect + interpreted
+        # merge fold) of cluster scheduling on a 2000-row table. The
+        # corpus-sized work (the word count) stays distributed.
+        wc = [(r["word"], int(r["cnt"])) for r in wt.collect()]
+        rules = _bpe_train_local(wc, n_merges)
+    else:
+        rules = _bpe_train_distributed(wt, n_merges)
+    if require_full and len(rules) < n_merges:
+        raise ValueError(
+            f"bpe_train: early-stopped after {len(rules)}/{n_merges} merges "
+            "(best remaining pair occurs < 2 times). The corpus is too "
+            "sparse for the requested merge count; the SQL oracle replays "
+            "all rounds unconditionally, so an exact gate on this corpus "
+            "would mismatch — lower n_merges or use a larger corpus."
+        )
+    table = spark.createDataFrame(
+        [
+            (i + 1, l, r, l + r, n)
+            for i, (l, r, n) in enumerate(rules)
+        ],
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+    return table, rules
+
+
+def _bpe_train_distributed(
+    wt: DataFrame, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """The distributed merge loop — byte-for-byte the pre-threshold
+    behavior, kept for word tables above the driver-local ceiling."""
     seqs = wt.select(
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
@@ -125,22 +215,7 @@ def bpe_train(
             # truncate lineage: 5 chained HOF folds per checkpoint
             cur = cur.localCheckpoint(eager=True)
     seqs.unpersist()
-    if require_full and len(rules) < n_merges:
-        raise ValueError(
-            f"bpe_train: early-stopped after {len(rules)}/{n_merges} merges "
-            "(best remaining pair occurs < 2 times). The corpus is too "
-            "sparse for the requested merge count; the SQL oracle replays "
-            "all rounds unconditionally, so an exact gate on this corpus "
-            "would mismatch — lower n_merges or use a larger corpus."
-        )
-    table = spark.createDataFrame(
-        [
-            (i + 1, l, r, l + r, n)
-            for i, (l, r, n) in enumerate(rules)
-        ],
-        "rank int, left string, right string, merged string, pair_count long",
-    )
-    return table, rules
+    return rules
 
 
 _SEP = "\x01"  # symbol separator for the string-replace encode form

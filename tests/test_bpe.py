@@ -284,3 +284,20 @@ def test_encode_equals_fold_property(spark):
         for i, t in enumerate(texts):
             want = sum(len(ref_seqs[w]) for w in t.lower().split() if w)
             assert got[i] == want, (trial, t, rules)
+
+
+def test_bpe_train_local_matches_distributed(spark):
+    """The driver-local merge loop (bounded word-table collect) must
+    learn exactly the distributed loop's rules — counts, tie-breaks
+    and early-stop included."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    )
+    t_loc, r_loc = bpe.bpe_train(docs, n_merges=12, vocab_top=2000)
+    t_dist, r_dist = bpe.bpe_train(
+        docs, n_merges=12, vocab_top=2000, local_vocab_threshold=0
+    )
+    assert r_loc == r_dist
+    assert t_loc.collect() == t_dist.collect()
