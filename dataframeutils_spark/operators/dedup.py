@@ -184,17 +184,26 @@ def minhash_signatures(
     """MinHash signature in long layout: (doc_id, perm, min_hash).
 
     Permutation i hashes ``"<i>:<shingle>"`` — k independent hash
-    functions from one base hash. One explode (×num_perm) + one
-    groupBy(doc_id, perm) min — a single shuffle keyed on doc_id.
+    functions from one base hash. All ``num_perm`` hashes are computed
+    as inline columns of ONE projection over the (doc, shingle) stream
+    and min-aggregated per doc in a single codegen pass, then unpacked
+    to the long layout (identical values: min over the same multiset
+    per permutation). The previous ×num_perm row explode pushed
+    num_perm× the rows through the aggregate for the same hash count.
     """
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    hashed = shingle_df.select("doc_id", "shingle", perms)
-    salted = F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle"))
-    h = portable_hash60(salted) if portable else fast_hash64(salted)
-    return (
-        hashed.select("doc_id", "perm", h.alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("min_hash"))
+
+    def h(i: int) -> Column:
+        salted = F.concat(F.lit(f"{i}:"), F.col("shingle"))
+        return portable_hash60(salted) if portable else fast_hash64(salted)
+
+    mins = shingle_df.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"_m{i}") for i in range(num_perm)]
+    )
+    return mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
+        ).alias("perm", "min_hash"),
     )
 
 

@@ -1470,3 +1470,42 @@ def test_k_anonymity_day_binning_pre_epoch_cross_engine(spark, ddb):
         ).fetchall()
     ]
     assert got == want == [-1, 0, 0, 0, 1]
+
+
+def test_minhash_signatures_match_exploded_formulation(spark):
+    """The fused one-pass signature aggregate (num_perm inline hash
+    columns, one min per doc, posexplode to long layout) must emit
+    exactly the original explode-then-groupBy(doc, perm) formulation —
+    same (doc_id, perm, min_hash) rows for both hash families."""
+    df = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox naps under the lazy dog"),
+            (3, "completely different content about parquet files"),
+            (4, "xy"),  # below shingle width: absent from both
+        ],
+    )
+    sh = dedup.shingles(df)
+    for portable in (True, False):
+        salted = F.concat(
+            F.col("perm").cast("string"), F.lit(":"), F.col("shingle")
+        )
+        h = (
+            dedup.portable_hash60(salted)
+            if portable
+            else dedup.fast_hash64(salted)
+        )
+        old = (
+            sh.select(
+                "doc_id",
+                "shingle",
+                F.explode(F.sequence(F.lit(0), F.lit(7))).alias("perm"),
+            )
+            .select("doc_id", "perm", h.alias("h"))
+            .groupBy("doc_id", "perm")
+            .agg(F.min("h").alias("min_hash"))
+        )
+        new = dedup.minhash_signatures(sh, num_perm=8, portable=portable)
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
