@@ -433,19 +433,49 @@ def main() -> None:
         # ~0.1 s per query, outside the timed section).
         spark.sparkContext._jvm.System.gc()
 
+    # Emit the per-query dict sorted fastest-first / SLOWEST-LAST: the
+    # external driver keeps only the last ~2000 chars of stdout, so tail
+    # ordering decides which per-query numbers stay comparable across
+    # rounds — the expensive queries are the ones worth comparing
+    # (r13 verdict item 5; protocol and values unchanged, ordering is
+    # not semantic in JSON).
+    per_query_sorted = dict(sorted(per_query.items(), key=lambda kv: kv[1]))
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": per_query,
+                "queries": per_query_sorted,
                 "weighted_bins_cold": weighted_bins_cold,
                 "sf": sf,
             }
         ),
         flush=True,
     )
+    # Full per-query map as a file artifact beside the summary line, in
+    # HEADLINE order, so every round keeps a complete committed record
+    # even when stdout is tail-truncated (r13 verdict item 5; additive).
+    try:
+        perq_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_PERQ.json"
+        )
+        with open(perq_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_total_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": per_query,
+                    "weighted_bins_cold": weighted_bins_cold,
+                    "sf": sf,
+                    "cpus": cpus,
+                },
+                fh,
+                indent=1,
+            )
+    except OSError as exc:  # never fail the bench over the artifact
+        print(f"# BENCH_PERQ.json not written: {exc}", file=sys.stderr, flush=True)
     # The driver records only the last ~2000 chars of stdout; the
     # per-query dict above can push the headline fields out of that
     # capture (BENCH_r12.json parsed as null). Emit a compact summary

@@ -542,8 +542,7 @@ class CorpusStudy:
         from dataframeutils_spark.operators import dedup
 
         sh = dedup.shingles(self.docs, **self._kw(), **kwargs)
-        sigs = dedup.minhash_signatures(sh, num_perm=num_perm)
-        return dedup.lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+        return dedup.minhash_lsh_pairs(sh, num_perm=num_perm, bands=bands)
 
     def lsh_tuning(
         self, num_perm: int = 16, bands: int = 4, **kwargs: Any

@@ -367,8 +367,7 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures(sh, num_perm=16)
-    return dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+    return dedup.minhash_lsh_pairs(sh, num_perm=16, bands=4)
 
 
 def q_dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,8 +377,7 @@ def q_dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     → rows-only check; registered so BENCH records the 100 TB path's
     throughput next to the oracle-parity path (VERDICT r1 #7)."""
     sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures(sh, num_perm=16, portable=False)
-    return dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+    return dedup.minhash_lsh_pairs(sh, num_perm=16, bands=4, portable=False)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,10 +71,20 @@ def _bpe_local_vocab_threshold() -> int:
     bounded-collect discipline as the connected-components local path
     (the table is already capped at ``vocab_top`` rows by contract, so
     the collect is bounded at ANY corpus size). Production override:
-    ``SPARK_GRAFT_BPE_LOCAL_VOCAB`` (0 disables)."""
+    ``SPARK_GRAFT_BPE_LOCAL_VOCAB`` (0 disables). A malformed value
+    falls back to the default rather than failing the query."""
     import os
+    import warnings
 
-    return int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", "100000"))
+    raw = os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", "100000")
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_BPE_LOCAL_VOCAB={raw!r} is not an int; "
+            "using default 100000"
+        )
+        return 100000
 
 
 def _bpe_train_local(

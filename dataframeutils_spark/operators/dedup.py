@@ -190,20 +190,39 @@ def minhash_signatures(
     to the long layout (identical values: min over the same multiset
     per permutation). The previous ×num_perm row explode pushed
     num_perm× the rows through the aggregate for the same hash count.
+
+    Practical ``num_perm`` ceiling: the fused form generates
+    2·num_perm expressions in one codegen aggregate; at the library's
+    call sites (num_perm ≤ 16) this is comfortably inside the JVM's
+    64 KB method limit, but several hundred permutations would tip
+    whole-stage codegen into its interpreted fallback and widen the
+    aggregation buffer to num_perm longs per group — above ~128
+    permutations, prefer chunking the mins into several aggregates
+    (or the historical exploded formulation).
     """
 
-    def h(i: int) -> Column:
-        salted = F.concat(F.lit(f"{i}:"), F.col("shingle"))
-        return portable_hash60(salted) if portable else fast_hash64(salted)
-
-    mins = shingle_df.groupBy("doc_id").agg(
-        *[F.min(h(i)).alias(f"_m{i}") for i in range(num_perm)]
-    )
+    mins = _minhash_mins(shingle_df, num_perm=num_perm, portable=portable)
     return mins.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
         ).alias("perm", "min_hash"),
+    )
+
+
+def _minhash_mins(
+    shingle_df: DataFrame, num_perm: int = 16, portable: bool = True
+) -> DataFrame:
+    """Wide MinHash signature: (doc_id, _m0.._m{num_perm-1}) — the
+    fused one-pass aggregate behind :func:`minhash_signatures` and the
+    band-hash fast path of :func:`minhash_lsh_pairs`."""
+
+    def h(i: int) -> Column:
+        salted = F.concat(F.lit(f"{i}:"), F.col("shingle"))
+        return portable_hash60(salted) if portable else fast_hash64(salted)
+
+    return shingle_df.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"_m{i}") for i in range(num_perm)]
     )
 
 
@@ -222,12 +241,18 @@ def lsh_candidate_pairs(
         banded.groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws("_", F.sort_array(F.collect_list("min_hash")))).alias("bh"))
     )
-    # Self-join on the small (doc × band) band-hash table. NOT a
-    # collect-and-explode: exploding per-bucket id arrays copies the
-    # whole array once per member (O(|bucket|²) tungsten traffic on hot
-    # buckets — measured 12× slower on clustered corpora), while the
-    # hash join streams; the duplicated upstream pipeline dedupes via
-    # Spark's ReuseExchange (identical exchange subtrees run once).
+    return _pairs_from_band_hashes(band_hash)
+
+
+def _pairs_from_band_hashes(band_hash: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing any (band, bh) bucket.
+
+    Self-join on the small (doc × band) band-hash table. NOT a
+    collect-and-explode: exploding per-bucket id arrays copies the
+    whole array once per member (O(|bucket|²) tungsten traffic on hot
+    buckets — measured 12× slower on clustered corpora), while the
+    hash join streams; the duplicated upstream pipeline dedupes via
+    Spark's ReuseExchange (identical exchange subtrees run once)."""
     a = band_hash.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = band_hash.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
@@ -236,6 +261,53 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    shingle_df: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Fused shingles → MinHash → banded candidate pairs — exactly
+    ``lsh_candidate_pairs(minhash_signatures(shingle_df))`` with the
+    long-layout round-trip removed: the band hashes are computed
+    directly from the wide min columns of the ONE fused signature
+    aggregate (:func:`_minhash_mins`), so the plan has no
+    posexplode-then-re-aggregate and no collect_list
+    ObjectHashAggregate between the signature aggregate and the band
+    self-join.
+
+    Value identity with the long-layout path, by construction: each
+    band's hash is md5 over the band's ``rows_per_band`` min values
+    sorted NUMERICALLY then cast to strings — the analyzer resolves
+    ``concat_ws(sort_array(collect_list(min_hash)))`` as
+    cast-after-sort too (concat_ws needs array<string>), so the md5
+    input strings are identical. Pinned by
+    ``tests/test_northstar.py::test_minhash_lsh_pairs_match_long_layout``.
+    """
+    rows_per_band = num_perm // bands
+    mins = _minhash_mins(shingle_df, num_perm=num_perm, portable=portable)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.col(f"_m{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                ).cast("array<string>"),
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = mins.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
+    )
+    return _pairs_from_band_hashes(banded)
 
 
 def ngram_jaccard_pairs(
@@ -424,10 +496,20 @@ def _cc_local_edge_threshold() -> int:
     4M long pairs ≈ 64 MB collected — comfortably inside driver memory
     on any deployment that can also hold a default-sized broadcast.
     Production override: ``SPARK_GRAFT_CC_LOCAL_EDGES`` (0 disables the
-    local path entirely; raise it on drivers with more headroom)."""
+    local path entirely; raise it on drivers with more headroom). A
+    malformed value falls back to the default rather than failing."""
     import os
+    import warnings
 
-    return int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000"))
+    raw = os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000")
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_CC_LOCAL_EDGES={raw!r} is not an int; "
+            "using default 4000000"
+        )
+        return 4000000
 
 
 def _cc_numpy(a, b):
@@ -537,6 +619,14 @@ def connected_components(
     solve is < 50 ms). Labels are identical — min node id per
     component — and above the threshold the distributed loop runs
     unchanged, so the operator's 100 TB shape is untouched.
+
+    ``max_iter`` contract below the threshold: the local solve always
+    runs to the exact fixed point, so a ``max_iter`` too small for the
+    graph's diameter raises only on the distributed path (which fails
+    loud rather than return split clusters). A converged result is
+    identical either way; the local path simply cannot produce the
+    unconverged-failure case. Set ``local_edge_threshold=0`` (or the
+    env override) to exercise the distributed ``max_iter`` guard.
     """
     if max_iter < 1:
         # max_iter=0 would silently return the fused-init labels
@@ -654,8 +744,7 @@ def duplicate_components(
     alone) — a change to pair generation propagates to every consumer
     instead of silently diverging."""
     sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
-    sigs = minhash_signatures(sh, num_perm=num_perm, portable=portable)
-    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    pairs = minhash_lsh_pairs(sh, num_perm=num_perm, bands=bands, portable=portable)
     return connected_components(pairs)
 
 
@@ -1210,9 +1299,9 @@ def lsh_tuning_audit(
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
         )
     )
-    cand = lsh_candidate_pairs(
-        minhash_signatures(sh, num_perm=num_perm), num_perm=num_perm, bands=bands
-    ).withColumn("_det", F.lit(1))
+    cand = minhash_lsh_pairs(sh, num_perm=num_perm, bands=bands).withColumn(
+        "_det", F.lit(1)
+    )
     j = jacc.join(cand, ["doc_a", "doc_b"], "left").withColumn(
         "detected", F.col("_det").isNotNull()
     )
@@ -1733,8 +1822,7 @@ def dup_matrix(
     map-side-combinable counts over ≤ |sources|² rows.
     """
     sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
-    sigs = minhash_signatures(sh, num_perm=num_perm, portable=portable)
-    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    pairs = minhash_lsh_pairs(sh, num_perm=num_perm, bands=bands, portable=portable)
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("src")
     )

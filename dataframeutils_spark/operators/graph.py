@@ -211,6 +211,15 @@ def cooccurrence_edges(
     lineitems), never corpus². DISTINCT collapses repeat co-purchases
     before any downstream join sees them.
 
+    Bounded-group assumption: the ``repartition(g)`` below keys the
+    exchange on the group id alone, which concentrates each group in
+    one partition — correct and skew-free ONLY while group sizes are
+    bounded (≤ 7 here). For unbounded group sizes key the repartition
+    on (g, u) so a giant group spreads, and note the lazy
+    ``localCheckpoint`` makes the edge build non-fault-tolerant to
+    executor loss (acceptable for a deterministic rebuildable table;
+    re-run the query on loss).
+
     Measured alternative, rejected (r13): building per-group sorted
     item arrays with collect_set and expanding the u<v pairs inside
     the array removes one exchange and the join, and wins ~0.7 s warm
@@ -625,10 +634,20 @@ def _graph_local_edge_threshold() -> int:
     """Edge-count ceiling for driver-local graph solves — the same
     bounded-collect discipline as the connected-components local path
     (16 bytes/edge → 4M ≈ 64 MB). Production override:
-    ``SPARK_GRAFT_GRAPH_LOCAL_EDGES`` (0 disables)."""
+    ``SPARK_GRAFT_GRAPH_LOCAL_EDGES`` (0 disables). A malformed value
+    falls back to the default rather than failing."""
     import os
+    import warnings
 
-    return int(os.environ.get("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "4000000"))
+    raw = os.environ.get("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "4000000")
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_GRAPH_LOCAL_EDGES={raw!r} is not an int; "
+            "using default 4000000"
+        )
+        return 4000000
 
 
 def _k_core_local(

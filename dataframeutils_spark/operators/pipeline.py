@@ -694,6 +694,12 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     stat columns are stacked to rows driver-free. Doubles are
     decimal-rounded; min/max strings only for non-float types (float
     formatting is engine-specific, numeric slots carry those).
+
+    Source-format constraint: the N distinct branches are N scans of
+    ONE column each — nearly free on columnar parquet/ORC (verified:
+    each branch's ReadSchema is single-column), but on a row-oriented
+    source (CSV, JDBC) they would be N full scans; profile a parquet
+    staging copy there.
     """
     from dataframeutils_spark.schema import decround
 

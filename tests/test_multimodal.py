@@ -205,6 +205,83 @@ def test_gif_lzw_roundtrip_width_boundaries():
     assert M._lzw_decode_gif(M._lzw_encode_gif(big)) == big
 
 
+def _lzw_encode_gif_bytes_keyed(data: bytes, min_code_size: int = 8) -> bytes:
+    """The pre-r14 byte-keyed reference encoder, kept verbatim so the
+    int-keyed hot-loop rewrite is pinned BYTE-IDENTICAL (not merely
+    roundtrip-compatible — a schedule drift that both sides shared
+    would survive a roundtrip test)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    width = min_code_size + 1
+    next_code = end + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc, width
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    table = {bytes([i]): i for i in range(clear)}
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        else:
+            table[wc] = next_code
+            next_code += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_encode_matches_bytes_keyed_reference():
+    """The int-keyed encoder must emit byte-identical streams to the
+    byte-keyed reference on every shape: gradient rasters, empty,
+    single byte, repetitive data forcing the 4096 dictionary reset,
+    random data, and a sub-8-bit code size."""
+    import random
+
+    from dataframeutils_spark.operators import multimodal as M
+
+    rng = random.Random(1234)
+    cases = [
+        b"",
+        b"\x00",
+        b"\xff" * 3,
+        bytes(M._gif_gradient_pixel(x, y, f) for f in range(4)
+              for y in range(33) for x in range(29)),
+        bytes(rng.randrange(4) for _ in range(30_000)),   # reset, low entropy
+        bytes(rng.randrange(256) for _ in range(20_000)),  # reset, high entropy
+        b"\xaa" * 50_000,                                  # reset, constant
+    ]
+    for i, d in enumerate(cases):
+        assert M._lzw_encode_gif(d) == _lzw_encode_gif_bytes_keyed(d), i
+    small = bytes(rng.randrange(4) for _ in range(5_000))
+    assert M._lzw_encode_gif(small, min_code_size=2) == _lzw_encode_gif_bytes_keyed(
+        small, min_code_size=2
+    )
+
+
 # Two REAL externally-encoded GIFs (not produced by this repo), embedded
 # verbatim so format compliance is tested against independent encoders and
 # self-consistency of the codec pair can never mask a width-schedule bug

@@ -1509,3 +1509,41 @@ def test_minhash_signatures_match_exploded_formulation(spark):
         new = dedup.minhash_signatures(sh, num_perm=8, portable=portable)
         assert new.exceptAll(old).count() == 0
         assert old.exceptAll(new).count() == 0
+
+
+def test_minhash_lsh_pairs_match_long_layout(spark):
+    """The fused band-hash fast path (band md5s computed directly from
+    the wide min columns, no posexplode → collect_list round-trip)
+    must emit exactly the long-layout composition
+    lsh_candidate_pairs(minhash_signatures(...)) — same candidate-pair
+    set for both hash families and for a non-default banding."""
+    df = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox naps under the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "completely different content about parquet files"),
+            (5, "more completely different content about parquet files"),
+            (6, "xy"),  # below shingle width: no shingles, no pairs
+        ],
+    )
+    sh = dedup.shingles(df)
+    for portable in (True, False):
+        for num_perm, bands in ((16, 4), (8, 2)):
+            old = dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(sh, num_perm=num_perm, portable=portable),
+                num_perm=num_perm,
+                bands=bands,
+            )
+            new = dedup.minhash_lsh_pairs(
+                sh, num_perm=num_perm, bands=bands, portable=portable
+            )
+            assert new.exceptAll(old).count() == 0
+            assert old.exceptAll(new).count() == 0
+    # and the fast path actually finds the duplicate pairs
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(sh).collect()
+    }
+    assert (1, 3) in got
