@@ -390,6 +390,9 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
+        # Label jobs per query (guide §1.5) so the UI / event log can
+        # attribute stages; a local-property set, nanoseconds.
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         prev = None
         for _ in range(3):
             try:

@@ -252,11 +252,23 @@ def _pairs_from_band_hashes(band_hash: DataFrame) -> DataFrame:
     whole array once per member (O(|bucket|²) tungsten traffic on hot
     buckets — measured 12× slower on clustered corpora), while the
     hash join streams; the duplicated upstream pipeline dedupes via
-    Spark's ReuseExchange (identical exchange subtrees run once)."""
+    Spark's ReuseExchange (identical exchange subtrees run once).
+
+    The join strategy is pinned to a SHUFFLE hash join (guide §3.1:
+    pick it deliberately). When size estimates look small Catalyst
+    would otherwise broadcast one side — which is doubly wrong here:
+    (a) a BroadcastExchange is not an Exchange, so ReuseExchange can
+    no longer collapse the two identical self-join subtrees and the
+    whole upstream shingle→minhash pipeline executes TWICE (measured
+    3.3 → 5.2 s at 10x when the fused path's tighter stats tipped the
+    planner to broadcast), and (b) the band table is corpus-sized
+    (4 rows per doc), so broadcasting it cannot scale past the 8 GB
+    relation cap anyway. With both sides shuffled on (band, bh) the
+    exchanges are canonically identical and the pipeline runs once."""
     a = band_hash.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = band_hash.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
-        a.join(b, on=["band", "bh"])
+        a.join(b.hint("shuffle_hash"), on=["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
