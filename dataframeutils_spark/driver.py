@@ -78,11 +78,19 @@ def round_floats(df: DataFrame, dec: tuple[str, ...] = (), all_dec: bool = False
     near zero. Everything else gets significant-digit rounding — right
     for scale-carrying magnitudes (means, stddevs).
     """
+    # One F.expr per float column instead of ~10 py4j Column calls: the
+    # SQL fragments parse to the same Catalyst tree as the Column
+    # builders (they are the shared Spark/DuckDB contract), and a
+    # single parsed expression costs one gateway round trip — measured
+    # ~45 ms/column saved in plan CONSTRUCTION, which the bench pays
+    # per query invocation (r14 §fixed-tail).
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-            fn = decround if (all_dec or f.name in dec) else siground
-            cols.append(fn(F.col(f.name).cast("double")).alias(f.name))
+            fn = decround_sql if (all_dec or f.name in dec) else siground_sql
+            cols.append(
+                F.expr(fn(f"CAST(`{f.name}` AS DOUBLE)")).alias(f.name)
+            )
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)

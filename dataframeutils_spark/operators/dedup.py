@@ -217,12 +217,18 @@ def _minhash_mins(
     fused one-pass aggregate behind :func:`minhash_signatures` and the
     band-hash fast path of :func:`minhash_lsh_pairs`."""
 
-    def h(i: int) -> Column:
-        salted = F.concat(F.lit(f"{i}:"), F.col("shingle"))
-        return portable_hash60(salted) if portable else fast_hash64(salted)
+    # One parsed F.expr per permutation instead of ~7 py4j Column calls
+    # each (identical Catalyst tree — the conv/substr/md5 fragment is
+    # portable_hash60's own SQL form; plan construction is a per-query
+    # driver cost the bench pays at any scale, r14 §fixed-tail).
+    def h_sql(i: int) -> str:
+        salted = f"concat('{i}:', shingle)"
+        if portable:
+            return f"CAST(conv(substring(md5({salted}), 1, 15), 16, 10) AS BIGINT)"
+        return f"xxhash64({salted})"
 
     return shingle_df.groupBy("doc_id").agg(
-        *[F.min(h(i)).alias(f"_m{i}") for i in range(num_perm)]
+        *[F.expr(f"min({h_sql(i)})").alias(f"_m{i}") for i in range(num_perm)]
     )
 
 
@@ -301,18 +307,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     mins = _minhash_mins(shingle_df, num_perm=num_perm, portable=portable)
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                F.array_sort(
-                    F.array(
-                        *[
-                            F.col(f"_m{b * rows_per_band + j}")
-                            for j in range(rows_per_band)
-                        ]
-                    )
-                ).cast("array<string>"),
+        F.expr(
+            "md5(concat_ws('_', CAST(array_sort(array("
+            + ", ".join(
+                f"_m{b * rows_per_band + j}" for j in range(rows_per_band)
             )
+            + ")) AS ARRAY<STRING>)))"
         )
         for b in range(bands)
     ]
@@ -388,20 +388,25 @@ def simhash(
     ).filter(F.length("tok") > 0)
     counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
     hashed = counted.select("doc_id", "w", portable_hash60(F.col("tok")).alias("h"))
+    # One parsed F.expr per aggregate / one for the bit recombination
+    # instead of ~1100 py4j Column calls: the strings parse to the
+    # identical Catalyst tree (analyzed-plan sameResult pinned in
+    # tests/test_northstar.py), and plan CONSTRUCTION drops ~1.5 s per
+    # invocation — a per-query driver cost the bench pays at any scale
+    # (r14 §fixed-tail).
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                -F.col("w")
-            )
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN w ELSE -w END)"
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = hashed.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else (sim + term)
-    return agg.select("doc_id", sim.alias("simhash"))
+    chain = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return agg.select("doc_id", F.expr(chain).alias("simhash"))
 
 
 def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 60) -> DataFrame:

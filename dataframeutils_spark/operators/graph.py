@@ -32,6 +32,76 @@ from pyspark.sql import functions as F
 from dataframeutils_spark.operators.text import _tokens, ranked_topk
 
 
+def _pagerank_local(
+    trans: DataFrame, nodes: DataFrame, iters: int, damping: float
+) -> DataFrame:
+    """Driver-local power iteration over a bounded, already
+    materialized transition table — the connected-components /
+    k_core bounded-collect discipline applied to rank propagation.
+
+    The per-round arithmetic is the IDENTICAL formula
+    ``r' = (1−d)/n + d · Σ p·r`` on the same (src, dst, p) doubles the
+    distributed loop consumes (p is computed in Spark either way); the
+    only difference is numpy's summation order inside the per-dst Σ,
+    which the r14 boundary audit measured at ≤ 1.4e-10 of a
+    last-significant-digit unit against ≥ 1e-2 distance to the nearest
+    siground rounding boundary on both gate SFs — eight orders of
+    magnitude of headroom. Parity (including the downstream siground)
+    is pinned in tests/test_graph.py. Returns (node, rank) rows
+    via createDataFrame; all declared rounding happens downstream in
+    Spark exactly as on the distributed path.
+    """
+    import numpy as np
+
+    spark = trans.sparkSession
+    tp = trans.toPandas()
+    node_arr = np.sort(nodes.toPandas()["node"].to_numpy())
+    n = len(node_arr)
+    si = np.searchsorted(node_arr, tp["src"].to_numpy())
+    di = np.searchsorted(node_arr, tp["dst"].to_numpy())
+    # drop edges whose endpoint is not a node (the distributed loop's
+    # joins do exactly this); searchsorted clips, so re-check equality
+    si_ok = (si < n) & (node_arr[np.minimum(si, n - 1)] == tp["src"].to_numpy())
+    di_ok = (di < n) & (node_arr[np.minimum(di, n - 1)] == tp["dst"].to_numpy())
+    keep = si_ok & di_ok
+    si, di = si[keep], di[keep]
+    p = tp["p"].to_numpy()[keep]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.bincount(di, weights=p * r[si], minlength=n)
+        r = (1.0 - damping) / n + damping * contrib
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", nodes.schema["node"].dataType),
+            T.StructField("rank", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        list(zip(node_arr.tolist(), r.tolist())), schema=schema
+    )
+
+
+def _pagerank_local_edge_threshold() -> int:
+    """Edge ceiling for the driver-local pagerank solve (collected
+    rows are (src, dst, p) strings+double ≈ 60 B → 1M ≈ 60 MB).
+    Production override: ``SPARK_GRAFT_PR_LOCAL_EDGES`` (0 disables);
+    malformed values fall back to the default."""
+    import os
+    import warnings
+
+    raw = os.environ.get("SPARK_GRAFT_PR_LOCAL_EDGES", "1000000")
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_PR_LOCAL_EDGES={raw!r} is not an int; "
+            "using default 1000000"
+        )
+        return 1000000
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -41,6 +111,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
+    local_edge_threshold: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count.
 
@@ -50,6 +121,17 @@ def pagerank(
     redistributed — the simplified published variant; both engines
     compute the identical formula. Returns (node, rank) with the raw
     double rank.
+
+    Scale-adaptive small-graph path (the connected-components /
+    k_core discipline): the transition table is materialized once and
+    counted; at or below ``local_edge_threshold`` edges the ``iters``
+    rounds run on the driver in vectorized numpy instead of paying
+    iters × (join + aggregate + join) of per-round scheduling — and,
+    as much, instead of CONSTRUCTING the unrolled iteration plan
+    (~2 s of driver-side expression building for 5 rounds). Above the
+    threshold the distributed loop runs unchanged. A fixed iteration
+    count means both paths run the same number of rounds — there is
+    no convergence/truncation divergence to document here.
     """
     nodes = nodes.select(F.col(node_col).alias("node"))
     edges = edges.select(
@@ -64,7 +146,14 @@ def pagerank(
     trans = edges.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("sw")).alias("p")
     )
-    trans = trans.localCheckpoint(eager=False)
+    if local_edge_threshold is None:
+        local_edge_threshold = _pagerank_local_edge_threshold()
+    if local_edge_threshold > 0:
+        trans = trans.localCheckpoint()  # eager: count reads blocks
+        if trans.count() <= local_edge_threshold:
+            return _pagerank_local(trans, nodes, iters=iters, damping=damping)
+    else:
+        trans = trans.localCheckpoint(eager=False)
 
     ranks = nodes.crossJoin(nn).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")

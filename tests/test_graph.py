@@ -156,6 +156,44 @@ def test_k_core_local_matches_distributed(spark):
     assert local["converged"] is False
 
 
+def test_pagerank_local_matches_distributed(spark):
+    """The driver-local numpy power iteration must reproduce the
+    distributed loop's ranks — including after the siground rounding
+    textrank applies — on a weighted digraph with dangling nodes,
+    isolated nodes and skewed in-degree (r14; the boundary audit
+    measured ≥ 8 orders of magnitude of rounding headroom, this pins
+    the equality end to end)."""
+    import random
+
+    from dataframeutils_spark.schema import siground
+
+    rng = random.Random(11)
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "node int")
+    # skewed: node 0 receives many edges; nodes 30..39 dangling/isolated
+    edges = [(rng.randrange(30), rng.randrange(12), float(rng.randint(1, 5)))
+             for _ in range(150)]
+    e = spark.createDataFrame(edges, "src int, dst int, w double")
+    local = graph.pagerank(nodes, e, iters=5)
+    dist = graph.pagerank(nodes, e, iters=5, local_edge_threshold=0)
+    ls = {r["node"]: r["rank"] for r in
+          local.select("node", siground(F.col("rank")).alias("rank")).collect()}
+    ds = {r["node"]: r["rank"] for r in
+          dist.select("node", siground(F.col("rank")).alias("rank")).collect()}
+    assert ls == ds
+    # string nodes (the textrank shape) keep working on the local path
+    sn = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    se = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    sl = {r["node"]: r["rank"] for r in graph.pagerank(sn, se, iters=4).collect()}
+    sd = {r["node"]: r["rank"] for r in
+          graph.pagerank(sn, se, iters=4, local_edge_threshold=0).collect()}
+    assert set(sl) == set(sd)
+    for k in sl:
+        assert abs(sl[k] - sd[k]) < 1e-12
+
+
 def test_cooccurrence_edges_matches_naive_self_join(spark):
     """The one-exchange (repartition-on-g + dedup + checkpoint) edge
     construction must emit exactly the naive distinct-then-self-join

@@ -65,6 +65,63 @@ def test_simhash_identical_and_disjoint(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in near.collect()] == [(1, 2)]
 
 
+def test_simhash_matches_column_built_reference(spark):
+    """r14 rewrote simhash's 60 bit-sum aggregates and the 60-term bit
+    recombination from Column-builder loops to parsed F.expr strings
+    (plan-construction cost, guide §fixed-tail). This pins the rewrite
+    against the pre-r14 Column construction kept verbatim below: the
+    analyzed plans must be semantically identical and the values equal
+    on mixed-weight docs."""
+    from pyspark.sql import functions as F
+
+    from dataframeutils_spark.operators.dedup import portable_hash60
+
+    df = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma alpha alpha"),
+            (2, "alpha beta gamma"),
+            (3, "zeta eta theta iota kappa"),
+            (4, ""),
+        ],
+    )
+    bits = 60
+    par = spark.sparkContext.defaultParallelism
+    toks = df.repartition(par, F.col("doc_id")).select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    hashed = counted.select(
+        "doc_id", "w", portable_hash60(F.col("tok")).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("w"),
+            ).otherwise(-F.col("w"))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        term = (
+            F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sim = term if sim is None else (sim + term)
+    ref = agg.select("doc_id", sim.alias("simhash"))
+    new = dedup.simhash(df)
+    assert (
+        new._jdf.queryExecution().analyzed()
+        .sameResult(ref._jdf.queryExecution().analyzed())
+    )
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+
+
 def test_embedding_dup_pairs_cosine(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])],

@@ -93,3 +93,40 @@ def test_siground_column_matches_sql_fragment(spark, ddb, x, expected):
     assert got_spark == pytest.approx(expected, rel=1e-12)
     assert got_duck == pytest.approx(expected, rel=1e-12)
     assert got_spark == got_duck
+
+
+def test_round_floats_matches_column_built_reference(spark):
+    """r14 switched round_floats to one parsed F.expr per float column
+    (the shared Spark/DuckDB SQL fragments) instead of the Column
+    builders — plan-construction cost only. Pin value identity against
+    the pre-r14 Column construction on the edge cases: NULL, NaN→NULL,
+    0, negatives, tiny and huge magnitudes, both rounding modes."""
+    from pyspark.sql import types as T
+
+    from dataframeutils_spark.driver import round_floats
+    from dataframeutils_spark.schema import decround, siground
+
+    rows = [
+        (1, 1234567.89, 0.000123456789),
+        (2, -987654321.0, -0.5000005),
+        (3, 0.0, float("nan")),
+        (4, None, 1e-300),
+        (5, 7.0, 1e300),
+    ]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+
+    def old_round_floats(d, dec=(), all_dec=False):
+        cols = []
+        for f in d.schema.fields:
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                fn = decround if (all_dec or f.name in dec) else siground
+                cols.append(fn(F.col(f.name).cast("double")).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return d.select(*cols)
+
+    for kw in ({"all_dec": True}, {}, {"dec": ("b",)}):
+        new = round_floats(df, **kw)
+        ref = old_round_floats(df, **kw)
+        assert new.exceptAll(ref).count() == 0
+        assert ref.exceptAll(new).count() == 0
